@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loaders for the driver-generated star schema.
+  *
+  * All operators read through these so that column pruning and filter
+  * pushdown reach the parquet scan. Dimension tables (region, nation)
+  * are small at every scale factor and are broadcast explicitly at the
+  * join sites; fact tables (lineitem, orders, events, documents,
+  * embeddings) scale with sf and are only ever shuffled on their join
+  * or group keys.
+  */
+object Tables {
+  def region(s: SparkSession, dir: String): DataFrame = load(s, dir, "region")
+  def nation(s: SparkSession, dir: String): DataFrame = load(s, dir, "nation")
+  def customer(s: SparkSession, dir: String): DataFrame = load(s, dir, "customer")
+  def supplier(s: SparkSession, dir: String): DataFrame = load(s, dir, "supplier")
+  def part(s: SparkSession, dir: String): DataFrame = load(s, dir, "part")
+  def orders(s: SparkSession, dir: String): DataFrame = load(s, dir, "orders")
+  def lineitem(s: SparkSession, dir: String): DataFrame = load(s, dir, "lineitem")
+  /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS), which
+    * Spark only reads with `spark.sql.legacy.parquet.nanosAsLong=true`
+    * (as a long of epoch-nanos). Normalize it to a micros-precision
+    * timestamp here so every operator sees a real timestamp column —
+    * `div 1000` truncates exactly like DuckDB's ns→us cast.
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val raw = load(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+  }
+  def documents(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
+  def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
+
+  private def load(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+}

@@ -1,0 +1,202 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** General-purpose analytical query surface: joins, aggregations,
+  * windows, rollups. This is the engine core every other operator
+  * group builds on.
+  *
+  * Scale notes: fact-side shuffles happen only on join/group keys;
+  * every dimension join is an explicit `broadcast()`; top-k queries
+  * use orderBy+limit which Catalyst plans as TakeOrderedAndProject
+  * (no global sort).
+  */
+object Analytics {
+
+  /** Multi-measure aggregation (TPC-H Q1 shape). Map-side partial
+    * aggregation makes this shuffle only one row per (flag, status)
+    * per partition regardless of input size.
+    */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Join + agg + bounded top-k (TPC-H Q3 shape). The orderBy+limit
+    * is a TakeOrderedAndProject: each partition keeps 10 rows, the
+    * driver merges 10×partitions rows — no global sort at 100 TB.
+    */
+  def q3TopOrders(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, dir).filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+    val li = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Star join through the full dimension chain (TPC-H Q5 shape).
+    * region/nation/customer are broadcast; only lineitem and
+    * orders shuffle, and only on the fact join keys.
+    */
+  def q5RegionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val dims = broadcast(
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey")))
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1994-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-01-01").cast("timestamp"))
+    Tables.lineitem(s, dir)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(dims, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("revenue").desc)
+  }
+
+  /** Conditional aggregation over a join (market-share shape). */
+  def marketShare(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(ord, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum(when(col("o_orderpriority") === "1-URGENT", col("o_totalprice")).otherwise(lit(0.0))), 4).as("urgent_rev"),
+        round(sum(col("o_totalprice")), 4).as("total_rev"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Partitioned window top-N: 3 most expensive orders per customer.
+    * The window partitions by o_custkey so state never exceeds one
+    * customer's orders per task — safe at any scale.
+    */
+  def windowRank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
+      .orderBy(col("o_custkey"), col("rnk"))
+  }
+
+  /** Hierarchical ROLLUP region→nation of customer account balances. */
+  def rollupBalances(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(round(sum(col("c_acctbal")), 4).as("sum_bal"), count(lit(1)).as("n_cust"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+
+  /** Exact distinct count per group (events): distinct users per
+    * event type. Spark plans this as a two-phase expand+agg — no
+    * driver-side state.
+    */
+  def distinctUsers(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> q1PricingSummary,
+    "q3_top_orders" -> q3TopOrders,
+    "q5_region_revenue" -> q5RegionRevenue,
+    "q_market_share" -> marketShare,
+    "q_window_rank" -> windowRank,
+    "q_rollup" -> rollupBalances,
+    "q_distinct_users" -> distinctUsers)
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice), 4) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_orders" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1994-01-01'
+        |  AND o_orderdate < TIMESTAMP '1995-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC""".stripMargin,
+    "q_market_share" ->
+      """SELECT n_name,
+        |  round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0.0 END), 4) AS urgent_rev,
+        |  round(sum(o_totalprice), 4) AS total_rev,
+        |  count(*) AS n_orders
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) t
+        |WHERE rnk <= 3
+        |ORDER BY o_custkey, rnk""".stripMargin,
+    "q_rollup" ->
+      """SELECT r_name, n_name,
+        |  round(sum(c_acctbal), 4) AS sum_bal, count(*) AS n_cust
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q_distinct_users" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)
+}
