@@ -1,0 +1,153 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Audit-log and metrics analytics over the `events` stream — the
+  * Spark re-expression of the reference's audit subsystem
+  * (internal/auth/audit.go, audit_format.go) and Prometheus metrics
+  * (internal/metrics/metrics.go): volume by type/day, CEF-style
+  * severity classification, top principals, failure ratios, session
+  * reconstruction, latency percentiles and per-minute rates.
+  *
+  * Scale notes: everything aggregates on (type) / (user) / (time
+  * bucket) keys — map-side partial aggregation bounds shuffle volume
+  * by cardinality, not event count. Sessionization uses per-user
+  * windows only (state per task = one user's events). Percentiles
+  * are exact here to match the oracle; at 100 TB swap in
+  * `approx_percentile` (same API shape, mergeable sketch).
+  */
+object Audit {
+
+  /** Event volume by type per day (audit.go event stream). */
+  def countsDaily(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("day"), col("event_type"))
+
+  /** CEF severity classification (audit_format.go:102 cefSeverity):
+    * failures → 8, mutating ops → 5, reads → 3. `error` events play
+    * auth failures, `purchase`/`signup` mutations, the rest reads.
+    */
+  def severity(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("severity",
+        when(col("event_type") === "error", 8)
+          .when(col("event_type").isin("purchase", "signup"), 5)
+          .otherwise(3))
+      .groupBy(col("severity"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("total_value"))
+      .orderBy(col("severity"))
+
+  /** Top-k principals by activity (audit.go principal tracking).
+    * Bounded top-k — TakeOrderedAndProject, no global sort.
+    */
+  def topActors(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("n_events").desc, col("user_id"))
+      .limit(20)
+
+  /** Failure ratio per principal (metrics.go auth failure counters):
+    * share of `error` events, 4dp.
+    */
+  def failureRatio(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(round(sum(when(col("event_type") === "error", 1.0).otherwise(0.0)) / count(lit(1)), 4).as("failure_ratio"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+
+  /** Session reconstruction: a new session starts after a >30min gap
+    * (audit trail analysis). Two per-user windows: lag to flag
+    * session starts, running sum to number them.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"))
+      .agg(max(col("session_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Latency percentiles per event type (metrics.go request-duration
+    * histograms): exact p50/p95/p99 of `value`.
+    */
+  def latencyPctile(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .orderBy(col("event_type"))
+
+  /** Per-minute event rate (metrics.go rate counters): tumbling
+    * 1-minute buckets per type.
+    */
+  def rate1m(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_trunc("minute", col("ts")).as("minute"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("minute"), col("event_type"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "audit_counts_daily" -> countsDaily,
+    "audit_severity" -> severity,
+    "audit_top_actors" -> topActors,
+    "audit_failure_ratio" -> failureRatio,
+    "audit_sessionize" -> sessionize,
+    "metrics_latency_pctile" -> latencyPctile,
+    "metrics_rate_1m" -> rate1m)
+
+  val oracleSql: Map[String, String] = Map(
+    "audit_counts_daily" ->
+      """SELECT cast(ts AS DATE) AS day, event_type, count(*) AS n_events
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "audit_severity" ->
+      """SELECT CASE WHEN event_type = 'error' THEN 8
+        |            WHEN event_type IN ('purchase','signup') THEN 5
+        |            ELSE 3 END AS severity,
+        |  count(*) AS n_events, round(sum(value), 4) AS total_value
+        |FROM events GROUP BY 1 ORDER BY severity""".stripMargin,
+    "audit_top_actors" ->
+      """SELECT user_id, count(*) AS n_events
+        |FROM events GROUP BY user_id
+        |ORDER BY n_events DESC, user_id LIMIT 20""".stripMargin,
+    "audit_failure_ratio" ->
+      """SELECT user_id,
+        |  round(sum(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END) / count(*), 4) AS failure_ratio,
+        |  count(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "audit_sessionize" ->
+      """SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events FROM (
+        |  SELECT user_id,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+        |  FROM (
+        |    SELECT user_id, ts, event_id,
+        |      CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_session
+        |    FROM (
+        |      SELECT user_id, ts, event_id,
+        |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |      FROM events) a) b) c
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "metrics_latency_pctile" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.95), 4) AS p95,
+        |  round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "metrics_rate_1m" ->
+      """SELECT date_trunc('minute', ts) AS minute, event_type, count(*) AS n_events
+        |FROM events GROUP BY 1, 2 ORDER BY minute, event_type""".stripMargin)
+}

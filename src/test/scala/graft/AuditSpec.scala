@@ -1,0 +1,39 @@
+package graft
+
+import graft.operators.Audit
+import org.apache.spark.sql.functions._
+
+class AuditSpec extends SparkSpec {
+
+  test("severity buckets cover all events") {
+    val rows = Audit.severity(spark, sfDir).collect()
+    val total = rows.map(_.getAs[Long]("n_events")).sum
+    assert(total == Tables.events(spark, sfDir).count())
+    assert(rows.map(_.getAs[Int]("severity")).toSet.subsetOf(Set(3, 5, 8)))
+  }
+
+  test("top actors bounded at 20, sorted desc") {
+    val rows = Audit.topActors(spark, sfDir).collect()
+    assert(rows.length <= 20)
+    val counts = rows.map(_.getAs[Long]("n_events"))
+    assert(counts.sameElements(counts.sortBy(-_)))
+  }
+
+  test("failure ratio within [0,1]") {
+    val bad = Audit.failureRatio(spark, sfDir)
+      .filter(col("failure_ratio") < 0 || col("failure_ratio") > 1)
+    assert(bad.count() == 0)
+  }
+
+  test("sessionize: session count never exceeds event count") {
+    val bad = Audit.sessionize(spark, sfDir)
+      .filter(col("n_sessions") > col("n_events") || col("n_sessions") < 1)
+    assert(bad.count() == 0)
+  }
+
+  test("latency percentiles are ordered p50 <= p95 <= p99") {
+    val bad = Audit.latencyPctile(spark, sfDir)
+      .filter(col("p50") > col("p95") || col("p95") > col("p99"))
+    assert(bad.count() == 0)
+  }
+}
