@@ -14,7 +14,9 @@ object SparkEntry {
   private val groups: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] = Seq(
     (operators.Analytics.queries, operators.Analytics.oracleSql),
     (operators.Registry.queries, operators.Registry.oracleSql),
-    (operators.Audit.queries, operators.Audit.oracleSql))
+    (operators.Audit.queries, operators.Audit.oracleSql),
+    (operators.Analysis.queries, operators.Analysis.oracleSql),
+    (operators.Compat.queries, operators.Compat.oracleSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

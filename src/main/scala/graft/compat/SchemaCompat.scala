@@ -1,0 +1,119 @@
+package graft.compat
+
+import org.apache.spark.sql.types._
+
+/** Schema-evolution compatibility checking, re-expressed over Spark's
+  * native schema formalism (`StructType`) instead of Avro/Proto
+  * parsers.
+  *
+  * Semantics follow the reference checker
+  * (internal/compatibility/checker.go:39 orchestration,
+  * internal/compatibility/avro/checker.go:102 record rules,
+  * :297 promotion rules, internal/compatibility/modes.go modes):
+  *
+  *  - BACKWARD: the new schema (reader) can read data written by the
+  *    old schema (writer). A reader field missing from the writer
+  *    must be nullable (Spark's stand-in for "has default",
+  *    avro/checker.go:128-131).
+  *  - FORWARD: old reads new (roles swapped).
+  *  - FULL: both. `_TRANSITIVE` variants check every prior version,
+  *    non-transitive only the latest (checker.go:57-66).
+  *  - Type promotions (avro/checker.go:304): int → long/float/double,
+  *    long → float/double, float → double, string ↔ binary.
+  */
+object SchemaCompat {
+
+  sealed abstract class Mode(val name: String) {
+    def requiresBackward: Boolean = this == Backward || this == BackwardTransitive || this == Full || this == FullTransitive
+    def requiresForward: Boolean = this == Forward || this == ForwardTransitive || this == Full || this == FullTransitive
+    def isTransitive: Boolean = this == BackwardTransitive || this == ForwardTransitive || this == FullTransitive
+  }
+  case object None_ extends Mode("NONE")
+  case object Backward extends Mode("BACKWARD")
+  case object BackwardTransitive extends Mode("BACKWARD_TRANSITIVE")
+  case object Forward extends Mode("FORWARD")
+  case object ForwardTransitive extends Mode("FORWARD_TRANSITIVE")
+  case object Full extends Mode("FULL")
+  case object FullTransitive extends Mode("FULL_TRANSITIVE")
+
+  object Mode {
+    val all: Seq[Mode] = Seq(None_, Backward, BackwardTransitive, Forward, ForwardTransitive, Full, FullTransitive)
+    def parse(s: String): Mode = all.find(_.name == s.toUpperCase)
+      .getOrElse(throw new IllegalArgumentException(s"unknown mode: $s"))
+  }
+
+  final case class Result(isCompatible: Boolean, messages: Seq[String]) {
+    def merge(other: Result): Result =
+      Result(isCompatible && other.isCompatible, messages ++ other.messages)
+  }
+  val Compatible: Result = Result(isCompatible = true, Nil)
+  def incompatible(msg: String): Result = Result(isCompatible = false, Seq(msg))
+
+  /** Orchestration (checker.go:39): check `newSchema` against the
+    * version history `existing` (oldest → newest) under `mode`.
+    */
+  def check(mode: Mode, newSchema: StructType, existing: Seq[StructType]): Result = {
+    if (mode == None_ || existing.isEmpty) return Compatible
+    val toCheck = if (mode.isTransitive) existing else Seq(existing.last)
+    toCheck.zipWithIndex.foldLeft(Compatible) { case (acc, (old, i)) =>
+      val back =
+        if (mode.requiresBackward) prefix(canRead(reader = newSchema, writer = old, path = ""), s"BACKWARD compatibility check failed against version ${i + 1}")
+        else Compatible
+      val fwd =
+        if (mode.requiresForward) prefix(canRead(reader = old, writer = newSchema, path = ""), s"FORWARD compatibility check failed against version ${i + 1}")
+        else Compatible
+      acc.merge(back).merge(fwd)
+    }
+  }
+
+  private def prefix(r: Result, p: String): Result =
+    if (r.isCompatible) r else Result(isCompatible = false, r.messages.map(m => s"$p: $m"))
+
+  /** Record rule (avro/checker.go:102): every reader field must be
+    * resolvable from the writer, or be nullable.
+    */
+  private def canRead(reader: StructType, writer: StructType, path: String): Result = {
+    val writerFields = writer.fields.map(f => f.name -> f).toMap
+    reader.fields.foldLeft(Compatible) { (acc, rf) =>
+      val fieldPath = if (path.isEmpty) rf.name else s"$path.${rf.name}"
+      writerFields.get(rf.name) match {
+        case None if rf.nullable => acc
+        case None =>
+          acc.merge(incompatible(s"${pathOrRoot(path)}: reader field '${rf.name}' is required (non-nullable) and missing from writer"))
+        case Some(wf) =>
+          val typeRes = canReadType(rf.dataType, wf.dataType, fieldPath)
+          val nullRes =
+            if (!rf.nullable && wf.nullable)
+              incompatible(s"$fieldPath: reader requires non-null but writer may write null")
+            else Compatible
+          acc.merge(typeRes).merge(nullRes)
+      }
+    }
+  }
+
+  private def canReadType(reader: DataType, writer: DataType, path: String): Result =
+    (reader, writer) match {
+      case (r: StructType, w: StructType) => canRead(r, w, path)
+      case (r: ArrayType, w: ArrayType) => canReadType(r.elementType, w.elementType, s"$path[]")
+      case (r: MapType, w: MapType) =>
+        canReadType(r.keyType, w.keyType, s"$path{k}")
+          .merge(canReadType(r.valueType, w.valueType, s"$path{}"))
+      case (r, w) if r == w => Compatible
+      case (r, w) if promotable(writer = w, reader = r) => Compatible
+      case (r, w) =>
+        incompatible(s"$path: type mismatch: reader ${r.simpleString}, writer ${w.simpleString} (not promotable)")
+    }
+
+  /** Promotion rules (avro/checker.go:304). */
+  private def promotable(writer: DataType, reader: DataType): Boolean =
+    (writer, reader) match {
+      case (IntegerType, LongType | FloatType | DoubleType) => true
+      case (LongType, FloatType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case (StringType, BinaryType) => true
+      case (BinaryType, StringType) => true
+      case _ => false
+    }
+
+  private def pathOrRoot(path: String): String = if (path.isEmpty) "root" else path
+}
