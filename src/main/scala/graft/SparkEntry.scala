@@ -16,7 +16,8 @@ object SparkEntry {
     (operators.Registry.queries, operators.Registry.oracleSql),
     (operators.Audit.queries, operators.Audit.oracleSql),
     (operators.Analysis.queries, operators.Analysis.oracleSql),
-    (operators.Compat.queries, operators.Compat.oracleSql))
+    (operators.Compat.queries, operators.Compat.oracleSql),
+    (operators.Dedup.queries, operators.Dedup.oracleSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,236 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication family for large-scale pipeline use:
+  * exact (hash), MinHash+LSH, SimHash, n-gram Jaccard verification,
+  * and embedding-cosine near-dup detection.
+  *
+  * Portability: every hash is an md5 hex string (identical in Spark
+  * and DuckDB); MinHash minimizes md5 strings lexicographically so
+  * the oracle can reproduce the exact signatures.
+  *
+  * Scale design: no operator compares all n² pairs. MinHash shingle
+  * signatures are computed row-locally with higher-order functions
+  * (no explode of the shingle set), then only 4 band rows per doc
+  * shuffle into the LSH bucket join. SimHash blocks on 16-bit chunk
+  * equality (pigeonhole: hamming ≤ 3 ⇒ some chunk equal). Jaccard
+  * and cosine block on (lang, length-bucket) / label before any
+  * pairwise work. All pair joins shuffle on the block key only.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical row per content hash + keep/drop flag.
+    * One groupBy on the uniform md5 key — skew-free by construction.
+    */
+  def exact(s: SparkSession, dir: String): DataFrame = {
+    val hashed = Tables.documents(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+    val canon = hashed.groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"))
+    hashed.join(canon, "content_hash")
+      .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
+      .select(col("doc_id"), col("content_hash"), col("canonical_id"), col("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Word-3-gram shingles + 16-permutation MinHash signature, all
+    * row-local (no shuffle until banding).
+    */
+  private def minhashSignatures(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "split(text, ' ') AS ts")
+      .where("size(ts) >= 3")
+      .selectExpr("doc_id",
+        """transform(sequence(1, size(ts) - 2),
+          |  i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1), ' ', element_at(ts, i + 2))) AS shingles""".stripMargin)
+      .selectExpr("doc_id",
+        """transform(sequence(0, 15),
+          |  sd -> array_min(transform(shingles, sh -> md5(concat(cast(sd AS string), ':', sh))))) AS m""".stripMargin)
+
+  /** MinHash + LSH near-dup pairs: 4 bands × 4 rows; docs sharing a
+    * band bucket become candidates; candidates are scored by
+    * signature agreement (est. Jaccard) and thresholded.
+    */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val mh = minhashSignatures(s, dir).cache()
+    val bands = mh.selectExpr("doc_id", "explode(sequence(0, 3)) AS b", "m")
+      .selectExpr("doc_id", "b",
+        "md5(concat(element_at(m, b*4+1), element_at(m, b*4+2), element_at(m, b*4+3), element_at(m, b*4+4))) AS band_key")
+    val cand = bands.as("a").join(bands.as("bb"),
+        col("a.b") === col("bb.b") && col("a.band_key") === col("bb.band_key") &&
+          col("a.doc_id") < col("bb.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("bb.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(mh.selectExpr("doc_id AS doc_a", "m AS ma"), "doc_a")
+      .join(mh.selectExpr("doc_id AS doc_b", "m AS mb"), "doc_b")
+      .selectExpr("doc_a", "doc_b",
+        "size(filter(zip_with(ma, mb, (x, y) -> x = y), v -> v)) / cast(16 AS double) AS est_jaccard")
+      .where("est_jaccard >= 0.5")
+      .selectExpr("doc_a", "doc_b", "round(est_jaccard, 4) AS est_jaccard")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 64-bit SimHash as four 16-bit chunks (c0..c3), computed with
+    * higher-order functions over token md5s — row-local, one scan.
+    */
+  private def simhashChunks(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr("doc_id",
+        "transform(split(text, ' '), t -> substring(md5(t), 1, 16)) AS th")
+      .selectExpr("doc_id",
+        """transform(sequence(0, 63), j -> CASE WHEN aggregate(th, 0, (acc, h) ->
+          |  acc + CASE WHEN (shiftright(instr('0123456789abcdef', substring(h, cast(j div 4 AS int) + 1, 1)) - 1,
+          |                   3 - cast(j % 4 AS int)) & 1) = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END) AS bits""".stripMargin)
+      .selectExpr("doc_id",
+        "aggregate(sequence(0, 15), 0, (acc, i) -> acc + element_at(bits, i + 1) * shiftleft(1, 15 - i)) AS c0",
+        "aggregate(sequence(16, 31), 0, (acc, i) -> acc + element_at(bits, i + 1) * shiftleft(1, 15 - (i - 16))) AS c1",
+        "aggregate(sequence(32, 47), 0, (acc, i) -> acc + element_at(bits, i + 1) * shiftleft(1, 15 - (i - 32))) AS c2",
+        "aggregate(sequence(48, 63), 0, (acc, i) -> acc + element_at(bits, i + 1) * shiftleft(1, 15 - (i - 48))) AS c3")
+
+  /** SimHash near-dup pairs: candidates share at least one 16-bit
+    * chunk (pigeonhole covers hamming ≤ 3 exactly); verified by full
+    * 64-bit hamming distance via xor + bit_count.
+    */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val ch = simhashChunks(s, dir).cache()
+    val a = ch.select(col("doc_id").as("doc_a"), col("c0").as("a0"), col("c1").as("a1"), col("c2").as("a2"), col("c3").as("a3"))
+    val b = ch.select(col("doc_id").as("doc_b"), col("c0").as("b0"), col("c1").as("b1"), col("c2").as("b2"), col("c3").as("b3"))
+    val joined = Seq("a0" -> "b0", "a1" -> "b1", "a2" -> "b2", "a3" -> "b3")
+      .map { case (ca, cb) =>
+        a.join(b, col(ca) === col(cb) && col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"), col("a0"), col("a1"), col("a2"), col("a3"), col("b0"), col("b1"), col("b2"), col("b3"))
+      }
+      .reduce(_ union _)
+      .distinct()
+    joined
+      .selectExpr("doc_a", "doc_b",
+        """cast(bit_count(cast(a0 ^ b0 AS bigint)) + bit_count(cast(a1 ^ b1 AS bigint)) +
+          |bit_count(cast(a2 ^ b2 AS bigint)) + bit_count(cast(a3 ^ b3 AS bigint)) AS bigint) AS hamming""".stripMargin)
+      .where("hamming <= 3")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Exact n-gram Jaccard verification over (lang, length-bucket)
+    * blocks: set intersection / union of distinct word 3-grams.
+    */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .selectExpr("doc_id", "lang", "n_chars div 50 AS len_bucket", "split(text, ' ') AS ts")
+      .where("size(ts) >= 3")
+      .selectExpr("doc_id", "lang", "len_bucket",
+        """array_distinct(transform(sequence(1, size(ts) - 2),
+          |  i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1), ' ', element_at(ts, i + 2)))) AS sh""".stripMargin)
+    sh.as("a").join(sh.as("b"),
+        col("a.lang") === col("b.lang") && col("a.len_bucket") === col("b.len_bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b",
+        "size(array_intersect(a.sh, b.sh)) / cast(size(array_union(a.sh, b.sh)) AS double) AS jaccard")
+      .where("jaccard >= 0.3")
+      .selectExpr("doc_a", "doc_b", "round(jaccard, 4) AS jaccard")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Embedding-cosine near-dup pairs, blocked by label (the cluster
+    * key), computed in double precision end-to-end.
+    */
+  def embedCosine(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .selectExpr("vec_id", "label", "cast(embedding AS array<double>) AS e")
+      .selectExpr("vec_id", "label", "e",
+        "sqrt(aggregate(e, cast(0 AS double), (acc, x) -> acc + x * x)) AS nrm")
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .selectExpr("a.vec_id AS vec_a", "b.vec_id AS vec_b",
+        "aggregate(zip_with(a.e, b.e, (x, y) -> x * y), cast(0 AS double), (acc, x) -> acc + x) / (a.nrm * b.nrm) AS cos")
+      .where("cos > 0.35")
+      .selectExpr("vec_a", "vec_b", "round(cos, 4) AS cos")
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> exact,
+    "dedup_minhash_lsh" -> minhashLsh,
+    "dedup_simhash" -> simhash,
+    "dedup_ngram_jaccard" -> ngramJaccard,
+    "dedup_embed_cosine" -> embedCosine)
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT h.doc_id, h.content_hash, c.canonical_id, h.doc_id = c.canonical_id AS is_canonical
+        |FROM (SELECT doc_id, md5(text) AS content_hash FROM documents) h
+        |JOIN (SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id FROM documents GROUP BY 1) c
+        |  USING (content_hash)
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_minhash_lsh" ->
+      """WITH sh AS (
+        |  SELECT doc_id, [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts)-1)] AS shingles
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t
+        |  WHERE len(ts) >= 3),
+        |mh AS (
+        |  SELECT doc_id, [list_min([md5(sd::varchar || ':' || s) for s in shingles]) for sd in range(0, 16)] AS m
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, b, md5(m[b*4+1] || m[b*4+2] || m[b*4+3] || m[b*4+4]) AS band_key
+        |  FROM mh, (SELECT unnest(range(0, 4)) AS b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, bb.doc_id AS doc_b
+        |  FROM bands a JOIN bands bb ON a.b = bb.b AND a.band_key = bb.band_key AND a.doc_id < bb.doc_id)
+        |SELECT doc_a, doc_b, round(est_jaccard, 4) AS est_jaccard FROM (
+        |  SELECT doc_a, doc_b, len([i for i in range(1, 17) if ma.m[i] = mb.m[i]]) / 16.0 AS est_jaccard
+        |  FROM cand JOIN mh ma ON cand.doc_a = ma.doc_id JOIN mh mb ON cand.doc_b = mb.doc_id) t
+        |WHERE est_jaccard >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_transform(string_split(text, ' '), t -> substr(md5(t), 1, 16)) AS th
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    [ CAST(list_sum(list_transform(th, h ->
+        |        CASE WHEN ((strpos('0123456789abcdef', substr(h, (j//4)+1, 1)) - 1) >> (3 - (j%4))) & 1 = 1
+        |        THEN 1 ELSE -1 END)) > 0 AS INT) for j in range(0, 64) ] AS bits
+        |  FROM tok),
+        |chunks AS (
+        |  SELECT doc_id,
+        |    list_sum([bits[i+1] * (1 << (15 - i)) for i in range(0, 16)]) AS c0,
+        |    list_sum([bits[i+1] * (1 << (15 - (i-16))) for i in range(16, 32)]) AS c1,
+        |    list_sum([bits[i+1] * (1 << (15 - (i-32))) for i in range(32, 48)]) AS c2,
+        |    list_sum([bits[i+1] * (1 << (15 - (i-48))) for i in range(48, 64)]) AS c3
+        |  FROM sh)
+        |SELECT doc_a, doc_b, hamming FROM (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    bit_count(CAST(xor(a.c0, b.c0) AS BIGINT)) + bit_count(CAST(xor(a.c1, b.c1) AS BIGINT)) +
+        |    bit_count(CAST(xor(a.c2, b.c2) AS BIGINT)) + bit_count(CAST(xor(a.c3, b.c3) AS BIGINT)) AS hamming
+        |  FROM chunks a JOIN chunks b ON a.doc_id < b.doc_id
+        |    AND (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3)) t
+        |WHERE hamming <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, lang, n_chars // 50 AS len_bucket,
+        |    list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts)-1)]) AS sh
+        |  FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS ts FROM documents) t
+        |  WHERE len(ts) >= 3)
+        |SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    len(list_intersect(a.sh, b.sh)) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id) t
+        |WHERE jaccard >= 0.3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_embed_cosine" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, label, e, sqrt(list_sum([x * x for x in e])) AS nrm FROM e)
+        |SELECT vec_a, vec_b, round(cos, 4) AS cos FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_sum([a.e[i] * b.e[i] for i in range(1, len(a.e) + 1)]) / (a.nrm * b.nrm) AS cos
+        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id) t
+        |WHERE cos > 0.35
+        |ORDER BY vec_a, vec_b""".stripMargin)
+}
