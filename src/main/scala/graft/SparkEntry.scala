@@ -17,7 +17,8 @@ object SparkEntry {
     (operators.Audit.queries, operators.Audit.oracleSql),
     (operators.Analysis.queries, operators.Analysis.oracleSql),
     (operators.Compat.queries, operators.Compat.oracleSql),
-    (operators.Dedup.queries, operators.Dedup.oracleSql))
+    (operators.Dedup.queries, operators.Dedup.oracleSql),
+    (operators.Similarity.queries, operators.Similarity.oracleSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

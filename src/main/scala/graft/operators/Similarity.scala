@@ -1,0 +1,159 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the embedding corpus:
+  * brute-force cosine top-k as the exactness baseline, and a
+  * sign-random-projection (SRP) LSH-bucketed variant as the scale
+  * path.
+  *
+  * Scale design: probes are a bounded set (broadcast); the corpus is
+  * scanned once and never self-joined. Brute force scores
+  * |probes| × |corpus| rows and ranks per probe. The SRP variant
+  * hashes every vector to one of 256 buckets with a *literal* ±1
+  * hyperplane matrix (md5-parity-derived, embedded in the plan so
+  * codegen folds it — no per-row hashing), then scores only
+  * same-bucket candidates: at 1000 executors the bucket join
+  * shuffles on an 8-bit key and each task scores a 1/256 slice.
+  */
+object Similarity {
+
+  private val NPlanes = 8
+  private val NTables = 2
+  private val PlanesPerTable = 4
+  private val Dims = 64
+  private val K = 5
+
+  /** Deterministic ±1 hyperplane weights: parity of the first hex
+    * digit of md5("p:d") — reproducible in any engine with md5.
+    */
+  private[graft] def weight(p: Int, d: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$p:$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val v = Integer.parseInt(hex.substring(0, 1), 16)
+    if ((v & 1) == 1) 1 else -1
+  }
+
+  private lazy val weightMatrixSql: String = {
+    val rows = (0 until NPlanes).map { p =>
+      (0 until Dims).map(d => weight(p, d)).mkString("array(", ", ", ")")
+    }
+    rows.mkString("array(", ", ", ")")
+  }
+
+  private def scored(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .selectExpr("vec_id", "cast(embedding AS array<double>) AS e")
+      .selectExpr("vec_id", "e",
+        "sqrt(aggregate(e, cast(0 AS double), (acc, x) -> acc + x * x)) AS nrm")
+    val probes = broadcast(e.where("vec_id < 10")
+      .selectExpr("vec_id AS probe_id", "e AS pe", "nrm AS pnrm"))
+    probes.join(e, col("probe_id") =!= col("vec_id"))
+      .selectExpr("probe_id", "vec_id",
+        "aggregate(zip_with(pe, e, (x, y) -> x * y), cast(0 AS double), (acc, x) -> acc + x) / (pnrm * nrm) AS cos")
+  }
+
+  /** Brute-force exact top-k: every probe against the full corpus. */
+  def bruteTopK(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored(s, dir)
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= K)
+      .selectExpr("probe_id", "vec_id", "round(cos, 4) AS cos", "rnk")
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  /** Multi-table SRP-LSH bucketed ANN: 2 hash tables × 4 hyperplanes
+    * (16 buckets each); a corpus vector is a candidate if it shares a
+    * bucket with the probe in *either* table (standard L-table LSH
+    * recall boost). The bucket join key is (table, bucket) — a plain
+    * hash join, never an OR-join — so each task scores one bucket
+    * slice; tables/planes are the recall/cost knobs at scale.
+    */
+  def lshTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .selectExpr("vec_id", "cast(embedding AS array<double>) AS e")
+      .selectExpr("vec_id", "e",
+        "sqrt(aggregate(e, cast(0 AS double), (acc, x) -> acc + x * x)) AS nrm",
+        s"""transform(sequence(0, ${NTables - 1}), t ->
+           |  aggregate(sequence(0, ${PlanesPerTable - 1}), 0, (acc, p) ->
+           |    acc + CASE WHEN aggregate(zip_with(element_at($weightMatrixSql, t * $PlanesPerTable + p + 1), e, (w, x) -> w * x),
+           |                              cast(0 AS double), (a2, x) -> a2 + x) >= 0
+           |          THEN shiftleft(1, p) ELSE 0 END)) AS buckets""".stripMargin)
+      .cache()
+    val tbl = e.selectExpr("vec_id", "explode(sequence(0, " + (NTables - 1) + ")) AS t", "buckets")
+      .selectExpr("vec_id", "t", "element_at(buckets, t + 1) AS bucket")
+    val probeTbl = broadcast(tbl.where("vec_id < 10")
+      .selectExpr("vec_id AS probe_id", "t", "bucket"))
+    val cand = probeTbl.join(tbl, Seq("t", "bucket"))
+      .where(col("probe_id") =!= col("vec_id"))
+      .select("probe_id", "vec_id").distinct()
+    val vecs = e.selectExpr("vec_id", "e", "nrm")
+    val probes = broadcast(vecs.where("vec_id < 10")
+      .selectExpr("vec_id AS probe_id", "e AS pe", "nrm AS pnrm"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+    cand.join(probes, "probe_id").join(vecs, "vec_id")
+      .selectExpr("probe_id", "vec_id",
+        "aggregate(zip_with(pe, e, (x, y) -> x * y), cast(0 AS double), (acc, x) -> acc + x) / (pnrm * nrm) AS cos")
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= K)
+      .selectExpr("probe_id", "vec_id", "round(cos, 4) AS cos", "rnk")
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_brute_topk" -> bruteTopK,
+    "ann_lsh_topk" -> lshTopK)
+
+  val oracleSql: Map[String, String] = {
+    val weightsCte =
+      """w AS (
+        |  SELECT p, d,
+        |    CASE WHEN (strpos('0123456789abcdef', substr(md5(p::varchar || ':' || d::varchar), 1, 1)) - 1) & 1 = 1
+        |         THEN 1 ELSE -1 END AS wt
+        |  FROM (SELECT unnest(range(0, 8)) AS p), (SELECT unnest(range(0, 64)) AS d))""".stripMargin
+    Map(
+      "ann_brute_topk" ->
+        """WITH e AS (
+          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+          |n AS (SELECT vec_id, e, sqrt(list_sum([x * x for x in e])) AS nrm FROM e),
+          |sc AS (
+          |  SELECT p.vec_id AS probe_id, c.vec_id,
+          |    list_sum([p.e[i] * c.e[i] for i in range(1, len(p.e) + 1)]) / (p.nrm * c.nrm) AS cos
+          |  FROM n p JOIN n c ON p.vec_id < 10 AND p.vec_id <> c.vec_id)
+          |SELECT probe_id, vec_id, round(cos, 4) AS cos, rnk FROM (
+          |  SELECT probe_id, vec_id, cos,
+          |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk
+          |  FROM sc) t
+          |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+      "ann_lsh_topk" ->
+        s"""WITH $weightsCte,
+           |e AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+           |n AS (SELECT vec_id, e, sqrt(list_sum([x * x for x in e])) AS nrm FROM e),
+           |planedots AS (
+           |  SELECT n.vec_id, w.p, sum(w.wt * n.e[w.d + 1]) AS dot
+           |  FROM n, w GROUP BY n.vec_id, w.p),
+           |buckets AS (
+           |  SELECT vec_id, p // 4 AS t,
+           |    sum(CASE WHEN dot >= 0 THEN 1 << (p % 4) ELSE 0 END) AS bucket
+           |  FROM planedots GROUP BY vec_id, p // 4),
+           |cand AS (
+           |  SELECT DISTINCT pb.vec_id AS probe_id, cb.vec_id
+           |  FROM buckets pb JOIN buckets cb ON pb.t = cb.t AND pb.bucket = cb.bucket
+           |  WHERE pb.vec_id < 10 AND pb.vec_id <> cb.vec_id),
+           |sc AS (
+           |  SELECT cand.probe_id, cand.vec_id,
+           |    list_sum([p.e[i] * c.e[i] for i in range(1, len(p.e) + 1)]) / (p.nrm * c.nrm) AS cos
+           |  FROM cand JOIN n p ON cand.probe_id = p.vec_id JOIN n c ON cand.vec_id = c.vec_id)
+           |SELECT probe_id, vec_id, round(cos, 4) AS cos, rnk FROM (
+           |  SELECT probe_id, vec_id, cos,
+           |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk
+           |  FROM sc) t
+           |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin)
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  test("brute-force topk returns exactly k ranked neighbors per probe") {
+    val rows = Similarity.bruteTopK(spark, sfDir).collect()
+    val perProbe = rows.groupBy(_.getAs[Long]("probe_id"))
+    assert(perProbe.size == 10)
+    perProbe.foreach { case (_, rs) =>
+      assert(rs.length == 5)
+      val cs = rs.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("cos"))
+      assert(cs.sameElements(cs.sortBy(-_)), "cos must be non-increasing in rank")
+    }
+  }
+
+  test("no probe appears as its own neighbor") {
+    assert(Similarity.bruteTopK(spark, sfDir)
+      .filter(col("probe_id") === col("vec_id")).count() == 0)
+    assert(Similarity.lshTopK(spark, sfDir)
+      .filter(col("probe_id") === col("vec_id")).count() == 0)
+  }
+
+  test("LSH neighbors never beat the brute-force best") {
+    val bruteBest = Similarity.bruteTopK(spark, sfDir)
+      .filter(col("rnk") === 1).collect()
+      .map(r => r.getAs[Long]("probe_id") -> r.getAs[Double]("cos")).toMap
+    val lsh = Similarity.lshTopK(spark, sfDir).collect()
+    lsh.foreach { r =>
+      val p = r.getAs[Long]("probe_id")
+      assert(r.getAs[Double]("cos") <= bruteBest(p) + 1e-9)
+    }
+  }
+
+  test("LSH scores match brute-force scores for shared (probe, neighbor) pairs") {
+    val brute = Similarity.bruteTopK(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id")) -> r.getAs[Double]("cos")).toMap
+    val lsh = Similarity.lshTopK(spark, sfDir).collect()
+    val shared = lsh.flatMap { r =>
+      brute.get((r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id")))
+        .map(_ -> r.getAs[Double]("cos"))
+    }
+    assert(shared.nonEmpty, "bucketing should recover at least one true top-5 neighbor")
+    shared.foreach { case (b, l) => assert(math.abs(b - l) < 1e-9) }
+  }
+
+  test("hyperplane weights are deterministic ±1") {
+    val w1 = (0 until 8).map(p => (0 until 64).map(d => Similarity.weight(p, d)))
+    val w2 = (0 until 8).map(p => (0 until 64).map(d => Similarity.weight(p, d)))
+    assert(w1 == w2)
+    assert(w1.flatten.forall(v => v == 1 || v == -1))
+    assert(w1.flatten.count(_ == 1) > 100, "parity should be roughly balanced")
+  }
+}
