@@ -18,7 +18,8 @@ object SparkEntry {
     (operators.Analysis.queries, operators.Analysis.oracleSql),
     (operators.Compat.queries, operators.Compat.oracleSql),
     (operators.Dedup.queries, operators.Dedup.oracleSql),
-    (operators.Similarity.queries, operators.Similarity.oracleSql))
+    (operators.Similarity.queries, operators.Similarity.oracleSql),
+    (operators.TextAnalysis.queries, operators.TextAnalysis.oracleSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

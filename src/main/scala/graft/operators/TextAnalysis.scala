@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for pipeline curation: language ID,
+  * quality scoring, token counting, and winnowing-style document
+  * fingerprinting — all single-pass narrow scans over `documents`
+  * (row-local higher-order functions, no shuffle besides the final
+  * sort), so throughput is scan-bound at any scale.
+  */
+object TextAnalysis {
+
+  /** N-gram/stopword-profile language ID: per-language marker-word
+    * hit counts, argmax with deterministic tie-break order. On this
+    * synthetic corpus it demonstrates the operator shape; real
+    * profiles drop in as literal arrays the same way.
+    */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val markers = Map(
+      "en" -> Seq("the", "fast", "join", "query"),
+      "de" -> Seq("table", "row", "group"),
+      "es" -> Seq("data", "line", "part"),
+      "fr" -> Seq("sort", "merge", "filter"),
+      "zh" -> Seq("spark", "hash", "scan"))
+    val scoreCols = markers.toSeq.sortBy(_._1).map { case (l, ws) =>
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      s"size(filter(ts, t -> t IN ($inList))) AS s_$l"
+    }
+    val langs = markers.keys.toSeq.sorted
+    val maxExpr = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val caseExpr = langs.map(l => s"WHEN s_$l = mx THEN '$l'").mkString(
+      "CASE ", " ", " END")
+    Tables.documents(s, dir)
+      .selectExpr(Seq("doc_id", "lang", "split(text, ' ') AS ts") ++ scoreCols: _*)
+      .withColumn("mx", expr(maxExpr))
+      .selectExpr("doc_id", "lang AS labeled_lang", s"$caseExpr AS predicted_lang", "mx AS score")
+      .withColumn("agrees", col("labeled_lang") === col("predicted_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring: token stats, stopword/duplication ratios and a
+    * composite [0,1] quality signal (documents with heavy repetition
+    * or extreme length score low) — the curation-filter shape.
+    */
+  def quality(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "n_chars", "split(text, ' ') AS ts")
+      .selectExpr("doc_id", "n_chars",
+        "size(ts) AS n_tokens",
+        "round(n_chars / cast(size(ts) AS double), 4) AS avg_token_len",
+        "round(size(filter(ts, t -> t IN ('the', 'a'))) / cast(size(ts) AS double), 4) AS stopword_ratio",
+        "round(1.0 - size(array_distinct(ts)) / cast(size(ts) AS double), 4) AS dup_ratio")
+      .selectExpr("doc_id", "n_chars", "n_tokens", "avg_token_len", "stopword_ratio", "dup_ratio",
+        """round(CASE WHEN n_tokens < 5 THEN 0.1 ELSE 1.0 END *
+          |      (1.0 - dup_ratio) * (1.0 - least(stopword_ratio * 2, cast(0.5 AS double))), 4) AS quality""".stripMargin)
+      .orderBy(col("doc_id"))
+
+  /** Token counting: whitespace tokens and a BPE-ish subword count
+    * (alpha runs, digit runs, and isolated symbols).
+    */
+  def tokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr("doc_id",
+        "size(split(text, ' ')) AS n_ws_tokens",
+        """size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS n_bpe_tokens""",
+        "length(text) AS n_chars_measured")
+      .orderBy(col("doc_id"))
+
+  /** Winnowing-style fingerprint: md5 over the 4 lexicographically
+    * smallest word-4-gram hashes — stable under small edits, the
+    * copy-detection primitive (Schleimer et al. MOSS shape).
+    */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "split(text, ' ') AS ts")
+      .where("size(ts) >= 4")
+      .selectExpr("doc_id",
+        """array_sort(transform(sequence(1, size(ts) - 3),
+          |  i -> md5(concat(element_at(ts, i), ' ', element_at(ts, i + 1), ' ',
+          |                  element_at(ts, i + 2), ' ', element_at(ts, i + 3))))) AS h""".stripMargin)
+      .selectExpr("doc_id",
+        "md5(concat_ws('', slice(h, 1, 4))) AS fingerprint",
+        "size(h) AS n_shingles")
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_langid" -> langId,
+    "text_quality" -> quality,
+    "text_tokens" -> tokens,
+    "text_fingerprint" -> fingerprint)
+
+  val oracleSql: Map[String, String] = Map(
+    "text_langid" ->
+      """WITH sc AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(ts, t -> t IN ('the','fast','join','query'))) AS s_en,
+        |    len(list_filter(ts, t -> t IN ('table','row','group'))) AS s_de,
+        |    len(list_filter(ts, t -> t IN ('data','line','part'))) AS s_es,
+        |    len(list_filter(ts, t -> t IN ('sort','merge','filter'))) AS s_fr,
+        |    len(list_filter(ts, t -> t IN ('spark','hash','scan'))) AS s_zh
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents) t)
+        |SELECT doc_id, lang AS labeled_lang,
+        |  CASE WHEN s_de = mx THEN 'de' WHEN s_en = mx THEN 'en' WHEN s_es = mx THEN 'es'
+        |       WHEN s_fr = mx THEN 'fr' WHEN s_zh = mx THEN 'zh' END AS predicted_lang,
+        |  mx AS score,
+        |  lang = (CASE WHEN s_de = mx THEN 'de' WHEN s_en = mx THEN 'en' WHEN s_es = mx THEN 'es'
+        |       WHEN s_fr = mx THEN 'fr' WHEN s_zh = mx THEN 'zh' END) AS agrees
+        |FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS mx FROM sc) t
+        |ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH q AS (
+        |  SELECT doc_id, n_chars, string_split(text, ' ') AS ts FROM documents),
+        |m AS (
+        |  SELECT doc_id, n_chars, len(ts) AS n_tokens,
+        |    round(n_chars / CAST(len(ts) AS DOUBLE), 4) AS avg_token_len,
+        |    len(list_filter(ts, t -> t IN ('the', 'a'))) / CAST(len(ts) AS DOUBLE) AS swr,
+        |    1.0 - len(list_distinct(ts)) / CAST(len(ts) AS DOUBLE) AS dr
+        |  FROM q)
+        |SELECT doc_id, n_chars, n_tokens, avg_token_len,
+        |  round(swr, 4) AS stopword_ratio, round(dr, 4) AS dup_ratio,
+        |  round(CASE WHEN n_tokens < 5 THEN 0.1 ELSE 1.0 END *
+        |        (1.0 - round(dr, 4)) * (1.0 - least(round(swr, 4) * 2, 0.5)), 4) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+        |  length(text) AS n_chars_measured
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_sort([md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])
+        |               for i in range(1, len(ts) - 2)]) AS h
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t
+        |  WHERE len(ts) >= 4)
+        |SELECT doc_id,
+        |  md5(array_to_string(h[1:4], '')) AS fingerprint,
+        |  len(h) AS n_shingles
+        |FROM h ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+
+  test("langid predicts a language for every doc from the profile set") {
+    val df = TextAnalysis.langId(spark, sfDir)
+    assert(df.count() == Tables.documents(spark, sfDir).count())
+    assert(df.filter(col("predicted_lang").isNull).count() == 0)
+    val langs = df.select("predicted_lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "de", "es", "fr", "zh")))
+  }
+
+  test("quality signal in [0,1]; ratios bounded") {
+    val bad = TextAnalysis.quality(spark, sfDir).filter(
+      col("quality") < 0 || col("quality") > 1 ||
+        col("stopword_ratio") < 0 || col("stopword_ratio") > 1 ||
+        col("dup_ratio") < 0 || col("dup_ratio") > 1)
+    assert(bad.count() == 0)
+  }
+
+  test("token counts: bpe-ish >= whitespace tokens on alpha text") {
+    val bad = TextAnalysis.tokens(spark, sfDir)
+      .filter(col("n_bpe_tokens") < col("n_ws_tokens"))
+    assert(bad.count() == 0)
+  }
+
+  test("fingerprints: near-identical docs share fingerprints more than random ones") {
+    val fp = TextAnalysis.fingerprint(spark, sfDir)
+    // fingerprint is deterministic: running twice gives identical values
+    val a = fp.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = TextAnalysis.fingerprint(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    // near-dup pairs from minhash should collide on fingerprint when est=1.0
+    val identicalish = operators.Dedup.minhashLsh(spark, sfDir)
+      .filter(col("est_jaccard") === 1.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val collisions = identicalish.count { case (x, y) => a.get(x) == a.get(y) && a.contains(x) }
+    assert(identicalish.isEmpty || collisions > 0,
+      s"expected some est=1.0 pairs to share fingerprints ($collisions/${identicalish.length})")
+  }
+}
