@@ -19,7 +19,9 @@ object SparkEntry {
     (operators.Compat.queries, operators.Compat.oracleSql),
     (operators.Dedup.queries, operators.Dedup.oracleSql),
     (operators.Similarity.queries, operators.Similarity.oracleSql),
-    (operators.TextAnalysis.queries, operators.TextAnalysis.oracleSql))
+    (operators.TextAnalysis.queries, operators.TextAnalysis.oracleSql),
+    (operators.Multimodal.queries, operators.Multimodal.oracleSql),
+    (operators.Streaming.queries, operators.Streaming.oracleSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

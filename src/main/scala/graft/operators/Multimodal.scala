@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: treat media as opaque `binary`
+  * payloads with typed metadata, and run the decode/feature-extract
+  * step as a distributed partition-wise pass.
+  *
+  * The decode itself is a STUB — no image/audio codecs exist in this
+  * container — substituted by a deterministic fake that derives
+  * "features" from the raw bytes. Everything around it is real and
+  * load-bearing: the binary column construction, the typed metadata
+  * schema, the `mapPartitions` batch iteration with an explicit
+  * `Encoder` (the Scala analogue of `mapInPandas` batch UDFs), and
+  * the partition-preserving shape (no shuffle: feature extraction is
+  * embarrassingly parallel over partitions at any scale).
+  */
+object Multimodal {
+
+  /** Output schema of the fake decoder — the typed metadata contract
+    * a real codec implementation would fill.
+    */
+  private val metaSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("checksum", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("mean_luma", DoubleType, nullable = false)))
+
+  /** STUB decode: deterministic pseudo-features from payload bytes.
+    * A real implementation would decode pixels here; the signature,
+    * batching, and schema would not change.
+    */
+  private def fakeDecode(docId: Long, payload: Array[Byte], checksum: String): Row = {
+    val n = payload.length
+    val width = 64 + n % 512
+    val height = 64 + (n * 7) % 512
+    val head = payload.take(16).map(b => (b & 0xff).toDouble)
+    val meanLuma = head.sum / head.length / 255.0
+    Row(docId, n, checksum, width, height, meanLuma)
+  }
+
+  /** Binary ingestion + partition-wise feature extraction. The text
+    * payload stands in for media bytes (UTF-8 encode); checksum is
+    * computed relationally (codegen md5) before the opaque pass.
+    */
+  def metaExtract(s: SparkSession, dir: String): DataFrame = {
+    val withPayload = Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+        md5(col("text")).as("checksum"))
+    val extracted = withPayload.mapPartitions { rows =>
+      rows.map { r =>
+        fakeDecode(r.getAs[Long]("doc_id"), r.getAs[Array[Byte]]("payload"),
+          r.getAs[String]("checksum"))
+      }
+    }(RowEncoder.encoderFor(metaSchema))
+    extracted
+      .withColumn("mean_luma", round(col("mean_luma"), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_meta_extract" -> metaExtract)
+
+  /** The fake decode is reproducible in SQL because the payload is
+    * ASCII text: byte values == code points.
+    */
+  val oracleSql: Map[String, String] = Map(
+    "mm_meta_extract" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INT) AS n_bytes,
+        |  md5(text) AS checksum,
+        |  CAST(64 + length(text) % 512 AS INT) AS width,
+        |  CAST(64 + (length(text) * 7) % 512 AS INT) AS height,
+        |  round(list_sum([ascii(substr(text, i, 1)) * 1.0 for i in range(1, least(length(text), 16) + 1)])
+        |        / least(length(text), 16) / 255.0, 4) AS mean_luma
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

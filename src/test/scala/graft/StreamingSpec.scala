@@ -1,0 +1,71 @@
+package graft
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{Evt, SessionOut}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("windowed counts over a MemoryStream with watermark match batch results") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val data = Seq(
+      (1L, ts(5), "click", 1.0), (2L, ts(20), "click", 2.0),
+      (3L, ts(65), "view", 3.0), (4L, ts(70), "click", 4.0),
+      (5L, ts(130), "view", 5.0))
+    val stream = MemoryStream[(Long, Timestamp, String, Double)]
+    val streamDf = stream.toDF().toDF("event_id", "ts", "event_type", "value")
+      .withWatermark("ts", "10 minutes")
+    val q = EventStream.windowedCounts(streamDf)
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try {
+      stream.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("win_counts")
+        .orderBy("hour", "event_type").collect()
+      val batch = EventStream.windowedCounts(
+        data.toDF("event_id", "ts", "event_type", "value"))
+        .orderBy("hour", "event_type").collect()
+      assert(streamed.toSeq == batch.toSeq)
+      assert(streamed.length == 4) // (h0 click), (h1 click), (h1 view), (h2 view)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization splits on 30-minute gaps across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Evt]
+    val q = EventStream.sessionizeStateful(stream.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // batch 1: two events 5 minutes apart (same session)
+      stream.addData(Evt(1L, ts(0), "a"), Evt(1L, ts(5), "b"))
+      q.processAllAvailable()
+      // batch 2: 40-minute gap → closes session 1, opens session 2
+      stream.addData(Evt(1L, ts(45), "c"))
+      q.processAllAvailable()
+      // batch 3: another user interleaved, then a gap for user 1
+      stream.addData(Evt(2L, ts(50), "a"), Evt(1L, ts(100), "d"))
+      q.processAllAvailable()
+      val out = spark.table("sessions").as[SessionOut].collect()
+      // closed sessions so far: user1 [0,5] (2 events) and user1 [45,45] (1 event)
+      val u1 = out.filter(_.user_id == 1L).sortBy(_.session_start.getTime)
+      assert(u1.length == 2)
+      assert(u1(0).n_events == 2 && u1(0).session_start == ts(0) && u1(0).session_end == ts(5))
+      assert(u1(1).n_events == 1 && u1(1).session_start == ts(45))
+      assert(out.count(_.user_id == 2L) == 0) // user 2 session still open
+    } finally q.stop()
+  }
+
+  test("batch windowed counts agree with the audit daily rollup totals") {
+    val hourly = operators.Streaming.windowCounts(spark, sfDir)
+    val total = hourly.agg(sum("n_events")).head().getLong(0)
+    assert(total == Tables.events(spark, sfDir).count())
+  }
+}
