@@ -1,0 +1,224 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot paths that interpreted
+  * higher-order-function chains make slow: SimHash fingerprinting,
+  * n-gram Jaccard, and cosine similarity. Each keeps whole-stage
+  * codegen intact by emitting a single static call (the per-row work
+  * is a tight JVM loop, so the call boundary is negligible).
+  *
+  * Semantics are bit-identical to the SQL/HOF formulations they
+  * replace (and therefore to the DuckDB oracles): hashing is md5 of
+  * the UTF-8 token bytes, set ops use exact string equality, and
+  * floating-point accumulation is left-to-right like SQL
+  * `aggregate`/`list_sum`.
+  */
+object Native {
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 md5 bytes of the token as a big-endian 64-bit value —
+    * identical to `conv(substring(md5(t), 1, 16), 16, ...)` bits.
+    */
+  private def md5Top64(t: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(t.getBytes)
+    ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+      ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+  }
+
+  /** 64-bit SimHash of a token array as four 16-bit chunks. */
+  def simhash64(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    val sums = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = md5Top64(tokens.getUTF8String(i))
+      var j = 0
+      while (j < 64) {
+        if (((h >>> (63 - j)) & 1L) == 1L) sums(j) += 1 else sums(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    val chunks = new Array[Int](4)
+    var k = 0
+    while (k < 4) {
+      var c = 0
+      var b = 0
+      while (b < 16) {
+        if (sums(k * 16 + b) > 0) c |= 1 << (15 - b)
+        b += 1
+      }
+      chunks(k) = c
+      k += 1
+    }
+    new GenericArrayData(chunks)
+  }
+
+  /** Exact set Jaccard |A∩B| / |A∪B| over SORTED distinct string
+    * arrays (callers pre-sort once per row with `array_sort` — the
+    * per-pair work is then a linear merge with no hashing).
+    */
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    val m = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    var ca: UTF8String = if (n > 0) a.getUTF8String(0) else null
+    var cb: UTF8String = if (m > 0) b.getUTF8String(0) else null
+    while (i < n && j < m) {
+      val c = ca.compareTo(cb)
+      if (c == 0) { inter += 1; i += 1; j += 1
+        if (i < n) ca = a.getUTF8String(i)
+        if (j < m) cb = b.getUTF8String(j)
+      } else if (c < 0) { i += 1; if (i < n) ca = a.getUTF8String(i) }
+      else { j += 1; if (j < m) cb = b.getUTF8String(j) }
+    }
+    val union = n + m - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  private def toHex(d: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(2 * i) = HexDigits((d(i) >> 4) & 0xf).toByte
+      out(2 * i + 1) = HexDigits(d(i) & 0xf).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  /** 16-permutation MinHash signature: per seed sd, the minimum
+    * md5("sd:shingle") as a lowercase hex string — byte-identical to
+    * `array_min(transform(sh, x -> md5(concat(sd, ':', x))))`
+    * (lexicographic hex order == unsigned digest order).
+    */
+  def minhash16(shingles: ArrayData): ArrayData = {
+    val n = shingles.numElements()
+    val mins = new Array[Array[Byte]](16)
+    val md = md5Local.get()
+    var sd = 0
+    while (sd < 16) {
+      val prefix = (sd.toString + ":").getBytes
+      var i = 0
+      var best: Array[Byte] = null
+      while (i < n) {
+        md.reset()
+        md.update(prefix)
+        md.update(shingles.getUTF8String(i).getBytes)
+        val d = md.digest()
+        if (best == null || unsignedLess(d, best)) best = d
+        i += 1
+      }
+      mins(sd) = best
+      sd += 1
+    }
+    new GenericArrayData(mins.map(b => if (b == null) null else toHex(b)): Array[AnyRef])
+  }
+
+  /** Cosine similarity of two double arrays, left-to-right sums. */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var dot = 0.0
+    var sa = 0.0
+    var sb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y
+      sa += x * x
+      sb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(sa) * math.sqrt(sb))
+  }
+
+  /** Register the functions on a session (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction("graft_simhash64", exprs => SimHash64Expr(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("graft_minhash16", exprs => MinHash16Expr(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("graft_jaccard", exprs => JaccardExpr(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction("graft_cosine", exprs => CosineExpr(exprs(0), exprs(1)), "built-in")
+  }
+}
+
+/** `graft_simhash64(array<string>) -> array<int>` (4 × 16-bit chunks). */
+case class SimHash64Expr(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Native.simhash64(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Native.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_simhash64"
+}
+
+/** `graft_minhash16(array<string>) -> array<string>` (16 md5-hex minima). */
+case class MinHash16Expr(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullSafeEval(input: Any): Any =
+    Native.minhash16(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Native.minhash16($c)")
+  override protected def withNewChildInternal(newChild: Expression): MinHash16Expr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_minhash16"
+}
+
+/** `graft_jaccard(array<string>, array<string>) -> double`. */
+case class JaccardExpr(left: Expression, right: Expression) extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType), ArrayType(StringType))
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Native.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Native.jaccard($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaccardExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_jaccard"
+}
+
+/** `graft_cosine(array<double>, array<double>) -> double`. */
+case class CosineExpr(left: Expression, right: Expression) extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Native.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Native.cosine($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_cosine"
+}

@@ -46,15 +46,13 @@ object Similarity {
   }
 
   private def scored(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Native.register(s)
     val e = Tables.embeddings(s, dir)
       .selectExpr("vec_id", "cast(embedding AS array<double>) AS e")
-      .selectExpr("vec_id", "e",
-        "sqrt(aggregate(e, cast(0 AS double), (acc, x) -> acc + x * x)) AS nrm")
     val probes = broadcast(e.where("vec_id < 10")
-      .selectExpr("vec_id AS probe_id", "e AS pe", "nrm AS pnrm"))
+      .selectExpr("vec_id AS probe_id", "e AS pe"))
     probes.join(e, col("probe_id") =!= col("vec_id"))
-      .selectExpr("probe_id", "vec_id",
-        "aggregate(zip_with(pe, e, (x, y) -> x * y), cast(0 AS double), (acc, x) -> acc + x) / (pnrm * nrm) AS cos")
+      .selectExpr("probe_id", "vec_id", "graft_cosine(pe, e) AS cos")
   }
 
   /** Brute-force exact top-k: every probe against the full corpus. */
@@ -75,10 +73,10 @@ object Similarity {
     * slice; tables/planes are the recall/cost knobs at scale.
     */
   def lshTopK(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Native.register(s)
     val e = Tables.embeddings(s, dir)
       .selectExpr("vec_id", "cast(embedding AS array<double>) AS e")
       .selectExpr("vec_id", "e",
-        "sqrt(aggregate(e, cast(0 AS double), (acc, x) -> acc + x * x)) AS nrm",
         s"""transform(sequence(0, ${NTables - 1}), t ->
            |  aggregate(sequence(0, ${PlanesPerTable - 1}), 0, (acc, p) ->
            |    acc + CASE WHEN aggregate(zip_with(element_at($weightMatrixSql, t * $PlanesPerTable + p + 1), e, (w, x) -> w * x),
@@ -92,13 +90,12 @@ object Similarity {
     val cand = probeTbl.join(tbl, Seq("t", "bucket"))
       .where(col("probe_id") =!= col("vec_id"))
       .select("probe_id", "vec_id").distinct()
-    val vecs = e.selectExpr("vec_id", "e", "nrm")
+    val vecs = e.selectExpr("vec_id", "e")
     val probes = broadcast(vecs.where("vec_id < 10")
-      .selectExpr("vec_id AS probe_id", "e AS pe", "nrm AS pnrm"))
+      .selectExpr("vec_id AS probe_id", "e AS pe"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
     cand.join(probes, "probe_id").join(vecs, "vec_id")
-      .selectExpr("probe_id", "vec_id",
-        "aggregate(zip_with(pe, e, (x, y) -> x * y), cast(0 AS double), (acc, x) -> acc + x) / (pnrm * nrm) AS cos")
+      .selectExpr("probe_id", "vec_id", "graft_cosine(pe, e) AS cos")
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= K)
       .selectExpr("probe_id", "vec_id", "round(cos, 4) AS cos", "rnk")
