@@ -119,7 +119,46 @@ object Analytics {
       .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
+  /** Anti-join: customers with no URGENT order (TPC-H Q22 shape).
+    * Left-anti is a build-side hash lookup — no row explosion,
+    * shuffle only on the join key.
+    */
+  def customersWithoutOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+
+  /** Semi-join: suppliers that ship any top-price line (TPC-H Q20
+    * shape) — existence check without duplication.
+    */
+  def suppliersWithBigLines(s: SparkSession, dir: String): DataFrame =
+    Tables.supplier(s, dir)
+      .join(Tables.lineitem(s, dir).filter(col("l_extendedprice") > 104500),
+        col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+
+  /** Correlated-subquery shape (TPC-H Q2): parts at their minimum
+    * retail price within type — decorrelated as groupBy + join back,
+    * which is exactly how Catalyst rewrites the subquery.
+    */
+  def minPricePerType(s: SparkSession, dir: String): DataFrame = {
+    val minByType = Tables.part(s, dir)
+      .groupBy(col("p_type").as("mt_type"))
+      .agg(min(col("p_retailprice")).as("min_price"))
+    Tables.part(s, dir)
+      .join(broadcast(minByType),
+        col("p_type") === col("mt_type") && col("p_retailprice") === col("min_price"))
+      .select(col("p_partkey"), col("p_type"), col("p_retailprice"))
+      .orderBy(col("p_partkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_anti_join" -> customersWithoutOrders,
+    "q_semi_join" -> suppliersWithBigLines,
+    "q_min_per_group" -> minPricePerType,
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_top_orders" -> q3TopOrders,
     "q5_region_revenue" -> q5RegionRevenue,
@@ -129,6 +168,18 @@ object Analytics {
     "q_distinct_users" -> distinctUsers)
 
   val oracleSql: Map[String, String] = Map(
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_semi_join" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_extendedprice > 104500)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_min_per_group" ->
+      """SELECT p_partkey, p_type, p_retailprice FROM part
+        |WHERE p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2 WHERE p2.p_type = part.p_type)
+        |ORDER BY p_partkey""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,

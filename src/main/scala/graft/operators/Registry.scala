@@ -138,7 +138,35 @@ object Registry {
       .distinct()
       .orderBy(col("context"))
 
+  /** ValidateSchema (registry.go:1053): payload validity check —
+    * each props document must parse as JSON and carry the required
+    * key. Pure row-local projection; invalid rows are reported, not
+    * dropped (the registry returns structured validation results).
+    */
+  def validatePayloads(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").isNotNull.as("is_valid"))
+      .groupBy(col("is_valid"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("is_valid"))
+
+  /** FormatSchema / export (registry.go:453, exporter.go): render
+    * records to a canonical JSON changelog line — the exporter's
+    * output format, produced engine-side.
+    */
+  def exportJson(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_id") < 100)
+      .select(col("event_id"),
+        concat(lit("{\"id\":"), col("event_id"),
+          lit(",\"type\":\""), col("event_type"),
+          lit("\",\"user\":"), col("user_id"), lit("}")).as("json_line"))
+      .orderBy(col("event_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "reg_validate" -> validatePayloads,
+    "reg_export_json" -> exportJson,
     "reg_subject_list" -> subjectList,
     "reg_latest_version" -> latestVersion,
     "reg_versions" -> versions,
@@ -151,6 +179,13 @@ object Registry {
     "reg_contexts" -> contexts)
 
   val oracleSql: Map[String, String] = Map(
+    "reg_validate" ->
+      """SELECT json_extract_string(props, '$.k') IS NOT NULL AS is_valid, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY is_valid""".stripMargin,
+    "reg_export_json" ->
+      """SELECT event_id,
+        |  '{"id":' || event_id || ',"type":"' || event_type || '","user":' || user_id || '}' AS json_line
+        |FROM events WHERE event_id < 100 ORDER BY event_id""".stripMargin,
     "reg_subject_list" ->
       "SELECT DISTINCT event_type AS subject FROM events ORDER BY subject",
     "reg_latest_version" ->

@@ -1,0 +1,68 @@
+package graft
+
+import graft.functions.Native
+import org.apache.spark.sql.functions._
+
+/** The native expressions must be bit-identical to the declarative
+  * HOF formulations they replaced (which the DuckDB oracles mirror).
+  */
+class NativeFunctionsSpec extends SparkSpec {
+
+  private def docs = {
+    Native.register(spark)
+    Tables.documents(spark, sfDir)
+  }
+
+  test("graft_simhash64 equals the HOF md5-bit formulation") {
+    val native = docs.selectExpr("doc_id", "graft_simhash64(split(text, ' ')) AS ch")
+    val hof = docs
+      .selectExpr("doc_id", "transform(split(text, ' '), t -> substring(md5(t), 1, 16)) AS th")
+      .selectExpr("doc_id",
+        """transform(sequence(0, 63), j -> CASE WHEN aggregate(th, 0, (acc, h) ->
+          |  acc + CASE WHEN (shiftright(instr('0123456789abcdef', substring(h, cast(j div 4 AS int) + 1, 1)) - 1,
+          |                   3 - cast(j % 4 AS int)) & 1) = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END) AS bits""".stripMargin)
+      .selectExpr("doc_id",
+        """transform(sequence(0, 3), k ->
+          |  aggregate(sequence(0, 15), 0, (acc, i) -> acc + element_at(bits, k * 16 + i + 1) * shiftleft(1, 15 - i))) AS ch""".stripMargin)
+    assert(native.exceptAll(hof).count() == 0 && hof.exceptAll(native).count() == 0)
+  }
+
+  test("graft_minhash16 equals the HOF array_min(md5) formulation") {
+    val sh = docs
+      .selectExpr("doc_id", "split(text, ' ') AS ts").where("size(ts) >= 3")
+      .selectExpr("doc_id",
+        """transform(sequence(1, size(ts) - 2),
+          |  i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1), ' ', element_at(ts, i + 2))) AS shingles""".stripMargin)
+    val native = sh.selectExpr("doc_id", "graft_minhash16(shingles) AS m")
+    val hof = sh.selectExpr("doc_id",
+      """transform(sequence(0, 15),
+        |  sd -> array_min(transform(shingles, x -> md5(concat(cast(sd AS string), ':', x))))) AS m""".stripMargin)
+    assert(native.exceptAll(hof).count() == 0 && hof.exceptAll(native).count() == 0)
+  }
+
+  test("graft_jaccard equals array_intersect/array_union on sorted sets") {
+    val sh = docs
+      .selectExpr("doc_id", "split(text, ' ') AS ts").where("size(ts) >= 3")
+      .selectExpr("doc_id", "array_sort(array_distinct(ts)) AS s")
+      .limit(50).cache()
+    val pairs = sh.as("a").crossJoin(sh.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+    val native = pairs.selectExpr("a.doc_id", "b.doc_id", "round(graft_jaccard(a.s, b.s), 10) AS j")
+    val hof = pairs.selectExpr("a.doc_id", "b.doc_id",
+      "round(size(array_intersect(a.s, b.s)) / cast(size(array_union(a.s, b.s)) AS double), 10) AS j")
+    assert(native.exceptAll(hof).count() == 0 && hof.exceptAll(native).count() == 0)
+  }
+
+  test("graft_cosine equals the zip_with/aggregate formulation") {
+    Native.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding AS array<double>) AS e").limit(40).cache()
+    val pairs = e.as("a").crossJoin(e.as("b")).filter(col("a.vec_id") < col("b.vec_id"))
+    val native = pairs.selectExpr("a.vec_id", "b.vec_id", "graft_cosine(a.e, b.e) AS c")
+    val hof = pairs.selectExpr("a.vec_id", "b.vec_id",
+      """aggregate(zip_with(a.e, b.e, (x, y) -> x * y), cast(0 AS double), (acc, x) -> acc + x) /
+        |(sqrt(aggregate(a.e, cast(0 AS double), (acc, x) -> acc + x * x)) *
+        | sqrt(aggregate(b.e, cast(0 AS double), (acc, x) -> acc + x * x))) AS c""".stripMargin)
+    assert(native.exceptAll(hof).count() == 0 && hof.exceptAll(native).count() == 0)
+  }
+}
