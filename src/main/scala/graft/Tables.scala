@@ -39,4 +39,22 @@ object Tables {
 
   private def load(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every table as a temp view (plus the graft_* native
+    * functions) so users can address the engine through plain
+    * `spark.sql` — the SQL face of the library.
+    */
+  def registerAll(s: SparkSession, dir: String): Unit = {
+    graft.functions.Native.register(s)
+    names.foreach { n =>
+      val df = n match {
+        case "events" => events(s, dir)
+        case other => load(s, dir, other)
+      }
+      df.createOrReplaceTempView(n)
+    }
+  }
 }

@@ -101,7 +101,22 @@ object Audit {
       .agg(count(lit(1)).as("n_events"))
       .orderBy(col("minute"), col("event_type"))
 
+  /** Skew-safe two-phase aggregation: pre-aggregate on a salted key
+    * (key, hash%16), then merge the partials. The final result is
+    * identical to a plain groupBy (same oracle) but no single task
+    * ever owns a hot key's full row set — the 100 TB skew pattern.
+    */
+  def topActorsSalted(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), (hash(col("event_id")) % 16).as("_salt"))
+      .agg(count(lit(1)).as("pn"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("pn")).as("n_events"))
+      .orderBy(col("n_events").desc, col("user_id"))
+      .limit(20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "audit_top_actors_salted" -> topActorsSalted,
     "audit_counts_daily" -> countsDaily,
     "audit_severity" -> severity,
     "audit_top_actors" -> topActors,
@@ -111,6 +126,10 @@ object Audit {
     "metrics_rate_1m" -> rate1m)
 
   val oracleSql: Map[String, String] = Map(
+    "audit_top_actors_salted" ->
+      """SELECT user_id, count(*) AS n_events
+        |FROM events GROUP BY user_id
+        |ORDER BY n_events DESC, user_id LIMIT 20""".stripMargin,
     "audit_counts_daily" ->
       """SELECT cast(ts AS DATE) AS day, event_type, count(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,

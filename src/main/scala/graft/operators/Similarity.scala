@@ -102,9 +102,43 @@ object Similarity {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  /** IVF-style ANN: a coarse quantizer (per-label mean vectors — the
+    * "trained" centroids) routes each probe to its nearest centroid;
+    * only that inverted list is scanned with exact cosine. At scale
+    * the centroid table stays broadcast-sized while the corpus is
+    * partitioned by list id — each query touches 1/nlist of the data.
+    */
+  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Native.register(s)
+    val e = Tables.embeddings(s, dir)
+      .selectExpr("vec_id", "label", "cast(embedding AS array<double>) AS e")
+    val centroids = broadcast(
+      e.selectExpr("label", "posexplode(e) AS (pos, v)")
+        .groupBy(col("label"), col("pos")).agg(avg(col("v")).as("cv"))
+        .groupBy(col("label"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)").as("ce"))
+        .selectExpr("label AS c_label", "ce"))
+    val probes = e.where("vec_id < 10").selectExpr("vec_id AS probe_id", "e AS pe")
+    val wAssign = Window.partitionBy(col("probe_id"))
+      .orderBy(col("c_cos").desc, col("c_label"))
+    val assigned = broadcast(probes.join(centroids)
+      .selectExpr("probe_id", "pe", "c_label", "graft_cosine(pe, ce) AS c_cos")
+      .withColumn("arnk", row_number().over(wAssign))
+      .where(col("arnk") === 1)
+      .select(col("probe_id"), col("pe"), col("c_label").as("target_label")))
+    val wTop = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(e, col("target_label") === col("label") && col("probe_id") =!= col("vec_id"))
+      .selectExpr("probe_id", "vec_id", "graft_cosine(pe, e) AS cos")
+      .withColumn("rnk", row_number().over(wTop))
+      .where(col("rnk") <= K)
+      .selectExpr("probe_id", "vec_id", "round(cos, 4) AS cos", "rnk")
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_topk" -> bruteTopK,
-    "ann_lsh_topk" -> lshTopK)
+    "ann_lsh_topk" -> lshTopK,
+    "ann_ivf_topk" -> ivfTopK)
 
   val oracleSql: Map[String, String] = {
     val weightsCte =
@@ -114,6 +148,35 @@ object Similarity {
         |         THEN 1 ELSE -1 END AS wt
         |  FROM (SELECT unnest(range(0, 8)) AS p), (SELECT unnest(range(0, 64)) AS d))""".stripMargin
     Map(
+      "ann_ivf_topk" ->
+        """WITH e AS (
+          |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+          |dims AS (SELECT unnest(range(1, 65)) AS pos),
+          |cent AS (
+          |  SELECT label, list(cv ORDER BY pos) AS ce FROM (
+          |    SELECT e.label, d.pos, avg(e.e[d.pos]) AS cv
+          |    FROM e, dims d GROUP BY e.label, d.pos) t
+          |  GROUP BY label),
+          |probes AS (SELECT vec_id AS probe_id, e AS pe FROM e WHERE vec_id < 10),
+          |assign AS (
+          |  SELECT probe_id, pe, label AS target_label FROM (
+          |    SELECT p.probe_id, p.pe, c.label,
+          |      row_number() OVER (PARTITION BY p.probe_id ORDER BY
+          |        (list_sum([p.pe[i] * c.ce[i] for i in range(1, 65)]) /
+          |         (sqrt(list_sum([x * x for x in p.pe])) * sqrt(list_sum([x * x for x in c.ce])))) DESC,
+          |        c.label) AS arnk
+          |    FROM probes p, cent c) t
+          |  WHERE arnk = 1),
+          |sc AS (
+          |  SELECT a.probe_id, v.vec_id,
+          |    list_sum([a.pe[i] * v.e[i] for i in range(1, 65)]) /
+          |    (sqrt(list_sum([x * x for x in a.pe])) * sqrt(list_sum([x * x for x in v.e]))) AS cos
+          |  FROM assign a JOIN e v ON a.target_label = v.label AND a.probe_id <> v.vec_id)
+          |SELECT probe_id, vec_id, round(cos, 4) AS cos, rnk FROM (
+          |  SELECT probe_id, vec_id, cos,
+          |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk
+          |  FROM sc) t
+          |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
       "ann_brute_topk" ->
         """WITH e AS (
           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
