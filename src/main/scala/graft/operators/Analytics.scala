@@ -155,7 +155,62 @@ object Analytics {
       .orderBy(col("p_partkey"))
   }
 
+  /** TPC-H Q4 shape: order counts by priority where any lineitem
+    * shipped >90 days after the order date (the late-commit EXISTS)
+    * — a semi join with a cross-table condition, then a tiny agg.
+    */
+  def q4PriorityCount(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+
+  /** TPC-H Q7 shape: bilateral volume between two customer nations. */
+  def q7NationVolume(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").isin("NATION_3", "NATION_7"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.orders(s, dir)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("cust_nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(col("o_totalprice")), 4).as("volume"), count(lit(1)).as("n_orders"))
+      .orderBy(col("cust_nation"), col("o_year"))
+  }
+
+  /** TPC-H Q14 shape: promo revenue share — two conditional sums in
+    * one pass over the joined fact.
+    */
+  def q14PromoShare(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .agg(round(
+        sum(when(col("p_type") === "PROMO", col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)) * 100.0 /
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("promo_share_pct"))
+
+  /** TPC-H Q18 shape: large orders — HAVING subquery via groupBy +
+    * join back to order attributes.
+    */
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_quantity")), 4).as("total_qty"))
+      .filter(col("total_qty") > 180)
+    Tables.orders(s, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"), col("total_qty"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q4_priority_count" -> q4PriorityCount,
+    "q7_nation_volume" -> q7NationVolume,
+    "q14_promo_share" -> q14PromoShare,
+    "q18_large_orders" -> q18LargeOrders,
     "q_anti_join" -> customersWithoutOrders,
     "q_semi_join" -> suppliersWithBigLines,
     "q_min_per_group" -> minPricePerType,
@@ -168,6 +223,32 @@ object Analytics {
     "q_distinct_users" -> distinctUsers)
 
   val oracleSql: Map[String, String] = Map(
+    "q4_priority_count" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT cust_nation, o_year, round(sum(o_totalprice), 4) AS volume, count(*) AS n_orders FROM (
+        |  SELECT n_name AS cust_nation, year(o_orderdate) AS o_year, o_totalprice
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_3', 'NATION_7')) t
+        |GROUP BY cust_nation, o_year ORDER BY cust_nation, o_year""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT round(
+        |  sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) * 100.0 /
+        |  sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT o_orderkey, o_totalprice, o_orderdate, total_qty FROM orders
+        |JOIN (SELECT l_orderkey, round(sum(l_quantity), 4) AS total_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING round(sum(l_quantity), 4) > 180) big
+        |  ON o_orderkey = big.l_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
     "q_anti_join" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')

@@ -59,7 +59,7 @@ object Audit {
   def failureRatio(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("user_id"))
-      .agg(round(sum(when(col("event_type") === "error", 1.0).otherwise(0.0)) / count(lit(1)), 4).as("failure_ratio"),
+      .agg(expr("floor(sum(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END) / count(1) * 10000 + 0.5) / cast(10000 AS double)").as("failure_ratio"),
         count(lit(1)).as("n_events"))
       .orderBy(col("user_id"))
 
@@ -145,7 +145,7 @@ object Audit {
         |ORDER BY n_events DESC, user_id LIMIT 20""".stripMargin,
     "audit_failure_ratio" ->
       """SELECT user_id,
-        |  round(sum(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END) / count(*), 4) AS failure_ratio,
+        |  floor(sum(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END) / count(*) * 10000 + 0.5) / cast(10000 AS double) AS failure_ratio,
         |  count(*) AS n_events
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "audit_sessionize" ->

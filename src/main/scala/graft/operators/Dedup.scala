@@ -138,7 +138,7 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("graft_jaccard(a.sh, b.sh)").as("jaccard"))
       .where(col("jaccard") >= 0.3 || monotonically_increasing_id() < 0)
-      .selectExpr("doc_a", "doc_b", "round(jaccard, 4) AS jaccard")
+      .selectExpr("doc_a", "doc_b", "floor(jaccard * 10000 + 0.5) / cast(10000 AS double) AS jaccard")
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -222,7 +222,7 @@ object Dedup {
         |    list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts)-1)]) AS sh
         |  FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS ts FROM documents) t
         |  WHERE len(ts) >= 3)
-        |SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard FROM (
+        |SELECT doc_a, doc_b, floor(jaccard * 10000 + 0.5) / cast(10000 AS double) AS jaccard FROM (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    len(list_intersect(a.sh, b.sh)) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
         |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id) t

@@ -49,12 +49,19 @@ object TextAnalysis {
       .selectExpr("doc_id", "n_chars", "split(text, ' ') AS ts")
       .selectExpr("doc_id", "n_chars",
         "size(ts) AS n_tokens",
-        "round(n_chars / cast(size(ts) AS double), 4) AS avg_token_len",
-        "round(size(filter(ts, t -> t IN ('the', 'a'))) / cast(size(ts) AS double), 4) AS stopword_ratio",
-        "round(1.0 - size(array_distinct(ts)) / cast(size(ts) AS double), 4) AS dup_ratio")
-      .selectExpr("doc_id", "n_chars", "n_tokens", "avg_token_len", "stopword_ratio", "dup_ratio",
-        """round(CASE WHEN n_tokens < 5 THEN 0.1 ELSE 1.0 END *
-          |      (1.0 - dup_ratio) * (1.0 - least(stopword_ratio * 2, cast(0.5 AS double))), 4) AS quality""".stripMargin)
+        "n_chars / cast(size(ts) AS double) AS atl_raw",
+        "size(filter(ts, t -> t IN ('the', 'a'))) / cast(size(ts) AS double) AS swr_raw",
+        "1.0 - size(array_distinct(ts)) / cast(size(ts) AS double) AS dr_raw")
+      // These ratios are small-denominator rationals that regularly
+      // land on 4dp rounding boundaries, where Spark (decimal-string
+      // HALF_UP) and DuckDB (binary) round() disagree. floor-based
+      // rounding is identical double arithmetic in both engines.
+      .selectExpr("doc_id", "n_chars", "n_tokens",
+        "floor(atl_raw * 10000 + 0.5) / cast(10000 AS double) AS avg_token_len",
+        "floor(swr_raw * 10000 + 0.5) / cast(10000 AS double) AS stopword_ratio",
+        "floor(dr_raw * 10000 + 0.5) / cast(10000 AS double) AS dup_ratio",
+        """floor((CASE WHEN n_tokens < 5 THEN 0.1 ELSE 1.0 END *
+          |      (1.0 - dr_raw) * (1.0 - least(swr_raw * 2, cast(0.5 AS double)))) * 10000 + 0.5) / cast(10000 AS double) AS quality""".stripMargin)
       .orderBy(col("doc_id"))
 
   /** Token counting: whitespace tokens and a BPE-ish subword count
@@ -114,14 +121,16 @@ object TextAnalysis {
         |  SELECT doc_id, n_chars, string_split(text, ' ') AS ts FROM documents),
         |m AS (
         |  SELECT doc_id, n_chars, len(ts) AS n_tokens,
-        |    round(n_chars / CAST(len(ts) AS DOUBLE), 4) AS avg_token_len,
+        |    n_chars / CAST(len(ts) AS DOUBLE) AS atl,
         |    len(list_filter(ts, t -> t IN ('the', 'a'))) / CAST(len(ts) AS DOUBLE) AS swr,
         |    1.0 - len(list_distinct(ts)) / CAST(len(ts) AS DOUBLE) AS dr
         |  FROM q)
-        |SELECT doc_id, n_chars, n_tokens, avg_token_len,
-        |  round(swr, 4) AS stopword_ratio, round(dr, 4) AS dup_ratio,
-        |  round(CASE WHEN n_tokens < 5 THEN 0.1 ELSE 1.0 END *
-        |        (1.0 - round(dr, 4)) * (1.0 - least(round(swr, 4) * 2, 0.5)), 4) AS quality
+        |SELECT doc_id, n_chars, n_tokens,
+        |  floor(atl * 10000 + 0.5) / cast(10000 AS double) AS avg_token_len,
+        |  floor(swr * 10000 + 0.5) / cast(10000 AS double) AS stopword_ratio,
+        |  floor(dr * 10000 + 0.5) / cast(10000 AS double) AS dup_ratio,
+        |  floor((CASE WHEN n_tokens < 5 THEN 0.1 ELSE 1.0 END *
+        |        (1.0 - dr) * (1.0 - least(swr * 2, 0.5))) * 10000 + 0.5) / cast(10000 AS double) AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
