@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale-path variants that the oracle can't check (sketches,
+  * physical-layout choices) — verified against their exact
+  * counterparts with tolerances, plus plan-shape assertions.
+  */
+class ScalePathSpec extends SparkSpec {
+
+  test("approx_percentile tracks exact percentile within 5%") {
+    val both = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.95)").as("exact"),
+        expr("approx_percentile(value, 0.95, 1000)").as("approx"))
+      .collect()
+    both.foreach { r =>
+      val e = r.getAs[Double]("exact")
+      val a = r.getAs[Double]("approx")
+      assert(math.abs(e - a) / e < 0.05, s"${r.get(0)}: exact=$e approx=$a")
+    }
+  }
+
+  test("approx_count_distinct tracks exact distinct within 5%") {
+    val r = Tables.events(spark, sfDir)
+      .agg(countDistinct(col("user_id")).as("exact"),
+        approx_count_distinct(col("user_id")).as("approx"))
+      .head()
+    val e = r.getAs[Long]("exact").toDouble
+    assert(math.abs(e - r.getAs[Long]("approx")) / e < 0.05)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val ord = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    ord.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("orders_b")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("lineitem_b")
+    try {
+      val joined = spark.table("lineitem_b")
+        .join(spark.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity")).as("q"))
+      // force a non-broadcast join so bucketing is what saves the shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = joined.queryExecution.executedPlan.toString
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      val joinExchanges = plan.split("\n")
+        .takeWhile(!_.contains("HashAggregate")) // above the agg: join inputs
+        .count(_.contains("Exchange hashpartitioning"))
+      assert(plan.contains("SortMergeJoin"), "expected sort-merge join")
+      // neither join input needs an exchange: bucket layout pre-partitions both
+      val exchangesBeforeAgg = "Exchange hashpartitioning\\((?:l_orderkey|o_orderkey)".r
+        .findAllIn(plan).size
+      assert(exchangesBeforeAgg == 0,
+        s"bucketed join should not shuffle on the join key:\n$plan")
+      // and the result matches the unbucketed computation
+      val a = joined.orderBy("o_orderpriority").collect().toSeq
+      val b = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")).as("q"))
+        .orderBy("o_orderpriority").collect().toSeq
+      assert(a == b)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+}
