@@ -44,14 +44,14 @@ class ScalePathSpec extends SparkSpec {
         .groupBy(col("o_orderpriority"))
         .agg(sum(col("l_quantity")).as("q"))
       // force a non-broadcast join so bucketing is what saves the shuffle
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      val plan = joined.queryExecution.executedPlan.toString
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
-      val joinExchanges = plan.split("\n")
-        .takeWhile(!_.contains("HashAggregate")) // above the agg: join inputs
-        .count(_.contains("Exchange hashpartitioning"))
+      val plan = try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        joined.queryExecution.executedPlan.toString
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+      }
       assert(plan.contains("SortMergeJoin"), "expected sort-merge join")
       // neither join input needs an exchange: bucket layout pre-partitions both
       val exchangesBeforeAgg = "Exchange hashpartitioning\\((?:l_orderkey|o_orderkey)".r
