@@ -40,6 +40,15 @@ object Tables {
   private def load(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Spread a table across tasks before an expression-heavy
+    * projection. The driver's parquet files hold ONE row group, so a
+    * scan is a single task no matter how wide the cluster — a cheap
+    * round-robin repartition restores parallelism. On datasets with
+    * many splits (any real 100 TB table) the input already
+    * parallelizes and callers can drop this.
+    */
+  def spread(df: DataFrame): DataFrame = df.repartition(32)
+
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 

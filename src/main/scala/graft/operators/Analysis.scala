@@ -20,7 +20,7 @@ object Analysis {
     */
   def fuzzyMatch(s: SparkSession, dir: String): DataFrame = {
     val query = lit("small widget")
-    Tables.part(s, dir)
+    Tables.spread(Tables.part(s, dir))
       .select(col("p_partkey"), col("p_name"))
       .withColumn("score",
         round(lit(1.0) - levenshtein(lower(query), lower(col("p_name"))).cast("double") /
@@ -34,7 +34,7 @@ object Analysis {
     * [-. ] → _ and lowercase — same order as the reference walk.
     */
   def nameNormalize(s: SparkSession, dir: String): DataFrame =
-    Tables.part(s, dir)
+    Tables.spread(Tables.part(s, dir))
       .select(col("p_partkey"), col("p_name"),
         lower(regexp_replace(
           regexp_replace(col("p_name"), "([a-z0-9])([A-Z])", "$1_$2"),
@@ -46,7 +46,7 @@ object Analysis {
     * the JSON path never leaves the scan projection.
     */
   def fieldExtract(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
+    Tables.spread(Tables.events(s, dir))
       .select(col("event_type"),
         get_json_object(col("props"), "$.k").cast("bigint").as("k"))
       .groupBy(col("event_type"))
@@ -73,7 +73,7 @@ object Analysis {
     val evo = (when(col("text").contains("key"), 10).otherwise(0) +
       when(col("text").contains("table"), 8).otherwise(0) +
       when(col("text").contains("value"), 7).otherwise(0))
-    Tables.documents(s, dir)
+    Tables.spread(Tables.documents(s, dir))
       .select(col("doc_id"),
         naming.as("naming_score"),
         docScore.as("doc_score"),

@@ -26,7 +26,7 @@ object Dedup {
     * One groupBy on the uniform md5 key — skew-free by construction.
     */
   def exact(s: SparkSession, dir: String): DataFrame = {
-    val hashed = Tables.documents(s, dir)
+    val hashed = Tables.spread(Tables.documents(s, dir))
       .select(col("doc_id"), md5(col("text")).as("content_hash"))
     val canon = hashed.groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("canonical_id"))

@@ -50,7 +50,7 @@ object Multimodal {
     * computed relationally (codegen md5) before the opaque pass.
     */
   def metaExtract(s: SparkSession, dir: String): DataFrame = {
-    val withPayload = Tables.documents(s, dir)
+    val withPayload = Tables.spread(Tables.documents(s, dir))
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
         md5(col("text")).as("checksum"))
     val extracted = withPayload.mapPartitions { rows =>

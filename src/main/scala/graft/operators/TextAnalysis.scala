@@ -32,7 +32,7 @@ object TextAnalysis {
     val maxExpr = s"greatest(${langs.map("s_" + _).mkString(", ")})"
     val caseExpr = langs.map(l => s"WHEN s_$l = mx THEN '$l'").mkString(
       "CASE ", " ", " END")
-    Tables.documents(s, dir)
+    Tables.spread(Tables.documents(s, dir))
       .selectExpr(Seq("doc_id", "lang", "split(text, ' ') AS ts") ++ scoreCols: _*)
       .withColumn("mx", expr(maxExpr))
       .selectExpr("doc_id", "lang AS labeled_lang", s"$caseExpr AS predicted_lang", "mx AS score")
@@ -45,7 +45,7 @@ object TextAnalysis {
     * or extreme length score low) — the curation-filter shape.
     */
   def quality(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.spread(Tables.documents(s, dir))
       .selectExpr("doc_id", "n_chars", "split(text, ' ') AS ts")
       .selectExpr("doc_id", "n_chars",
         "size(ts) AS n_tokens",
@@ -68,7 +68,7 @@ object TextAnalysis {
     * (alpha runs, digit runs, and isolated symbols).
     */
   def tokens(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.spread(Tables.documents(s, dir))
       .selectExpr("doc_id",
         "size(split(text, ' ')) AS n_ws_tokens",
         """size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS n_bpe_tokens""",
@@ -80,7 +80,7 @@ object TextAnalysis {
     * copy-detection primitive (Schleimer et al. MOSS shape).
     */
   def fingerprint(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.spread(Tables.documents(s, dir))
       .selectExpr("doc_id", "split(text, ' ') AS ts")
       .where("size(ts) >= 4")
       .selectExpr("doc_id",
