@@ -21,7 +21,8 @@ object SparkEntry {
     (operators.Similarity.queries, operators.Similarity.oracleSql),
     (operators.TextAnalysis.queries, operators.TextAnalysis.oracleSql),
     (operators.Multimodal.queries, operators.Multimodal.oracleSql),
-    (operators.Streaming.queries, operators.Streaming.oracleSql))
+    (operators.Streaming.queries, operators.Streaming.oracleSql),
+    (operators.Temporal.queries, operators.Temporal.oracleSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

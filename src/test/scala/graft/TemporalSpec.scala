@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.Temporal
+import org.apache.spark.sql.functions._
+
+class TemporalSpec extends SparkSpec {
+
+  test("asof join: every purchase appears exactly once, signup never after purchase") {
+    val df = Temporal.asofJoin(spark, sfDir)
+    val purchases = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase").count()
+    assert(df.count() == purchases)
+    assert(df.filter(col("last_signup_ts") > col("purchase_ts")).count() == 0)
+  }
+
+  test("asof join matches a per-row brute-force lookup on a sample") {
+    val ev = Tables.events(spark, sfDir).cache()
+    val sample = Temporal.asofJoin(spark, sfDir).limit(20).collect()
+    val signups = ev.filter(col("event_type") === "signup")
+      .select("user_id", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    sample.foreach { r =>
+      val uid = r.getAs[Long]("user_id")
+      val pts = r.getAs[java.sql.Timestamp]("purchase_ts")
+      val expected = signups.filter(s => s._1 == uid && !s._2.after(pts))
+        .sortBy(s => (s._2.getTime, s._3)).lastOption
+      assert(Option(r.getAs[java.sql.Timestamp]("last_signup_ts")) == expected.map(_._2),
+        s"purchase ${r.getAs[Long]("purchase_id")}")
+    }
+  }
+
+  test("range join: deltas within [0, 600] and no missed in-window pair on a sample user") {
+    val df = Temporal.rangeJoin(spark, sfDir).cache()
+    assert(df.filter(col("delta_s") < 0 || col("delta_s") > 600).count() == 0)
+    // brute-force one user
+    val ev = Tables.events(spark, sfDir)
+    val someUser = df.select("user_id").head().getLong(0)
+    val clicks = ev.filter(col("event_type") === "click" && col("user_id") === someUser)
+      .select("event_id", "ts").collect().map(r => (r.getLong(0), r.getTimestamp(1)))
+    val buys = ev.filter(col("event_type") === "purchase" && col("user_id") === someUser)
+      .select("event_id", "ts").collect().map(r => (r.getLong(0), r.getTimestamp(1)))
+    val brute = for {
+      (cid, cts) <- clicks
+      (bid, bts) <- buys
+      if !bts.before(cts) && (bts.getTime / 1000 - cts.getTime / 1000) <= 600
+    } yield (cid, bid)
+    val got = df.filter(col("user_id") === someUser)
+      .select("click_id", "buy_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet == brute.toSet)
+  }
+}
