@@ -206,7 +206,35 @@ object Analytics {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Sliding-window time series: 7-order moving average of order
+    * totals per customer — per-key window, bounded frame state.
+    */
+  def movingAvg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-6, 0)
+    Tables.orders(s, dir)
+      .withColumn("ma7", round(avg(col("o_totalprice")).over(w), 4))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("ma7"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  /** Running totals: cumulative revenue per customer over time. */
+  def cumulative(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .withColumn("cum_rev", round(sum(col("o_totalprice")).over(w), 4))
+      .select(col("o_custkey"), col("o_orderkey"), col("cum_rev"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_moving_avg" -> movingAvg,
+    "q_cumulative" -> cumulative,
     "q4_priority_count" -> q4PriorityCount,
     "q7_nation_volume" -> q7NationVolume,
     "q14_promo_share" -> q14PromoShare,
@@ -223,6 +251,16 @@ object Analytics {
     "q_distinct_users" -> distinctUsers)
 
   val oracleSql: Map[String, String] = Map(
+    "q_moving_avg" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+        |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "q_cumulative" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_rev
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q4_priority_count" ->
       """SELECT o_orderpriority, count(*) AS order_count FROM orders
         |WHERE EXISTS (SELECT 1 FROM lineitem
