@@ -168,6 +168,8 @@ object Native {
     registry.createOrReplaceTempFunction("graft_minhash16", exprs => MinHash16Expr(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("graft_jaccard", exprs => JaccardExpr(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("graft_cosine", exprs => CosineExpr(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction("graft_topk",
+      exprs => TopKAgg(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 }
 

@@ -135,8 +135,24 @@ object Similarity {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  /** Brute-force top-k via the mergeable heap aggregate
+    * [[graft.functions.TopKAgg]] instead of a rank window: partial
+    * top-k happens map-side, so only k rows per probe ever shuffle —
+    * the shape that survives a 1000-executor scale-up. Results are
+    * identical to the window formulation (same oracle).
+    */
+  def bruteTopKAgg(s: SparkSession, dir: String): DataFrame =
+    scored(s, dir)
+      .groupBy(col("probe_id"))
+      .agg(expr(s"graft_topk($K, cos, vec_id)").as("top"))
+      .selectExpr("probe_id", "posexplode(top) AS (pos, t)")
+      .selectExpr("probe_id", "t.id AS vec_id", "round(t.score, 4) AS cos",
+        "cast(pos + 1 AS int) AS rnk")
+      .orderBy(col("probe_id"), col("rnk"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_topk" -> bruteTopK,
+    "ann_topk_agg" -> bruteTopKAgg,
     "ann_lsh_topk" -> lshTopK,
     "ann_ivf_topk" -> ivfTopK)
 
@@ -172,6 +188,19 @@ object Similarity {
           |    list_sum([a.pe[i] * v.e[i] for i in range(1, 65)]) /
           |    (sqrt(list_sum([x * x for x in a.pe])) * sqrt(list_sum([x * x for x in v.e]))) AS cos
           |  FROM assign a JOIN e v ON a.target_label = v.label AND a.probe_id <> v.vec_id)
+          |SELECT probe_id, vec_id, round(cos, 4) AS cos, rnk FROM (
+          |  SELECT probe_id, vec_id, cos,
+          |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk
+          |  FROM sc) t
+          |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+      "ann_topk_agg" ->
+        """WITH e AS (
+          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+          |n AS (SELECT vec_id, e, sqrt(list_sum([x * x for x in e])) AS nrm FROM e),
+          |sc AS (
+          |  SELECT p.vec_id AS probe_id, c.vec_id,
+          |    list_sum([p.e[i] * c.e[i] for i in range(1, len(p.e) + 1)]) / (p.nrm * c.nrm) AS cos
+          |  FROM n p JOIN n c ON p.vec_id < 10 AND p.vec_id <> c.vec_id)
           |SELECT probe_id, vec_id, round(cos, 4) AS cos, rnk FROM (
           |  SELECT probe_id, vec_id, cos,
           |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk
