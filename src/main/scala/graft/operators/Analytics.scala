@@ -232,7 +232,46 @@ object Analytics {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Pivot: daily event counts reshaped to one column per event
+    * type (fixed pivot values keep the schema deterministic).
+    */
+  def pivotDaily(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy(col("day"))
+
+  /** GROUPING SETS: region totals, nation totals, and grand total in
+    * one pass (the general form rollup/cube specialize).
+    */
+  def groupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupingSets(Seq(Seq(col("r_name")), Seq(col("n_name")), Seq()), col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+
+  /** Set operations: BUILDING-segment customers EXCEPT those with an
+    * URGENT order, INTERSECTed against positive balances.
+    */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val building = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    val positive = Tables.customer(s, dir)
+      .filter(col("c_acctbal") > 0).select(col("c_custkey"))
+    building.except(urgent).intersect(positive).orderBy(col("c_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pivot" -> pivotDaily,
+    "q_grouping_sets" -> groupingSets,
+    "q_set_ops" -> setOps,
     "q_moving_avg" -> movingAvg,
     "q_cumulative" -> cumulative,
     "q4_priority_count" -> q4PriorityCount,
@@ -251,6 +290,28 @@ object Analytics {
     "q_distinct_users" -> distinctUsers)
 
   val oracleSql: Map[String, String] = Map(
+    "q_pivot" ->
+      """SELECT cast(ts AS DATE) AS day,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT r_name, n_name, count(*) AS n_cust
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (n_name), ())
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q_set_ops" ->
+      """(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        | EXCEPT
+        | SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |INTERSECT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 0
+        |ORDER BY c_custkey""".stripMargin,
     "q_moving_avg" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         |  round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
