@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineExpr, JaccardExpr, MinHash16Expr, SimHash64Expr}
+import graft.functions.{CosineExpr, JaccardExpr, MinHash16Expr, SimHash64Expr, TopKAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -25,5 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_cosine"),
       new ExpressionInfo("graft.functions.CosineExpr", "graft_cosine"),
       exprs => CosineExpr(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_topk"),
+      new ExpressionInfo("graft.functions.TopKAgg", "graft_topk"),
+      exprs => TopKAgg(exprs(0), exprs(1), exprs(2))))
   }
 }

@@ -45,9 +45,17 @@ object Tables {
     * scan is a single task no matter how wide the cluster — a cheap
     * round-robin repartition restores parallelism. On datasets with
     * many splits (any real 100 TB table) the input already
-    * parallelizes and callers can drop this.
+    * parallelizes and callers can drop this. Parallelism follows
+    * `graft.spread.partitions` if set, else the session's shuffle
+    * partition count — no magic constant on a cluster.
     */
-  def spread(df: DataFrame): DataFrame = df.repartition(32)
+  def spread(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val n = s.conf.getOption("graft.spread.partitions")
+      .map(_.toInt)
+      .getOrElse(s.sessionState.conf.numShufflePartitions)
+    df.repartition(n)
+  }
 
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")

@@ -33,6 +33,21 @@ case class TopKAgg(
 
   private lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue()
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (!base.isSuccess) return base
+    if (!kExpr.foldable) {
+      return org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_topk: k must be a literal (foldable) integer")
+    }
+    val kv = kExpr.eval()
+    if (kv == null || kv.asInstanceOf[Number].intValue() <= 0) {
+      return org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_topk: k must be a positive integer, got $kv")
+    }
+    base
+  }
+
   // min-heap: the WORST surviving entry (lowest score; on ties the
   // largest id) sits at the head, ready for eviction
   private val heapOrd: Ordering[(Double, Long)] =
@@ -57,6 +72,7 @@ case class TopKAgg(
   }
 
   private def add(buf: mutable.PriorityQueue[(Double, Long)], e: (Double, Long)): Unit = {
+    if (k <= 0) return // guarded in checkInputDataTypes; belt-and-braces for direct construction
     if (buf.size < k) buf.enqueue(e)
     else {
       val worst = buf.head

@@ -61,8 +61,8 @@ object Analytics {
         .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
           col("n_regionkey") === col("r_regionkey")))
     val ord = Tables.orders(s, dir)
-      .filter(col("o_orderdate") >= lit("1994-01-01").cast("timestamp") &&
-        col("o_orderdate") < lit("1995-01-01").cast("timestamp"))
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
     Tables.lineitem(s, dir)
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(dims, col("o_custkey") === col("c_custkey"))
@@ -292,11 +292,11 @@ object Analytics {
   val oracleSql: Map[String, String] = Map(
     "q_pivot" ->
       """SELECT cast(ts AS DATE) AS day,
-        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
     "q_grouping_sets" ->
       """SELECT r_name, n_name, count(*) AS n_cust
@@ -395,8 +395,8 @@ object Analytics {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
-        |  AND o_orderdate >= TIMESTAMP '1994-01-01'
-        |  AND o_orderdate < TIMESTAMP '1995-01-01'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC""".stripMargin,
     "q_market_share" ->

@@ -108,7 +108,7 @@ object Audit {
     */
   def topActorsSalted(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
-      .groupBy(col("user_id"), (hash(col("event_id")) % 16).as("_salt"))
+      .groupBy(col("user_id"), pmod(hash(col("event_id")), lit(16)).as("_salt"))
       .agg(count(lit(1)).as("pn"))
       .groupBy(col("user_id"))
       .agg(sum(col("pn")).as("n_events"))
@@ -149,7 +149,7 @@ object Audit {
         |  count(*) AS n_events
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "audit_sessionize" ->
-      """SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events FROM (
+      """SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         |  SELECT user_id,
         |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
         |  FROM (

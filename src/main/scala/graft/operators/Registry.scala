@@ -200,7 +200,7 @@ object Registry {
         |  FROM events) t
         |ORDER BY user_id, version""".stripMargin,
     "reg_counts_by_type" ->
-      """SELECT lang AS schema_type, count(*) AS n_schemas, sum(n_chars) AS total_bytes
+      """SELECT lang AS schema_type, count(*) AS n_schemas, CAST(sum(n_chars) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY lang ORDER BY schema_type""".stripMargin,
     "reg_config_fallback" ->
       """SELECT c_custkey,
@@ -219,7 +219,7 @@ object Registry {
         |ORDER BY o_orderkey""".stripMargin,
     "reg_soft_delete" ->
       """SELECT o_orderpriority, count(*) AS n_total,
-        |  sum(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS n_active
+        |  CAST(sum(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_active
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "reg_import_dedupe" ->
       """SELECT user_id, event_type, event_id AS first_event_id FROM (
