@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineExpr, JaccardExpr, MinHash16Expr, SimHash64Expr, TopKAgg}
+import graft.functions.{CosineExpr, JaccardExpr, JsonPathsExpr, MinHash16Expr, SimHash64Expr, TopKAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_cosine"),
       new ExpressionInfo("graft.functions.CosineExpr", "graft_cosine"),
       exprs => CosineExpr(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_json_paths"),
+      new ExpressionInfo("graft.functions.JsonPathsExpr", "graft_json_paths"),
+      exprs => JsonPathsExpr(exprs.head)))
     ext.injectFunction((FunctionIdentifier("graft_topk"),
       new ExpressionInfo("graft.functions.TopKAgg", "graft_topk"),
       exprs => TopKAgg(exprs(0), exprs(1), exprs(2))))

@@ -161,6 +161,45 @@ object Native {
     dot / (math.sqrt(sa) * math.sqrt(sb))
   }
 
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Recursive JSON field-path flattening (reference
+    * internal/analysis/fields.go:51 walkAvroSchema / :158
+    * walkJSONSchemaProperties): every node below the root becomes a
+    * (dotted path, generic type) row. Objects are descended into;
+    * arrays are reported as leaves of type `array`. Types use the
+    * engine-neutral labels object/array/string/number/boolean/null
+    * so a DuckDB `json_type`-based oracle can reproduce them.
+    * Invalid JSON yields an empty array (the registry reports
+    * invalid payloads through the validation op, not here).
+    */
+  def jsonPaths(json: UTF8String): ArrayData = {
+    import com.fasterxml.jackson.databind.JsonNode
+    val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+    def typeOf(n: JsonNode): String =
+      if (n.isObject) "object"
+      else if (n.isArray) "array"
+      else if (n.isTextual) "string"
+      else if (n.isBoolean) "boolean"
+      else if (n.isNull) "null"
+      else "number"
+    def walk(prefix: String, n: JsonNode): Unit = {
+      val it = n.fields()
+      while (it.hasNext) {
+        val e = it.next()
+        val p = if (prefix.isEmpty) e.getKey else prefix + "." + e.getKey
+        out += org.apache.spark.sql.catalyst.InternalRow(
+          UTF8String.fromString(p), UTF8String.fromString(typeOf(e.getValue)))
+        if (e.getValue.isObject) walk(p, e.getValue)
+      }
+    }
+    try {
+      val root = jsonMapper.readTree(json.toString)
+      if (root != null && root.isObject) walk("", root)
+    } catch { case _: Exception => }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Register the functions on a session (idempotent). */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -168,6 +207,7 @@ object Native {
     registry.createOrReplaceTempFunction("graft_minhash16", exprs => MinHash16Expr(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("graft_jaccard", exprs => JaccardExpr(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("graft_cosine", exprs => CosineExpr(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction("graft_json_paths", exprs => JsonPathsExpr(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("graft_topk",
       exprs => TopKAgg(exprs(0), exprs(1), exprs(2)), "built-in")
   }
@@ -223,4 +263,21 @@ case class CosineExpr(left: Expression, right: Expression) extends BinaryExpress
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineExpr =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "graft_cosine"
+}
+
+/** `graft_json_paths(string) -> array<struct<path string, jtype string>>`:
+  * recursive field-path flattening of a JSON document (fields.go:51).
+  */
+case class JsonPathsExpr(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("jtype", StringType, nullable = false))), containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Native.jsonPaths(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Native.jsonPaths($c)")
+  override protected def withNewChildInternal(newChild: Expression): JsonPathsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_json_paths"
 }

@@ -89,10 +89,84 @@ object Analysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Nested field-path flattening (fields.go:51 walkAvroSchema /
+    * fields.go:158 walkJSONSchemaProperties): flatten every JSON
+    * payload into (dotted path, type) rows and aggregate field
+    * frequencies across the corpus — the registry's "which fields
+    * exist at which paths with which types" analysis. The walk is a
+    * codegen'd native expression ([[graft.functions.JsonPathsExpr]]);
+    * a nested payload is assembled per event (metadata envelope +
+    * parsed props subtree) so depth-2 recursion is actually
+    * exercised. Row-local until the tiny (path,type) aggregation.
+    */
+  def fieldPaths(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Native.register(s)
+    Tables.spread(Tables.events(s, dir))
+      .select(to_json(struct(
+        struct(col("event_type").as("etype"),
+          when(col("value") > 10, col("value")).as("sev")).as("meta"),
+        from_json(col("props"), "k BIGINT", Map.empty[String, String]).as("props"),
+        when(pmod(col("user_id"), lit(3)) =!= 0, col("user_id")).as("usr"))).as("payload"))
+      .select(explode(expr("graft_json_paths(payload)")).as("f"))
+      .select(col("f.path").as("path"), col("f.jtype").as("jtype"))
+      .groupBy(col("path"), col("jtype"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("path"), col("jtype"))
+  }
+
+  /** MatchFuzzy against a candidate set with naming variants
+    * (fuzzy.go:121 query×candidates scoring; fuzzy.go:60
+    * NamingVariants camel/snake/kebab/space). Queries are the
+    * camelCase renderings of the distinct candidate names (the
+    * cross-convention lookup the reference serves); each query
+    * expands to its 4 variants and is scored against candidates.
+    *
+    * Scale shape: candidates are reduced to DISTINCT names first
+    * (the field-name universe is tiny next to the corpus), the
+    * query×variant×bucket side is broadcast, and the join is an
+    * EQUI-join on a length bucket (|len diff| > 3 can't reach the
+    * 0.75 threshold at these lengths) — no cartesian product. The
+    * oracle applies the identical blocking.
+    */
+  def fuzzyCandidates(s: SparkSession, dir: String): DataFrame = {
+    val cand = Tables.part(s, dir).select(col("p_name")).distinct()
+    val candB = cand
+      .withColumn("c_norm", lower(col("p_name")))
+      .withColumn("bucket", floor(length(col("c_norm")) / 4))
+    val toks = split(col("p_name"), " ")
+    val queries = cand.select(concat(
+      element_at(toks, 1),
+      upper(substring(element_at(toks, 2), 1, 1)),
+      substring(element_at(toks, 2), 2, 1000)).as("query"))
+    val snake = lower(regexp_replace(col("query"), "([a-z0-9])([A-Z])", "$1_$2"))
+    val variants = queries.select(col("query"), explode(array(
+        col("query"), snake,
+        regexp_replace(snake, "_", "-"),
+        regexp_replace(snake, "_", " "))).as("variant"))
+      .select(col("query"), lower(col("variant")).as("v_norm"),
+        floor(length(col("variant")) / 4).as("vb"))
+    val expanded = variants.select(col("query"), col("v_norm"),
+      explode(array(col("vb") - 1, col("vb"), col("vb") + 1)).as("bucket"))
+    val score = lit(1.0) -
+      levenshtein(col("v_norm"), col("c_norm")).cast("double") /
+        greatest(length(col("v_norm")), length(col("c_norm")))
+    broadcast(expanded).join(candB, "bucket")
+      .withColumn("s", score)
+      .filter(col("s") >= 0.75)
+      .groupBy(col("query"), col("p_name"))
+      // floor(x*1e4+0.5)/1e4, not round(): scores are small-denominator
+      // rationals (1 - k/m, m <= 12) where round() half-up on the shortest
+      // decimal string diverges from DuckDB's binary rounding.
+      .agg((floor(max(col("s")) * 10000 + 0.5) / 10000.0).as("best_score"))
+      .orderBy(col("query"), col("best_score").desc, col("p_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "an_fuzzy_match" -> fuzzyMatch,
+    "an_fuzzy_candidates" -> fuzzyCandidates,
     "an_name_normalize" -> nameNormalize,
     "an_field_extract" -> fieldExtract,
+    "an_field_paths" -> fieldPaths,
     "an_quality_score" -> qualityScore)
 
   val oracleSql: Map[String, String] = Map(
@@ -108,6 +182,48 @@ object Analysis {
       """SELECT p_partkey, p_name,
         |  lower(regexp_replace(regexp_replace(p_name, '([a-z0-9])([A-Z])', '\1_\2', 'g'), '[-. ]', '_', 'g')) AS norm_name
         |FROM part ORDER BY p_partkey""".stripMargin,
+    // The walk is deterministic given the payload shape assembled by
+    // fieldPaths (meta{etype, sev?}, props{k}, usr?), so the oracle
+    // enumerates the same paths with the same presence conditions.
+    "an_field_paths" ->
+      """SELECT path, jtype, n FROM (
+        |  SELECT 'meta' AS path, 'object' AS jtype, count(*) AS n FROM events
+        |  UNION ALL SELECT 'meta.etype', 'string', count(*) FROM events
+        |  UNION ALL SELECT 'meta.sev', 'number', count(*) FROM events WHERE value > 10
+        |  UNION ALL SELECT 'props', 'object', count(*) FROM events
+        |  UNION ALL SELECT 'props.k', 'number', count(*) FROM events
+        |    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+        |  UNION ALL SELECT 'usr', 'number', count(*) FROM events WHERE user_id % 3 <> 0
+        |) WHERE n > 0 ORDER BY path, jtype""".stripMargin,
+    "an_fuzzy_candidates" ->
+      """WITH cand AS (SELECT DISTINCT p_name FROM part),
+        |candb AS (SELECT p_name, lower(p_name) AS c_norm,
+        |                 CAST(floor(length(lower(p_name)) / 4) AS BIGINT) AS bucket FROM cand),
+        |queries AS (
+        |  SELECT string_split(p_name, ' ')[1] ||
+        |         upper(substring(string_split(p_name, ' ')[2], 1, 1)) ||
+        |         substring(string_split(p_name, ' ')[2], 2) AS query
+        |  FROM cand),
+        |variants AS (
+        |  SELECT query, lower(variant) AS v_norm,
+        |         CAST(floor(length(variant) / 4) AS BIGINT) AS vb
+        |  FROM (
+        |    SELECT query, unnest([query,
+        |      lower(regexp_replace(query, '([a-z0-9])([A-Z])', '\1_\2', 'g')),
+        |      replace(lower(regexp_replace(query, '([a-z0-9])([A-Z])', '\1_\2', 'g')), '_', '-'),
+        |      replace(lower(regexp_replace(query, '([a-z0-9])([A-Z])', '\1_\2', 'g')), '_', ' ')]) AS variant
+        |    FROM queries)),
+        |expanded AS (
+        |  SELECT query, v_norm, unnest([vb - 1, vb, vb + 1]) AS bucket FROM variants),
+        |joined AS (
+        |  SELECT e.query, c.p_name,
+        |    1.0 - levenshtein(e.v_norm, c.c_norm) / greatest(length(e.v_norm), length(c.c_norm)) AS s
+        |  FROM expanded e JOIN candb c USING (bucket))
+        |SELECT query, p_name,
+        |  floor(max(s) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS best_score
+        |FROM joined WHERE s >= 0.75
+        |GROUP BY query, p_name
+        |ORDER BY query, best_score DESC, p_name""".stripMargin,
     "an_field_extract" ->
       """SELECT event_type,
         |  round(avg(k), 4) AS avg_k, max(k) AS max_k, count(*) AS n

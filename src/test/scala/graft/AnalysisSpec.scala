@@ -29,6 +29,50 @@ class AnalysisSpec extends SparkSpec {
     assert(df.filter(col("avg_k").isNull).count() == 0)
   }
 
+  test("field paths flatten nested payloads with data-driven presence") {
+    val df = Analysis.fieldPaths(spark, sfDir)
+    val rows = df.collect().map(r =>
+      (r.getAs[String]("path"), r.getAs[String]("jtype")) -> r.getAs[Long]("n")).toMap
+    val total = Tables.events(spark, sfDir).count()
+    // envelope fields present on every row; conditional ones on a strict subset
+    assert(rows(("meta", "object")) == total)
+    assert(rows(("meta.etype", "string")) == total)
+    assert(rows(("props.k", "number")) == total)
+    assert(rows.contains(("meta.sev", "number")) && rows(("meta.sev", "number")) < total)
+    assert(rows.contains(("usr", "number")) && rows(("usr", "number")) < total)
+    // nested path separator proves depth-2 recursion, not a flat key list
+    assert(rows.keys.exists(_._1.contains(".")))
+  }
+
+  test("json paths expression handles malformed and non-object input") {
+    graft.functions.Native.register(spark)
+    import spark.implicits._
+    val out = Seq("{\"a\":{\"b\":1}}", "not json", "[1,2]", "{\"x\":null}")
+      .toDF("j")
+      .selectExpr("graft_json_paths(j) AS p")
+      .collect()
+      .map(_.getSeq[org.apache.spark.sql.Row](0).map(r => (r.getString(0), r.getString(1))))
+    assert(out(0) == Seq(("a", "object"), ("a.b", "number")))
+    assert(out(1).isEmpty) // malformed → empty, not a crash
+    assert(out(2).isEmpty) // non-object root has no named fields
+    assert(out(3) == Seq(("x", "null")))
+  }
+
+  test("fuzzy candidates: exact variant scores 1.0 and plan is join not cartesian") {
+    val df = Analysis.fuzzyCandidates(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every query derives from a real candidate name, so its space-variant
+    // matches that candidate exactly → best_score 1.0 for at least one pair
+    assert(rows.exists(_.getAs[Double]("best_score") == 1.0))
+    assert(rows.forall { r =>
+      val s = r.getAs[Double]("best_score"); s >= 0.75 && s <= 1.0
+    })
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "blocked join must not be a cartesian product")
+    assert(plan.contains("BroadcastHashJoin"), "variant side should broadcast")
+  }
+
   test("quality scores within category bounds and grade consistent") {
     val df = Analysis.qualityScore(spark, sfDir)
     val bad = df.filter(
