@@ -115,7 +115,55 @@ object Audit {
       .orderBy(col("n_events").desc, col("user_id"))
       .limit(20)
 
+  /** Request-path normalization (metrics.go:573 normalizePath): map
+    * raw URL paths onto a bounded endpoint-class vocabulary so metric
+    * label cardinality can't explode — the `/contexts/{ctx}` prefix is
+    * stripped and re-added normalized, then the inner path collapses
+    * through the same prefix/contains/suffix rule chain as the
+    * reference. Paths are synthesized deterministically from the
+    * event row, so both engines normalize identical inputs. Row-local
+    * until the tiny endpoint-class aggregation.
+    */
+  def metricsPathNorm(s: SparkSession, dir: String): DataFrame = {
+    val et = col("event_type")
+    val uid = col("user_id").cast("string")
+    val path = when(pmod(col("k"), lit(6)) === 0,
+        concat(lit("/subjects/"), et, lit("/versions/"), uid))
+      .when(pmod(col("k"), lit(6)) === 1, concat(lit("/subjects/"), et, lit("/versions")))
+      .when(pmod(col("k"), lit(6)) === 2, concat(lit("/subjects/"), et))
+      .when(pmod(col("k"), lit(6)) === 3, concat(lit("/schemas/ids/"), uid))
+      .when(pmod(col("k"), lit(6)) === 4,
+        concat(lit("/contexts/ctx"), pmod(col("user_id"), lit(5)).cast("string"),
+          lit("/subjects/"), et, lit("/versions/"), col("k").cast("string")))
+      .otherwise(concat(lit("/mode/"), et))
+    val inner = when(col("path").startsWith("/contexts/"),
+      regexp_replace(col("path"), "^/contexts/[^/]*", "")).otherwise(col("path"))
+    val norm = when(col("inner").startsWith("/subjects/") && col("inner").contains("/versions/"),
+        "/subjects/{subject}/versions/{version}")
+      .when(col("inner").startsWith("/subjects/") && col("inner").endsWith("/versions"),
+        "/subjects/{subject}/versions")
+      .when(col("inner").startsWith("/subjects/"), "/subjects/{subject}")
+      .when(col("inner").startsWith("/schemas/ids/"), "/schemas/ids/{id}")
+      .when(col("inner").startsWith("/config/"), "/config/{subject}")
+      .when(col("inner").startsWith("/mode/"), "/mode/{subject}")
+      .when(col("inner").startsWith("/compatibility/subjects/"),
+        "/compatibility/subjects/{subject}/versions/{version}")
+      .otherwise(col("inner"))
+    Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .withColumn("path", path)
+      .withColumn("inner", inner)
+      .withColumn("endpoint",
+        when(col("path").startsWith("/contexts/"), concat(lit("/contexts/{context}"), norm))
+          .otherwise(norm))
+      .groupBy(col("endpoint"))
+      .agg(count(lit(1)).as("n_requests"))
+      .orderBy(col("endpoint"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "metrics_path_norm" -> metricsPathNorm,
     "audit_top_actors_salted" -> topActorsSalted,
     "audit_counts_daily" -> countsDaily,
     "audit_severity" -> severity,
@@ -126,6 +174,36 @@ object Audit {
     "metrics_rate_1m" -> rate1m)
 
   val oracleSql: Map[String, String] = Map(
+    "metrics_path_norm" ->
+      """WITH req AS (
+        |  SELECT CASE k % 6
+        |    WHEN 0 THEN '/subjects/' || event_type || '/versions/' || user_id
+        |    WHEN 1 THEN '/subjects/' || event_type || '/versions'
+        |    WHEN 2 THEN '/subjects/' || event_type
+        |    WHEN 3 THEN '/schemas/ids/' || user_id
+        |    WHEN 4 THEN '/contexts/ctx' || (user_id % 5) || '/subjects/' || event_type || '/versions/' || k
+        |    ELSE '/mode/' || event_type END AS path
+        |  FROM (SELECT event_type, user_id,
+        |          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)),
+        |stripped AS (
+        |  SELECT path,
+        |    CASE WHEN path LIKE '/contexts/%'
+        |         THEN regexp_replace(path, '^/contexts/[^/]*', '') ELSE path END AS ipath
+        |  FROM req),
+        |normed AS (
+        |  SELECT path,
+        |    CASE WHEN ipath LIKE '/subjects/%' AND ipath LIKE '%/versions/%' THEN '/subjects/{subject}/versions/{version}'
+        |         WHEN ipath LIKE '/subjects/%' AND ipath LIKE '%/versions' THEN '/subjects/{subject}/versions'
+        |         WHEN ipath LIKE '/subjects/%' THEN '/subjects/{subject}'
+        |         WHEN ipath LIKE '/schemas/ids/%' THEN '/schemas/ids/{id}'
+        |         WHEN ipath LIKE '/config/%' THEN '/config/{subject}'
+        |         WHEN ipath LIKE '/mode/%' THEN '/mode/{subject}'
+        |         WHEN ipath LIKE '/compatibility/subjects/%' THEN '/compatibility/subjects/{subject}/versions/{version}'
+        |         ELSE ipath END AS norm
+        |  FROM stripped)
+        |SELECT CASE WHEN path LIKE '/contexts/%' THEN '/contexts/{context}' || norm ELSE norm END AS endpoint,
+        |  count(*) AS n_requests
+        |FROM normed GROUP BY 1 ORDER BY endpoint""".stripMargin,
     "audit_top_actors_salted" ->
       """SELECT user_id, count(*) AS n_events
         |FROM events GROUP BY user_id

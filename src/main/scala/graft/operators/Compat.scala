@@ -1,8 +1,11 @@
 package graft.operators
 
+import graft.Tables
 import graft.compat.SchemaCompat
 import graft.compat.SchemaCompat._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Compatibility checking exposed as a query: a fixed battery of
@@ -53,8 +56,66 @@ object Compat {
       .orderBy("case_id")
   }
 
+  /** Data-driven compatibility checking over the whole corpus
+    * (checker.go:39 Check iterates a subject's version history;
+    * avro/checker.go:102 record rule, :304 promotions): every
+    * registration (events row) is a schema version for its subject
+    * (user_id), version N is BACKWARD-checked against version N-1,
+    * and the record rule is evaluated RELATIONALLY — reader fields
+    * left-join writer fields on (subject, version, field) and each
+    * row tests the three violation conditions (missing+required,
+    * non-promotable type change, required-reads-nullable). No UDF:
+    * the checker itself is the join + conditional aggregation.
+    *
+    * The per-version field set derives deterministically from the
+    * payload (`k`), so both engines reconstruct identical histories:
+    * `id` bigint required; `name` string, nullability flips with k;
+    * `email` string optional, present iff k%3=0; `score` int/bigint
+    * by k%4 (exercising the int→bigint promotion in one direction
+    * and the narrowing violation in the other).
+    *
+    * Scale shape: window partitions by subject; both join sides
+    * shuffle once on (subject, version, fname) — co-partitioned
+    * merge, no broadcast of anything corpus-sized; output rows scale
+    * with the corpus.
+    */
+  def compatScan(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      col("user_id").as("subject"), col("ts"), col("event_id"),
+      get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+    val w = Window.partitionBy(col("subject")).orderBy(col("ts"), col("event_id"))
+    val versioned = ev.withColumn("version", row_number().over(w))
+    def f(name: String, ftype: Column, fnull: Column, present: Column): Column =
+      struct(lit(name).as("fname"), ftype.as("ftype"), fnull.as("fnull"), present.as("present"))
+    val fields = versioned
+      .select(col("subject"), col("version"), explode(array(
+        f("id", lit("bigint"), lit(false), lit(true)),
+        f("name", lit("string"), pmod(col("k"), lit(2)) === 0, lit(true)),
+        f("email", lit("string"), lit(true), pmod(col("k"), lit(3)) === 0),
+        f("score", when(pmod(col("k"), lit(4)) < 2, "int").otherwise("bigint"), lit(false), lit(true))
+      )).as("fld"))
+      .filter(col("fld.present"))
+      .select(col("subject"), col("version"),
+        col("fld.fname").as("fname"), col("fld.ftype").as("ftype"), col("fld.fnull").as("fnull"))
+    val readers = fields.filter(col("version") > 1)
+    val writers = fields.select(col("subject"), (col("version") + 1).as("version"),
+      col("fname"), col("ftype").as("w_ftype"), col("fnull").as("w_fnull"))
+    val promotable = col("w_ftype") === "int" && col("ftype") === "bigint"
+    val violation =
+      (col("w_ftype").isNull && !col("fnull")) ||
+        (col("w_ftype").isNotNull && col("ftype") =!= col("w_ftype") && !promotable) ||
+        (col("w_ftype").isNotNull && !col("fnull") && col("w_fnull"))
+    readers.join(writers, Seq("subject", "version", "fname"), "left")
+      .groupBy(col("subject"), col("version"))
+      .agg(count(lit(1)).as("n_fields"),
+        sum(when(violation, 1).otherwise(0)).as("n_violations"))
+      .withColumn("compatible", col("n_violations") === 0)
+      .orderBy(col("subject"), col("version"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "compat_check" -> checkBattery)
+    "compat_check" -> checkBattery,
+    "compat_scan" -> compatScan)
 
   /** Expected verdicts, hand-traced through the reference rules:
     * case 4: old reader requires `id` (non-nullable) which the new
@@ -76,5 +137,33 @@ object Compat {
         |  (9, 'transitive catches old break', 'BACKWARD_TRANSITIVE', false, CAST(2 AS BIGINT)),
         |  (10, 'NONE ignores breaking change', 'NONE', true, CAST(0 AS BIGINT))
         |) AS t(case_id, description, mode, compatible, n_messages)
-        |ORDER BY case_id""".stripMargin)
+        |ORDER BY case_id""".stripMargin,
+    "compat_scan" ->
+      """WITH ev AS (
+        |  SELECT user_id AS subject, ts, event_id,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events),
+        |versioned AS (
+        |  SELECT subject, k,
+        |         row_number() OVER (PARTITION BY subject ORDER BY ts, event_id) AS version
+        |  FROM ev),
+        |fields AS (
+        |  SELECT subject, version, 'id' AS fname, 'bigint' AS ftype, false AS fnull FROM versioned
+        |  UNION ALL SELECT subject, version, 'name', 'string', k % 2 = 0 FROM versioned
+        |  UNION ALL SELECT subject, version, 'email', 'string', true FROM versioned WHERE k % 3 = 0
+        |  UNION ALL SELECT subject, version, 'score',
+        |    CASE WHEN k % 4 < 2 THEN 'int' ELSE 'bigint' END, false FROM versioned),
+        |joined AS (
+        |  SELECT r.subject, r.version, r.ftype, r.fnull, w.ftype AS w_ftype, w.fnull AS w_fnull
+        |  FROM fields r LEFT JOIN fields w
+        |    ON r.subject = w.subject AND w.version = r.version - 1 AND r.fname = w.fname
+        |  WHERE r.version > 1)
+        |SELECT subject, version, n_fields, n_violations, n_violations = 0 AS compatible
+        |FROM (
+        |  SELECT subject, version, count(*) AS n_fields,
+        |    CAST(sum(CASE WHEN (w_ftype IS NULL AND NOT fnull)
+        |      OR (w_ftype IS NOT NULL AND ftype <> w_ftype AND NOT (w_ftype = 'int' AND ftype = 'bigint'))
+        |      OR (w_ftype IS NOT NULL AND NOT fnull AND w_fnull) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        |  FROM joined GROUP BY subject, version)
+        |ORDER BY subject, version""".stripMargin)
 }

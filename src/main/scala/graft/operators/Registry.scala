@@ -88,10 +88,15 @@ object Registry {
 
   /** LookupSchema by content (registry.go:553): canonical id per
     * content hash — md5 groupBy, min id wins (first registration).
+    * The payload is canonicalized BEFORE hashing (internal/schema/
+    * canonicalization; registry.go hashes canonical form): leading/
+    * trailing whitespace trimmed and runs collapsed to one space, so
+    * formatting variants of the same schema collapse to one hash.
     */
   def lookupByHash(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(md5(col("text")).as("content_hash"), col("doc_id"))
+      .select(md5(regexp_replace(trim(col("text")), "\\s+", " ")).as("content_hash"),
+        col("doc_id"))
       .groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("canonical_id"))
@@ -129,6 +134,121 @@ object Registry {
       .filter(col("rn") === 1)
       .select(col("user_id"), col("event_type"), col("event_id").as("first_event_id"))
       .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** Context-qualified subject resolution (context.go:47
+    * ResolveSubject): `:.ctx:subject` → (".ctx", "subject"); anything
+    * else — plain names, `:.` with no second colon, `:.:x` (empty
+    * context) — resolves to the default context "." with the raw
+    * name as subject. Qualified names are synthesized from the
+    * corpus in four shapes (qualified, plain, empty-subject,
+    * malformed-no-colon) so every branch of the parser is exercised
+    * data-driven. Pure row-local string parsing.
+    */
+  def resolveSubject(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("qualified",
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit(":."), col("source"), lit(":doc_"), col("doc_id").cast("string")))
+          .when(pmod(col("doc_id"), lit(4)) === 1,
+            concat(lit("doc_"), col("doc_id").cast("string")))
+          .when(pmod(col("doc_id"), lit(4)) === 2, concat(lit(":."), col("source"), lit(":")))
+          .otherwise(concat(lit(":."), col("source"))))
+      .withColumn("rest", expr("substring(qualified, 3)"))
+      .withColumn("idx", instr(col("rest"), ":"))
+      // Go: strings.Index(rest, ":") > 0 — the colon must exist and not
+      // be rest's first char (context name non-empty) → 1-based idx > 1.
+      .withColumn("is_q", col("qualified").startsWith(":.") && col("idx") > 1)
+      .select(col("doc_id"), col("qualified"),
+        when(col("is_q"), concat(lit("."), expr("substring(rest, 1, idx - 1)")))
+          .otherwise(".").as("resolved_context"),
+        when(col("is_q"), expr("substring(rest, idx + 1)"))
+          .otherwise(col("qualified")).as("resolved_subject"))
+      .orderBy(col("doc_id"))
+
+  /** Rule-set validation (rules/validator.go:51 ValidateRuleSet,
+    * :74 validateRule): name required, kind ∈ {CONDITION, TRANSFORM},
+    * mode checked against the per-category whitelist (migrationRules
+    * take UPGRADE/DOWNGRADE/UPDOWN; domain/encoding take WRITE/READ/
+    * WRITEREAD), and onSuccess actions must each be NONE/DLQ/ERROR
+    * (comma-separated dual-mode allowed, validator.go:35). Validation
+    * is sequential in the reference (first error wins), so each rule
+    * is attributed to exactly one error class. Rule rows derive
+    * deterministically from the corpus; the check itself is a
+    * row-local CASE chain + a split/forall over the action list.
+    */
+  def rulesValidate(s: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("bigint")
+    val badAction = exists(split(col("on_success"), ","),
+      p => !trim(p).isin("", "NONE", "DLQ", "ERROR"))
+    val modeOk =
+      (col("category") === "migrationRules" &&
+        col("mode").isin("UPGRADE", "DOWNGRADE", "UPDOWN")) ||
+        (col("category") =!= "migrationRules" &&
+          col("mode").isin("WRITE", "READ", "WRITEREAD"))
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), k.as("k"))
+      .withColumn("category",
+        when(pmod(col("user_id"), lit(3)) === 0, "domainRules")
+          .when(pmod(col("user_id"), lit(3)) === 1, "migrationRules")
+          .otherwise("encodingRules"))
+      .withColumn("rname",
+        when(pmod(col("k"), lit(7)) === 0, "")
+          .otherwise(concat(lit("rule_"), col("event_id").cast("string"))))
+      .withColumn("kind",
+        when(pmod(col("k"), lit(5)) < 2, "CONDITION")
+          .when(pmod(col("k"), lit(5)) < 4, "TRANSFORM")
+          .otherwise("VALIDATE"))
+      .withColumn("mode",
+        when(pmod(col("k"), lit(6)) === 0, "WRITE")
+          .when(pmod(col("k"), lit(6)) === 1, "READ")
+          .when(pmod(col("k"), lit(6)) === 2, "WRITEREAD")
+          .when(pmod(col("k"), lit(6)) === 3, "UPGRADE")
+          .when(pmod(col("k"), lit(6)) === 4, "DOWNGRADE")
+          .otherwise("UPDOWN"))
+      .withColumn("on_success",
+        when(pmod(col("user_id"), lit(5)) === 0, "NONE")
+          .when(pmod(col("user_id"), lit(5)) === 1, "DLQ")
+          .when(pmod(col("user_id"), lit(5)) === 2, "ERROR,NONE")
+          .when(pmod(col("user_id"), lit(5)) === 3, "")
+          .otherwise("PANIC"))
+      .withColumn("error_class",
+        when(trim(col("rname")) === "", "name")
+          .when(!col("kind").isin("CONDITION", "TRANSFORM"), "kind")
+          .when(!modeOk, "mode")
+          .when(badAction, "action")
+          .otherwise("valid"))
+      .groupBy(col("category"), col("error_class"))
+      .agg(count(lit(1)).as("n_rules"))
+      .orderBy(col("category"), col("error_class"))
+  }
+
+  /** Exporter subject/schema-type filters (exporter.go:274
+    * matchesFilters): an event matches an exporter iff the exporter's
+    * subjects list is empty or contains the subject, AND its
+    * schema-types list is empty or contains the type. Exporter
+    * configs are a 3-row dimension joined as data (broadcast NLJ over
+    * 3 rows — the filter fan-out shape, not a cartesian risk).
+    */
+  def exportFiltered(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exporters = Seq(
+      ("exp_all", Seq.empty[String], Seq.empty[String]),
+      ("exp_avro_error", Seq("error"), Seq("AVRO")),
+      ("exp_clickview", Seq("click", "view"), Seq.empty[String]))
+      .toDF("exporter", "subjects", "schema_types")
+    val ev = Tables.events(s, dir).select(
+      col("event_type").as("subject"),
+      when(pmod(col("user_id"), lit(3)) === 0, "AVRO")
+        .when(pmod(col("user_id"), lit(3)) === 1, "JSON")
+        .otherwise("PROTOBUF").as("schema_type"))
+    ev.join(broadcast(exporters),
+      (size(col("subjects")) === 0 || array_contains(col("subjects"), col("subject"))) &&
+        (size(col("schema_types")) === 0 || array_contains(col("schema_types"), col("schema_type"))))
+      .groupBy(col("exporter"))
+      .agg(count(lit(1)).as("n_exported"))
+      .orderBy(col("exporter"))
   }
 
   /** ListContexts (registry.go:1141): sorted distinct namespaces. */
@@ -176,7 +296,10 @@ object Registry {
     "reg_referenced_by" -> referencedBy,
     "reg_soft_delete" -> softDelete,
     "reg_import_dedupe" -> importDedupe,
-    "reg_contexts" -> contexts)
+    "reg_contexts" -> contexts,
+    "reg_resolve_subject" -> resolveSubject,
+    "reg_rules_validate" -> rulesValidate,
+    "reg_export_filtered" -> exportFiltered)
 
   val oracleSql: Map[String, String] = Map(
     "reg_validate" ->
@@ -211,8 +334,9 @@ object Registry {
         |  ON c_nationkey = ov_nationkey
         |ORDER BY c_custkey""".stripMargin,
     "reg_lookup_by_hash" ->
-      """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
-        |FROM documents GROUP BY md5(text) ORDER BY canonical_id""".stripMargin,
+      """SELECT md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS content_hash,
+        |  min(doc_id) AS canonical_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
     "reg_referenced_by" ->
       """SELECT l_orderkey AS o_orderkey, count(*) AS n_refs
         |FROM lineitem GROUP BY l_orderkey HAVING count(*) >= 5
@@ -228,5 +352,64 @@ object Registry {
         |  FROM events) t
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
     "reg_contexts" ->
-      "SELECT DISTINCT source AS context FROM documents ORDER BY context")
+      "SELECT DISTINCT source AS context FROM documents ORDER BY context",
+    "reg_resolve_subject" ->
+      """WITH named AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN ':.' || source || ':doc_' || doc_id
+        |      WHEN 1 THEN 'doc_' || doc_id
+        |      WHEN 2 THEN ':.' || source || ':'
+        |      ELSE ':.' || source END AS qualified
+        |  FROM documents),
+        |parsed AS (
+        |  SELECT doc_id, qualified,
+        |    substring(qualified, 3) AS rest,
+        |    strpos(substring(qualified, 3), ':') AS idx,
+        |    qualified LIKE ':.%' AND strpos(substring(qualified, 3), ':') > 1 AS is_q
+        |  FROM named)
+        |SELECT doc_id, qualified,
+        |  CASE WHEN is_q THEN '.' || substring(rest, 1, idx - 1) ELSE '.' END AS resolved_context,
+        |  CASE WHEN is_q THEN substring(rest, idx + 1) ELSE qualified END AS resolved_subject
+        |FROM parsed ORDER BY doc_id""".stripMargin,
+    "reg_rules_validate" ->
+      """WITH rules AS (
+        |  SELECT event_id, user_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events),
+        |derived AS (
+        |  SELECT
+        |    CASE user_id % 3 WHEN 0 THEN 'domainRules' WHEN 1 THEN 'migrationRules'
+        |         ELSE 'encodingRules' END AS category,
+        |    CASE WHEN k % 7 = 0 THEN '' ELSE 'rule_' || event_id END AS rname,
+        |    CASE WHEN k % 5 < 2 THEN 'CONDITION' WHEN k % 5 < 4 THEN 'TRANSFORM'
+        |         ELSE 'VALIDATE' END AS kind,
+        |    CASE k % 6 WHEN 0 THEN 'WRITE' WHEN 1 THEN 'READ' WHEN 2 THEN 'WRITEREAD'
+        |         WHEN 3 THEN 'UPGRADE' WHEN 4 THEN 'DOWNGRADE' ELSE 'UPDOWN' END AS mode,
+        |    CASE user_id % 5 WHEN 0 THEN 'NONE' WHEN 1 THEN 'DLQ' WHEN 2 THEN 'ERROR,NONE'
+        |         WHEN 3 THEN '' ELSE 'PANIC' END AS on_success
+        |  FROM rules)
+        |SELECT category,
+        |  CASE WHEN trim(rname) = '' THEN 'name'
+        |       WHEN kind NOT IN ('CONDITION', 'TRANSFORM') THEN 'kind'
+        |       WHEN NOT ((category = 'migrationRules' AND mode IN ('UPGRADE', 'DOWNGRADE', 'UPDOWN'))
+        |              OR (category <> 'migrationRules' AND mode IN ('WRITE', 'READ', 'WRITEREAD'))) THEN 'mode'
+        |       WHEN len(list_filter(string_split(on_success, ','),
+        |                            p -> trim(p) NOT IN ('', 'NONE', 'DLQ', 'ERROR'))) > 0 THEN 'action'
+        |       ELSE 'valid' END AS error_class,
+        |  count(*) AS n_rules
+        |FROM derived GROUP BY 1, 2 ORDER BY category, error_class""".stripMargin,
+    "reg_export_filtered" ->
+      """WITH ev AS (
+        |  SELECT event_type AS subject,
+        |    CASE user_id % 3 WHEN 0 THEN 'AVRO' WHEN 1 THEN 'JSON'
+        |         ELSE 'PROTOBUF' END AS schema_type
+        |  FROM events)
+        |SELECT exporter, n_exported FROM (
+        |  SELECT 'exp_all' AS exporter, count(*) AS n_exported FROM ev
+        |  UNION ALL SELECT 'exp_avro_error', count(*) FROM ev
+        |    WHERE subject = 'error' AND schema_type = 'AVRO'
+        |  UNION ALL SELECT 'exp_clickview', count(*) FROM ev
+        |    WHERE subject IN ('click', 'view')
+        |) ORDER BY exporter""".stripMargin)
 }

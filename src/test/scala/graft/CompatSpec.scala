@@ -56,6 +56,47 @@ class CompatSpec extends SparkSpec {
     intercept[IllegalArgumentException](Mode.parse("SIDEWAYS"))
   }
 
+  test("compat_scan relational checker agrees with the StructType checker") {
+    import org.apache.spark.sql.functions._
+    val df = operators.Compat.compatScan(spark, sfDir)
+    val scan = df.collect().map(r =>
+      (r.getAs[Long]("subject"), r.getAs[Int]("version")) -> r.getAs[Boolean]("compatible")).toMap
+    assert(scan.nonEmpty)
+    assert(scan.values.exists(identity) && scan.values.exists(!_),
+      "corpus must exercise both compatible and incompatible transitions")
+    // Rebuild the same per-version StructTypes for a handful of subjects
+    // and replay them through SchemaCompat — the relational join must
+    // reach the same verdict as the recursive checker.
+    def schemaOf(k: Long): StructType = {
+      val base = Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("name", StringType, nullable = k % 2 == 0)) ++
+        (if (k % 3 == 0) Seq(StructField("email", StringType, nullable = true)) else Nil) :+
+        StructField("score", if (k % 4 < 2) IntegerType else LongType, nullable = false)
+      StructType(base)
+    }
+    val hist = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("user_id") < 5)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), (r.getAs[java.sql.Timestamp]("ts"), r.getAs[Long]("event_id")), r.getAs[Long]("k")))
+      .groupBy(_._1)
+      .map { case (u, rows) => u -> rows.sortBy(_._2).map(_._3).toSeq }
+    var checked = 0
+    hist.foreach { case (subject, ks) =>
+      ks.sliding(2).zipWithIndex.foreach {
+        case (Seq(prevK, curK), i) =>
+          val expected = SchemaCompat.check(Backward, schemaOf(curK), Seq(schemaOf(prevK))).isCompatible
+          assert(scan((subject, i + 2)) == expected,
+            s"subject $subject v${i + 2}: relational=$expected mismatch")
+          checked += 1
+        case _ =>
+      }
+    }
+    assert(checked > 10)
+  }
+
   test("battery query matches hand-traced verdicts") {
     val rows = operators.Compat.checkBattery(spark, sfDir).collect()
     assert(rows.length == 10)
