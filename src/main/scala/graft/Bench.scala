@@ -1,5 +1,13 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Prints ONE compact JSON line on stdout (the driver
+  * keeps only the last ~2000 chars of output, so the line must stay
+  * small and must not be wrapped/prefixed by sbt's logger — see
+  * build.sbt `run / outputStrategy := StdoutOutput`). Full-precision
+  * cold+warm per-query detail is written to bench_detail.json.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -31,25 +39,39 @@ object Bench {
       // Each query runs twice; the reported number is the second
       // (warm) run. The first run pays one-off JIT/codegen cost that
       // on a long-lived cluster amortizes to zero — reporting it
-      // would grade JVM warmup, not the plan. Cold times are emitted
-      // alongside for transparency.
+      // would grade JVM warmup, not the plan. Cold times are kept in
+      // bench_detail.json for transparency.
       val cold = run(fn)
+      // Drop anything the cold run pinned with .cache() BEFORE the
+      // warm run: otherwise CacheManager swaps the warm plan for the
+      // cold run's InMemoryRelation and the warm number measures a
+      // cached-table read, not the plan.
+      spark.catalog.clearCache()
       val warm = if (cold.isRight) run(fn) else cold
-      // drop caches an operator may have pinned so queries don't
-      // contend for executor memory with one another
       spark.catalog.clearCache()
       (name, cold, warm)
     }
-    def fmt(d: Double): String = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, _, w) => "\"" + k + "\":" + w.fold(_ => "-1", fmt) }
+    def fmt(d: Double, dp: Int): String =
+      BigDecimal(d).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
+    def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"").replaceAll("[\\x00-\\x1f]", " ")
+    def qmap(dp: Int, pick: ((String, Either[String, Double], Either[String, Double])) => Either[String, Double]): String =
+      results.map { r => "\"" + r._1 + "\":" + pick(r).fold(_ => "-1", fmt(_, dp)) }
+        .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Left(m)) => "\"" + k + "\":\"" + esc(m) + "\"" }
       .mkString("{", ",", "}")
-    val colds = results.map { case (k, c, _) => "\"" + k + "\":" + c.fold(_ => "-1", fmt) }
-      .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Left(m)) =>
-      "\"" + k + "\":\"" + m.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    }.mkString("{", ",", "}")
-    val total = results.map(_._3.getOrElse(0.0)).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"errors":$errs,"sf":"$sfDir"}""")
+    // An errored query must not silently improve the headline total.
+    val anyErr = results.exists(_._3.isLeft)
+    val total = if (anyErr) -1.0 else results.map(_._3.getOrElse(0.0)).sum
+    val compact =
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":${qmap(2, _._3)},"errors":$errs,"sf":"$sfDir"}"""
+    val detail =
+      s"""{"metric":"total","value":${fmt(total, 6)},"unit":"sec","queries":${qmap(6, _._3)},"cold":${qmap(6, _._2)},"errors":$errs,"sf":"$sfDir","cpus":$cpus}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
+      (detail + "\n").getBytes("UTF-8"))
     spark.stop()
+    // Printed after spark.stop() so no shutdown log lines can land
+    // between the JSON and the end of output.
+    println(compact)
   }
 }
