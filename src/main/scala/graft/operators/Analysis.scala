@@ -106,7 +106,7 @@ object Analysis {
         struct(col("event_type").as("etype"),
           when(col("value") > 10, col("value")).as("sev")).as("meta"),
         from_json(col("props"), "k BIGINT", Map.empty[String, String]).as("props"),
-        when(pmod(col("user_id"), lit(3)) =!= 0, col("user_id")).as("usr"))).as("payload"))
+        when(col("user_id") % lit(3) =!= 0, col("user_id")).as("usr"))).as("payload"))
       .select(explode(expr("graft_json_paths(payload)")).as("f"))
       .select(col("f.path").as("path"), col("f.jtype").as("jtype"))
       .groupBy(col("path"), col("jtype"))
@@ -124,15 +124,24 @@ object Analysis {
     * Scale shape: candidates are reduced to DISTINCT names first
     * (the field-name universe is tiny next to the corpus), the
     * query×variant×bucket side is broadcast, and the join is an
-    * EQUI-join on a length bucket (|len diff| > 3 can't reach the
-    * 0.75 threshold at these lengths) — no cartesian product. The
-    * oracle applies the identical blocking.
+    * EQUI-join on a length bucket — no cartesian product. The bucket
+    * width is derived from the threshold and the observed max name
+    * length: score >= t forces lev <= (1-t)*maxLen, and
+    * |len(a)-len(b)| <= lev, so width = ceil((1-t)*maxLen) makes the
+    * ±1-bucket window complete at any corpus length (not just the
+    * <=12-char names in the test data). The oracle applies the
+    * identical blocking.
     */
   def fuzzyCandidates(s: SparkSession, dir: String): DataFrame = {
+    val threshold = 0.75
     val cand = Tables.part(s, dir).select(col("p_name")).distinct()
-    val candB = cand
+    val bw = cand.agg(greatest(
+      ceil(max(length(lower(col("p_name")))) * lit(1.0 - threshold)), lit(1L))
+      .cast("bigint").as("bw"))
+    val candB = cand.crossJoin(broadcast(bw))
       .withColumn("c_norm", lower(col("p_name")))
-      .withColumn("bucket", floor(length(col("c_norm")) / 4))
+      .withColumn("bucket", floor(length(col("c_norm")) / col("bw")))
+      .drop("bw")
     val toks = split(col("p_name"), " ")
     val queries = cand.select(concat(
       element_at(toks, 1),
@@ -143,8 +152,9 @@ object Analysis {
         col("query"), snake,
         regexp_replace(snake, "_", "-"),
         regexp_replace(snake, "_", " "))).as("variant"))
+      .crossJoin(broadcast(bw))
       .select(col("query"), lower(col("variant")).as("v_norm"),
-        floor(length(col("variant")) / 4).as("vb"))
+        floor(length(col("variant")) / col("bw")).as("vb"))
     val expanded = variants.select(col("query"), col("v_norm"),
       explode(array(col("vb") - 1, col("vb"), col("vb") + 1)).as("bucket"))
     val score = lit(1.0) -
@@ -152,7 +162,7 @@ object Analysis {
         greatest(length(col("v_norm")), length(col("c_norm")))
     broadcast(expanded).join(candB, "bucket")
       .withColumn("s", score)
-      .filter(col("s") >= 0.75)
+      .filter(col("s") >= threshold)
       .groupBy(col("query"), col("p_name"))
       // floor(x*1e4+0.5)/1e4, not round(): scores are small-denominator
       // rationals (1 - k/m, m <= 12) where round() half-up on the shortest
@@ -197,8 +207,9 @@ object Analysis {
         |) WHERE n > 0 ORDER BY path, jtype""".stripMargin,
     "an_fuzzy_candidates" ->
       """WITH cand AS (SELECT DISTINCT p_name FROM part),
+        |bw AS (SELECT GREATEST(CAST(ceil(MAX(length(lower(p_name))) * 0.25) AS BIGINT), 1) AS bw FROM cand),
         |candb AS (SELECT p_name, lower(p_name) AS c_norm,
-        |                 CAST(floor(length(lower(p_name)) / 4) AS BIGINT) AS bucket FROM cand),
+        |                 CAST(floor(length(lower(p_name)) / bw) AS BIGINT) AS bucket FROM cand, bw),
         |queries AS (
         |  SELECT string_split(p_name, ' ')[1] ||
         |         upper(substring(string_split(p_name, ' ')[2], 1, 1)) ||
@@ -206,13 +217,13 @@ object Analysis {
         |  FROM cand),
         |variants AS (
         |  SELECT query, lower(variant) AS v_norm,
-        |         CAST(floor(length(variant) / 4) AS BIGINT) AS vb
+        |         CAST(floor(length(variant) / bw) AS BIGINT) AS vb
         |  FROM (
         |    SELECT query, unnest([query,
         |      lower(regexp_replace(query, '([a-z0-9])([A-Z])', '\1_\2', 'g')),
         |      replace(lower(regexp_replace(query, '([a-z0-9])([A-Z])', '\1_\2', 'g')), '_', '-'),
         |      replace(lower(regexp_replace(query, '([a-z0-9])([A-Z])', '\1_\2', 'g')), '_', ' ')]) AS variant
-        |    FROM queries)),
+        |    FROM queries), bw),
         |expanded AS (
         |  SELECT query, v_norm, unnest([vb - 1, vb, vb + 1]) AS bucket FROM variants),
         |joined AS (

@@ -127,13 +127,13 @@ object Audit {
   def metricsPathNorm(s: SparkSession, dir: String): DataFrame = {
     val et = col("event_type")
     val uid = col("user_id").cast("string")
-    val path = when(pmod(col("k"), lit(6)) === 0,
+    val path = when(col("k") % lit(6) === 0,
         concat(lit("/subjects/"), et, lit("/versions/"), uid))
-      .when(pmod(col("k"), lit(6)) === 1, concat(lit("/subjects/"), et, lit("/versions")))
-      .when(pmod(col("k"), lit(6)) === 2, concat(lit("/subjects/"), et))
-      .when(pmod(col("k"), lit(6)) === 3, concat(lit("/schemas/ids/"), uid))
-      .when(pmod(col("k"), lit(6)) === 4,
-        concat(lit("/contexts/ctx"), pmod(col("user_id"), lit(5)).cast("string"),
+      .when(col("k") % lit(6) === 1, concat(lit("/subjects/"), et, lit("/versions")))
+      .when(col("k") % lit(6) === 2, concat(lit("/subjects/"), et))
+      .when(col("k") % lit(6) === 3, concat(lit("/schemas/ids/"), uid))
+      .when(col("k") % lit(6) === 4,
+        concat(lit("/contexts/ctx"), col("user_id") % lit(5).cast("string"),
           lit("/subjects/"), et, lit("/versions/"), col("k").cast("string")))
       .otherwise(concat(lit("/mode/"), et))
     val inner = when(col("path").startsWith("/contexts/"),

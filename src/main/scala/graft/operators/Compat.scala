@@ -90,9 +90,9 @@ object Compat {
     val fields = versioned
       .select(col("subject"), col("version"), explode(array(
         f("id", lit("bigint"), lit(false), lit(true)),
-        f("name", lit("string"), pmod(col("k"), lit(2)) === 0, lit(true)),
-        f("email", lit("string"), lit(true), pmod(col("k"), lit(3)) === 0),
-        f("score", when(pmod(col("k"), lit(4)) < 2, "int").otherwise("bigint"), lit(false), lit(true))
+        f("name", lit("string"), col("k") % lit(2) === 0, lit(true)),
+        f("email", lit("string"), lit(true), col("k") % lit(3) === 0),
+        f("score", when(col("k") % lit(4) < 2, "int").otherwise("bigint"), lit(false), lit(true))
       )).as("fld"))
       .filter(col("fld.present"))
       .select(col("subject"), col("version"),

@@ -149,11 +149,11 @@ object Registry {
     Tables.documents(s, dir)
       .select(col("doc_id"), col("source"))
       .withColumn("qualified",
-        when(pmod(col("doc_id"), lit(4)) === 0,
+        when(col("doc_id") % lit(4) === 0,
           concat(lit(":."), col("source"), lit(":doc_"), col("doc_id").cast("string")))
-          .when(pmod(col("doc_id"), lit(4)) === 1,
+          .when(col("doc_id") % lit(4) === 1,
             concat(lit("doc_"), col("doc_id").cast("string")))
-          .when(pmod(col("doc_id"), lit(4)) === 2, concat(lit(":."), col("source"), lit(":")))
+          .when(col("doc_id") % lit(4) === 2, concat(lit(":."), col("source"), lit(":")))
           .otherwise(concat(lit(":."), col("source"))))
       .withColumn("rest", expr("substring(qualified, 3)"))
       .withColumn("idx", instr(col("rest"), ":"))
@@ -190,28 +190,28 @@ object Registry {
     Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), k.as("k"))
       .withColumn("category",
-        when(pmod(col("user_id"), lit(3)) === 0, "domainRules")
-          .when(pmod(col("user_id"), lit(3)) === 1, "migrationRules")
+        when(col("user_id") % lit(3) === 0, "domainRules")
+          .when(col("user_id") % lit(3) === 1, "migrationRules")
           .otherwise("encodingRules"))
       .withColumn("rname",
-        when(pmod(col("k"), lit(7)) === 0, "")
+        when(col("k") % lit(7) === 0, "")
           .otherwise(concat(lit("rule_"), col("event_id").cast("string"))))
       .withColumn("kind",
-        when(pmod(col("k"), lit(5)) < 2, "CONDITION")
-          .when(pmod(col("k"), lit(5)) < 4, "TRANSFORM")
+        when(col("k") % lit(5) < 2, "CONDITION")
+          .when(col("k") % lit(5) < 4, "TRANSFORM")
           .otherwise("VALIDATE"))
       .withColumn("mode",
-        when(pmod(col("k"), lit(6)) === 0, "WRITE")
-          .when(pmod(col("k"), lit(6)) === 1, "READ")
-          .when(pmod(col("k"), lit(6)) === 2, "WRITEREAD")
-          .when(pmod(col("k"), lit(6)) === 3, "UPGRADE")
-          .when(pmod(col("k"), lit(6)) === 4, "DOWNGRADE")
+        when(col("k") % lit(6) === 0, "WRITE")
+          .when(col("k") % lit(6) === 1, "READ")
+          .when(col("k") % lit(6) === 2, "WRITEREAD")
+          .when(col("k") % lit(6) === 3, "UPGRADE")
+          .when(col("k") % lit(6) === 4, "DOWNGRADE")
           .otherwise("UPDOWN"))
       .withColumn("on_success",
-        when(pmod(col("user_id"), lit(5)) === 0, "NONE")
-          .when(pmod(col("user_id"), lit(5)) === 1, "DLQ")
-          .when(pmod(col("user_id"), lit(5)) === 2, "ERROR,NONE")
-          .when(pmod(col("user_id"), lit(5)) === 3, "")
+        when(col("user_id") % lit(5) === 0, "NONE")
+          .when(col("user_id") % lit(5) === 1, "DLQ")
+          .when(col("user_id") % lit(5) === 2, "ERROR,NONE")
+          .when(col("user_id") % lit(5) === 3, "")
           .otherwise("PANIC"))
       .withColumn("error_class",
         when(trim(col("rname")) === "", "name")
@@ -240,8 +240,8 @@ object Registry {
       .toDF("exporter", "subjects", "schema_types")
     val ev = Tables.events(s, dir).select(
       col("event_type").as("subject"),
-      when(pmod(col("user_id"), lit(3)) === 0, "AVRO")
-        .when(pmod(col("user_id"), lit(3)) === 1, "JSON")
+      when(col("user_id") % lit(3) === 0, "AVRO")
+        .when(col("user_id") % lit(3) === 1, "JSON")
         .otherwise("PROTOBUF").as("schema_type"))
     ev.join(broadcast(exporters),
       (size(col("subjects")) === 0 || array_contains(col("subjects"), col("subject"))) &&
