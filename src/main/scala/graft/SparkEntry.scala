@@ -18,6 +18,7 @@ object SparkEntry {
     (operators.Analysis.queries, operators.Analysis.oracleSql),
     (operators.Compat.queries, operators.Compat.oracleSql),
     (operators.Dedup.queries, operators.Dedup.oracleSql),
+    (operators.Pipeline.queries, operators.Pipeline.oracleSql),
     (operators.Similarity.queries, operators.Similarity.oracleSql),
     (operators.TextAnalysis.queries, operators.TextAnalysis.oracleSql),
     (operators.Multimodal.queries, operators.Multimodal.oracleSql),

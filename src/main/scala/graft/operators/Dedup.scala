@@ -51,11 +51,13 @@ object Dedup {
       .selectExpr("doc_id", "graft_minhash16(shingles) AS m")
   }
 
-  /** MinHash + LSH near-dup pairs: 4 bands × 4 rows; docs sharing a
-    * band bucket become candidates; candidates are scored by
-    * signature agreement (est. Jaccard) and thresholded.
+  /** Raw MinHash-LSH near-dup pairs (unordered, unrounded): 4 bands ×
+    * 4 rows; docs sharing a band bucket become candidates; candidates
+    * are scored by signature agreement (est. Jaccard) and thresholded.
+    * Shared by the pair report ([[minhashLsh]]) and the duplicate-
+    * cluster builder ([[Pipeline.dedupClusters]]).
     */
-  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     val mh = minhashSignatures(s, dir).cache()
     val bands = mh.selectExpr("doc_id", "explode(sequence(0, 3)) AS b", "m")
       .selectExpr("doc_id", "b",
@@ -71,9 +73,12 @@ object Dedup {
       .selectExpr("doc_a", "doc_b",
         "size(filter(zip_with(ma, mb, (x, y) -> x = y), v -> v)) / cast(16 AS double) AS est_jaccard")
       .where("est_jaccard >= 0.5")
+  }
+
+  def minhashLsh(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(s, dir)
       .selectExpr("doc_a", "doc_b", "round(est_jaccard, 4) AS est_jaccard")
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   /** 64-bit SimHash as four 16-bit chunks (c0..c3) via the native
     * codegen expression [[graft.functions.SimHash64Expr]] — a tight
@@ -165,6 +170,30 @@ object Dedup {
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_embed_cosine" -> embedCosine)
 
+  /** The MinHash-LSH pair derivation as a DuckDB CTE chain ending in
+    * `pairs(doc_a, doc_b, est_jaccard)` — embedded by the pair-report
+    * oracle here and the cluster oracle in [[Pipeline]].
+    */
+  private[operators] val minhashPairsCte: String =
+    """sh AS (
+      |  SELECT doc_id, [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts)-1)] AS shingles
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t
+      |  WHERE len(ts) >= 3),
+      |mh AS (
+      |  SELECT doc_id, [list_min([md5(sd::varchar || ':' || s) for s in shingles]) for sd in range(0, 16)] AS m
+      |  FROM sh),
+      |bands AS (
+      |  SELECT doc_id, b, md5(m[b*4+1] || m[b*4+2] || m[b*4+3] || m[b*4+4]) AS band_key
+      |  FROM mh, (SELECT unnest(range(0, 4)) AS b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, bb.doc_id AS doc_b
+      |  FROM bands a JOIN bands bb ON a.b = bb.b AND a.band_key = bb.band_key AND a.doc_id < bb.doc_id),
+      |pairs AS (
+      |  SELECT doc_a, doc_b, est_jaccard FROM (
+      |    SELECT doc_a, doc_b, len([i for i in range(1, 17) if ma.m[i] = mb.m[i]]) / 16.0 AS est_jaccard
+      |    FROM cand JOIN mh ma ON cand.doc_a = ma.doc_id JOIN mh mb ON cand.doc_b = mb.doc_id) t
+      |  WHERE est_jaccard >= 0.5)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT h.doc_id, h.content_hash, c.canonical_id, h.doc_id = c.canonical_id AS is_canonical
@@ -173,24 +202,9 @@ object Dedup {
         |  USING (content_hash)
         |ORDER BY doc_id""".stripMargin,
     "dedup_minhash_lsh" ->
-      """WITH sh AS (
-        |  SELECT doc_id, [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts)-1)] AS shingles
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t
-        |  WHERE len(ts) >= 3),
-        |mh AS (
-        |  SELECT doc_id, [list_min([md5(sd::varchar || ':' || s) for s in shingles]) for sd in range(0, 16)] AS m
-        |  FROM sh),
-        |bands AS (
-        |  SELECT doc_id, b, md5(m[b*4+1] || m[b*4+2] || m[b*4+3] || m[b*4+4]) AS band_key
-        |  FROM mh, (SELECT unnest(range(0, 4)) AS b)),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, bb.doc_id AS doc_b
-        |  FROM bands a JOIN bands bb ON a.b = bb.b AND a.band_key = bb.band_key AND a.doc_id < bb.doc_id)
-        |SELECT doc_a, doc_b, round(est_jaccard, 4) AS est_jaccard FROM (
-        |  SELECT doc_a, doc_b, len([i for i in range(1, 17) if ma.m[i] = mb.m[i]]) / 16.0 AS est_jaccard
-        |  FROM cand JOIN mh ma ON cand.doc_a = ma.doc_id JOIN mh mb ON cand.doc_b = mb.doc_id) t
-        |WHERE est_jaccard >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH $minhashPairsCte
+        |SELECT doc_a, doc_b, round(est_jaccard, 4) AS est_jaccard
+        |FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_simhash" ->
       """WITH tok AS (
         |  SELECT doc_id, list_transform(string_split(text, ' '), t -> substr(md5(t), 1, 16)) AS th

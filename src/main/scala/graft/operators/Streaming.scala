@@ -18,12 +18,23 @@ object Streaming {
     EventStream.windowedCounts(Tables.events(s, dir))
       .orderBy(col("hour"), col("event_type"))
 
+  def dedupCounts(s: SparkSession, dir: String): DataFrame =
+    EventStream.dedupedPerMinute(Tables.events(s, dir))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_keys"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_window_counts" -> windowCounts)
+    "stream_window_counts" -> windowCounts,
+    "stream_dedup_counts" -> dedupCounts)
 
   val oracleSql: Map[String, String] = Map(
     "stream_window_counts" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  count(*) AS n_events, round(sum(value), 4) AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "stream_dedup_counts" ->
+      """SELECT event_type, count(*) AS n_keys FROM (
+        |  SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS minute FROM events) t
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

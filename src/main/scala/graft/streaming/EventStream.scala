@@ -28,6 +28,21 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
       .select(col("w.start").as("hour"), col("event_type"), col("n_events"), col("total_value"))
 
+  /** Ingest dedup for at-least-once delivery: collapse redelivered
+    * events on their (user_id, event_type, minute) idempotency key.
+    * Only the key columns are projected, so the "keep an arbitrary
+    * row per key" semantics of dropDuplicates stay deterministic.
+    * On a stream, put `withWatermark("ts", ...)` upstream (or use
+    * dropDuplicatesWithinWatermark — see spec) so the dedup state is
+    * evicted once the key's minute passes the watermark; unbounded
+    * key state is the classic streaming-dedup scale failure.
+    */
+  def dedupedPerMinute(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), col("event_type"),
+        date_trunc("minute", col("ts")).as("minute"))
+      .dropDuplicates("user_id", "event_type", "minute")
+
   final case class Evt(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
