@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.{Dedup, Pipeline}
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+
+  test("dedup clusters: every LSH pair is intra-cluster, ids are member minima") {
+    val members = Pipeline.dedupClusters(spark, sfDir).collect()
+    assert(members.nonEmpty)
+    val clusterOf = members.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    // the defining property: both endpoints of every near-dup pair share a cluster
+    val pairs = Dedup.minhashLsh(spark, sfDir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(clusterOf(a) == clusterOf(b), s"pair ($a,$b) split across clusters")
+    }
+    // cluster_id = min member id, sizes consistent, no singletons
+    members.groupBy(_.getAs[Long]("cluster_id")).foreach { case (cid, rows) =>
+      assert(rows.map(_.getAs[Long]("doc_id")).min == cid)
+      assert(rows.forall(_.getAs[Long]("n_docs") == rows.length))
+      assert(rows.length >= 2)
+    }
+  }
+
+  test("dedup clusters chain transitively beyond direct pairs at sf0.01") {
+    // sf0.01 plants a size-3 chain (a~b, b~c without a~c): membership
+    // must exceed what pairwise grouping alone would give.
+    val members = Pipeline.dedupClusters(spark, "/root/testdata/sf0.01")
+    assert(members.filter(col("n_docs") >= 3).count() > 0)
+  }
+
+  test("stratified sample keeps rate-consistent counts per stratum") {
+    val rows = Pipeline.sampleStratified(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val total = r.getAs[Long]("n_total")
+      val kept = r.getAs[Long]("n_sampled")
+      assert(kept >= 0 && kept <= total)
+      assert(math.abs(r.getAs[Double]("rate") - kept.toDouble / total) < 1e-3)
+    }
+    // content-addressed: a second run is bit-identical
+    assert(Pipeline.sampleStratified(spark, sfDir).collect().toSeq == rows.toSeq)
+  }
+
+  test("sequence packing conserves tokens and fills chunks in order") {
+    val chunks = Pipeline.packSequences(spark, sfDir).collect()
+    assert(chunks.nonEmpty)
+    val bySource = chunks.groupBy(_.getAs[String]("source"))
+    val docTokens = Tables.documents(spark, sfDir)
+      .select(col("source"), size(split(col("text"), " ")).cast("bigint").as("tok"))
+      .groupBy("source").agg(sum("tok").as("t")).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("t")).toMap
+    bySource.foreach { case (src, rows) =>
+      // token conservation: chunk sums equal the source's total tokens
+      assert(rows.map(_.getAs[Long]("n_tokens")).sum == docTokens(src))
+      // chunk ids are contiguous from 0 (no doc exceeds the 2048 budget)
+      val ids = rows.map(_.getAs[Long]("chunk_id")).sorted
+      assert(ids.head == 0L && ids.zipWithIndex.forall { case (id, i) => id == i })
+      // every chunk except the last crosses the 2048 boundary it was cut at
+      assert(rows.forall(_.getAs[Long]("n_docs") > 0))
+    }
+  }
+
+  test("boilerplate ngrams are 5 words, distinct, and df-thresholded") {
+    val rows = Pipeline.textBoilerplate(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    val ngrams = rows.map(_.getAs[String]("ngram"))
+    assert(ngrams.distinct.length == ngrams.length)
+    assert(ngrams.forall(_.split(" ").length == 5))
+    assert(rows.forall(_.getAs[Long]("df") >= 3))
+    // df ordering is the contract (hot boilerplate first)
+    val dfs = rows.map(_.getAs[Long]("df"))
+    assert(dfs.zip(dfs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("embedding centroids: one row per (label, dim), mean spot-checked") {
+    val rows = Pipeline.embCentroids(spark, sfDir).collect()
+    val labels = Tables.embeddings(spark, sfDir).select("label").distinct().count()
+    assert(rows.length == labels * 64)
+    // spot-check one cell against an independently computed mean
+    val l0 = rows.filter(r => r.getAs[Int]("label") == rows.head.getAs[Int]("label") &&
+      r.getAs[Long]("dim") == 1L).head
+    val expected = Tables.embeddings(spark, sfDir)
+      .filter(col("label") === l0.getAs[Int]("label"))
+      .select(avg(element_at(col("embedding"), 1).cast("double"))).first().getDouble(0)
+    assert(math.abs(l0.getAs[Double]("centroid") - BigDecimal(expected)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+}

@@ -63,6 +63,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingest dedup collapses redelivered events across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val streamDf = stream.toDF().toDF("user_id", "ts", "event_type")
+      .withWatermark("ts", "10 minutes")
+    val q = EventStream.dedupedPerMinute(streamDf)
+      .writeStream.format("memory").queryName("dedup_keys")
+      .outputMode("append").start()
+    try {
+      // batch 1: an in-batch duplicate plus a second user
+      stream.addData((1L, ts(5), "click"), (1L, ts(5), "click"), (2L, ts(6), "view"))
+      q.processAllAvailable()
+      // batch 2: at-least-once redelivery of batch 1's event + a genuinely new key
+      stream.addData((1L, ts(5), "click"), (2L, ts(7), "view"))
+      q.processAllAvailable()
+      val out = spark.table("dedup_keys").collect()
+      assert(out.length == 3) // (1,click,:05), (2,view,:06), (2,view,:07)
+    } finally q.stop()
+  }
+
   test("batch windowed counts agree with the audit daily rollup totals") {
     val hourly = operators.Streaming.windowCounts(spark, sfDir)
     val total = hourly.agg(sum("n_events")).head().getLong(0)
