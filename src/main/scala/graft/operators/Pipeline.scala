@@ -144,7 +144,72 @@ object Pipeline {
       .agg(round(avg(col("v")), 4).as("centroid"))
       .orderBy(col("label"), col("dim"))
 
+  /** Test-set decontamination: flag corpus documents sharing any word
+    * 8-gram with the held-out eval slice (doc_id % 7 == 0 stands in
+    * for the benchmark set). The eval side reduces to a DISTINCT
+    * 8-gram set — tiny next to the corpus — and is broadcast, so the
+    * corpus side never shuffles: scan, row-local shingle, broadcast
+    * probe, partial-aggregated per-doc rollup. This is the shape that
+    * decontaminates 100 TB against a benchmark suite in one pass.
+    * Output: flagged doc, its gram counts, contamination rate.
+    */
+  def textDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.spread(Tables.documents(s, dir))
+      .selectExpr("doc_id", "split(text, ' ') AS ts")
+      .where("size(ts) >= 8")
+      .selectExpr("doc_id",
+        """explode(array_distinct(transform(sequence(1, size(ts) - 7),
+          |  i -> concat_ws(' ', slice(ts, i, 8))))) AS g""".stripMargin)
+    val evalSet = grams.where(col("doc_id") % lit(7) === 0)
+      .select(col("g")).distinct()
+    grams.where(col("doc_id") % lit(7) =!= 0)
+      .join(broadcast(evalSet.withColumn("hit", lit(1))), Seq("g"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0))).as("n_shared"))
+      .where(col("n_shared") > 0)
+      // floor(x*1e4+0.5)/1e4 instead of round(): the rate is a
+      // small-denominator rational where engine rounding diverges
+      .withColumn("rate",
+        floor(col("n_shared") / col("n_grams").cast("double") * 10000 + 0.5) / 10000.0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** End-to-end corpus selection funnel — the composition a pipeline
+    * user actually runs: language filter → length filter → duplicate
+    * removal (non-canonical cluster members drop) → deterministic 50%
+    * sample, reported as per-stage surviving counts. One scan with
+    * cumulative stage flags + a single global aggregate (stack'd into
+    * rows); the duplicate list comes from [[dedupClusters]] and is
+    * broadcast. Stages are cumulative: each count filters within the
+    * previous stage's survivors.
+    */
+  def corpusFunnel(s: SparkSession, dir: String): DataFrame = {
+    val dupes = dedupClusters(s, dir)
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"), lit(1).as("is_dupe"))
+    Tables.documents(s, dir)
+      .join(broadcast(dupes), Seq("doc_id"), "left_outer")
+      .select(
+        (col("lang") === "en").as("f1"),
+        col("n_chars").between(150, 500).as("f2"),
+        col("is_dupe").isNull.as("f3"),
+        (md5(col("doc_id").cast("string")) < "8").as("f4"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(col("f1").cast("long")).as("n1"),
+        sum((col("f1") && col("f2")).cast("long")).as("n2"),
+        sum((col("f1") && col("f2") && col("f3")).cast("long")).as("n3"),
+        sum((col("f1") && col("f2") && col("f3") && col("f4")).cast("long")).as("n4"))
+      .selectExpr(
+        """stack(5, 's0_total', n_total, 's1_lang_en', n1, 's2_length', n2,
+          |  's3_dedup', n3, 's4_sample', n4) AS (stage, n_docs)""".stripMargin)
+      .orderBy(col("stage"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_decontaminate" -> textDecontaminate,
+    "corpus_funnel" -> corpusFunnel,
     "dedup_clusters" -> dedupClusters,
     "sample_stratified" -> sampleStratified,
     "pack_sequences" -> packSequences,
@@ -152,6 +217,50 @@ object Pipeline {
     "emb_centroids" -> embCentroids)
 
   val oracleSql: Map[String, String] = Map(
+    "text_decontaminate" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' ||
+        |     ts[i+4] || ' ' || ts[i+5] || ' ' || ts[i+6] || ' ' || ts[i+7]
+        |     for i in range(1, len(ts) - 6)])) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t
+        |  WHERE len(ts) >= 8),
+        |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 7 = 0),
+        |co AS (
+        |  SELECT g.doc_id, CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |  FROM g LEFT JOIN ev ON g.g = ev.g
+        |  WHERE g.doc_id % 7 <> 0),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_grams, CAST(sum(hit) AS BIGINT) AS n_shared
+        |  FROM co GROUP BY doc_id)
+        |SELECT doc_id, n_grams, n_shared,
+        |  floor(n_shared / CAST(n_grams AS DOUBLE) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS rate
+        |FROM agg WHERE n_shared > 0 ORDER BY doc_id""".stripMargin,
+    "corpus_funnel" ->
+      s"""WITH RECURSIVE ${Dedup.minhashPairsCte},
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(id, lab) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id),
+        |dupes AS (
+        |  SELECT id AS doc_id FROM (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id)
+        |  WHERE id <> cluster_id),
+        |f AS (
+        |  SELECT lang = 'en' AS f1,
+        |    n_chars BETWEEN 150 AND 500 AS f2,
+        |    dp.doc_id IS NULL AS f3,
+        |    md5(CAST(d.doc_id AS VARCHAR)) < '8' AS f4
+        |  FROM documents d LEFT JOIN dupes dp ON d.doc_id = dp.doc_id)
+        |SELECT stage, n_docs FROM (
+        |  SELECT 's0_total' AS stage, count(*) AS n_docs FROM f
+        |  UNION ALL SELECT 's1_lang_en', CAST(sum(CAST(f1 AS INT)) AS BIGINT) FROM f
+        |  UNION ALL SELECT 's2_length', CAST(sum(CAST(f1 AND f2 AS INT)) AS BIGINT) FROM f
+        |  UNION ALL SELECT 's3_dedup', CAST(sum(CAST(f1 AND f2 AND f3 AS INT)) AS BIGINT) FROM f
+        |  UNION ALL SELECT 's4_sample', CAST(sum(CAST(f1 AND f2 AND f3 AND f4 AS INT)) AS BIGINT) FROM f) u
+        |ORDER BY stage""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE ${Dedup.minhashPairsCte},
         |edges AS (

@@ -75,6 +75,41 @@ class PipelineSpec extends SparkSpec {
     assert(dfs.zip(dfs.tail).forall { case (a, b) => a >= b })
   }
 
+  test("decontamination flags only non-eval docs that truly share an 8-gram") {
+    val rows = Pipeline.textDecontaminate(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 7 != 0)
+      val shared = r.getAs[Long]("n_shared")
+      assert(shared >= 1 && shared <= r.getAs[Long]("n_grams"))
+      val rate = r.getAs[Double]("rate")
+      assert(rate > 0.0 && rate <= 1.0)
+    }
+    // ground-truth one flagged doc: its text must share a full 8-gram
+    // with some eval doc, computed independently of the operator
+    def grams(text: String): Set[String] =
+      text.split(" ").sliding(8).filter(_.length == 8).map(_.mkString(" ")).toSet
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val evalGrams = docs.collect { case (id, t) if id % 7 == 0 => grams(t) }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    val flagged = rows.head.getAs[Long]("doc_id")
+    assert(grams(docs(flagged)).intersect(evalGrams).size == rows.head.getAs[Long]("n_shared"))
+  }
+
+  test("corpus funnel stages are cumulative and non-vacuous") {
+    val rows = Pipeline.corpusFunnel(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("stage")).toSeq ==
+      Seq("s0_total", "s1_lang_en", "s2_length", "s3_dedup", "s4_sample"))
+    val counts = rows.map(_.getAs[Long]("n_docs"))
+    assert(counts.head == Tables.documents(spark, sfDir).count())
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    // every stage must actually pass something through (no vacuous filters)
+    assert(counts.forall(_ > 0))
+    // and the funnel must actually narrow somewhere
+    assert(counts.last < counts.head)
+  }
+
   test("embedding centroids: one row per (label, dim), mean spot-checked") {
     val rows = Pipeline.embCentroids(spark, sfDir).collect()
     val labels = Tables.embeddings(spark, sfDir).select("label").distinct().count()
