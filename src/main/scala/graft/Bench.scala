@@ -63,8 +63,18 @@ object Bench {
     // An errored query must not silently improve the headline total.
     val anyErr = results.exists(_._3.isLeft)
     val total = if (anyErr) -1.0 else results.map(_._3.getOrElse(0.0)).sum
-    val compact =
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":${qmap(2, _._3)},"errors":$errs,"sf":"$sfDir"}"""
+    // errors only when non-empty: the compact line must stay inside
+    // the driver's 2000-char tail window (see header comment).
+    val errsPart = if (anyErr) s""","errors":$errs""" else ""
+    // sf as a bare number (parsed from .../sfX.Y) instead of the dir
+    // string: 22 chars of headroom for future per-query entries.
+    val sfPart = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir)
+      .map(m => s""""sf":${m.group(1)}""").getOrElse(s""""sf":"$sfDir"""")
+    def line(dp: Int): String =
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":${qmap(dp, _._3)}$errsPart,$sfPart}"""
+    // Keep the line parseable from the tail window even as the query
+    // set grows: fall back to 1dp per-query times past 1900 chars.
+    val compact = if (line(2).length <= 1900) line(2) else line(1)
     val detail =
       s"""{"metric":"total","value":${fmt(total, 6)},"unit":"sec","queries":${qmap(6, _._3)},"cold":${qmap(6, _._2)},"errors":$errs,"sf":"$sfDir","cpus":$cpus}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),

@@ -268,7 +268,32 @@ object Analytics {
     building.except(urgent).intersect(positive).orderBy(col("c_custkey"))
   }
 
+  /** Returned-item revenue ranking (TPC-H Q10 shape): which customers
+    * returned the most revenue in a quarter. Fact-first join order —
+    * lineitem filtered to returns joins date-filtered orders on the
+    * shuffle key, customer joins on custkey, nation broadcast. Both
+    * filters reach the parquet scans (PushedFilters); top-20 is
+    * TakeOrderedAndProject after the partial-aggregated groupBy.
+    */
+  def q10Returns(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .join(
+        Tables.orders(s, dir).filter(
+          col("o_orderdate") >= lit("1995-10-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        round(col("c_acctbal"), 4).as("acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q10_returns" -> q10Returns,
     "q_pivot" -> pivotDaily,
     "q_grouping_sets" -> groupingSets,
     "q_set_ops" -> setOps,
@@ -290,6 +315,17 @@ object Analytics {
     "q_distinct_users" -> distinctUsers)
 
   val oracleSql: Map[String, String] = Map(
+    "q10_returns" ->
+      """SELECT c_custkey, c_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  round(c_acctbal, 4) AS acctbal, n_name
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= DATE '1995-10-01' AND o_orderdate < DATE '1996-01-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q_pivot" ->
       """SELECT cast(ts AS DATE) AS day,
         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,

@@ -43,6 +43,29 @@ object Audit {
         round(sum(col("value")), 4).as("total_value"))
       .orderBy(col("severity"))
 
+  /** CEF event rendering (audit_format.go FormatCEF): the audit
+    * export format — `CEF:0|vendor|product|version|signature|name|
+    * severity|extension` — rendered relationally as one codegen'd
+    * concat per event, filtered to actionable severity (≥5) before
+    * any bytes are built. Row-local: rendering parallelizes with the
+    * scan; at 100 TB this is the shape of the SIEM export job.
+    */
+  def cefRender(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("severity",
+        when(col("event_type") === "error", 8)
+          .when(col("event_type").isin("purchase", "signup"), 5)
+          .otherwise(3))
+      .where(col("severity") >= 5)
+      .select(col("event_id"),
+        concat(
+          lit("CEF:0|axonops|schema-registry|1.0|"), col("event_type"), lit("|"),
+          col("event_type"), lit(" by user "), col("user_id").cast("string"), lit("|"),
+          col("severity").cast("string"), lit("|suser="), col("user_id").cast("string"),
+          lit(" outcome="),
+          when(col("severity") === 8, "failure").otherwise("success")).as("cef"))
+      .orderBy(col("event_id"))
+
   /** Top-k principals by activity (audit.go principal tracking).
     * Bounded top-k — TakeOrderedAndProject, no global sort.
     */
@@ -166,6 +189,7 @@ object Audit {
     "metrics_path_norm" -> metricsPathNorm,
     "audit_top_actors_salted" -> topActorsSalted,
     "audit_counts_daily" -> countsDaily,
+    "audit_cef" -> cefRender,
     "audit_severity" -> severity,
     "audit_top_actors" -> topActors,
     "audit_failure_ratio" -> failureRatio,
@@ -174,6 +198,18 @@ object Audit {
     "metrics_rate_1m" -> rate1m)
 
   val oracleSql: Map[String, String] = Map(
+    "audit_cef" ->
+      """SELECT event_id,
+        |  'CEF:0|axonops|schema-registry|1.0|' || event_type || '|' || event_type ||
+        |  ' by user ' || CAST(user_id AS VARCHAR) || '|' || CAST(severity AS VARCHAR) ||
+        |  '|suser=' || CAST(user_id AS VARCHAR) || ' outcome=' ||
+        |  CASE WHEN severity = 8 THEN 'failure' ELSE 'success' END AS cef
+        |FROM (SELECT event_id, event_type, user_id,
+        |        CASE WHEN event_type = 'error' THEN 8
+        |             WHEN event_type IN ('purchase','signup') THEN 5
+        |             ELSE 3 END AS severity
+        |      FROM events)
+        |WHERE severity >= 5 ORDER BY event_id""".stripMargin,
     "metrics_path_norm" ->
       """WITH req AS (
         |  SELECT CASE k % 6

@@ -74,38 +74,47 @@ object Compat {
     * by k%4 (exercising the int→bigint promotion in one direction
     * and the narrowing violation in the other).
     *
-    * Scale shape: window partitions by subject; both join sides
-    * shuffle once on (subject, version, fname) — co-partitioned
-    * merge, no broadcast of anything corpus-sized; output rows scale
-    * with the corpus.
+    * Scale shape: ONE shuffle (the subject window). Each version
+    * carries its field set as an array column; the writer (previous
+    * version) arrives via lag() over the same window, and the
+    * reader↔writer field match is a row-local higher-order `filter`
+    * over a ≤4-element array — no self-join, no second scan, no
+    * (subject, version, fname) shuffle. History lookup as a window
+    * function instead of a join is the shape that survives 100 TB:
+    * version chains are contiguous in their subject partition.
     */
   def compatScan(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select(
       col("user_id").as("subject"), col("ts"), col("event_id"),
       get_json_object(col("props"), "$.k").cast("bigint").as("k"))
     val w = Window.partitionBy(col("subject")).orderBy(col("ts"), col("event_id"))
-    val versioned = ev.withColumn("version", row_number().over(w))
     def f(name: String, ftype: Column, fnull: Column, present: Column): Column =
       struct(lit(name).as("fname"), ftype.as("ftype"), fnull.as("fnull"), present.as("present"))
-    val fields = versioned
-      .select(col("subject"), col("version"), explode(array(
+    val versioned = ev
+      .withColumn("version", row_number().over(w))
+      .withColumn("flds", filter(array(
         f("id", lit("bigint"), lit(false), lit(true)),
         f("name", lit("string"), col("k") % lit(2) === 0, lit(true)),
         f("email", lit("string"), lit(true), col("k") % lit(3) === 0),
         f("score", when(col("k") % lit(4) < 2, "int").otherwise("bigint"), lit(false), lit(true))
-      )).as("fld"))
-      .filter(col("fld.present"))
-      .select(col("subject"), col("version"),
-        col("fld.fname").as("fname"), col("fld.ftype").as("ftype"), col("fld.fnull").as("fnull"))
-    val readers = fields.filter(col("version") > 1)
-    val writers = fields.select(col("subject"), (col("version") + 1).as("version"),
-      col("fname"), col("ftype").as("w_ftype"), col("fnull").as("w_fnull"))
+      ), fld => fld("present")))
+      .withColumn("w_flds", lag(col("flds"), 1).over(w))
+      .filter(col("version") > 1)
+    val perField = versioned.select(
+      col("subject"), col("version"), col("w_flds"), explode(col("flds")).as("fld"))
+    // get(): NULL on no-match (field absent from the writer version),
+    // which the violation predicate's IS NULL arm consumes directly.
+    val wf = get(filter(col("w_flds"), x => x("fname") === col("fld.fname")), lit(0))
+    val joined = perField.select(
+      col("subject"), col("version"),
+      col("fld.ftype").as("ftype"), col("fld.fnull").as("fnull"),
+      wf("ftype").as("w_ftype"), wf("fnull").as("w_fnull"))
     val promotable = col("w_ftype") === "int" && col("ftype") === "bigint"
     val violation =
       (col("w_ftype").isNull && !col("fnull")) ||
         (col("w_ftype").isNotNull && col("ftype") =!= col("w_ftype") && !promotable) ||
         (col("w_ftype").isNotNull && !col("fnull") && col("w_fnull"))
-    readers.join(writers, Seq("subject", "version", "fname"), "left")
+    joined
       .groupBy(col("subject"), col("version"))
       .agg(count(lit(1)).as("n_fields"),
         sum(when(violation, 1).otherwise(0)).as("n_violations"))

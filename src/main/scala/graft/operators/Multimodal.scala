@@ -64,13 +64,54 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Frame sampling over a video-like binary payload: the payload is
+    * cut into fixed 32-byte frames, every 4th frame is kept, and each
+    * sampled frame gets a decoded feature (mean byte value as fake
+    * luma — a real codec would decode pixels; shape is unchanged).
+    *
+    * The plumbing is the point and is fully real: row → frame fan-out
+    * via a row-local sequence explode (no shuffle — frame extraction
+    * parallelizes with the scan at any scale), binary `substring`
+    * slicing, and sampling BEFORE feature extraction so skipped
+    * frames are never decoded. Output rows scale with corpus bytes /
+    * (frame size × sample rate), each row independent — the exact
+    * shape of a 100 TB video-frame pipeline stage.
+    */
+  def frameSample(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"), col("payload"),
+        explode(expr(
+          "sequence(cast(0 as bigint), cast(ceil(length(payload) / 32.0) as bigint) - 1)"))
+          .as("frame_id"))
+      .where(col("frame_id") % 4 === 0)
+      .withColumn("fs", expr("decode(substring(payload, cast(frame_id * 32 + 1 as int), 32), 'UTF-8')"))
+      .select(col("doc_id"), col("frame_id"), (col("frame_id") * 32).as("off"),
+        length(col("fs")).as("n_bytes"),
+        expr("""floor(aggregate(transform(sequence(1, length(fs)), j -> ascii(substring(fs, j, 1))),
+               |  cast(0 as double), (a, x) -> a + x) / length(fs) / 255.0 * 10000 + 0.5) / 10000.0""".stripMargin)
+          .as("luma"))
+      .orderBy(col("doc_id"), col("frame_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_meta_extract" -> metaExtract)
+    "mm_meta_extract" -> metaExtract,
+    "mm_frames" -> frameSample)
 
   /** The fake decode is reproducible in SQL because the payload is
     * ASCII text: byte values == code points.
     */
   val oracleSql: Map[String, String] = Map(
+    "mm_frames" ->
+      """WITH fr AS (
+        |  SELECT doc_id, text, unnest(range(0, CAST(ceil(len(text) / 32.0) AS BIGINT))) AS frame_id
+        |  FROM documents),
+        |fx AS (
+        |  SELECT doc_id, frame_id, substr(text, CAST(frame_id*32+1 AS INT), 32) AS f
+        |  FROM fr WHERE frame_id % 4 = 0)
+        |SELECT doc_id, frame_id, frame_id * 32 AS off, CAST(len(f) AS INT) AS n_bytes,
+        |  floor(list_sum([ascii(substr(f, j, 1)) * 1.0 for j in range(1, len(f)+1)])
+        |        / len(f) / 255.0 * 10000 + 0.5) / 10000.0 AS luma
+        |FROM fx ORDER BY doc_id, frame_id""".stripMargin,
     "mm_meta_extract" ->
       """SELECT doc_id,
         |  CAST(length(text) AS INT) AS n_bytes,

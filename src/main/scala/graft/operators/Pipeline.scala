@@ -32,6 +32,14 @@ object Pipeline {
     * MapReduce and Beyond") — same join/agg building blocks. Labels
     * only ever decrease, so sum(label) is a monotone convergence
     * witness: unchanged sum == fixpoint.
+    *
+    * Each round's frontier is eagerly localCheckpoint'd: without
+    * lineage truncation the logical plan nests one level per round
+    * and Catalyst re-analysis cost grows with iteration count (the
+    * classic iterative-algorithm failure mode — deep plans plan
+    * slowly and eventually overflow the stack). On a real cluster
+    * with a checkpoint dir this would be `checkpoint()` for
+    * fault tolerance; the shape is identical.
     * Output: (cluster_id = min doc_id, doc_id, n_docs) per member.
     */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
@@ -41,9 +49,11 @@ object Pipeline {
       .toDF("src", "dst")
       .repartition(col("dst"))
       .cache()
+    // Eager by default: materializes the round and truncates lineage,
+    // so every subsequent round plans against a flat LogicalRDD.
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
-      .cache()
+      .localCheckpoint()
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("label")), lit(0L))).first().getLong(0)
     var prevSum = -1L
@@ -55,10 +65,9 @@ object Pipeline {
         .select(col("src").as("id"), col("nl").as("label"))
         .union(labels)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .cache()
+        .localCheckpoint()
       prevSum = curSum
       curSum = labelSum(next)
-      labels.unpersist()
       labels = next
       iter += 1
     }
@@ -141,7 +150,9 @@ object Pipeline {
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .select(col("label"), (col("pos") + 1).cast("bigint").as("dim"), col("v").cast("double").as("v"))
       .groupBy(col("label"), col("dim"))
-      .agg(round(avg(col("v")), 4).as("centroid"))
+      // + 0.0 normalizes IEEE -0.0 → +0.0 (a centroid rounding to
+      // zero from below otherwise hash-mismatches the oracle's -0.0)
+      .agg((round(avg(col("v")), 4) + lit(0.0)).as("centroid"))
       .orderBy(col("label"), col("dim"))
 
   /** Test-set decontamination: flag corpus documents sharing any word
@@ -301,7 +312,7 @@ object Pipeline {
         |  GROUP BY ngram) d
         |WHERE df >= 3 ORDER BY df DESC, ngram""".stripMargin,
     "emb_centroids" ->
-      """SELECT label, CAST(i AS BIGINT) AS dim, round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS centroid
+      """SELECT label, CAST(i AS BIGINT) AS dim, round(avg(CAST(embedding[i] AS DOUBLE)), 4) + 0.0 AS centroid
         |FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t
         |GROUP BY label, dim ORDER BY label, dim""".stripMargin)
 }

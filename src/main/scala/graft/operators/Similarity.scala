@@ -150,10 +150,36 @@ object Similarity {
         "cast(pos + 1 AS int) AS rnk")
       .orderBy(col("probe_id"), col("rnk"))
 
+  /** Int8 scalar quantization of the embedding corpus — the memory-
+    * side of ANN at scale (4× smaller vectors before indexing). Pass
+    * 1 computes per-dimension min/max (partial-aggregated, 64 output
+    * rows regardless of corpus size); the tiny stats table is
+    * broadcast back so pass 2 quantizes map-side with NO shuffle of
+    * the corpus; reported per-dim mean-absolute reconstruction error
+    * partial-aggregates the same way. qv = floor((v-lo)/scale + 0.5)
+    * explicitly (not round()) so both engines tie-break identically.
+    */
+  def embQuantize(s: SparkSession, dir: String): DataFrame = {
+    val x = Tables.spread(Tables.embeddings(s, dir))
+      .select(posexplode(col("embedding")).as(Seq("pos", "v0")))
+      .select((col("pos") + 1).cast("bigint").as("dim"), col("v0").cast("double").as("v"))
+    val st = x.groupBy(col("dim"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .withColumn("scale", (col("hi") - col("lo")) / 255.0)
+    x.join(broadcast(st), "dim")
+      .withColumn("qv", floor((col("v") - col("lo")) / col("scale") + 0.5))
+      .groupBy(col("dim"), col("lo"), col("hi"), col("scale"))
+      .agg((floor(avg(abs(col("lo") + col("qv") * col("scale") - col("v"))) * 1e6 + 0.5) / 1e6).as("mae"))
+      .select(col("dim"), round(col("lo"), 4).as("lo"), round(col("hi"), 4).as("hi"),
+        (floor(col("scale") * 1e6 + 0.5) / 1e6).as("scale"), col("mae"))
+      .orderBy(col("dim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_topk" -> bruteTopK,
     "ann_topk_agg" -> bruteTopKAgg,
     "ann_lsh_topk" -> lshTopK,
+    "emb_quantize" -> embQuantize,
     "ann_ivf_topk" -> ivfTopK)
 
   val oracleSql: Map[String, String] = {
@@ -164,6 +190,19 @@ object Similarity {
         |         THEN 1 ELSE -1 END AS wt
         |  FROM (SELECT unnest(range(0, 8)) AS p), (SELECT unnest(range(0, 64)) AS d))""".stripMargin
     Map(
+      "emb_quantize" ->
+        """WITH x AS (
+          |  SELECT CAST(i AS BIGINT) AS dim, CAST(embedding[i] AS DOUBLE) AS v
+          |  FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding)+1)) AS i) t),
+          |st AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM x GROUP BY dim),
+          |q AS (
+          |  SELECT x.dim, v, lo, hi, (hi - lo) / 255.0 AS scale,
+          |    floor((v - lo) / ((hi - lo) / 255.0) + 0.5) AS qv
+          |  FROM x JOIN st USING (dim))
+          |SELECT dim, round(lo, 4) AS lo, round(hi, 4) AS hi,
+          |  floor(scale * 1e6 + 0.5) / 1e6 AS scale,
+          |  floor(avg(abs(lo + qv * scale - v)) * 1e6 + 0.5) / 1e6 AS mae
+          |FROM q GROUP BY dim, lo, hi, scale ORDER BY dim""".stripMargin,
       "ann_ivf_topk" ->
         """WITH e AS (
           |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),

@@ -92,13 +92,37 @@ object TextAnalysis {
         "size(h) AS n_shingles")
       .orderBy(col("doc_id"))
 
+  /** Blocklist-term redaction — the PII-scrubbing shape (emails,
+    * phone numbers, ids) with a term blocklist standing in for PII
+    * patterns, since the synthetic corpus contains no digits or
+    * addresses. The plumbing is the real thing: a single codegen'd
+    * regexp pass per document (count + global replace), row-local so
+    * it parallelizes with the scan; the redacted text is content-
+    * hashed rather than materialized in the result. Swapping the
+    * pattern for an email/phone alternation changes nothing else.
+    */
+  def redact(s: SparkSession, dir: String): DataFrame = {
+    val pat = "\\b(customer|value|table)\\b"
+    Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("bigint").as("n_hits"),
+        md5(regexp_replace(col("text"), pat, "[MASK]")).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid" -> langId,
     "text_quality" -> quality,
     "text_tokens" -> tokens,
+    "text_redact" -> redact,
     "text_fingerprint" -> fingerprint)
 
   val oracleSql: Map[String, String] = Map(
+    "text_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\b(customer|value|table)\b')) AS BIGINT) AS n_hits,
+        |  md5(regexp_replace(text, '\b(customer|value|table)\b', '[MASK]', 'g')) AS redacted_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_langid" ->
       """WITH sc AS (
         |  SELECT doc_id, lang,
