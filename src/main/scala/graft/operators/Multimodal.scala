@@ -88,8 +88,11 @@ object Multimodal {
       .withColumn("fs", expr("decode(substring(payload, cast(frame_id * 32 + 1 as int), 32), 'UTF-8')"))
       .select(col("doc_id"), col("frame_id"), (col("frame_id") * 32).as("off"),
         length(col("fs")).as("n_bytes"),
+        // cast(10000 as double): a bare 10000.0 literal in SQL text is
+        // DECIMAL and would flip the output type away from the oracle's
         expr("""floor(aggregate(transform(sequence(1, length(fs)), j -> ascii(substring(fs, j, 1))),
-               |  cast(0 as double), (a, x) -> a + x) / length(fs) / 255.0 * 10000 + 0.5) / 10000.0""".stripMargin)
+               |  cast(0 as double), (a, x) -> a + x) / length(fs) / cast(255 as double) * 10000 + 0.5)
+               |  / cast(10000 as double)""".stripMargin)
           .as("luma"))
       .orderBy(col("doc_id"), col("frame_id"))
 

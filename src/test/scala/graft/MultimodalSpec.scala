@@ -28,4 +28,34 @@ class MultimodalSpec extends SparkSpec {
     val b = Multimodal.metaExtract(spark, sfDir).collect()
     assert(a.toSeq == b.toSeq)
   }
+
+  test("frame sampling keeps every 4th frame with exact offsets and sizes") {
+    val rows = Multimodal.frameSample(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val lens = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), length(col("text")).as("n")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n")).toMap
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (doc, fr) =>
+      val n = lens(doc)
+      val nFrames = (n + 31) / 32
+      val expected = (0L until nFrames.toLong).filter(_ % 4 == 0)
+      assert(fr.map(_.getAs[Long]("frame_id")).sorted.toSeq == expected,
+        s"doc $doc: wrong sampled frame set")
+      fr.foreach { r =>
+        val id = r.getAs[Long]("frame_id")
+        assert(r.getAs[Long]("off") == id * 32)
+        val isLast = id == nFrames - 1
+        val expectBytes = if (isLast) n - id * 32 else 32L
+        assert(r.getAs[Int]("n_bytes") == expectBytes)
+        val luma = r.getAs[Double]("luma")
+        assert(luma >= 0.0 && luma <= 1.0)
+      }
+    }
+  }
+
+  test("sampled frames never include unsampled frame ids") {
+    val bad = Multimodal.frameSample(spark, sfDir)
+      .filter(col("frame_id") % 4 =!= 0).count()
+    assert(bad == 0)
+  }
 }

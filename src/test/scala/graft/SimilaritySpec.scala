@@ -53,4 +53,19 @@ class SimilaritySpec extends SparkSpec {
     assert(w1.flatten.forall(v => v == 1 || v == -1))
     assert(w1.flatten.count(_ == 1) > 100, "parity should be roughly balanced")
   }
+
+  test("int8 quantization: one row per dim, mae bounded by half a step") {
+    val rows = Similarity.embQuantize(spark, sfDir).collect()
+    assert(rows.length == 64)
+    assert(rows.map(_.getAs[Long]("dim")).sorted.toSeq == (1L to 64L))
+    rows.foreach { r =>
+      val lo = r.getAs[Double]("lo"); val hi = r.getAs[Double]("hi")
+      val scale = r.getAs[Double]("scale"); val mae = r.getAs[Double]("mae")
+      assert(lo < hi)
+      // scale is rounded from (hi-lo)/255 where lo/hi are rounded to 4dp
+      assert(math.abs(scale - (hi - lo) / 255.0) < 1e-4)
+      // |dequant - v| <= scale/2 pointwise, so the mean obeys it too
+      assert(mae >= 0 && mae <= scale / 2 + 1e-9, s"dim ${r.getAs[Long]("dim")}: mae $mae > scale/2 ${scale / 2}")
+    }
+  }
 }

@@ -42,4 +42,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(identicalish.isEmpty || collisions > 0,
       s"expected some est=1.0 pairs to share fingerprints ($collisions/${identicalish.length})")
   }
+
+  test("redaction: hit counts match recount and zero-hit docs hash unchanged") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), md5(col("text")).as("orig_md5")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[String]("text"), r.getAs[String]("orig_md5"))).toMap
+    val rows = TextAnalysis.redact(spark, sfDir).collect()
+    assert(rows.length == docs.size)
+    val pat = "\\b(customer|value|table)\\b".r
+    rows.foreach { r =>
+      val (text, origMd5) = docs(r.getAs[Long]("doc_id"))
+      val expected = pat.findAllIn(text).size.toLong
+      assert(r.getAs[Long]("n_hits") == expected)
+      if (expected == 0) assert(r.getAs[String]("redacted_md5") == origMd5,
+        s"doc ${r.getAs[Long]("doc_id")}: unredacted doc should hash unchanged")
+      else assert(r.getAs[String]("redacted_md5") != origMd5)
+    }
+    assert(rows.exists(_.getAs[Long]("n_hits") > 0), "vacuous: no doc had any hit")
+  }
 }
