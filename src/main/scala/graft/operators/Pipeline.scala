@@ -186,6 +186,54 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Unigram log-probability quality scoring (the CCNet-style "score
+    * each document under a corpus language model" filter). Pass 1
+    * builds the unigram table (partial-aggregated token counts — the
+    * only corpus shuffle, output is vocab-sized); the top-1000 vocab
+    * and the 1-row total both broadcast back, so pass 2 scores every
+    * document map-side: explode, broadcast-probe, per-doc rollup.
+    * Out-of-vocab tokens get a 0.5-count floor (simple smoothing).
+    * At 100 TB the vocab cap is what bounds the broadcast — the same
+    * two-pass broadcast shape as [[textDecontaminate]].
+    */
+  def textLogprob(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    // vocab-sized (not corpus-sized): cache so vocab + total + probe
+    // share one token-counting pass
+    val counts = tok.groupBy(col("t")).agg(count(lit(1)).as("cnt")).cache()
+    val vocab = counts.orderBy(col("cnt").desc, col("t")).limit(1000)
+    val total = counts.agg(sum(col("cnt")).as("n"))
+    tok.join(broadcast(vocab), Seq("t"), "left_outer")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), log(coalesce(col("cnt"), lit(0.5)) / col("n")).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (floor(avg(col("lp")) * 10000 + 0.5) / lit(10000.0)).as("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Temperature-based language mixing (multilingual pretraining's
+    * p_i ∝ n_i^α with α = 0.7, flattening the head language): one
+    * partial-aggregated pass to per-language token counts (5 rows),
+    * a 1-row total broadcast back, weights and integer sampling
+    * targets (per 10k budget) computed row-local. The whole operator
+    * shuffles only `langs` rows regardless of corpus size.
+    */
+  def sampleTemp(s: SparkSession, dir: String): DataFrame = {
+    val strata = Tables.documents(s, dir)
+      .select(col("lang"), size(split(col("text"), " ")).cast("bigint").as("tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+      .withColumn("raw", pow(col("n_tokens").cast("double"), 0.7))
+    val tot = strata.agg(sum(col("raw")).as("tot_raw"))
+    strata.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        (floor(col("raw") / col("tot_raw") * 1e6 + 0.5) / 1e6).as("weight"),
+        floor(col("raw") / col("tot_raw") * 10000 + 0.5).cast("bigint").as("n_target"))
+      .orderBy(col("lang"))
+  }
+
   /** End-to-end corpus selection funnel — the composition a pipeline
     * user actually runs: language filter → length filter → duplicate
     * removal (non-canonical cluster members drop) → deterministic 50%
@@ -219,6 +267,8 @@ object Pipeline {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_logprob" -> textLogprob,
+    "sample_temp" -> sampleTemp,
     "text_decontaminate" -> textDecontaminate,
     "corpus_funnel" -> corpusFunnel,
     "dedup_clusters" -> dedupClusters,
@@ -228,6 +278,28 @@ object Pipeline {
     "emb_centroids" -> embCentroids)
 
   val oracleSql: Map[String, String] = Map(
+    "text_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |counts AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t),
+        |vocab AS (SELECT t, cnt FROM counts ORDER BY cnt DESC, t LIMIT 1000),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM counts),
+        |sc AS (
+        |  SELECT tok.doc_id, ln(coalesce(vocab.cnt, 0.5) / (SELECT n FROM tot)) AS lp
+        |  FROM tok LEFT JOIN vocab ON tok.t = vocab.t)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  floor(avg(lp) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS avg_logp
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "sample_temp" ->
+      """WITH s AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n_docs, n_tokens, pow(n_tokens, 0.7) AS raw FROM s)
+        |SELECT lang, n_docs, n_tokens,
+        |  floor(raw / (SELECT sum(raw) FROM w) * 1e6 + 0.5) / 1e6 AS weight,
+        |  CAST(floor(raw / (SELECT sum(raw) FROM w) * 10000 + 0.5) AS BIGINT) AS n_target
+        |FROM w ORDER BY lang""".stripMargin,
     "text_decontaminate" ->
       """WITH g AS (
         |  SELECT doc_id, unnest(list_distinct(

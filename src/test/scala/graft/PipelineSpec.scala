@@ -123,4 +123,39 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(l0.getAs[Double]("centroid") - BigDecimal(expected)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
+
+  test("unigram logprob: every doc scored, in-vocab docs beat OOV floor") {
+    val rows = Pipeline.textLogprob(spark, sfDir).collect()
+    assert(rows.length == Tables.documents(spark, sfDir).count())
+    // natural-log unigram probs are strictly negative; and with the
+    // whole (tiny) vocab in the top-1000 no doc can hit the OOV floor
+    val totalTok = Tables.documents(spark, sfDir)
+      .select(sum(size(split(col("text"), " ")))).first().getLong(0)
+    val floorLp = math.log(0.5 / totalTok)
+    rows.foreach { r =>
+      val lp = r.getAs[Double]("avg_logp")
+      assert(lp < 0 && lp > floorLp, s"doc ${r.getAs[Long]("doc_id")}: $lp outside ($floorLp, 0)")
+      assert(r.getAs[Long]("n_tokens") > 0)
+    }
+    // token conservation across the corpus
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == totalTok)
+  }
+
+  test("temperature mixing: weights normalize and flatten the head language") {
+    val rows = Pipeline.sampleTemp(spark, sfDir).collect()
+    assert(rows.length >= 2)
+    val weights = rows.map(r => r.getAs[String]("lang") -> r.getAs[Double]("weight")).toMap
+    assert(math.abs(weights.values.sum - 1.0) < 1e-3)
+    val tokens = rows.map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_tokens")).toMap
+    val tokShare = tokens.view.mapValues(_.toDouble / tokens.values.sum).toMap
+    // α<1 ⇒ the largest stratum's weight is below its raw share and
+    // the smallest stratum's weight is above its raw share
+    val big = tokens.maxBy(_._2)._1; val small = tokens.minBy(_._2)._1
+    assert(weights(big) < tokShare(big), s"head lang $big not flattened")
+    assert(weights(small) > tokShare(small), s"tail lang $small not boosted")
+    // targets are the weight scaled to the 10k budget
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Long]("n_target") - r.getAs[Double]("weight") * 10000) <= 1.0)
+    }
+  }
 }
