@@ -24,8 +24,15 @@ object Streaming {
       .agg(count(lit(1)).as("n_keys"))
       .orderBy(col("event_type"))
 
+  def enrichCounts(s: SparkSession, dir: String): DataFrame =
+    EventStream.enriched(Tables.events(s, dir), Tables.customer(s, dir))
+      .groupBy(col("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
+      .orderBy(col("segment"), col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_counts" -> windowCounts,
+    "stream_enrich_counts" -> enrichCounts,
     "stream_dedup_counts" -> dedupCounts)
 
   val oracleSql: Map[String, String] = Map(
@@ -36,5 +43,10 @@ object Streaming {
     "stream_dedup_counts" ->
       """SELECT event_type, count(*) AS n_keys FROM (
         |  SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS minute FROM events) t
-        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "stream_enrich_counts" ->
+      """SELECT c_mktsegment AS segment, event_type,
+        |  count(*) AS n_events, round(sum(value), 4) AS total_value
+        |FROM events JOIN customer ON user_id + 1 = c_custkey
+        |GROUP BY 1, 2 ORDER BY segment, event_type""".stripMargin)
 }

@@ -43,6 +43,21 @@ object EventStream {
         date_trunc("minute", col("ts")).as("minute"))
       .dropDuplicates("user_id", "event_type", "minute")
 
+  /** Stream-static enrichment join — THE streaming lookup pattern:
+    * each micro-batch of events joins a slow-changing dimension
+    * (broadcast; re-resolved per batch so dimension updates are
+    * picked up without restarting the query). The principal key maps
+    * to the customer dimension (user_id+1 = c_custkey), standing in
+    * for the reference's principal→subject ACL lookup. State-free:
+    * unlike stream-stream joins this holds no watermark state, so it
+    * scales with the dimension size only.
+    */
+  def enriched(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+      broadcast(customers.select((col("c_custkey") - 1).as("user_id"),
+        col("c_mktsegment").as("segment"))),
+      Seq("user_id"))
+
   final case class Evt(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,

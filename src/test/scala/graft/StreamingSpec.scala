@@ -89,4 +89,28 @@ class StreamingSpec extends SparkSpec {
     val total = hourly.agg(sum("n_events")).head().getLong(0)
     assert(total == Tables.events(spark, sfDir).count())
   }
+
+  test("stream-static enrichment joins the dimension on every micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "Cust#1", 0L, 10.0, "BUILDING"), (3L, "Cust#3", 1L, 20.0, "MACHINERY"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val stream = MemoryStream[(Long, Timestamp, String, Double)]
+    val streamDf = stream.toDF().toDF("user_id", "ts", "event_type", "value")
+    val q = EventStream.enriched(streamDf, dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      stream.addData((0L, ts(1), "click", 1.0), (2L, ts(2), "view", 2.0), (9L, ts(3), "click", 3.0))
+      q.processAllAvailable()
+      stream.addData((0L, ts(4), "purchase", 4.0))
+      q.processAllAvailable()
+      val out = spark.table("enriched").collect()
+      // user 0 → cust 1 (BUILDING) twice, user 2 → cust 3 (MACHINERY);
+      // user 9 has no dimension row and drops (inner join semantics)
+      assert(out.length == 3)
+      val segs = out.map(r => (r.getAs[Long]("user_id"), r.getAs[String]("segment"))).toSet
+      assert(segs == Set((0L, "BUILDING"), (2L, "MACHINERY")))
+    } finally q.stop()
+  }
 }
