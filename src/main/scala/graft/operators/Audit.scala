@@ -66,6 +66,27 @@ object Audit {
           when(col("severity") === 8, "failure").otherwise("success")).as("cef"))
       .orderBy(col("event_id"))
 
+  /** Log2-bucketed latency histogram (metrics.go keeps per-endpoint
+    * latency histograms; exponential buckets are the standard SLO
+    * shape). The bucket index is computed EXACTLY as the bit length
+    * of the truncated integer latency (length(bin(n)) - 1) rather
+    * than floor(log2(x)) — ln-ratio log2 is off by 1 ulp at exact
+    * powers of two and flips buckets nondeterministically between
+    * engines. One partial-aggregated groupBy (≤ ~40 buckets ever);
+    * the share denominator is a 1-row broadcast.
+    */
+  def latencyHistogram(s: SparkSession, dir: String): DataFrame = {
+    val h = Tables.events(s, dir)
+      .select((length(bin(floor(col("value")).cast("bigint"))) - 1).cast("bigint").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_events"))
+    val tot = h.agg(sum(col("n_events")).cast("double").as("tot"))
+    h.crossJoin(broadcast(tot))
+      .select(col("bucket"), pow(lit(2), col("bucket")).cast("bigint").as("lo_ms"),
+        col("n_events"),
+        (floor(col("n_events") / col("tot") * 10000 + 0.5) / lit(10000.0)).as("share"))
+      .orderBy(col("bucket"))
+  }
+
   /** Top-k principals by activity (audit.go principal tracking).
     * Bounded top-k — TakeOrderedAndProject, no global sort.
     */
@@ -190,6 +211,7 @@ object Audit {
     "audit_top_actors_salted" -> topActorsSalted,
     "audit_counts_daily" -> countsDaily,
     "audit_cef" -> cefRender,
+    "metrics_histogram" -> latencyHistogram,
     "audit_severity" -> severity,
     "audit_top_actors" -> topActors,
     "audit_failure_ratio" -> failureRatio,
@@ -198,6 +220,15 @@ object Audit {
     "metrics_rate_1m" -> rate1m)
 
   val oracleSql: Map[String, String] = Map(
+    "metrics_histogram" ->
+      """WITH b AS (
+        |  SELECT CAST(length(bin(CAST(floor(value) AS BIGINT))) - 1 AS BIGINT) AS bucket
+        |  FROM events),
+        |h AS (SELECT bucket, count(*) AS n_events FROM b GROUP BY bucket)
+        |SELECT bucket, CAST(pow(2, bucket) AS BIGINT) AS lo_ms, n_events,
+        |  floor(n_events / (SELECT CAST(sum(n_events) AS DOUBLE) FROM h) * 10000 + 0.5)
+        |    / CAST(10000 AS DOUBLE) AS share
+        |FROM h ORDER BY bucket""".stripMargin,
     "audit_cef" ->
       """SELECT event_id,
         |  'CEF:0|axonops|schema-registry|1.0|' || event_type || '|' || event_type ||

@@ -110,14 +110,42 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document unigram Shannon entropy — the Gopher-style "low
+    * entropy = repetitive junk" signal. H = ln N − (Σ c·ln c)/N over
+    * the doc's token counts; two partial-aggregated shuffles, both
+    * keyed by doc_id (the second piggybacks on the first's
+    * partitioning — no extra exchange in the plan).
+    */
+  def entropy(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        sum(col("c") * log(col("c"))).as("clc"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (floor((log(col("n_tokens")) - col("clc") / col("n_tokens")) * 10000 + 0.5) / lit(10000.0))
+          .as("entropy"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid" -> langId,
     "text_quality" -> quality,
     "text_tokens" -> tokens,
     "text_redact" -> redact,
+    "text_entropy" -> entropy,
     "text_fingerprint" -> fingerprint)
 
   val oracleSql: Map[String, String] = Map(
+    "text_entropy" ->
+      """WITH tc AS (
+        |  SELECT doc_id, t, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) x
+        |  GROUP BY doc_id, t)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
+        |  floor((ln(sum(c)) - sum(c * ln(c)) / sum(c)) * 10000 + 0.5)
+        |    / CAST(10000 AS DOUBLE) AS entropy
+        |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_redact" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '\b(customer|value|table)\b')) AS BIGINT) AS n_hits,

@@ -52,4 +52,21 @@ class AuditSpec extends SparkSpec {
       .filter(col("event_type").isin("error", "purchase", "signup")).count()
     assert(rows.length == expected)
   }
+
+  test("latency histogram: power-of-2 buckets partition all events, shares sum to 1") {
+    val rows = Audit.latencyHistogram(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.events(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == total)
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-2)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(r.getAs[Long]("lo_ms") == (1L << b))
+    }
+    // buckets hold exactly the events whose floored latency has that bit length
+    val b3 = Tables.events(spark, sfDir)
+      .filter(floor(col("value")) >= 8 && floor(col("value")) < 16).count()
+    val reported = rows.find(_.getAs[Long]("bucket") == 3L).map(_.getAs[Long]("n_events")).getOrElse(0L)
+    assert(reported == b3)
+  }
 }

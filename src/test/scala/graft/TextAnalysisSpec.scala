@@ -60,4 +60,18 @@ class TextAnalysisSpec extends SparkSpec {
     }
     assert(rows.exists(_.getAs[Long]("n_hits") > 0), "vacuous: no doc had any hit")
   }
+
+  test("entropy is bounded by ln(n_distinct) and zero iff one distinct token") {
+    val rows = TextAnalysis.entropy(spark, sfDir).collect()
+    assert(rows.length == Tables.documents(spark, sfDir).count())
+    rows.foreach { r =>
+      val h = r.getAs[Double]("entropy")
+      val d = r.getAs[Long]("n_distinct")
+      assert(h >= -1e-9, s"doc ${r.getAs[Long]("doc_id")}: negative entropy $h")
+      // uniform distribution maximizes H at ln(d); allow rounding slack
+      assert(h <= math.log(d.toDouble) + 1e-4, s"doc ${r.getAs[Long]("doc_id")}: H=$h > ln($d)")
+      assert(d > 1 || h < 1e-9)
+      assert(d <= r.getAs[Long]("n_tokens"))
+    }
+  }
 }
