@@ -51,8 +51,13 @@ object Bench {
       spark.catalog.clearCache()
       (name, cold, warm)
     }
-    def fmt(d: Double, dp: Int): String =
-      BigDecimal(d).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
+    // minimal-width rendering: 0.50 → "0.5", 1.00 → "1" (valid JSON,
+    // saves ~1 char/query against the tail-window budget)
+    def fmt(d: Double, dp: Int): String = {
+      val bd = BigDecimal(d).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.stripTrailingZeros()
+      if (bd.scale() < 0) bd.setScale(0).toPlainString else bd.toPlainString
+    }
     def esc(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"").replaceAll("[\\x00-\\x1f]", " ")
     def qmap(dp: Int, pick: ((String, Either[String, Double], Either[String, Double])) => Either[String, Double]): String =
@@ -73,8 +78,9 @@ object Bench {
     def line(dp: Int): String =
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":${qmap(dp, _._3)}$errsPart,$sfPart}"""
     // Keep the line parseable from the tail window even as the query
-    // set grows: fall back to 1dp per-query times past 1900 chars.
-    val compact = if (line(2).length <= 1900) line(2) else line(1)
+    // set grows: degrade per-query precision until it fits the
+    // ~1925 chars left after sbt's trailing [success] line.
+    val compact = Seq(line(2), line(1), line(0)).find(_.length <= 1900).getOrElse(line(0))
     val detail =
       s"""{"metric":"total","value":${fmt(total, 6)},"unit":"sec","queries":${qmap(6, _._3)},"cold":${qmap(6, _._2)},"errors":$errs,"sf":"$sfDir","cpus":$cpus}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
