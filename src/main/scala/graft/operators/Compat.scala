@@ -83,14 +83,23 @@ object Compat {
     * function instead of a join is the shape that survives 100 TB:
     * version chains are contiguous in their subject partition.
     */
-  def compatScan(s: SparkSession, dir: String): DataFrame = {
+  /** Shared synthetic schema-version field model: every events row is
+    * a registration for its subject (user_id); the field set derives
+    * deterministically from the payload `k` (see [[compatScan]]).
+    * Output: (subject, version, flds array, w_flds = previous
+    * version's array via lag — NULL for version 1). ONE shuffle (the
+    * subject window); everything downstream of it is row-local.
+    * Consumed by compat_scan, reg_diff_fields, and the latest-version
+    * intelligence operators.
+    */
+  private[operators] def fieldArrays(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select(
       col("user_id").as("subject"), col("ts"), col("event_id"),
       get_json_object(col("props"), "$.k").cast("bigint").as("k"))
     val w = Window.partitionBy(col("subject")).orderBy(col("ts"), col("event_id"))
     def f(name: String, ftype: Column, fnull: Column, present: Column): Column =
       struct(lit(name).as("fname"), ftype.as("ftype"), fnull.as("fnull"), present.as("present"))
-    val versioned = ev
+    ev
       .withColumn("version", row_number().over(w))
       .withColumn("flds", filter(array(
         f("id", lit("bigint"), lit(false), lit(true)),
@@ -99,7 +108,29 @@ object Compat {
         f("score", when(col("k") % lit(4) < 2, "int").otherwise("bigint"), lit(false), lit(true))
       ), fld => fld("present")))
       .withColumn("w_flds", lag(col("flds"), 1).over(w))
-      .filter(col("version") > 1)
+  }
+
+  /** DuckDB mirror of [[fieldArrays]]' relational (subject, version,
+    * fname, ftype, fnull) view — prepend inside WITH (...).
+    */
+  private[operators] val fieldModelCte: String =
+    """ev AS (
+      |  SELECT user_id AS subject, ts, event_id,
+      |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events),
+      |versioned AS (
+      |  SELECT subject, k,
+      |         row_number() OVER (PARTITION BY subject ORDER BY ts, event_id) AS version
+      |  FROM ev),
+      |fields AS (
+      |  SELECT subject, version, 'id' AS fname, 'bigint' AS ftype, false AS fnull FROM versioned
+      |  UNION ALL SELECT subject, version, 'name', 'string', k % 2 = 0 FROM versioned
+      |  UNION ALL SELECT subject, version, 'email', 'string', true FROM versioned WHERE k % 3 = 0
+      |  UNION ALL SELECT subject, version, 'score',
+      |    CASE WHEN k % 4 < 2 THEN 'int' ELSE 'bigint' END, false FROM versioned)""".stripMargin
+
+  def compatScan(s: SparkSession, dir: String): DataFrame = {
+    val versioned = fieldArrays(s, dir).filter(col("version") > 1)
     val perField = versioned.select(
       col("subject"), col("version"), col("w_flds"), explode(col("flds")).as("fld"))
     // get(): NULL on no-match (field absent from the writer version),

@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Schema-intelligence queries over the version corpus — the Spark
+  * re-expression of the reference's corpus-wide "intelligence" tools
+  * (internal/mcp/tools_intelligence.go, tools_comparison.go): find
+  * similar schemas, check cross-subject field consistency, score
+  * complexity, and diff consecutive versions. All four build on the
+  * shared field model in [[Compat.fieldArrays]].
+  */
+object Intelligence {
+
+  /** Latest-version field rows per subject (GetLatestSchema
+    * semantics): one window max over the already-partitioned
+    * version stream, then a row-local explode. (subject, fname,
+    * ftype, fnull).
+    */
+  private def latestFields(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("subject"))
+    Compat.fieldArrays(s, dir)
+      .withColumn("maxv", max(col("version")).over(w))
+      .filter(col("version") === col("maxv"))
+      .select(col("subject"), explode(col("flds")).as("f"))
+      .select(col("subject"), col("f.fname").as("fname"),
+        col("f.ftype").as("ftype"), col("f.fnull").as("fnull"))
+  }
+
+  /** FindSimilarSchemas (tools_intelligence.go:251): subjects whose
+    * latest typed field sets are Jaccard-identical. The self-join is
+    * keyed on the full typed-field signature — a posting-list join:
+    * pair work is bounded by Σ df(signature)², never |subjects|²,
+    * which is what makes corpus-wide similarity tractable at scale
+    * (same shape as the dedup family's LSH bucket join). The
+    * threshold compares the UNROUNDED ratio (small-int division —
+    * bit-identical in both engines); only the reported score is
+    * floor-rounded.
+    */
+  def similarSchemas(s: SparkSession, dir: String): DataFrame = {
+    // subjects × ≤4 fields — tiny; cached because it feeds three
+    // consumers (sizes + both join sides) and would otherwise re-run
+    // the events window scan three times
+    val lf = latestFields(s, dir).cache()
+    val sizes = lf.groupBy(col("subject")).agg(count(lit(1)).as("n"))
+    val a = lf.select(col("subject").as("sub_a"), col("fname"), col("ftype"), col("fnull"))
+    val b = lf.select(col("subject").as("sub_b"), col("fname"), col("ftype"), col("fnull"))
+    val jac = col("c") / (col("na") + col("nb") - col("c")).cast("double")
+    a.join(b, Seq("fname", "ftype", "fnull"))
+      .filter(col("sub_a") < col("sub_b"))
+      .groupBy(col("sub_a"), col("sub_b"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(sizes.select(col("subject").as("sub_a"), col("n").as("na"))), "sub_a")
+      .join(broadcast(sizes.select(col("subject").as("sub_b"), col("n").as("nb"))), "sub_b")
+      .filter(jac >= 1.0)
+      .select(col("sub_a"), col("sub_b"), col("c").as("n_shared"),
+        (floor(jac * 10000 + 0.5) / lit(10000.0)).as("jaccard"))
+      .orderBy(col("sub_a"), col("sub_b"))
+  }
+
+  /** CheckFieldConsistency (tools_intelligence.go:370): for every
+    * field name, does the corpus agree on its type and nullability
+    * across subjects' latest versions? One partial-aggregated groupBy
+    * on fname (output rows = field-name vocabulary).
+    */
+  def fieldConsistency(s: SparkSession, dir: String): DataFrame =
+    latestFields(s, dir)
+      .groupBy(col("fname"))
+      .agg(count(lit(1)).as("n_subjects"),
+        countDistinct(col("ftype")).as("n_types"),
+        (countDistinct(col("ftype")) > 1).as("type_conflict"),
+        (countDistinct(col("fnull")) > 1).as("null_conflict"))
+      .orderBy(col("fname"))
+
+  /** GetSchemaComplexity (tools_intelligence.go:419): per-subject
+    * weighted complexity over the latest version — field count +
+    * 0.5·type diversity + 0.25·required fields (the reference's
+    * weighted-dimension scoring re-expressed over the flat model).
+    * Row count = subjects; single partial-aggregated groupBy.
+    */
+  def schemaComplexity(s: SparkSession, dir: String): DataFrame =
+    latestFields(s, dir)
+      .groupBy(col("subject"))
+      .agg(count(lit(1)).as("n_fields"),
+        sum(when(!col("fnull"), 1).otherwise(0)).as("n_required"),
+        countDistinct(col("ftype")).as("n_types"))
+      .select(col("subject"), col("n_fields"), col("n_required"), col("n_types"),
+        (floor((col("n_fields") + lit(0.5) * col("n_types") + lit(0.25) * col("n_required")) * 100 + 0.5)
+          / lit(100.0)).as("complexity"))
+      .orderBy(col("subject"))
+
+  /** DiffSchemas / computeFieldDiffs (tools_comparison.go:123,152):
+    * added/removed/type-changed/nullability-changed field counts for
+    * every consecutive version pair. Entirely row-local after the one
+    * window shuffle: the previous version's fields arrive as the
+    * lag() array and the diff is a pair of exists()-probes over ≤4
+    * elements — no self-join, the same shape argument as
+    * [[Compat.compatScan]].
+    */
+  def diffFields(s: SparkSession, dir: String): DataFrame =
+    Compat.fieldArrays(s, dir)
+      .filter(col("version") > 1)
+      .select(col("subject"), col("version").as("version"),
+        expr("cast(size(filter(flds, f -> !exists(w_flds, w -> w.fname = f.fname))) as bigint)")
+          .as("n_added"),
+        expr("cast(size(filter(w_flds, w -> !exists(flds, f -> f.fname = w.fname))) as bigint)")
+          .as("n_removed"),
+        expr("cast(size(filter(flds, f -> exists(w_flds, w -> w.fname = f.fname AND w.ftype != f.ftype))) as bigint)")
+          .as("n_type_changed"),
+        expr("cast(size(filter(flds, f -> exists(w_flds, w -> w.fname = f.fname AND w.fnull != f.fnull))) as bigint)")
+          .as("n_null_changed"))
+      .orderBy(col("subject"), col("version"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "reg_similar" -> similarSchemas,
+    "an_consistency" -> fieldConsistency,
+    "an_complexity" -> schemaComplexity,
+    "reg_diff_fields" -> diffFields)
+
+  private val latestCte: String =
+    """latest AS (SELECT subject, max(version) AS v FROM versioned GROUP BY subject),
+      |lf AS (SELECT f.subject, f.fname, f.ftype, f.fnull
+      |       FROM fields f JOIN latest l ON f.subject = l.subject AND f.version = l.v)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "reg_similar" ->
+      s"""WITH ${Compat.fieldModelCte},
+        |$latestCte,
+        |sizes AS (SELECT subject, count(*) AS n FROM lf GROUP BY subject),
+        |pairs AS (
+        |  SELECT a.subject AS sub_a, b.subject AS sub_b, count(*) AS c
+        |  FROM lf a JOIN lf b
+        |    ON a.fname = b.fname AND a.ftype = b.ftype AND a.fnull = b.fnull
+        |   AND a.subject < b.subject
+        |  GROUP BY 1, 2)
+        |SELECT sub_a, sub_b, c AS n_shared,
+        |  floor(c / CAST(sa.n + sb.n - c AS DOUBLE) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS jaccard
+        |FROM pairs JOIN sizes sa ON sub_a = sa.subject JOIN sizes sb ON sub_b = sb.subject
+        |WHERE c / CAST(sa.n + sb.n - c AS DOUBLE) >= 1.0
+        |ORDER BY sub_a, sub_b""".stripMargin,
+    "an_consistency" ->
+      s"""WITH ${Compat.fieldModelCte},
+        |$latestCte
+        |SELECT fname, count(*) AS n_subjects,
+        |  count(DISTINCT ftype) AS n_types,
+        |  count(DISTINCT ftype) > 1 AS type_conflict,
+        |  count(DISTINCT fnull) > 1 AS null_conflict
+        |FROM lf GROUP BY fname ORDER BY fname""".stripMargin,
+    "an_complexity" ->
+      s"""WITH ${Compat.fieldModelCte},
+        |$latestCte
+        |SELECT subject, count(*) AS n_fields,
+        |  CAST(sum(CASE WHEN NOT fnull THEN 1 ELSE 0 END) AS BIGINT) AS n_required,
+        |  count(DISTINCT ftype) AS n_types,
+        |  floor((count(*) + 0.5 * count(DISTINCT ftype)
+        |         + 0.25 * sum(CASE WHEN NOT fnull THEN 1 ELSE 0 END)) * 100 + 0.5)
+        |    / CAST(100 AS DOUBLE) AS complexity
+        |FROM lf GROUP BY subject ORDER BY subject""".stripMargin,
+    "reg_diff_fields" ->
+      s"""WITH ${Compat.fieldModelCte},
+        |steps AS (SELECT subject, version FROM versioned WHERE version > 1),
+        |r AS (SELECT f.* FROM fields f JOIN steps s ON f.subject = s.subject AND f.version = s.version),
+        |w AS (SELECT f.subject, f.version + 1 AS version, f.fname, f.ftype, f.fnull
+        |      FROM fields f JOIN steps s ON f.subject = s.subject AND f.version + 1 = s.version),
+        |j AS (SELECT coalesce(r.subject, w.subject) AS subject, coalesce(r.version, w.version) AS version,
+        |        r.fname AS rf, w.fname AS wf, r.ftype AS rt, w.ftype AS wt, r.fnull AS rn, w.fnull AS wn
+        |      FROM r FULL JOIN w ON r.subject = w.subject AND r.version = w.version AND r.fname = w.fname)
+        |SELECT subject, version,
+        |  CAST(sum(CASE WHEN wf IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |  CAST(sum(CASE WHEN rf IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  CAST(sum(CASE WHEN rf IS NOT NULL AND wf IS NOT NULL AND rt <> wt THEN 1 ELSE 0 END) AS BIGINT) AS n_type_changed,
+        |  CAST(sum(CASE WHEN rf IS NOT NULL AND wf IS NOT NULL AND rn <> wn THEN 1 ELSE 0 END) AS BIGINT) AS n_null_changed
+        |FROM j GROUP BY subject, version ORDER BY subject, version""".stripMargin)
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.Intelligence
+import org.apache.spark.sql.functions._
+
+class IntelligenceSpec extends SparkSpec {
+
+  test("similar schemas: pairs are symmetric-deduped with exact-match jaccard") {
+    val rows = Intelligence.similarSchemas(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("sub_a") < r.getAs[Long]("sub_b"), "pair not canonical-ordered")
+      assert(r.getAs[Double]("jaccard") == 1.0, "threshold 1.0 admits only identical sets")
+      assert(r.getAs[Long]("n_shared") >= 3, "field sets always contain id/name/score")
+    }
+  }
+
+  test("similar-schema relation is transitive at threshold 1.0") {
+    // identical-set similarity is an equivalence relation: a~b and
+    // b~c must imply a~c (catches a broken pair-count denominator)
+    val pairs = Intelligence.similarSchemas(spark, sfDir)
+      .select("sub_a", "sub_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val related = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    for {
+      (a, bs) <- related
+      b <- bs
+      c <- related.getOrElse(b, Set.empty[Long]) if c != a
+    } assert(pairs.contains((math.min(a, c), math.max(a, c))), s"$a~$b~$c but not $a~$c")
+  }
+
+  test("field consistency flags the k-dependent fields and only those") {
+    val rows = Intelligence.fieldConsistency(spark, sfDir).collect()
+      .map(r => r.getAs[String]("fname") ->
+        (r.getAs[Boolean]("type_conflict"), r.getAs[Boolean]("null_conflict"))).toMap
+    // id is constant; score flips type with k; name flips nullability
+    assert(rows("id") == (false, false))
+    assert(rows("score")._1, "score int/bigint split must conflict")
+    assert(!rows("email")._2, "email is always nullable")
+  }
+
+  test("complexity is consistent with its component counts") {
+    val rows = Intelligence.schemaComplexity(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nf = r.getAs[Long]("n_fields"); val nr = r.getAs[Long]("n_required")
+      val nt = r.getAs[Long]("n_types")
+      assert(nf >= 3 && nf <= 4)
+      assert(nr <= nf && nt <= nf)
+      val expected = math.floor((nf + 0.5 * nt + 0.25 * nr) * 100 + 0.5) / 100.0
+      assert(math.abs(r.getAs[Double]("complexity") - expected) < 1e-9)
+    }
+  }
+
+  test("version diffs only ever touch the k-dependent fields") {
+    val rows = Intelligence.diffFields(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // only email appears/disappears; only score changes type; only
+      // name changes nullability — each bounded by 1 per step
+      assert(r.getAs[Long]("n_added") <= 1 && r.getAs[Long]("n_removed") <= 1)
+      assert(r.getAs[Long]("n_type_changed") <= 1 && r.getAs[Long]("n_null_changed") <= 1)
+      assert(r.getAs[Int]("version") > 1)
+    }
+    // diffs exist in both directions somewhere in the corpus
+    assert(rows.exists(_.getAs[Long]("n_added") == 1))
+    assert(rows.exists(_.getAs[Long]("n_removed") == 1))
+    assert(rows.exists(_.getAs[Long]("n_type_changed") == 1))
+  }
+}
