@@ -112,10 +112,28 @@ object Intelligence {
           .as("n_null_changed"))
       .orderBy(col("subject"), col("version"))
 
+  /** PlanMigrationPath (tools_intelligence.go:729): can a consumer
+    * jump straight from version 1 to latest, or does the chain
+    * contain breaking steps? Per-subject rollup of [[Compat
+    * .compatScan]]'s step verdicts — n_steps, breaking count, the
+    * first breaking version (min over a conditional), and the safe-
+    * direct-upgrade flag. Composition, not recomputation: one extra
+    * partial-aggregated groupBy on top of the scan's single shuffle.
+    */
+  def migrationPath(s: SparkSession, dir: String): DataFrame =
+    Compat.compatScan(s, dir)
+      .groupBy(col("subject"))
+      .agg(count(lit(1)).as("n_steps"),
+        sum(when(!col("compatible"), 1).otherwise(0)).as("n_breaking"),
+        min(when(!col("compatible"), col("version"))).as("first_breaking"),
+        (sum(when(!col("compatible"), 1).otherwise(0)) === 0).as("safe_direct"))
+      .orderBy(col("subject"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "reg_similar" -> similarSchemas,
     "an_consistency" -> fieldConsistency,
     "an_complexity" -> schemaComplexity,
+    "reg_migration" -> migrationPath,
     "reg_diff_fields" -> diffFields)
 
   private val latestCte: String =
@@ -124,6 +142,13 @@ object Intelligence {
       |       FROM fields f JOIN latest l ON f.subject = l.subject AND f.version = l.v)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "reg_migration" ->
+      s"""WITH scan AS (${Compat.oracleSql("compat_scan")})
+        |SELECT subject, count(*) AS n_steps,
+        |  CAST(sum(CASE WHEN NOT compatible THEN 1 ELSE 0 END) AS BIGINT) AS n_breaking,
+        |  min(CASE WHEN NOT compatible THEN version END) AS first_breaking,
+        |  sum(CASE WHEN NOT compatible THEN 1 ELSE 0 END) = 0 AS safe_direct
+        |FROM scan GROUP BY subject ORDER BY subject""".stripMargin,
     "reg_similar" ->
       s"""WITH ${Compat.fieldModelCte},
         |$latestCte,

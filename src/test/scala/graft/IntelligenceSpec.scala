@@ -68,4 +68,20 @@ class IntelligenceSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("n_removed") == 1))
     assert(rows.exists(_.getAs[Long]("n_type_changed") == 1))
   }
+
+  test("migration path agrees with the underlying compat scan") {
+    val scan = operators.Compat.compatScan(spark, sfDir).collect()
+    val bySubject = scan.groupBy(_.getAs[Long]("subject"))
+    val rows = Intelligence.migrationPath(spark, sfDir).collect()
+    assert(rows.length == bySubject.size)
+    rows.foreach { r =>
+      val steps = bySubject(r.getAs[Long]("subject"))
+      assert(r.getAs[Long]("n_steps") == steps.length)
+      val breaking = steps.filter(!_.getAs[Boolean]("compatible"))
+      assert(r.getAs[Long]("n_breaking") == breaking.length)
+      assert(r.getAs[Boolean]("safe_direct") == breaking.isEmpty)
+      if (breaking.nonEmpty)
+        assert(r.getAs[Int]("first_breaking") == breaking.map(_.getAs[Int]("version")).min)
+    }
+  }
 }
