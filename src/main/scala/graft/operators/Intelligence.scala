@@ -129,7 +129,46 @@ object Intelligence {
         (sum(when(!col("compatible"), 1).otherwise(0)) === 0).as("safe_direct"))
       .orderBy(col("subject"))
 
+  /** FindSchemasByField (tools_intelligence.go:87): which subjects'
+    * latest schemas carry a given field (here: the PII-ish `email`),
+    * with its type and nullability. Pushed-predicate scan over the
+    * latest-fields view — output rows = matching subjects.
+    */
+  def findByField(s: SparkSession, dir: String): DataFrame =
+    latestFields(s, dir)
+      .filter(col("fname") === "email")
+      .select(col("subject"), col("ftype"), col("fnull"))
+      .orderBy(col("subject"))
+
+  /** DetectSchemaPatterns (tools_intelligence.go:485): the corpus-
+    * shape summary the reference computes by iterating every subject
+    * — subject count, total/multi-version stats, and how many fields
+    * are ubiquitous (present in every subject's latest version) —
+    * expressed as two partial-aggregated rollups + 1-row broadcasts,
+    * stack'd to (metric, value) rows.
+    */
+  def detectPatterns(s: SparkSession, dir: String): DataFrame = {
+    val vs = Compat.fieldArrays(s, dir)
+      .groupBy(col("subject")).agg(max(col("version")).as("nv"))
+    val a = vs.agg(count(lit(1)).as("n_subjects"),
+      sum(col("nv")).as("total_versions"),
+      sum(when(col("nv") > 1, 1).otherwise(0)).as("multi_version_subjects"))
+    val ubi = latestFields(s, dir)
+      .groupBy(col("fname")).agg(countDistinct(col("subject")).as("nsub"))
+      .crossJoin(broadcast(a.select(col("n_subjects"))))
+      .where(col("nsub") === col("n_subjects"))
+      .agg(count(lit(1)).as("ubiquitous_fields"))
+    a.crossJoin(broadcast(ubi))
+      .selectExpr(
+        """stack(4, 'n_subjects', n_subjects, 'total_versions', total_versions,
+          |  'multi_version_subjects', multi_version_subjects,
+          |  'ubiquitous_fields', ubiquitous_fields) AS (metric, value)""".stripMargin)
+      .orderBy(col("metric"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "an_find_field" -> findByField,
+    "an_patterns" -> detectPatterns,
     "reg_similar" -> similarSchemas,
     "an_consistency" -> fieldConsistency,
     "an_complexity" -> schemaComplexity,
@@ -142,6 +181,26 @@ object Intelligence {
       |       FROM fields f JOIN latest l ON f.subject = l.subject AND f.version = l.v)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "an_find_field" ->
+      s"""WITH ${Compat.fieldModelCte},
+        |$latestCte
+        |SELECT subject, ftype, fnull FROM lf WHERE fname = 'email'
+        |ORDER BY subject""".stripMargin,
+    "an_patterns" ->
+      s"""WITH ${Compat.fieldModelCte},
+        |$latestCte,
+        |vs AS (SELECT subject, max(version) AS nv FROM versioned GROUP BY subject),
+        |a AS (SELECT count(*) AS n_subjects, CAST(sum(nv) AS BIGINT) AS total_versions,
+        |        CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT) AS multi_version FROM vs),
+        |u AS (SELECT count(*) AS ubiquitous FROM (
+        |        SELECT fname FROM lf GROUP BY fname
+        |        HAVING count(DISTINCT subject) = (SELECT n_subjects FROM a)) t)
+        |SELECT metric, value FROM (
+        |  SELECT 'n_subjects' AS metric, n_subjects AS value FROM a
+        |  UNION ALL SELECT 'total_versions', total_versions FROM a
+        |  UNION ALL SELECT 'multi_version_subjects', multi_version FROM a
+        |  UNION ALL SELECT 'ubiquitous_fields', ubiquitous FROM u) t
+        |ORDER BY metric""".stripMargin,
     "reg_migration" ->
       s"""WITH scan AS (${Compat.oracleSql("compat_scan")})
         |SELECT subject, count(*) AS n_steps,

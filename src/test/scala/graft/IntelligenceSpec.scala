@@ -84,4 +84,26 @@ class IntelligenceSpec extends SparkSpec {
         assert(r.getAs[Int]("first_breaking") == breaking.map(_.getAs[Int]("version")).min)
     }
   }
+
+  test("find-by-field returns exactly the email-bearing subjects") {
+    val rows = Intelligence.findByField(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("fnull")), "email is always nullable in the model")
+    assert(rows.map(_.getAs[Long]("subject")).distinct.length == rows.length)
+    // cross-check against the consistency rollup's count for email
+    val emailCount = Intelligence.fieldConsistency(spark, sfDir)
+      .filter(col("fname") === "email").head().getAs[Long]("n_subjects")
+    assert(rows.length == emailCount)
+  }
+
+  test("pattern summary internally consistent") {
+    val m = Intelligence.detectPatterns(spark, sfDir).collect()
+      .map(r => r.getAs[String]("metric") -> r.getAs[Long]("value")).toMap
+    assert(m.keySet == Set("n_subjects", "total_versions", "multi_version_subjects", "ubiquitous_fields"))
+    assert(m("multi_version_subjects") <= m("n_subjects"))
+    assert(m("total_versions") >= m("n_subjects"))
+    // id/name/score are always present; email only sometimes
+    assert(m("ubiquitous_fields") == 3)
+    assert(m("total_versions") == Tables.events(spark, sfDir).count())
+  }
 }
