@@ -24,6 +24,25 @@ object Streaming {
       .agg(count(lit(1)).as("n_keys"))
       .orderBy(col("event_type"))
 
+  /** Batch face of the flatMapGroupsWithState sessionizer: one
+    * shuffle on user_id, then a per-group linear pass. In batch mode
+    * each group carries its complete history so the open session
+    * flushes at the end; the identical transform runs incrementally
+    * on a stream with the session held in state instead (see
+    * StreamingSpec). The DuckDB oracle reproduces the sessions
+    * relationally (lag + gap-break cumsum) with epoch_us gap math —
+    * exactly the state machine's micros comparison.
+    */
+  def sessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val evts = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[EventStream.Evt]
+    EventStream.sessionizeStateful(evts, flushRemaining = true).toDF()
+      .withColumn("n_events", col("n_events").cast("bigint"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   def enrichCounts(s: SparkSession, dir: String): DataFrame =
     EventStream.enriched(Tables.events(s, dir), Tables.customer(s, dir))
       .groupBy(col("segment"), col("event_type"))
@@ -33,6 +52,7 @@ object Streaming {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_counts" -> windowCounts,
     "stream_enrich_counts" -> enrichCounts,
+    "stream_sessions" -> sessions,
     "stream_dedup_counts" -> dedupCounts)
 
   val oracleSql: Map[String, String] = Map(
@@ -48,5 +68,16 @@ object Streaming {
       """SELECT c_mktsegment AS segment, event_type,
         |  count(*) AS n_events, round(sum(value), 4) AS total_value
         |FROM events JOIN customer ON user_id + 1 = c_custkey
-        |GROUP BY 1, 2 ORDER BY segment, event_type""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY segment, event_type""".stripMargin,
+    "stream_sessions" ->
+      """WITH m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)),
+        |s AS (SELECT user_id, ts,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)
 }

@@ -63,27 +63,43 @@ object EventStream {
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
     session_end: java.sql.Timestamp, n_events: Int)
 
+  /** Timestamp ↔ epoch-microseconds, loss-free (java.sql.Timestamp
+    * keeps sub-ms precision in its nanos field; getTime alone would
+    * truncate to ms and break round-trips).
+    */
+  private def toMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  private def fromMicros(us: Long): java.sql.Timestamp = {
+    val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    ts
+  }
+
   /** Stateful sessionization with a 30-minute inactivity gap via
     * flatMapGroupsWithState: closes and emits a session when the gap
     * is exceeded (or on processing-time timeout in streaming mode).
+    * State is epoch-micros so emitted boundaries are exactly the
+    * input timestamps. `flushRemaining` emits the still-open session
+    * when the group's iterator ends — set it for BATCH execution
+    * (the group then holds the complete history); leave it false on
+    * a stream, where the open session must survive into state.
     */
-  def sessionizeStateful(events: Dataset[Evt]): Dataset[SessionOut] = {
+  def sessionizeStateful(events: Dataset[Evt], flushRemaining: Boolean = false): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    val gapMs = 30L * 60 * 1000
+    val gapUs = 30L * 60 * 1000000L
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, evts: Iterator[Evt], state: GroupState[SessionState]) =>
-          val sorted = evts.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
+          val sorted = evts.toSeq.sortBy(e => (toMicros(e.ts), e.event_type))
           var cur = state.getOption
           val out = Seq.newBuilder[SessionOut]
           sorted.foreach { e =>
-            val t = e.ts.getTime
+            val t = toMicros(e.ts)
             cur match {
-              case Some(st) if t - st.last > gapMs =>
-                out += SessionOut(userId, new java.sql.Timestamp(st.start),
-                  new java.sql.Timestamp(st.last), st.n)
+              case Some(st) if t - st.last > gapUs =>
+                out += SessionOut(userId, fromMicros(st.start), fromMicros(st.last), st.n)
                 cur = Some(SessionState(t, t, 1))
               case Some(st) =>
                 cur = Some(st.copy(last = math.max(st.last, t), n = st.n + 1))
@@ -91,7 +107,10 @@ object EventStream {
                 cur = Some(SessionState(t, t, 1))
             }
           }
-          cur.foreach(state.update)
+          if (flushRemaining) {
+            cur.foreach(st => out += SessionOut(userId, fromMicros(st.start), fromMicros(st.last), st.n))
+            state.remove()
+          } else cur.foreach(state.update)
           out.result().iterator
       }
   }
