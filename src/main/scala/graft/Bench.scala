@@ -75,12 +75,23 @@ object Bench {
     // string: 22 chars of headroom for future per-query entries.
     val sfPart = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir)
       .map(m => s""""sf":${m.group(1)}""").getOrElse(s""""sf":"$sfDir"""")
-    def line(dp: Int): String =
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":${qmap(dp, _._3)}$errsPart,$sfPart}"""
-    // Keep the line parseable from the tail window even as the query
-    // set grows: degrade per-query precision until it fits the
-    // ~1925 chars left after sbt's trailing [success] line.
-    val compact = Seq(line(2), line(1), line(0)).find(_.length <= 1900).getOrElse(line(0))
+    def line(entries: Seq[String]): String =
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":${entries.mkString("{", ",", "}")}$errsPart,$sfPart}"""
+    // The full per-query map no longer fits the ~1925 chars the tail
+    // window leaves after sbt's trailing [success] line. Headline
+    // policy: slowest-first at 2dp, as many as fit, the remainder
+    // rolled into one "other" entry — the slow queries carry the
+    // information; the complete 6dp map is in bench_detail.json.
+    val byTimeDesc = results.sortBy(r => -r._3.getOrElse(Double.MaxValue))
+      .map(r => ("\"" + r._1 + "\":" + r._3.fold(_ => "-1", fmt(_, 2)), r._3.getOrElse(0.0)))
+    val budget = 1880
+    val keep = byTimeDesc.scanLeft(0)(_ + _._1.length + 1).tail
+      .lastIndexWhere(_ <= budget - line(Nil).length) + 1
+    val entries =
+      if (keep >= byTimeDesc.length) byTimeDesc.map(_._1)
+      else byTimeDesc.take(keep).map(_._1) :+
+        ("\"other\":" + fmt(byTimeDesc.drop(keep).map(_._2).sum, 2))
+    val compact = line(entries)
     val detail =
       s"""{"metric":"total","value":${fmt(total, 6)},"unit":"sec","queries":${qmap(6, _._3)},"cold":${qmap(6, _._2)},"errors":$errs,"sf":"$sfDir","cpus":$cpus}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
