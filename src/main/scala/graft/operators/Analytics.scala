@@ -292,7 +292,52 @@ object Analytics {
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
 
+  /** Forecasting revenue change (TPC-H Q6 shape): the purest filter →
+    * global agg query. Every predicate reaches the parquet scan
+    * (PushedFilters on date, discount, quantity); one partial agg,
+    * one row shuffled per partition.
+    */
+  def q6Revenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"))
+
+  /** Customer order-count distribution (TPC-H Q13 shape): left join
+    * keeps order-less customers, then aggregate twice — per-customer
+    * count, then the distribution over counts (second shuffle is
+    * distinct-count-sized, tiny).
+    */
+  def q13Custdist(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey")).agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** Discounted revenue under disjunctive brand/size/quantity terms
+    * (TPC-H Q19 shape) — the optimizer test: Catalyst must derive the
+    * common `p_brand IN (...)` / quantity-range conjuncts from the OR
+    * and push them below the join instead of filtering post-join.
+    */
+  def q19Disjunct(s: SparkSession, dir: String): DataFrame = {
+    val cond =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) && col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(16, 30) && col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(31, 50) && col("l_quantity").between(20, 30))
+    Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q6_revenue" -> q6Revenue,
+    "q13_custdist" -> q13Custdist,
+    "q19_disjunct" -> q19Disjunct,
     "q10_returns" -> q10Returns,
     "q_pivot" -> pivotDaily,
     "q_grouping_sets" -> groupingSets,
@@ -315,6 +360,24 @@ object Analytics {
     "q_distinct_users" -> distinctUsers)
 
   val oracleSql: Map[String, String] = Map(
+    "q6_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q19_disjunct" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue, count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 16 AND 30 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 31 AND 50 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "q10_returns" ->
       """SELECT c_custkey, c_name,
         |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,

@@ -45,6 +45,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(Analytics.oracleSql.keySet == Analytics.queries.keySet)
   }
 
+  test("q6 global revenue agg is one positive number consistent with a manual filter") {
+    import org.apache.spark.sql.functions._
+    val rev = Analytics.q6Revenue(spark, sfDir).head().getAs[Double]("revenue")
+    assert(rev > 0)
+    val manual = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01" &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice") * col("l_discount"))).head().getDouble(0)
+    assert(math.abs(rev - manual) < 1e-3)
+  }
+
+  test("q13 distribution covers every customer exactly once") {
+    val rows = Analytics.q13Custdist(spark, sfDir).collect()
+    val total = rows.map(_.getAs[Long]("custdist")).sum
+    assert(total == Tables.customer(spark, sfDir).count())
+    val counts = rows.map(_.getAs[Long]("c_count"))
+    assert(counts.distinct.length == counts.length, "distribution keys must be unique")
+  }
+
+  test("q19 disjunctive filter derives pushed per-side conjuncts") {
+    val plan = Analytics.q19Disjunct(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // both scans must carry a pushed Or-filter (brand/size on part,
+    // quantity ranges on lineitem) — not a single post-join Filter
+    assert(plan.contains("PushedFilters: [IsNotNull(p_partkey), Or("), "part side not pushed")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_partkey), Or("), "lineitem side not pushed")
+    assert(Analytics.q19Disjunct(spark, sfDir).head().getAs[Long]("n_lines") > 0)
+  }
+
   test("q10 returns at most 20 customers ranked by returned revenue") {
     val rows = Analytics.q10Returns(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 20)
