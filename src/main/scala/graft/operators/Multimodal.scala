@@ -96,14 +96,47 @@ object Multimodal {
           .as("luma"))
       .orderBy(col("doc_id"), col("frame_id"))
 
+  /** Content-addressed media-block dedup — the blob-store question
+    * "how much of the binary corpus is redundant at fixed 64-byte
+    * block granularity?". Row-local slicing + codegen md5 per block,
+    * ONE corpus shuffle on block_hash (partial-aggregated: one row
+    * per distinct hash per partition), then a 1-row global rollup.
+    * The same job at 100 TB sizes a dedup-enabled media store.
+    */
+  def blockDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("payload"), explode(expr(
+        "sequence(cast(0 as bigint), cast(ceil(length(payload) / 64.0) as bigint) - 1)")).as("i"))
+      .select(md5(expr("substring(payload, cast(i * 64 + 1 as int), 64)")).as("block_hash"))
+      .groupBy(col("block_hash")).agg(count(lit(1)).as("refs"))
+      .agg(count(lit(1)).as("n_unique"),
+        sum(col("refs")).as("n_total"),
+        sum(when(col("refs") > 1, col("refs") - 1).otherwise(0L)).as("n_dedupable"))
+      .select(col("n_unique"), col("n_total"), col("n_dedupable"),
+        (floor(col("n_dedupable") / col("n_total").cast("double") * 10000 + 0.5) / lit(10000.0))
+          .as("dedup_ratio"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta_extract" -> metaExtract,
+    "mm_blocks" -> blockDedup,
     "mm_frames" -> frameSample)
 
   /** The fake decode is reproducible in SQL because the payload is
     * ASCII text: byte values == code points.
     */
   val oracleSql: Map[String, String] = Map(
+    "mm_blocks" ->
+      """WITH b AS (
+        |  SELECT doc_id, md5(substr(text, CAST(i*64+1 AS INT), 64)) AS block_hash
+        |  FROM documents, LATERAL (SELECT unnest(range(0, CAST(ceil(len(text)/64.0) AS BIGINT))) AS i) t),
+        |d AS (SELECT block_hash, count(*) AS refs FROM b GROUP BY block_hash)
+        |SELECT CAST(count(*) AS BIGINT) AS n_unique,
+        |  CAST(sum(refs) AS BIGINT) AS n_total,
+        |  CAST(sum(CASE WHEN refs > 1 THEN refs - 1 ELSE 0 END) AS BIGINT) AS n_dedupable,
+        |  floor(sum(CASE WHEN refs > 1 THEN refs - 1 ELSE 0 END) / CAST(sum(refs) AS DOUBLE) * 10000 + 0.5)
+        |    / CAST(10000 AS DOUBLE) AS dedup_ratio
+        |FROM d""".stripMargin,
     "mm_frames" ->
       """WITH fr AS (
         |  SELECT doc_id, text, unnest(range(0, CAST(ceil(len(text) / 32.0) AS BIGINT))) AS frame_id

@@ -58,4 +58,17 @@ class MultimodalSpec extends SparkSpec {
       .filter(col("frame_id") % 4 =!= 0).count()
     assert(bad == 0)
   }
+
+  test("block dedup accounting is conservative and consistent") {
+    val r = Multimodal.blockDedup(spark, sfDir).head()
+    val unique = r.getAs[Long]("n_unique"); val total = r.getAs[Long]("n_total")
+    val dedupable = r.getAs[Long]("n_dedupable")
+    assert(unique + dedupable == total, "every block is either a first copy or dedupable")
+    assert(unique > 0 && dedupable >= 0)
+    // total blocks = sum over docs of ceil(len/64)
+    val expected = Tables.documents(spark, sfDir)
+      .select(ceil(length(col("text")) / 64.0).cast("long")).collect().map(_.getLong(0)).sum
+    assert(total == expected)
+    assert(r.getAs[Double]("dedup_ratio") >= 0 && r.getAs[Double]("dedup_ratio") < 1)
+  }
 }
