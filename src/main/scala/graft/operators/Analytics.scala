@@ -334,7 +334,29 @@ object Analytics {
         count(lit(1)).as("n_lines"))
   }
 
+  /** Top supplier by quarterly revenue (TPC-H Q15 shape): argmax via
+    * a scalar aggregate subquery. The revenue rollup is one partial-
+    * aggregated shuffle; its 1-row max broadcasts back as a scalar
+    * filter (no sort of the whole rollup), and the supplier
+    * dimension joins broadcast. Revenues are rounded BEFORE the max
+    * compare so the float equality is between identical doubles.
+    */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val revenue = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("total_revenue"))
+    val maxRev = revenue.agg(max(col("total_revenue")).as("max_revenue"))
+    revenue
+      .join(broadcast(maxRev), col("total_revenue") === col("max_revenue"))
+      .join(broadcast(Tables.supplier(s, dir)), col("supplier_no") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q15_top_supplier" -> q15TopSupplier,
     "q6_revenue" -> q6Revenue,
     "q13_custdist" -> q13Custdist,
     "q19_disjunct" -> q19Disjunct,
@@ -360,6 +382,17 @@ object Analytics {
     "q_distinct_users" -> distinctUsers)
 
   val oracleSql: Map[String, String] = Map(
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
     "q6_revenue" ->
       """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
         |FROM lineitem

@@ -74,6 +74,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(Analytics.q19Disjunct(spark, sfDir).head().getAs[Long]("n_lines") > 0)
   }
 
+  test("q15 picks exactly the supplier(s) with the maximum quarterly revenue") {
+    import org.apache.spark.sql.functions._
+    val rows = Analytics.q15TopSupplier(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val top = rows.map(_.getAs[Double]("total_revenue")).distinct
+    assert(top.length == 1, "all returned rows must share the max revenue")
+    // no supplier in the quarter out-earns the reported max
+    val better = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-04-01")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("r"))
+      .filter(col("r") > top.head + 0.001).count()
+    assert(better == 0)
+  }
+
   test("q10 returns at most 20 customers ranked by returned revenue") {
     val rows = Analytics.q10Returns(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 20)
