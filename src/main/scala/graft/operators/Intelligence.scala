@@ -166,7 +166,23 @@ object Intelligence {
       .orderBy(col("metric"))
   }
 
+  /** GetLatestSchema's REAL semantics under soft-delete (registry.go
+    * :495 skips deleted versions; version numbers are never reused):
+    * per subject, the max version among non-deleted registrations
+    * (deletion derives from the payload: k % 5 == 0), plus deletion
+    * accounting. One partial-aggregated groupBy over the shared
+    * version stream — max/sum/count all combine map-side.
+    */
+  def activeLatest(s: SparkSession, dir: String): DataFrame =
+    Compat.fieldArrays(s, dir)
+      .groupBy(col("subject"))
+      .agg(max(when(col("k") % 5 =!= 0, col("version"))).as("latest_active"),
+        sum(when(col("k") % 5 === 0, 1).otherwise(0)).as("n_deleted"),
+        count(lit(1)).as("n_versions"))
+      .orderBy(col("subject"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "reg_active_latest" -> activeLatest,
     "an_find_field" -> findByField,
     "an_patterns" -> detectPatterns,
     "reg_similar" -> similarSchemas,
@@ -181,6 +197,13 @@ object Intelligence {
       |       FROM fields f JOIN latest l ON f.subject = l.subject AND f.version = l.v)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "reg_active_latest" ->
+      s"""WITH ${Compat.fieldModelCte}
+        |SELECT subject,
+        |  max(CASE WHEN k % 5 <> 0 THEN version END) AS latest_active,
+        |  CAST(sum(CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+        |  count(*) AS n_versions
+        |FROM versioned GROUP BY subject ORDER BY subject""".stripMargin,
     "an_find_field" ->
       s"""WITH ${Compat.fieldModelCte},
         |$latestCte
