@@ -355,7 +355,176 @@ object Analytics {
       .orderBy(col("s_suppkey"))
   }
 
+  /** Small-quantity-order revenue (TPC-H Q17 shape): the classic
+    * correlated-avg subquery, decorrelated into a per-part aggregate
+    * joined back to the fact. The brand/type part filter broadcasts
+    * and restricts lineitem FIRST, so the per-part avg aggregates
+    * only the surviving ~1/150th of the fact — both sides of the
+    * join-back shuffle on l_partkey (co-partitioned), and the tiny
+    * avg side broadcasts.
+    */
+  def q17SmallQty(s: SparkSession, dir: String): DataFrame = {
+    val parts = broadcast(Tables.part(s, dir)
+      .filter(col("p_brand") === "Brand#12" && col("p_type") === "MEDIUM")
+      .select(col("p_partkey")))
+    val li = Tables.lineitem(s, dir)
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val avgQ = li.groupBy(col("l_partkey").as("a_partkey"))
+      .agg((lit(0.2) * avg(col("l_quantity"))).as("qty_limit"))
+    li.join(broadcast(avgQ), col("l_partkey") === col("a_partkey"))
+      .filter(col("l_quantity") < col("qty_limit"))
+      .agg(round(sum(col("l_extendedprice")) / lit(7.0), 4).as("avg_yearly"))
+  }
+
+  /** Idle high-balance customers (TPC-H Q22 shape): scalar aggregate
+    * subquery (global positive-balance average, a 1-row broadcast)
+    * plus an anti join against urgent orders, rolled up by nation.
+    * No correlated execution — the scalar broadcasts, the anti join
+    * is a build-side hash lookup.
+    */
+  def q22IdleBalance(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal")).as("avg_bal"))
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    cust.join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"), round(sum(col("c_acctbal")), 4).as("totacctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** Important-part identification (TPC-H Q11 shape): per-part value
+    * rollup HAVING value above a multiple of the average part value.
+    * The threshold is scale-invariant (1.7 × avg rather than a fixed
+    * share, which would empty out as the part count grows) and
+    * broadcasts back as a 1-row scalar — the rollup itself is one
+    * partial-aggregated shuffle on l_partkey.
+    */
+  def q11ValueParts(s: SparkSession, dir: String): DataFrame = {
+    val pv = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("value_raw"))
+    val thr = pv.agg((lit(1.7) * avg(col("value_raw"))).as("thr"))
+    pv.join(broadcast(thr))
+      .filter(col("value_raw") > col("thr"))
+      .select(col("l_partkey"), round(col("value_raw"), 4).as("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
+  /** Supplier-count distribution (TPC-H Q16 shape): distinct-count
+    * per part attribute group with a NOT-IN exclusion set. The
+    * exclusion (negative-balance suppliers) is a broadcast anti
+    * join; the distinct count is Spark's two-phase expand+agg, so
+    * only (group, suppkey) pairs shuffle.
+    */
+  def q16SupplierCnt(s: SparkSession, dir: String): DataFrame = {
+    val excluded = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val parts = Tables.part(s, dir)
+      .filter(col("p_brand") =!= "Brand#12" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 3, 9, 14, 23, 36, 45, 49))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** Excess-inventory suppliers (TPC-H Q20 shape): nested semi-join
+    * chain — suppliers having SOME (part, year) shipment above a
+    * quantity threshold, parts restricted by a name predicate. The
+    * per-(supp, part) rollup shuffles once; the surviving supplier
+    * keys semi-join the dimension (build-side lookup, no fan-out).
+    */
+  def q20ExcessSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val redParts = broadcast(Tables.part(s, dir)
+      .filter(col("p_name").like("red %")).select(col("p_partkey")))
+    val excess = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(redParts, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity")).as("qty"))
+      .filter(col("qty") > 55)
+      .select(col("l_suppkey"))
+    Tables.supplier(s, dir)
+      .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Product-line profit by nation and year (TPC-H Q9 shape): the
+    * widest join tree in the suite — part (name-filtered, broadcast),
+    * supplier + nation (broadcast chain), orders (fact-fact shuffle
+    * on l_orderkey only). Cost proxy: 10% of retail price per unit
+    * (the test schema carries no partsupp supplycost).
+    */
+  def q9Profit(s: SparkSession, dir: String): DataFrame = {
+    val gearParts = broadcast(Tables.part(s, dir)
+      .filter(col("p_name").like("% gear"))
+      .select(col("p_partkey"), col("p_retailprice")))
+    Tables.lineitem(s, dir)
+      .join(gearParts, col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        lit(0.1) * col("p_retailprice") * col("l_quantity")), 4).as("profit"))
+      .orderBy(col("n_name"), col("o_year"))
+  }
+
+  /** National market share (TPC-H Q8 shape): one nation's share of a
+    * region's market per year — conditional numerator over the same
+    * aggregated denominator, so a single groupBy computes both. All
+    * dimensions broadcast (region-filtered customers, supplier →
+    * nation names, type-filtered parts); the only shuffles are the
+    * lineitem⋈orders fact join and the tiny per-year agg.
+    */
+  def q8NationShare(s: SparkSession, dir: String): DataFrame = {
+    val asiaCust = broadcast(Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey")))
+    val suppNation = broadcast(Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("s_nation")))
+    val stdParts = broadcast(Tables.part(s, dir)
+      .filter(col("p_type") === "STANDARD").select(col("p_partkey")))
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(s, dir)
+      .join(stdParts, col("l_partkey") === col("p_partkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(asiaCust, col("o_custkey") === col("c_custkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(round(
+        sum(when(col("s_nation") === "NATION_5", vol).otherwise(lit(0.0))) / sum(vol),
+        4).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_small_qty" -> q17SmallQty,
+    "q22_idle_balance" -> q22IdleBalance,
+    "q11_value_parts" -> q11ValueParts,
+    "q16_supplier_cnt" -> q16SupplierCnt,
+    "q20_excess_suppliers" -> q20ExcessSuppliers,
+    "q9_profit" -> q9Profit,
+    "q8_nation_share" -> q8NationShare,
     "q15_top_supplier" -> q15TopSupplier,
     "q6_revenue" -> q6Revenue,
     "q13_custdist" -> q13Custdist,
@@ -382,6 +551,71 @@ object Analytics {
     "q_distinct_users" -> distinctUsers)
 
   val oracleSql: Map[String, String] = Map(
+    "q17_small_qty" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#12' AND p_type = 'MEDIUM'
+        |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "q22_idle_balance" ->
+      """SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 4) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q11_value_parts" ->
+      """WITH pv AS (
+        |  SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS value_raw
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT l_partkey, round(value_raw, 4) AS part_value
+        |FROM pv WHERE value_raw > (SELECT 1.7 * avg(value_raw) FROM pv)
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#12' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 3, 9, 14, 23, 36, 45, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q20_excess_suppliers" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_name LIKE 'red %'
+        |    AND l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+        |  GROUP BY l_suppkey, l_partkey HAVING sum(l_quantity) > 55)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q9_profit" ->
+      """SELECT n_name, year(o_orderdate) AS o_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)
+        |            - 0.1 * p_retailprice * l_quantity), 4) AS profit
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |WHERE p_name LIKE '% gear'
+        |GROUP BY n_name, o_year ORDER BY n_name, o_year""".stripMargin,
+    "q8_nation_share" ->
+      """SELECT o_year, round(
+        |    sum(CASE WHEN s_nation = 'NATION_5' THEN vol ELSE 0.0 END) / sum(vol),
+        |    4) AS mkt_share
+        |FROM (
+        |  SELECT year(o_orderdate) AS o_year,
+        |    l_extendedprice * (1 - l_discount) AS vol, sn.n_name AS s_nation
+        |  FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+        |    AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1997-01-01') t
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
     "q15_top_supplier" ->
       """WITH revenue AS (
         |  SELECT l_suppkey AS supplier_no,

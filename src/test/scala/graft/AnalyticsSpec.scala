@@ -89,6 +89,66 @@ class AnalyticsSpec extends SparkSpec {
     assert(better == 0)
   }
 
+  test("q17 returns one positive yearly-average row") {
+    val rows = Analytics.q17SmallQty(spark, sfDir).collect()
+    assert(rows.length == 1 && rows.head.getAs[Double]("avg_yearly") > 0)
+  }
+
+  test("q22 counts only customers above the positive-balance average") {
+    import org.apache.spark.sql.functions._
+    val rows = Analytics.q22IdleBalance(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val avgBal = Tables.customer(spark, sfDir)
+      .filter(col("c_acctbal") > 0).agg(avg(col("c_acctbal"))).head().getDouble(0)
+    // every contributing group's average balance must exceed the cutoff
+    rows.foreach { r =>
+      assert(r.getAs[Double]("totacctbal") / r.getAs[Long]("numcust") > avgBal)
+    }
+  }
+
+  test("q11 keeps only parts above 1.7x the average part value") {
+    val rows = Analytics.q11ValueParts(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val vals = rows.map(_.getAs[Double]("part_value"))
+    assert(vals.sameElements(vals.sorted(Ordering[Double].reverse)))
+  }
+
+  test("q16 excludes negative-balance suppliers from the distinct counts") {
+    import org.apache.spark.sql.functions._
+    val rows = Analytics.q16SupplierCnt(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val excluded = Tables.supplier(spark, sfDir)
+      .filter(col("s_acctbal") < 0).count()
+    val total = Tables.supplier(spark, sfDir).count()
+    assert(rows.forall(_.getAs[Long]("supplier_cnt") <= total - excluded))
+  }
+
+  test("q20 suppliers each shipped >55 units of some red part in 1997") {
+    import org.apache.spark.sql.functions._
+    val rows = Analytics.q20ExcessSuppliers(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val keys = rows.map(_.getAs[Long]("s_suppkey")).toSet
+    val witness = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir).filter(col("p_name").like("red %")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(col("l_shipdate") >= "1997-01-01" && col("l_shipdate") < "1998-01-01")
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity")).as("q")).filter(col("q") > 55)
+      .select("l_suppkey").distinct().collect().map(_.getLong(0)).toSet
+    assert(keys == witness)
+  }
+
+  test("q9 and q8 broadcast every dimension — no cartesian, fact joins only") {
+    for (df <- Seq(Analytics.q9Profit(spark, sfDir), Analytics.q8NationShare(spark, sfDir))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), "cartesian in plan")
+      assert(plan.contains("BroadcastHashJoin"), "dimensions must broadcast")
+    }
+    val shares = Analytics.q8NationShare(spark, sfDir).collect()
+      .map(_.getAs[Double]("mkt_share"))
+    assert(shares.nonEmpty && shares.forall(x => x >= 0 && x <= 1))
+  }
+
   test("q10 returns at most 20 customers ranked by returned revenue") {
     val rows = Analytics.q10Returns(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 20)
