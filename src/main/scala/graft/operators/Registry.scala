@@ -284,7 +284,127 @@ object Registry {
           lit("\",\"user\":"), col("user_id"), lit("}")).as("json_line"))
       .orderBy(col("event_id"))
 
+  /** Reference edges of the schema-dependency DAG, synthesized
+    * deterministically from the corpus: every document references
+    * doc_id/2 (its "import parent"), and every fifth one additionally
+    * references doc_id/3 — parents are strictly smaller, so the graph
+    * is acyclic with multiple converging paths (the shape of real
+    * schema-reference graphs, registry.go:1039 references). Shared by
+    * the closure and GC operators below.
+    */
+  private def refEdges(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    docs.filter(col("doc_id") >= 1)
+      .select(col("doc_id").as("child"),
+        floor(col("doc_id") / 2).cast("bigint").as("parent"))
+      .union(docs.filter(col("doc_id") >= 3 && col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("child"),
+          floor(col("doc_id") / 3).cast("bigint").as("parent")))
+  }
+
+  /** All (doc, transitive ancestor) pairs — semi-naive Datalog
+    * evaluation: each round joins only the FRONTIER (newly derived
+    * pairs) against the edge table, anti-joins out already-known
+    * pairs, and stops when no new pairs appear. Rounds = graph depth
+    * (log₂ n here, ~40 at 100 TB); per round one shuffle join + one
+    * anti join, all keyed — no driver data movement beyond the 1-row
+    * frontier count. localCheckpoint per round keeps the plan flat
+    * (same lineage-truncation discipline as Pipeline.dedupClusters).
+    */
+  private def closurePairs(s: SparkSession, dir: String): DataFrame = {
+    val edges = refEdges(s, dir).repartition(col("child")).cache()
+    var closure = edges.select(col("child").as("doc_id"), col("parent").as("anc"))
+      .distinct().localCheckpoint()
+    var frontier = closure
+    var newPairs = frontier.count()
+    while (newPairs > 0) {
+      val next = frontier
+        .join(edges.select(col("child").as("anc"), col("parent").as("nxt")), "anc")
+        .select(col("doc_id"), col("nxt").as("anc"))
+        .distinct()
+        .join(closure, Seq("doc_id", "anc"), "left_anti")
+        .localCheckpoint()
+      newPairs = next.count()
+      if (newPairs > 0) closure = closure.union(next).localCheckpoint()
+      frontier = next
+    }
+    edges.unpersist()
+    closure
+  }
+
+  /** Transitive reference closure per document (the resolution set a
+    * registry materializes to answer "what does this schema pull in"
+    * and "who transitively depends on it", registry.go:1039 +
+    * deletion guard registry.go:591). Output: ancestor count and the
+    * largest (nearest-numbered) ancestor per doc; docs without
+    * references report 0/NULL via the left join.
+    */
+  def refsClosure(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(closurePairs(s, dir), Seq("doc_id"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("anc")).as("n_ancestors"), max(col("anc")).as("max_anc"))
+      .orderBy(col("doc_id"))
+
+  /** Garbage-collection candidates: a soft-deleted schema (doc_id %
+    * 7 tombstones) is permanently deletable iff NO live schema
+    * transitively depends on it — the reference refuses deletion
+    * while referenced (registry.go:591 / ErrReferencedBy); cascades
+    * of deleted-only dependents are collectable. One semi join
+    * restricts the closure to live dependents, one partial-agg count
+    * per ancestor, broadcast-joined back to the tombstone set.
+    */
+  def gcCandidates(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val live = docs.filter(col("doc_id") % 7 =!= 0)
+    val deleted = docs.filter(col("doc_id") % 7 === 0)
+    val depCounts = closurePairs(s, dir)
+      .join(live, Seq("doc_id"), "left_semi")
+      .groupBy(col("anc")).agg(count(lit(1)).as("dep_n"))
+    deleted.join(depCounts, col("doc_id") === col("anc"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dep_n"), lit(0L)).as("n_live_dependents"),
+        (coalesce(col("dep_n"), lit(0L)) === 0).as("gc_ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Subject-alias + version-spec resolution (registry_helpers.go:28
+    * ResolveAlias — single-level, no chaining; :41 ParseVersion —
+    * "latest"/"-1" → -1 sentinel, else positive integers only).
+    * The alias table is config (a broadcast dimension); specs are
+    * synthesized from the corpus to cover every parser branch.
+    * Invalid specs report parsed_version 0 + is_valid false (the
+    * reference returns an error value there).
+    */
+  def resolveRef(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val aliases = Seq(("click", "click_v2"), ("view", "page_view"))
+      .toDF("alias_subject", "alias_target")
+    val spec = when(col("user_id") % 4 === 0, lit("latest"))
+      .when(col("user_id") % 4 === 1, lit("-1"))
+      .when(col("user_id") % 4 === 2, (col("user_id") % 3 + 1).cast("string"))
+      .otherwise(lit("v9"))
+    val parsed = when(col("version_spec").isin("latest", "-1"), lit(-1))
+      .when(col("version_spec").rlike("^[0-9]+$") &&
+        col("version_spec").cast("int") >= 1, col("version_spec").cast("int"))
+      .otherwise(lit(0))
+    Tables.events(s, dir)
+      .select(col("event_type").as("subject"), spec.as("version_spec"))
+      .join(broadcast(aliases), col("subject") === col("alias_subject"), "left")
+      .select(coalesce(col("alias_target"), col("subject")).as("resolved_subject"),
+        col("version_spec"))
+      .withColumn("parsed_version", parsed)
+      .withColumn("is_valid", col("parsed_version") =!= 0)
+      .groupBy(col("resolved_subject"), col("version_spec"),
+        col("parsed_version"), col("is_valid"))
+      .agg(count(lit(1)).as("n_refs"))
+      .orderBy(col("resolved_subject"), col("version_spec"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "reg_refs_closure" -> refsClosure,
+    "reg_gc_candidates" -> gcCandidates,
+    "reg_resolve_ref" -> resolveRef,
     "reg_validate" -> validatePayloads,
     "reg_export_json" -> exportJson,
     "reg_subject_list" -> subjectList,
@@ -302,6 +422,60 @@ object Registry {
     "reg_export_filtered" -> exportFiltered)
 
   val oracleSql: Map[String, String] = Map(
+    "reg_refs_closure" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT doc_id AS child, CAST(floor(doc_id / 2) AS BIGINT) AS parent
+        |  FROM documents WHERE doc_id >= 1
+        |  UNION ALL
+        |  SELECT doc_id AS child, CAST(floor(doc_id / 3) AS BIGINT) AS parent
+        |  FROM documents WHERE doc_id >= 3 AND doc_id % 5 = 0),
+        |anc AS (
+        |  SELECT child AS doc_id, parent AS anc FROM edges
+        |  UNION
+        |  SELECT a.doc_id, e.parent AS anc FROM anc a JOIN edges e ON e.child = a.anc)
+        |SELECT d.doc_id, count(a.anc) AS n_ancestors, max(a.anc) AS max_anc
+        |FROM documents d LEFT JOIN anc a ON a.doc_id = d.doc_id
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    "reg_gc_candidates" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT doc_id AS child, CAST(floor(doc_id / 2) AS BIGINT) AS parent
+        |  FROM documents WHERE doc_id >= 1
+        |  UNION ALL
+        |  SELECT doc_id AS child, CAST(floor(doc_id / 3) AS BIGINT) AS parent
+        |  FROM documents WHERE doc_id >= 3 AND doc_id % 5 = 0),
+        |anc AS (
+        |  SELECT child AS doc_id, parent AS anc FROM edges
+        |  UNION
+        |  SELECT a.doc_id, e.parent AS anc FROM anc a JOIN edges e ON e.child = a.anc),
+        |dep AS (
+        |  SELECT a.anc, count(*) AS dep_n FROM anc a
+        |  JOIN documents d ON d.doc_id = a.doc_id AND d.doc_id % 7 <> 0
+        |  GROUP BY a.anc)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(dep.dep_n, 0) AS BIGINT) AS n_live_dependents,
+        |  coalesce(dep.dep_n, 0) = 0 AS gc_ok
+        |FROM documents d LEFT JOIN dep ON dep.anc = d.doc_id
+        |WHERE d.doc_id % 7 = 0 ORDER BY d.doc_id""".stripMargin,
+    "reg_resolve_ref" ->
+      """WITH refs AS (
+        |  SELECT event_type AS subject,
+        |    CASE WHEN user_id % 4 = 0 THEN 'latest'
+        |         WHEN user_id % 4 = 1 THEN '-1'
+        |         WHEN user_id % 4 = 2 THEN CAST(user_id % 3 + 1 AS VARCHAR)
+        |         ELSE 'v9' END AS version_spec
+        |  FROM events),
+        |res AS (
+        |  SELECT coalesce(a.alias_target, r.subject) AS resolved_subject, r.version_spec,
+        |    CASE WHEN r.version_spec IN ('latest', '-1') THEN -1
+        |         WHEN regexp_matches(r.version_spec, '^[0-9]+$')
+        |              AND TRY_CAST(r.version_spec AS INT) >= 1 THEN TRY_CAST(r.version_spec AS INT)
+        |         ELSE 0 END AS parsed_version
+        |  FROM refs r LEFT JOIN (VALUES ('click', 'click_v2'), ('view', 'page_view'))
+        |    AS a(alias_subject, alias_target) ON r.subject = a.alias_subject)
+        |SELECT resolved_subject, version_spec, parsed_version,
+        |  parsed_version <> 0 AS is_valid, count(*) AS n_refs
+        |FROM res GROUP BY 1, 2, 3, 4
+        |ORDER BY resolved_subject, version_spec""".stripMargin,
     "reg_validate" ->
       """SELECT json_extract_string(props, '$.k') IS NOT NULL AS is_valid, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY is_valid""".stripMargin,

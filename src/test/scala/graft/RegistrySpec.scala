@@ -42,4 +42,38 @@ class RegistrySpec extends SparkSpec {
     assert(df.groupBy("user_id", "event_type").count()
       .filter(col("count") > 1).count() == 0)
   }
+
+  test("refs closure: ancestor chain of a known doc matches hand computation") {
+    val rows = Registry.refsClosure(spark, sfDir).collect()
+    assert(rows.length == Tables.documents(spark, sfDir).count())
+    val byId = rows.map(r => r.getLong(0) -> r.getAs[Long]("n_ancestors")).toMap
+    // doc 0 references nothing; doc 1 → {0}; doc 12 → 12/2=6,6/2=3,3/2=1,1/2=0 → {6,3,1,0}
+    assert(byId(0L) == 0 && byId(1L) == 1 && byId(12L) == 4)
+    // doc 10 has the extra /3 edge: {5,2,1,0} ∪ {3} = 5 ancestors
+    assert(byId(10L) == 5)
+  }
+
+  test("gc candidates: only tombstoned docs appear; live-depended docs retained") {
+    val rows = Registry.gcCandidates(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(0) % 7 == 0))
+    // doc 0 is an ancestor of nearly every live doc — never collectable
+    val d0 = rows.find(_.getLong(0) == 0L).get
+    assert(!d0.getAs[Boolean]("gc_ok") && d0.getAs[Long]("n_live_dependents") > 0)
+  }
+
+  test("resolve ref: aliases rewrite subjects, version specs parse per reference rules") {
+    val rows = Registry.resolveRef(spark, sfDir).collect()
+    val subjects = rows.map(_.getAs[String]("resolved_subject")).toSet
+    assert(subjects.contains("click_v2") && subjects.contains("page_view"))
+    assert(!subjects.contains("click") && !subjects.contains("view"))
+    rows.foreach { r =>
+      (r.getAs[String]("version_spec"), r.getAs[Int]("parsed_version")) match {
+        case ("latest", p) => assert(p == -1)
+        case ("-1", p)     => assert(p == -1)
+        case ("v9", p)     => assert(p == 0 && !r.getAs[Boolean]("is_valid"))
+        case (digits, p)   => assert(p == digits.toInt && r.getAs[Boolean]("is_valid"))
+      }
+    }
+  }
 }
