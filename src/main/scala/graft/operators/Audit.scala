@@ -206,7 +206,48 @@ object Audit {
       .orderBy(col("endpoint"))
   }
 
+  /** Metric-stream outlier detection (the alerting query behind the
+    * reference's rate/latency counters): per-type z-scores against
+    * the type's own mean/stddev. Two passes over the fact — a tiny
+    * per-type stats agg broadcast back, then a row-local score +
+    * one partial-agg rollup. No window, no sort; the at-scale shape
+    * for "flag anomalous request latencies".
+    */
+  def metricsOutliers(s: SparkSession, dir: String): DataFrame = {
+    val stats = Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(avg(col("value")).as("m"), stddev_samp(col("value")).as("sd"))
+    Tables.events(s, dir)
+      .join(broadcast(stats), "event_type")
+      .withColumn("z", abs((col("value") - col("m")) / col("sd")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("z") > 3.0, 1L).otherwise(0L)).as("n_outliers"),
+        round(max(col("z")), 4).as("max_abs_z"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Conversion funnel over the audit stream: users who viewed, then
+    * clicked after first viewing, then purchased after first
+    * clicking — ordered-stage analysis via conditional min-timestamp
+    * aggregation (one shuffle on user_id, no window, no self-join;
+    * the n-way self-join formulation would be a 100 TB trap).
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("t_view").isNotNull, 1L).otherwise(0L)).as("n_viewed"),
+        sum(when(col("t_click") > col("t_view"), 1L).otherwise(0L)).as("n_view_click"),
+        sum(when(col("t_click") > col("t_view") && col("t_purchase") > col("t_click"), 1L)
+          .otherwise(0L)).as("n_full_funnel"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "metrics_outliers" -> metricsOutliers,
+    "audit_funnel" -> funnel,
     "metrics_path_norm" -> metricsPathNorm,
     "audit_top_actors_salted" -> topActorsSalted,
     "audit_counts_daily" -> countsDaily,
@@ -220,6 +261,27 @@ object Audit {
     "metrics_rate_1m" -> rate1m)
 
   val oracleSql: Map[String, String] = Map(
+    "metrics_outliers" ->
+      """WITH s AS (
+        |  SELECT event_type, avg(value) AS m, stddev(value) AS sd
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN abs((value - m) / sd) > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  round(max(abs((value - m) / sd)), 4) AS max_abs_z
+        |FROM events JOIN s USING (event_type)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "audit_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT count(*) AS n_users,
+        |  CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+        |  CAST(sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+        |  CAST(sum(CASE WHEN t_click > t_view AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+        |FROM f""".stripMargin,
     "metrics_histogram" ->
       """WITH b AS (
         |  SELECT CAST(length(bin(CAST(floor(value) AS BIGINT))) - 1 AS BIGINT) AS bucket

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators beyond pairwise dedup: duplicate-
@@ -266,7 +267,47 @@ object Pipeline {
       .orderBy(col("stage"))
   }
 
+  /** Corpus data card: per-(source, lang) document counts, char
+    * volumes, and exact length percentiles — the summary table every
+    * dataset release ships. One partial-aggregated groupBy; exact
+    * percentile holds the stratum's values (fine at per-stratum
+    * scale; `approx_percentile` is the same API shape when strata
+    * grow unbounded).
+    */
+  def corpusStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        round(expr("percentile(n_chars, 0.5)"), 4).as("p50_chars"),
+        round(expr("percentile(n_chars, 0.95)"), 4).as("p95_chars"))
+      .orderBy(col("source"), col("lang"))
+
+  /** Duplicate-survivor selection — the decision step after
+    * clustering: per near-dup cluster keep exactly one document,
+    * preferring the lexicographically best source (stand-in for a
+    * curated-source priority list) with doc_id as the deterministic
+    * tiebreak. One row_number window over the cluster key (state
+    * bounded by cluster size) + the same-keyed rollup; the
+    * documents join shuffles on doc_id only.
+    */
+  def dedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(s, dir).select(col("cluster_id"), col("doc_id"))
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val w = Window.partitionBy(col("cluster_id")).orderBy(col("source"), col("doc_id"))
+    clusters.join(docs, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("cluster_id"))
+      .agg(min(when(col("rk") === 1, col("doc_id"))).as("survivor_doc_id"),
+        min(when(col("rk") === 1, col("source"))).as("survivor_source"),
+        (count(lit(1)) - lit(1)).as("n_dropped"))
+      .orderBy(col("cluster_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_stats" -> corpusStats,
+    "dedup_survivors" -> dedupSurvivors,
     "text_logprob" -> textLogprob,
     "sample_temp" -> sampleTemp,
     "text_decontaminate" -> textDecontaminate,
@@ -344,6 +385,33 @@ object Pipeline {
         |  UNION ALL SELECT 's3_dedup', CAST(sum(CAST(f1 AND f2 AND f3 AS INT)) AS BIGINT) FROM f
         |  UNION ALL SELECT 's4_sample', CAST(sum(CAST(f1 AND f2 AND f3 AND f4 AS INT)) AS BIGINT) FROM f) u
         |ORDER BY stage""".stripMargin,
+    "corpus_stats" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  round(avg(n_chars), 4) AS avg_chars,
+        |  round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+        |  round(quantile_cont(n_chars, 0.95), 4) AS p95_chars
+        |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+    "dedup_survivors" ->
+      s"""WITH RECURSIVE ${Dedup.minhashPairsCte},
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(id, lab) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id),
+        |members AS (
+        |  SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id),
+        |ranked AS (
+        |  SELECT m.cluster_id, m.doc_id, d.source,
+        |    row_number() OVER (PARTITION BY m.cluster_id ORDER BY d.source, m.doc_id) AS rk
+        |  FROM members m JOIN documents d USING (doc_id))
+        |SELECT cluster_id,
+        |  min(CASE WHEN rk = 1 THEN doc_id END) AS survivor_doc_id,
+        |  min(CASE WHEN rk = 1 THEN source END) AS survivor_source,
+        |  CAST(count(*) - 1 AS BIGINT) AS n_dropped
+        |FROM ranked GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE ${Dedup.minhashPairsCte},
         |edges AS (

