@@ -71,11 +71,61 @@ object Temporal {
       .orderBy(col("user_id"), col("click_id"), col("buy_id"))
   }
 
+  /** The same AS-OF semantics as [[asofJoin]], planned through the
+    * custom Catalyst operator ([[graft.plans.AsOfJoin]] logical node
+    * → AsOfJoinStrategy → AsOfJoinExec physical merge) registered
+    * via SparkSessionExtensions / extraStrategies. One shuffle per
+    * side (SortMergeJoin's distribution contract), O(1) merge state
+    * per task — no union, no window buffering. Shares t_asof_join's
+    * oracle: both plans must produce identical rows.
+    */
+  def asofCustom(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{AsOfJoin, AsOfJoinStrategy}
+    if (!s.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      s.experimental.extraStrategies = AsOfJoinStrategy +: s.experimental.extraStrategies
+    val ev = Tables.events(s, dir)
+    val probes = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+    val builds = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"),
+        col("event_id").as("s_id"))
+    val (lPlan, rPlan) = (probes.queryExecution.analyzed, builds.queryExecution.analyzed)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).get
+    org.apache.spark.sql.graftshim.GraftShim.ofRows(s,
+      AsOfJoin(lPlan, rPlan,
+        attr(lPlan, "p_user"), attr(rPlan, "s_user"),
+        attr(lPlan, "p_ts"), attr(rPlan, "s_ts"),
+        Seq(attr(rPlan, "s_id"))))
+      .select(col("p_id").as("purchase_id"), col("p_user").as("user_id"),
+        col("p_ts").as("purchase_ts"), col("s_ts").as("last_signup_ts"),
+        col("s_id").as("last_signup_id"))
+      .orderBy(col("purchase_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_asof_join" -> asofJoin,
+    "t_asof_custom" -> asofCustom,
     "t_range_join" -> rangeJoin)
 
   val oracleSql: Map[String, String] = Map(
+    "t_asof_custom" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_probe
+        |  FROM events WHERE event_type IN ('purchase', 'signup')),
+        |w AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN is_probe = 0 THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, is_probe, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts,
+        |    last_value(CASE WHEN is_probe = 0 THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, is_probe, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_id
+        |  FROM u)
+        |SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, last_signup_ts, last_signup_id
+        |FROM w WHERE is_probe = 1 ORDER BY purchase_id""".stripMargin,
     "t_asof_join" ->
       """WITH u AS (
         |  SELECT user_id, ts, event_id,

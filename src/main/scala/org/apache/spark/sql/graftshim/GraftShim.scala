@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bridge into Spark's `private[sql] Dataset.ofRows` so library code
+  * can materialize a DataFrame from a custom LogicalPlan — the
+  * standard technique of Spark-native extension libraries (compare
+  * the public Pathling/Sedona strategy-injection shims). Lives under
+  * org.apache.spark.sql solely for access scope; everything else in
+  * this library stays in the graft namespace.
+  */
+object GraftShim {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    Dataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
+}

@@ -48,4 +48,16 @@ class TemporalSpec extends SparkSpec {
       .select("click_id", "buy_id").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSet == brute.toSet)
   }
+
+  test("custom AsOfJoinExec plans as a physical merge and matches the window formulation") {
+    val custom = Temporal.asofCustom(spark, sfDir)
+    val plan = custom.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), "custom operator missing from physical plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"),
+      "custom path must not fall back to join/window")
+    val viaWindow = Temporal.asofJoin(spark, sfDir).collect().map(_.toSeq)
+    val viaCustom = custom.collect().map(_.toSeq)
+    assert(viaCustom.length == viaWindow.length)
+    assert(viaCustom.zip(viaWindow).forall { case (a, b) => a == b })
+  }
 }
