@@ -245,7 +245,23 @@ object Audit {
         sum(when(col("t_click") > col("t_view") && col("t_purchase") > col("t_click"), 1L)
           .otherwise(0L)).as("n_full_funnel"))
 
+  /** Hopping-window rates via Spark's native `window()` generator
+    * (width 10 min, slide 5 min — each event lands in exactly two
+    * windows). The overlap factor is the window/slide ratio, so the
+    * expansion is bounded and explicit; state per group is one count.
+    * Same shape Structured Streaming uses for sliding rates, here on
+    * the batch face. Oracle: union of the two phase-shifted tumbling
+    * grids.
+    */
+  def rateHopping(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n_events"))
+      .orderBy(col("win_start"), col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "metrics_rate_hop" -> rateHopping,
     "metrics_outliers" -> metricsOutliers,
     "audit_funnel" -> funnel,
     "metrics_path_norm" -> metricsPathNorm,
@@ -261,6 +277,15 @@ object Audit {
     "metrics_rate_1m" -> rate1m)
 
   val oracleSql: Map[String, String] = Map(
+    "metrics_rate_hop" ->
+      """WITH g AS (
+        |  SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start, event_type FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '10 minutes', ts - INTERVAL '5 minutes')
+        |           + INTERVAL '5 minutes' AS win_start, event_type FROM events)
+        |SELECT win_start, event_type, count(*) AS n_events
+        |FROM g GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin,
     "metrics_outliers" ->
       """WITH s AS (
         |  SELECT event_type, avg(value) AS m, stddev(value) AS sd
