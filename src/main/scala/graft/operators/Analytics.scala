@@ -517,7 +517,51 @@ object Analytics {
       .orderBy(col("o_year"))
   }
 
+  /** Shipment priority classes (TPC-H Q12 shape): fact join +
+    * conditional counting. The date filter reaches the lineitem
+    * scan; one shuffle on the order key; the rollup output is
+    * class-count sized.
+    */
+  def q12PriorityLines(s: SparkSession, dir: String): DataFrame = {
+    val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag").as("ship_class"))
+      .agg(sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("ship_class"))
+  }
+
+  /** Suppliers-who-kept-waiting (TPC-H Q21 shape). The reference
+    * formulation is a triple correlated EXISTS/NOT-EXISTS self-join
+    * on the fact — quadratic if planned naively. Decorrelated here
+    * (and in the oracle) into ONE per-order aggregate: a supplier is
+    * the culprit iff the order has ≥2 distinct suppliers and exactly
+    * one supplier with a returned line. One shuffle on l_orderkey,
+    * a broadcast supplier join, and a TakeOrderedAndProject top-10 —
+    * the plan that survives 100 TB where the self-join would not.
+    */
+  def q21WaitingSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rSupp = when(col("l_returnflag") === "R", col("l_suppkey"))
+    val perOrder = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(rSupp).as("n_r_supp"),
+        min(rSupp).as("culprit"))
+      .filter(col("n_supp") >= 2 && col("n_r_supp") === 1)
+    perOrder
+      .join(broadcast(Tables.supplier(s, dir)), col("culprit") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q12_priority_lines" -> q12PriorityLines,
+    "q21_waiting_supplier" -> q21WaitingSupplier,
     "q17_small_qty" -> q17SmallQty,
     "q22_idle_balance" -> q22IdleBalance,
     "q11_value_parts" -> q11ValueParts,
@@ -551,6 +595,23 @@ object Analytics {
     "q_distinct_users" -> distinctUsers)
 
   val oracleSql: Map[String, String] = Map(
+    "q12_priority_lines" ->
+      """SELECT l_returnflag AS ship_class,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        |GROUP BY l_returnflag ORDER BY ship_class""".stripMargin,
+    "q21_waiting_supplier" ->
+      """WITH per_order AS (
+        |  SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+        |    count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_r_supp,
+        |    min(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS culprit
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT s_name, count(*) AS numwait
+        |FROM per_order JOIN supplier ON s_suppkey = culprit
+        |WHERE n_supp >= 2 AND n_r_supp = 1
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
     "q17_small_qty" ->
       """SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
         |FROM lineitem JOIN part ON p_partkey = l_partkey

@@ -149,6 +149,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(shares.nonEmpty && shares.forall(x => x >= 0 && x <= 1))
   }
 
+  test("q12 line counts partition the filtered fact exactly") {
+    import org.apache.spark.sql.functions._
+    val rows = Analytics.q12PriorityLines(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(r => r.getAs[Long]("high_line_count") + r.getAs[Long]("low_line_count")).sum
+    val expected = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01").count()
+    assert(total == expected)
+  }
+
+  test("q21 culprits: sole returning supplier on multi-supplier orders, no self-join") {
+    val df = Analytics.q21WaitingSupplier(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    // decorrelated: exactly one scan of lineitem in the plan
+    assert("lineitem".r.findAllIn(plan).size <= 2, "fact scanned more than once")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val waits = rows.map(_.getAs[Long]("numwait"))
+    assert(waits.sameElements(waits.sorted(Ordering[Long].reverse)))
+  }
+
   test("q10 returns at most 20 customers ranked by returned revenue") {
     val rows = Analytics.q10Returns(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 20)
