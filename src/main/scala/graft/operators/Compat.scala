@@ -153,9 +153,56 @@ object Compat {
       .orderBy(col("subject"), col("version"))
   }
 
+  /** BACKWARD_TRANSITIVE over the corpus (modes.go; checker.go:39
+    * iterates ALL earlier versions, not just N-1). The naive
+    * formulation pairs every reader version with every earlier
+    * writer — O(V²) per subject, the shape that dies on long
+    * histories. Re-expressed as O(V) running aggregates per
+    * (subject, field): a reader field is incompatible with SOME
+    * earlier writer iff
+    *   - it is required and was absent from at least one earlier
+    *     version (presence count < version-1), or
+    *   - an earlier occurrence carried a conflicting type (running
+    *     per-type counts; int→bigint stays promotable), or
+    *   - it is required but some earlier writer declared it nullable
+    *     (running nullable count).
+    * One window shuffle total. The oracle states the same semantics
+    * pairwise (readers × earlier versions) — parity proves the
+    * rewrite.
+    */
+  def compatTransitive(s: SparkSession, dir: String): DataFrame = {
+    val fieldsDf = fieldArrays(s, dir)
+      .select(col("subject"), col("version"), explode(col("flds")).as("fld"))
+      .select(col("subject"), col("version"), col("fld.fname").as("fname"),
+        col("fld.ftype").as("ftype"), col("fld.fnull").as("fnull"))
+    val w = Window.partitionBy(col("subject"), col("fname")).orderBy(col("version"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    def cnt(cond: Column): Column =
+      coalesce(sum(when(cond, 1L).otherwise(0L)).over(w), lit(0L))
+    val enriched = fieldsDf
+      .withColumn("c_present", count(lit(1)).over(w))
+      .withColumn("c_int", cnt(col("ftype") === "int"))
+      .withColumn("c_bigint", cnt(col("ftype") === "bigint"))
+      .withColumn("c_string", cnt(col("ftype") === "string"))
+      .withColumn("c_null", cnt(col("fnull")))
+    val bad =
+      (!col("fnull") && col("c_present") < col("version") - 1) ||
+        (col("ftype") === "bigint" && col("c_string") > 0) ||
+        (col("ftype") === "int" && (col("c_bigint") > 0 || col("c_string") > 0)) ||
+        (col("ftype") === "string" && (col("c_int") > 0 || col("c_bigint") > 0)) ||
+        (!col("fnull") && col("c_null") > 0)
+    enriched.filter(col("version") > 1)
+      .groupBy(col("subject"), col("version"))
+      .agg(count(lit(1)).as("n_fields"),
+        sum(when(bad, 1L).otherwise(0L)).as("n_bad_fields"))
+      .withColumn("transitive_ok", col("n_bad_fields") === 0)
+      .orderBy(col("subject"), col("version"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "compat_check" -> checkBattery,
-    "compat_scan" -> compatScan)
+    "compat_scan" -> compatScan,
+    "compat_transitive" -> compatTransitive)
 
   /** Expected verdicts, hand-traced through the reference rules:
     * case 4: old reader requires `id` (non-nullable) which the new
@@ -205,5 +252,24 @@ object Compat {
         |      OR (w_ftype IS NOT NULL AND ftype <> w_ftype AND NOT (w_ftype = 'int' AND ftype = 'bigint'))
         |      OR (w_ftype IS NOT NULL AND NOT fnull AND w_fnull) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
         |  FROM joined GROUP BY subject, version)
-        |ORDER BY subject, version""".stripMargin)
+        |ORDER BY subject, version""".stripMargin,
+    "compat_transitive" ->
+      s"""WITH $fieldModelCte,
+        |versions AS (SELECT DISTINCT subject, version FROM fields),
+        |pairs AS (
+        |  SELECT rf.subject, rf.version AS rv, rf.fname, rf.ftype, rf.fnull,
+        |         wf.ftype AS w_ftype, wf.fnull AS w_fnull
+        |  FROM fields rf
+        |  JOIN versions wv ON wv.subject = rf.subject AND wv.version < rf.version
+        |  LEFT JOIN fields wf ON wf.subject = rf.subject
+        |    AND wf.version = wv.version AND wf.fname = rf.fname),
+        |badf AS (
+        |  SELECT subject, rv AS version, fname,
+        |    max(CASE WHEN (w_ftype IS NULL AND NOT fnull)
+        |      OR (w_ftype IS NOT NULL AND ftype <> w_ftype AND NOT (w_ftype = 'int' AND ftype = 'bigint'))
+        |      OR (w_ftype IS NOT NULL AND NOT fnull AND w_fnull) THEN 1 ELSE 0 END) AS bad
+        |  FROM pairs GROUP BY subject, rv, fname)
+        |SELECT subject, version, count(*) AS n_fields,
+        |  CAST(sum(bad) AS BIGINT) AS n_bad_fields, sum(bad) = 0 AS transitive_ok
+        |FROM badf GROUP BY subject, version ORDER BY subject, version""".stripMargin)
 }

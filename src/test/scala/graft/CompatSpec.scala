@@ -104,4 +104,21 @@ class CompatSpec extends SparkSpec {
     assert(verdicts == Map(1 -> true, 2 -> false, 3 -> true, 4 -> false, 5 -> true,
       6 -> false, 7 -> true, 8 -> false, 9 -> false, 10 -> true))
   }
+
+  test("transitive mode is at least as strict as the N-vs-N-1 scan") {
+    import org.apache.spark.sql.functions.col
+    val scan = operators.Compat.compatScan(spark, sfDir)
+      .select(col("subject"), col("version"), col("compatible"))
+    val trans = operators.Compat.compatTransitive(spark, sfDir)
+      .select(col("subject"), col("version"), col("transitive_ok"))
+    assert(trans.count() == scan.count())
+    // transitive_ok ⇒ compatible vs N-1 (the predecessor is one of the writers)
+    val contradictions = trans.join(scan, Seq("subject", "version"))
+      .filter(col("transitive_ok") && !col("compatible")).count()
+    assert(contradictions == 0)
+    // and strictly stricter somewhere on this corpus
+    val stricter = trans.join(scan, Seq("subject", "version"))
+      .filter(!col("transitive_ok") && col("compatible")).count()
+    assert(stricter > 0, "expected at least one version that passes N-1 but fails transitive")
+  }
 }
