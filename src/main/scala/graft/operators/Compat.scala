@@ -153,6 +153,35 @@ object Compat {
       .orderBy(col("subject"), col("version"))
   }
 
+  /** FORWARD mode over the corpus (modes.go: old readers must cope
+    * with data written by the NEW version). Same single-window scan
+    * as [[compatScan]] with the roles swapped: the N-1 fields are
+    * the reader (exploded), probed against the current version's
+    * writer array. Promotion direction flips accordingly (writer
+    * int → reader bigint stays legal).
+    */
+  def compatForwardScan(s: SparkSession, dir: String): DataFrame = {
+    val versioned = fieldArrays(s, dir).filter(col("version") > 1)
+    val perField = versioned.select(
+      col("subject"), col("version"), col("flds"), explode(col("w_flds")).as("rfld"))
+    val wf = get(filter(col("flds"), x => x("fname") === col("rfld.fname")), lit(0))
+    val joined = perField.select(
+      col("subject"), col("version"),
+      col("rfld.ftype").as("rtype"), col("rfld.fnull").as("rnull"),
+      wf("ftype").as("w_type"), wf("fnull").as("w_null"))
+    val promotable = col("w_type") === "int" && col("rtype") === "bigint"
+    val violation =
+      (col("w_type").isNull && !col("rnull")) ||
+        (col("w_type").isNotNull && col("rtype") =!= col("w_type") && !promotable) ||
+        (col("w_type").isNotNull && !col("rnull") && col("w_null"))
+    joined
+      .groupBy(col("subject"), col("version"))
+      .agg(count(lit(1)).as("n_reader_fields"),
+        sum(when(violation, 1L).otherwise(0L)).as("n_violations"))
+      .withColumn("forward_ok", col("n_violations") === 0)
+      .orderBy(col("subject"), col("version"))
+  }
+
   /** BACKWARD_TRANSITIVE over the corpus (modes.go; checker.go:39
     * iterates ALL earlier versions, not just N-1). The naive
     * formulation pairs every reader version with every earlier
@@ -202,6 +231,7 @@ object Compat {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "compat_check" -> checkBattery,
     "compat_scan" -> compatScan,
+    "compat_forward_scan" -> compatForwardScan,
     "compat_transitive" -> compatTransitive)
 
   /** Expected verdicts, hand-traced through the reference rules:
@@ -253,6 +283,24 @@ object Compat {
         |      OR (w_ftype IS NOT NULL AND NOT fnull AND w_fnull) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
         |  FROM joined GROUP BY subject, version)
         |ORDER BY subject, version""".stripMargin,
+    "compat_forward_scan" ->
+      s"""WITH $fieldModelCte,
+        |maxv AS (SELECT subject, max(version) AS mv FROM fields GROUP BY subject),
+        |joined AS (
+        |  SELECT r.subject, r.version + 1 AS version, r.ftype AS rtype, r.fnull AS rnull,
+        |         w.ftype AS w_type, w.fnull AS w_null
+        |  FROM fields r
+        |  JOIN maxv ON maxv.subject = r.subject AND r.version < maxv.mv
+        |  LEFT JOIN fields w ON w.subject = r.subject
+        |    AND w.version = r.version + 1 AND w.fname = r.fname)
+        |SELECT subject, version, count(*) AS n_reader_fields,
+        |  CAST(sum(CASE WHEN (w_type IS NULL AND NOT rnull)
+        |    OR (w_type IS NOT NULL AND rtype <> w_type AND NOT (w_type = 'int' AND rtype = 'bigint'))
+        |    OR (w_type IS NOT NULL AND NOT rnull AND w_null) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+        |  sum(CASE WHEN (w_type IS NULL AND NOT rnull)
+        |    OR (w_type IS NOT NULL AND rtype <> w_type AND NOT (w_type = 'int' AND rtype = 'bigint'))
+        |    OR (w_type IS NOT NULL AND NOT rnull AND w_null) THEN 1 ELSE 0 END) = 0 AS forward_ok
+        |FROM joined GROUP BY subject, version ORDER BY subject, version""".stripMargin,
     "compat_transitive" ->
       s"""WITH $fieldModelCte,
         |versions AS (SELECT DISTINCT subject, version FROM fields),
