@@ -23,13 +23,18 @@ object Bench {
     // measured query isn't charged for it.
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
+    // Returns (seconds, post-execution plan string): with AQE the
+    // final plan (real joins picked, codegen stages marked "*(n)")
+    // only exists on the QueryExecution AFTER materialization.
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, (Double, String)] = {
       val t0 = System.nanoTime()
       // toRdd materializes every output column — count() would let
       // Catalyst prune expensive projections and under-report.
       try {
-        fn(spark, sfDir).queryExecution.toRdd.count()
-        Right((System.nanoTime() - t0) / 1e9)
+        val qe = fn(spark, sfDir).queryExecution
+        qe.toRdd.count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        Right((secs, qe.executedPlan.toString))
       } catch {
         case e: Throwable => Left(e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(200))
       }
@@ -51,8 +56,9 @@ object Bench {
       spark.catalog.clearCache()
       val warm = if (cold.isRight) run(fn) else cold
       spark.catalog.clearCache()
-      val best = for { c <- cold; w <- warm } yield math.min(c, w)
-      (name, cold, best)
+      val coldT = cold.map(_._1)
+      val best = for { c <- coldT; w <- warm.map(_._1) } yield math.min(c, w)
+      (name, coldT, best, cold.map(_._2).getOrElse(""))
     }
     // minimal-width rendering: 0.50 → "0.5", 1.00 → "1" (valid JSON,
     // saves ~1 char/query against the tail-window budget)
@@ -63,10 +69,10 @@ object Bench {
     }
     def esc(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"").replaceAll("[\\x00-\\x1f]", " ")
-    def qmap(dp: Int, pick: ((String, Either[String, Double], Either[String, Double])) => Either[String, Double]): String =
+    def qmap(dp: Int, pick: ((String, Either[String, Double], Either[String, Double], String)) => Either[String, Double]): String =
       results.map { r => "\"" + r._1 + "\":" + pick(r).fold(_ => "-1", fmt(_, dp)) }
         .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Left(m)) => "\"" + k + "\":\"" + esc(m) + "\"" }
+    val errs = results.collect { case (k, _, Left(m), _) => "\"" + k + "\":\"" + esc(m) + "\"" }
       .mkString("{", ",", "}")
     // An errored query must not silently improve the headline total.
     val anyErr = results.exists(_._3.isLeft)
@@ -95,8 +101,25 @@ object Bench {
       else byTimeDesc.take(keep).map(_._1) :+
         ("\"other\":" + fmt(byTimeDesc.drop(keep).map(_._2).sum, 2))
     val compact = line(entries)
+    // Static plan-shape metrics per query (shuffle exchanges,
+    // broadcast exchanges, whole-stage-codegen spans): the evidence
+    // behind SURVEY §4's claims, recorded next to the timings so a
+    // regression in plan shape is visible without re-deriving plans.
+    val planMetrics = results.map { case (name, _, _, pRaw) =>
+      // post-execution AdaptiveSparkPlan prints "== Current Plan ==" +
+      // "== Initial Plan ==" — count only the current (final) section
+      val p = pRaw.split("== Initial Plan ==").head
+      val m = if (p.isEmpty) "null" else {
+        val sh = "[+:]- Exchange ".r.findAllIn(p).size
+        val bc = "[+:]- BroadcastExchange ".r.findAllIn(p).size
+        // simple-string plans mark codegen stages as "*(n) Operator"
+        val ws = "\\*\\(\\d+\\)".r.findAllIn(p).toSet.size
+        s"""{"sh":$sh,"bc":$bc,"ws":$ws}"""
+      }
+      "\"" + name + "\":" + m
+    }.mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${fmt(total, 6)},"unit":"sec","queries":${qmap(6, _._3)},"cold":${qmap(6, _._2)},"errors":$errs,"sf":"$sfDir","cpus":$cpus}"""
+      s"""{"metric":"total","value":${fmt(total, 6)},"unit":"sec","queries":${qmap(6, _._3)},"cold":${qmap(6, _._2)},"plans":$planMetrics,"errors":$errs,"sf":"$sfDir","cpus":$cpus}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes("UTF-8"))
     spark.stop()
