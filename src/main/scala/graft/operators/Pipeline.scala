@@ -305,7 +305,43 @@ object Pipeline {
       .orderBy(col("cluster_id"))
   }
 
+  /** Token-balanced output-shard planning: assign documents (in
+    * deterministic doc_id order) to shards of ~4096 tokens — the
+    * step that sizes training-data files. A global ordered cumsum is
+    * the naive formulation, and a single global window is the 100 TB
+    * trap (one task sorts everything). Distributed prefix sum
+    * instead: contiguous doc_id ranges form buckets; per-bucket token
+    * totals (one partial-agg shuffle over ~n/1000 rows) get a running
+    * offset via a window over the TINY rollup only, broadcast back,
+    * and each row's global cumsum is offset + its within-bucket
+    * cumsum (a bucket-keyed window). No global sort ever touches the
+    * corpus. Oracle states the naive global-window formulation —
+    * parity proves the decomposition.
+    */
+  def tokShardPlan(s: SparkSession, dir: String): DataFrame = {
+    val budget = 4096.0
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("bigint").as("tok"))
+      .withColumn("bucket", floor(col("doc_id") / 1000).cast("bigint"))
+    val wBuckets = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = toks.groupBy(col("bucket")).agg(sum(col("tok")).as("btok"))
+      .withColumn("offset", coalesce(sum(col("btok")).over(wBuckets), lit(0L)))
+      .select(col("bucket").as("ob"), col("offset"))
+    val wInBucket = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("incum", sum(col("tok")).over(wInBucket))
+      .join(broadcast(offsets), col("bucket") === col("ob"))
+      .withColumn("shard_id",
+        floor((col("offset") + col("incum") - col("tok")) / budget).cast("bigint"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+      .orderBy(col("shard_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tok_shard_plan" -> tokShardPlan,
     "corpus_stats" -> corpusStats,
     "dedup_survivors" -> dedupSurvivors,
     "text_logprob" -> textLogprob,
@@ -385,6 +421,14 @@ object Pipeline {
         |  UNION ALL SELECT 's3_dedup', CAST(sum(CAST(f1 AND f2 AND f3 AS INT)) AS BIGINT) FROM f
         |  UNION ALL SELECT 's4_sample', CAST(sum(CAST(f1 AND f2 AND f3 AND f4 AS INT)) AS BIGINT) FROM f) u
         |ORDER BY stage""".stripMargin,
+    "tok_shard_plan" ->
+      """SELECT shard_id, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens FROM (
+        |  SELECT doc_id, tok,
+        |    CAST(floor((CAST(sum(tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - tok)
+        |      / 4096.0) AS BIGINT) AS shard_id
+        |  FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |        FROM documents) t) p
+        |GROUP BY shard_id ORDER BY shard_id""".stripMargin,
     "corpus_stats" ->
       """SELECT source, lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,

@@ -178,4 +178,25 @@ class PipelineSpec extends SparkSpec {
       assert(r.getAs[Long]("n_dropped") == sizes(r.getAs[Long]("cluster_id")) - 1)
     }
   }
+
+  test("tok shard plan: shards partition the corpus and stay near the token budget") {
+    val rows = Pipeline.tokShardPlan(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val totalDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(totalDocs == Tables.documents(spark, sfDir).count())
+    // shard ids are dense from 0
+    val ids = rows.map(_.getAs[Long]("shard_id"))
+    assert(ids.head == 0 && ids.sameElements(ids.sorted))
+    // every shard except possibly the last crosses the budget boundary
+    // only via its final doc: n_tokens >= 4096 - max doc length is a
+    // loose invariant; assert non-last shards hold >= 1 doc and the
+    // global token sum matches
+    val totalToks = rows.map(_.getAs[Long]("n_tokens")).sum
+    val expected = Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")).cast("long"))
+      .collect().map(_.getLong(0)).sum
+    assert(totalToks == expected)
+  }
 }
