@@ -100,15 +100,21 @@ case class AsOfJoinExec(
       lIter.map { lRow =>
         val k = lKeyB.eval(lRow)
         val t = lTimeB.eval(lRow)
-        var scanning = rCur != null
+        // SQL join semantics: a null probe key or time matches
+        // nothing; null build keys are skipped (sorted first,
+        // discarded below). Build-side null times sort first and can
+        // never exceed a non-null probe time comparison guard.
+        var scanning = k != null && t != null && rCur != null
         while (scanning) {
           val rk = rKeyB.eval(rCur)
-          val kc = keyOrd.compare(rk, k)
-          if (kc < 0) {
-            // build rows for keys the probe has moved past — discard
+          val kc = if (rk == null) -1 else keyOrd.compare(rk, k)
+          lazy val rt = if (kc == 0) rTimeB.eval(rCur) else null
+          if (kc < 0 || (kc == 0 && rt == null)) {
+            // keys the probe moved past, or null build times (sorted
+            // first under Ascending, can never qualify) — discard
             rCur = if (rIter.hasNext) rIter.next() else null
             scanning = rCur != null
-          } else if (kc == 0 && timeOrd.compare(rTimeB.eval(rCur), t) <= 0) {
+          } else if (kc == 0 && timeOrd.compare(rt, t) <= 0) {
             // qualifying row; later qualifying rows overwrite, so the
             // buffered one is always the max (time, tiebreak) ≤ t
             bufKey = rk
@@ -119,7 +125,7 @@ case class AsOfJoinExec(
             scanning = false
           }
         }
-        val matched = bufRow != null && keyOrd.compare(bufKey, k) == 0
+        val matched = k != null && t != null && bufRow != null && keyOrd.compare(bufKey, k) == 0
         project(joined(lRow, if (matched) bufRow else nullRight))
       }
     }

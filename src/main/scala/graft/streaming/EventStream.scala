@@ -28,6 +28,18 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
       .select(col("w.start").as("hour"), col("event_type"), col("n_events"), col("total_value"))
 
+  /** Sliding (hopping) windowed counts — 10-minute windows every
+    * 5 minutes, so each event feeds exactly two windows. Identical
+    * code path batch and streaming; on a stream, watermarking bounds
+    * the open-window state to (watermark horizon / slide) windows
+    * per key.
+    */
+  def hoppingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n_events"))
+
   /** Ingest dedup for at-least-once delivery: collapse redelivered
     * events on their (user_id, event_type, minute) idempotency key.
     * Only the key columns are projected, so the "keep an arbitrary

@@ -36,6 +36,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hopping windows stream with watermark and agree with the batch face") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val data = Seq(
+      (1L, ts(2), "click", 1.0), (2L, ts(7), "click", 1.0),
+      (3L, ts(12), "view", 1.0), (4L, ts(31), "click", 1.0))
+    val stream = MemoryStream[(Long, Timestamp, String, Double)]
+    val streamDf = stream.toDF().toDF("event_id", "ts", "event_type", "value")
+      .withWatermark("ts", "10 minutes")
+    val q = EventStream.hoppingCounts(streamDf)
+      .writeStream.format("memory").queryName("hop_counts")
+      .outputMode("complete").start()
+    try {
+      stream.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hop_counts")
+        .orderBy("win_start", "event_type").collect()
+      val batch = EventStream.hoppingCounts(
+        data.toDF("event_id", "ts", "event_type", "value"))
+        .orderBy("win_start", "event_type").collect()
+      assert(streamed.toSeq == batch.toSeq)
+      // each event lands in exactly two windows
+      assert(streamed.map(_.getAs[Long]("n_events")).sum == 2 * data.length)
+    } finally q.stop()
+  }
+
   test("stateful sessionization splits on 30-minute gaps across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
