@@ -177,7 +177,7 @@ object Audit {
       .when(col("k") % lit(6) === 2, concat(lit("/subjects/"), et))
       .when(col("k") % lit(6) === 3, concat(lit("/schemas/ids/"), uid))
       .when(col("k") % lit(6) === 4,
-        concat(lit("/contexts/ctx"), col("user_id") % lit(5).cast("string"),
+        concat(lit("/contexts/ctx"), (col("user_id") % lit(5)).cast("string"),
           lit("/subjects/"), et, lit("/versions/"), col("k").cast("string")))
       .otherwise(concat(lit("/mode/"), et))
     val inner = when(col("path").startsWith("/contexts/"),
@@ -254,10 +254,7 @@ object Audit {
     * grids.
     */
   def rateHopping(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"))
-      .select(col("w.start").as("win_start"), col("event_type"), col("n_events"))
+    graft.streaming.EventStream.hoppingCounts(Tables.events(s, dir))
       .orderBy(col("win_start"), col("event_type"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -82,7 +82,7 @@ object Multimodal {
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .select(col("doc_id"), col("payload"),
         explode(expr(
-          "sequence(cast(0 as bigint), cast(ceil(length(payload) / 32.0) as bigint) - 1)"))
+          "CASE WHEN length(payload) > 0 THEN sequence(cast(0 as bigint), cast(ceil(length(payload) / 32.0) as bigint) - 1) ELSE array() END"))
           .as("frame_id"))
       .where(col("frame_id") % 4 === 0)
       .withColumn("fs", expr("decode(substring(payload, cast(frame_id * 32 + 1 as int), 32), 'UTF-8')"))
@@ -107,7 +107,7 @@ object Multimodal {
     Tables.spread(Tables.documents(s, dir))
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .select(col("payload"), explode(expr(
-        "sequence(cast(0 as bigint), cast(ceil(length(payload) / 64.0) as bigint) - 1)")).as("i"))
+        "CASE WHEN length(payload) > 0 THEN sequence(cast(0 as bigint), cast(ceil(length(payload) / 64.0) as bigint) - 1) ELSE array() END")).as("i"))
       .select(md5(expr("substring(payload, cast(i * 64 + 1 as int), 64)")).as("block_hash"))
       .groupBy(col("block_hash")).agg(count(lit(1)).as("refs"))
       .agg(count(lit(1)).as("n_unique"),

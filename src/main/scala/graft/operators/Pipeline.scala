@@ -97,7 +97,7 @@ object Pipeline {
           when(col("lang") === "en", "4").otherwise("8")).cast("int").as("kept"))
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_total"), sum(col("kept")).as("n_sampled"))
-      .withColumn("rate", round(col("n_sampled") / col("n_total").cast("double"), 4))
+      .withColumn("rate", expr("floor(n_sampled / cast(n_total AS double) * 10000 + 0.5) / cast(10000 AS double)"))
       .orderBy(col("source"), col("lang"))
 
   /** Concat-then-chunk sequence packing (GPT-style pretraining): per

@@ -71,12 +71,12 @@ object Streaming {
         |GROUP BY 1, 2 ORDER BY segment, event_type""".stripMargin,
     "stream_sessions" ->
       """WITH m AS (
-        |  SELECT user_id, ts,
+        |  SELECT user_id, ts, event_type,
         |    CASE WHEN lag(ts) OVER w IS NULL
         |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS brk
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)),
         |s AS (SELECT user_id, ts,
-        |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_type ROWS UNBOUNDED PRECEDING) AS sid
         |      FROM m)
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)

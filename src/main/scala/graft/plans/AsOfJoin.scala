@@ -116,9 +116,12 @@ case class AsOfJoinExec(
             scanning = rCur != null
           } else if (kc == 0 && timeOrd.compare(rt, t) <= 0) {
             // qualifying row; later qualifying rows overwrite, so the
-            // buffered one is always the max (time, tiebreak) ≤ t
-            bufKey = rk
+            // buffered one is always the max (time, tiebreak) ≤ t.
+            // bufKey must be re-evaluated from the COPIED row: `rk`
+            // may alias the sort iterator's reused row buffer (e.g.
+            // UTF8String keys) and would mutate when rCur advances.
             bufRow = rCur.copy()
+            bufKey = rKeyB.eval(bufRow)
             rCur = if (rIter.hasNext) rIter.next() else null
             scanning = rCur != null
           } else {
