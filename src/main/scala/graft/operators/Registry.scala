@@ -370,6 +370,42 @@ object Registry {
       .orderBy(col("doc_id"))
   }
 
+  /** Schema importance over the reference graph — PageRank with 3
+    * fixed power iterations (damping 0.85, no dangling
+    * redistribution; deterministic, so the oracle can unroll the
+    * same three steps as chained CTEs). Each iteration is one
+    * contribution join (edges ⋈ ranks on the out-node, shuffle on
+    * doc_id) + one partial-agg sum — the canonical iterative-numeric
+    * Spark shape, complementing the set-based closure above.
+    * Output is N-normalized importance in exact 1/64000 units —
+    * see the grid note at the end of the method.
+    */
+  def pagerank(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val nRow = broadcast(docs.agg(count(lit(1)).cast("double").as("n")))
+    val edges = refEdges(s, dir)
+    val outdeg = edges.groupBy(col("child")).agg(count(lit(1)).cast("double").as("od"))
+    val e = edges.join(outdeg, "child")
+    var r = docs.crossJoin(nRow).select(col("doc_id"), (lit(1.0) / col("n")).as("pr"))
+    for (_ <- 1 to 3) {
+      val contrib = e.join(r.withColumnRenamed("doc_id", "child"), "child")
+        .groupBy(col("parent").as("doc_id"))
+        .agg(sum(col("pr") / col("od")).as("cs"))
+      r = docs.join(contrib, Seq("doc_id"), "left").crossJoin(nRow)
+        .select(col("doc_id"),
+          (lit(0.15) / col("n") + lit(0.85) * coalesce(col("cs"), lit(0.0))).as("pr"))
+    }
+    // Exact-grid output: with od ∈ {1,2} and damping 17/20, pr·N has
+    // denominator dividing 40³ = 64000, so pr·N·64000 is an integer in
+    // exact arithmetic; round-to-integer is then stable across engines
+    // (float error ~1e-9 of a unit) where any decimal rounding of the
+    // terminating-decimal values would sit exactly on .5 boundaries.
+    r.crossJoin(nRow)
+      .select(col("doc_id"),
+        round(col("pr") * col("n") * lit(64000), 0).cast("bigint").as("pr_units"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Subject-alias + version-spec resolution (registry_helpers.go:28
     * ResolveAlias — single-level, no chaining; :41 ParseVersion —
     * "latest"/"-1" → -1 sentinel, else positive integers only).
@@ -404,6 +440,7 @@ object Registry {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "reg_pagerank" -> pagerank,
     "reg_refs_closure" -> refsClosure,
     "reg_gc_candidates" -> gcCandidates,
     "reg_resolve_ref" -> resolveRef,
@@ -424,6 +461,34 @@ object Registry {
     "reg_export_filtered" -> exportFiltered)
 
   val oracleSql: Map[String, String] = Map(
+    "reg_pagerank" ->
+      """WITH docs AS (SELECT doc_id FROM documents),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM docs),
+        |edges AS (
+        |  SELECT doc_id AS child, CAST(floor(doc_id / 2) AS BIGINT) AS parent
+        |  FROM documents WHERE doc_id >= 1
+        |  UNION ALL
+        |  SELECT doc_id AS child, CAST(floor(doc_id / 3) AS BIGINT) AS parent
+        |  FROM documents WHERE doc_id >= 3 AND doc_id % 5 = 0),
+        |outdeg AS (SELECT child, CAST(count(*) AS DOUBLE) AS od FROM edges GROUP BY child),
+        |r0 AS (SELECT doc_id, 1.0 / (SELECT n FROM nn) AS pr FROM docs),
+        |c1 AS (SELECT e.parent AS doc_id, sum(r.pr / o.od) AS cs
+        |       FROM edges e JOIN outdeg o ON o.child = e.child
+        |       JOIN r0 r ON r.doc_id = e.child GROUP BY e.parent),
+        |r1 AS (SELECT d.doc_id, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c.cs, 0) AS pr
+        |       FROM docs d LEFT JOIN c1 c USING (doc_id)),
+        |c2 AS (SELECT e.parent AS doc_id, sum(r.pr / o.od) AS cs
+        |       FROM edges e JOIN outdeg o ON o.child = e.child
+        |       JOIN r1 r ON r.doc_id = e.child GROUP BY e.parent),
+        |r2 AS (SELECT d.doc_id, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c.cs, 0) AS pr
+        |       FROM docs d LEFT JOIN c2 c USING (doc_id)),
+        |c3 AS (SELECT e.parent AS doc_id, sum(r.pr / o.od) AS cs
+        |       FROM edges e JOIN outdeg o ON o.child = e.child
+        |       JOIN r2 r ON r.doc_id = e.child GROUP BY e.parent),
+        |r3 AS (SELECT d.doc_id, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c.cs, 0) AS pr
+        |       FROM docs d LEFT JOIN c3 c USING (doc_id))
+        |SELECT doc_id, CAST(round(pr * (SELECT n FROM nn) * 64000, 0) AS BIGINT) AS pr_units
+        |FROM r3 ORDER BY doc_id""".stripMargin,
     "reg_refs_closure" ->
       """WITH RECURSIVE edges AS (
         |  SELECT doc_id AS child, CAST(floor(doc_id / 2) AS BIGINT) AS parent

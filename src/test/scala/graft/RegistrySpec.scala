@@ -62,6 +62,22 @@ class RegistrySpec extends SparkSpec {
     assert(!d0.getAs[Boolean]("gc_ok") && d0.getAs[Long]("n_live_dependents") > 0)
   }
 
+  test("pagerank: root accumulates the most importance, mass is conserved") {
+    val rows = Registry.pagerank(spark, sfDir).collect()
+    assert(rows.length == Tables.documents(spark, sfDir).count())
+    val byId = rows.map(r => r.getLong(0) -> r.getAs[Long]("pr_units")).toMap
+    // after 3 iterations mass has flowed to the near-root hubs: the
+    // max importance sits on doc 0 or 1, far above the damping floor
+    val top = byId.maxBy(_._2)._1
+    assert(top == 0L || top == 1L)
+    assert(byId(0L) > 5 * 9600L)
+    // un-referenced leaves sit at the 0.15 damping floor (9600/64000)
+    assert(byId.values.min == 9600L)
+    // total importance ≈ N × 64000 minus dangling leakage: bounded above
+    val total = byId.values.map(BigInt(_)).sum
+    assert(total <= BigInt(rows.length) * 64000L)
+  }
+
   test("resolve ref: aliases rewrite subjects, version specs parse per reference rules") {
     val rows = Registry.resolveRef(spark, sfDir).collect()
     val subjects = rows.map(_.getAs[String]("resolved_subject")).toSet
