@@ -257,7 +257,27 @@ object Audit {
     graft.streaming.EventStream.hoppingCounts(Tables.events(s, dir))
       .orderBy(col("win_start"), col("event_type"))
 
+  /** Retention cohorts over the audit stream: users grouped by their
+    * first-activity week, counted in each subsequent active week —
+    * the registry-adoption dashboard query. Two user_id-keyed partial
+    * aggregates (first week, distinct active weeks) and one
+    * cohort-keyed rollup; the user dimension never fans out.
+    */
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    val wk = to_date(date_trunc("week", col("ts")))
+    val first = Tables.events(s, dir)
+      .groupBy(col("user_id")).agg(min(wk).as("cohort"))
+    val activity = Tables.events(s, dir)
+      .select(col("user_id"), wk.as("wk")).distinct()
+    activity.join(first, "user_id")
+      .groupBy(col("cohort"),
+        (datediff(col("wk"), col("cohort")) / 7).cast("bigint").as("week_n"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort"), col("week_n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "audit_retention" -> retention,
     "metrics_rate_hop" -> rateHopping,
     "metrics_outliers" -> metricsOutliers,
     "audit_funnel" -> funnel,
@@ -274,6 +294,15 @@ object Audit {
     "metrics_rate_1m" -> rate1m)
 
   val oracleSql: Map[String, String] = Map(
+    "audit_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, min(date_trunc('week', ts)) AS cohort
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+        |SELECT cohort, CAST(date_diff('day', cohort, wk) / 7 AS BIGINT) AS week_n,
+        |  count(*) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY cohort, week_n ORDER BY cohort, week_n""".stripMargin,
     "metrics_rate_hop" ->
       """WITH g AS (
         |  SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start, event_type FROM events

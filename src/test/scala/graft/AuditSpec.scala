@@ -81,6 +81,39 @@ class AuditSpec extends SparkSpec {
     }
   }
 
+  test("daily rollup is incrementally maintainable: merge(agg(old), agg(delta)) == agg(full)") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir)
+    val cut = lit("2024-01-15").cast("timestamp")
+    def rollup(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+    val merged = rollup(ev.filter(col("ts") < cut))
+      .unionByName(rollup(ev.filter(col("ts") >= cut)))
+      .groupBy(col("day"), col("event_type"))
+      .agg(sum(col("n_events")).as("n_events"))
+      .orderBy(col("day"), col("event_type"))
+      .collect().map(r => (r.getDate(0), r.getString(1), r.getLong(2)))
+    val full = Audit.countsDaily(spark, sfDir)
+      .collect().map(r => (r.getDate(0), r.getString(1), r.getLong(2)))
+    assert(merged.sameElements(full))
+  }
+
+  test("retention cohorts: week-0 count equals the cohort population") {
+    val rows = Audit.retention(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getDate(0))
+    byCohort.values.foreach { ws =>
+      val w0 = ws.find(_.getAs[Long]("week_n") == 0L).get.getAs[Long]("n_users")
+      // week 0 is the max: every cohort member is active in their first week
+      assert(ws.forall(_.getAs[Long]("n_users") <= w0))
+    }
+    val total = byCohort.map { case (_, ws) =>
+      ws.find(_.getAs[Long]("week_n") == 0L).get.getAs[Long]("n_users") }.sum
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(total == users)
+  }
+
   test("audit funnel: stages are monotonically non-increasing") {
     val r = Audit.funnel(spark, sfDir).head()
     val (u, v, c, f) = (r.getAs[Long]("n_users"), r.getAs[Long]("n_viewed"),
