@@ -406,6 +406,46 @@ object Registry {
       .orderBy(col("doc_id"))
   }
 
+  /** Catalog health report — the data-quality constraint scan a
+    * registry-backed catalog runs nightly (the relational face of
+    * ValidateSchema registry.go:1053 plus referential guarantees the
+    * serving registry enforces transactionally): FK integrity via
+    * anti joins (shuffle on the key, dimension sides broadcast),
+    * key uniqueness via a partial-agg groupBy, payload validity and
+    * derived-column consistency as pushed row-local filters. Each
+    * check reports (checked, violations, pass) — a healthy corpus
+    * yields zeros, and the count columns prove the checks ran.
+    */
+  def dqChecks(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+    val cust = Tables.customer(s, dir)
+    val li = Tables.lineitem(s, dir)
+    val ev = Tables.events(s, dir)
+    val docs = Tables.documents(s, dir)
+    val part = Tables.part(s, dir)
+    def report(name: String, checked: DataFrame, viol: DataFrame): DataFrame =
+      checked.agg(count(lit(1)).as("n_checked"))
+        .crossJoin(viol.agg(count(lit(1)).as("n_violations")))
+        .select(lit(name).as("check_name"), col("n_checked"), col("n_violations"),
+          (col("n_violations") === 0).as("pass"))
+    report("fk_orders_customer", ord,
+        ord.join(broadcast(cust.select(col("c_custkey"))),
+          col("o_custkey") === col("c_custkey"), "left_anti"))
+      .unionByName(report("fk_lineitem_orders", li,
+        li.join(ord.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")))
+      .unionByName(report("fk_lineitem_part", li,
+        li.join(broadcast(part.select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"), "left_anti")))
+      .unionByName(report("uniq_customer_key", cust,
+        cust.groupBy(col("c_custkey")).agg(count(lit(1)).as("c")).filter(col("c") > 1)))
+      .unionByName(report("json_props_valid", ev,
+        ev.filter(get_json_object(col("props"), "$.k").isNull)))
+      .unionByName(report("docs_nchars_consistent", docs,
+        docs.filter(col("n_chars") =!= length(col("text")))))
+      .orderBy(col("check_name"))
+  }
+
   /** Subject-alias + version-spec resolution (registry_helpers.go:28
     * ResolveAlias — single-level, no chaining; :41 ParseVersion —
     * "latest"/"-1" → -1 sentinel, else positive integers only).
@@ -440,6 +480,7 @@ object Registry {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_checks" -> dqChecks,
     "reg_pagerank" -> pagerank,
     "reg_refs_closure" -> refsClosure,
     "reg_gc_candidates" -> gcCandidates,
@@ -461,6 +502,37 @@ object Registry {
     "reg_export_filtered" -> exportFiltered)
 
   val oracleSql: Map[String, String] = Map(
+    "dq_checks" ->
+      """SELECT check_name, n_checked, n_violations, n_violations = 0 AS pass FROM (
+        |  SELECT 'fk_orders_customer' AS check_name,
+        |    (SELECT count(*) FROM orders) AS n_checked,
+        |    (SELECT count(*) FROM orders
+        |     WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS n_violations
+        |  UNION ALL
+        |  SELECT 'fk_lineitem_orders',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem
+        |     WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |  UNION ALL
+        |  SELECT 'fk_lineitem_part',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem
+        |     WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+        |  UNION ALL
+        |  SELECT 'uniq_customer_key',
+        |    (SELECT count(*) FROM customer),
+        |    (SELECT count(*) FROM (
+        |       SELECT c_custkey FROM customer GROUP BY c_custkey HAVING count(*) > 1) d)
+        |  UNION ALL
+        |  SELECT 'json_props_valid',
+        |    (SELECT count(*) FROM events),
+        |    (SELECT count(*) FROM events
+        |     WHERE json_extract_string(props, '$.k') IS NULL)
+        |  UNION ALL
+        |  SELECT 'docs_nchars_consistent',
+        |    (SELECT count(*) FROM documents),
+        |    (SELECT count(*) FROM documents WHERE n_chars <> length(text))) t
+        |ORDER BY check_name""".stripMargin,
     "reg_pagerank" ->
       """WITH docs AS (SELECT doc_id FROM documents),
         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM docs),

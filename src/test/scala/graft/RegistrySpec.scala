@@ -62,6 +62,16 @@ class RegistrySpec extends SparkSpec {
     assert(!d0.getAs[Boolean]("gc_ok") && d0.getAs[Long]("n_live_dependents") > 0)
   }
 
+  test("dq checks: all six constraints hold and checked counts match table sizes") {
+    val rows = Registry.dqChecks(spark, sfDir).collect()
+    assert(rows.length == 6)
+    assert(rows.forall(_.getAs[Boolean]("pass")))
+    assert(rows.forall(_.getAs[Long]("n_violations") == 0L))
+    val byName = rows.map(r => r.getString(0) -> r.getAs[Long]("n_checked")).toMap
+    assert(byName("fk_orders_customer") == Tables.orders(spark, sfDir).count())
+    assert(byName("docs_nchars_consistent") == Tables.documents(spark, sfDir).count())
+  }
+
   test("pagerank: root accumulates the most importance, mass is conserved") {
     val rows = Registry.pagerank(spark, sfDir).collect()
     assert(rows.length == Tables.documents(spark, sfDir).count())
