@@ -52,7 +52,11 @@ object Tables {
   def spread(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     val n = s.conf.getOption("graft.spread.partitions")
-      .map(_.toInt)
+      .map { v =>
+        val parsed = v.toIntOption.filter(_ > 0)
+        require(parsed.nonEmpty, s"graft.spread.partitions must be a positive int, got '$v'")
+        parsed.get
+      }
       .getOrElse(s.sessionState.conf.numShufflePartitions)
     df.repartition(n)
   }

@@ -202,7 +202,7 @@ object Analysis {
         |  UNION ALL SELECT 'meta.sev', 'number', count(*) FROM events WHERE value > 10
         |  UNION ALL SELECT 'props', 'object', count(*) FROM events
         |  UNION ALL SELECT 'props.k', 'number', count(*) FROM events
-        |    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+        |    WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
         |  UNION ALL SELECT 'usr', 'number', count(*) FROM events WHERE user_id % 3 <> 0
         |) WHERE n > 0 ORDER BY path, jtype""".stripMargin,
     "an_fuzzy_candidates" ->
@@ -238,7 +238,7 @@ object Analysis {
     "an_field_extract" ->
       """SELECT event_type,
         |  round(avg(k), 4) AS avg_k, max(k) AS max_k, count(*) AS n
-        |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) t
+        |FROM (SELECT event_type, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) t
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "an_quality_score" ->
       """WITH scored AS (

@@ -364,7 +364,7 @@ object Audit {
         |    WHEN 4 THEN '/contexts/ctx' || (user_id % 5) || '/subjects/' || event_type || '/versions/' || k
         |    ELSE '/mode/' || event_type END AS path
         |  FROM (SELECT event_type, user_id,
-        |          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)),
+        |          TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)),
         |stripped AS (
         |  SELECT path,
         |    CASE WHEN path LIKE '/contexts/%'

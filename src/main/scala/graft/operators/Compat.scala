@@ -116,7 +116,7 @@ object Compat {
   private[operators] val fieldModelCte: String =
     """ev AS (
       |  SELECT user_id AS subject, ts, event_id,
-      |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       |  FROM events),
       |versioned AS (
       |  SELECT subject, k,
@@ -258,7 +258,7 @@ object Compat {
     "compat_scan" ->
       """WITH ev AS (
         |  SELECT user_id AS subject, ts, event_id,
-        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |  FROM events),
         |versioned AS (
         |  SELECT subject, k,

@@ -89,13 +89,15 @@ object Registry {
   /** LookupSchema by content (registry.go:553): canonical id per
     * content hash — md5 groupBy, min id wins (first registration).
     * The payload is canonicalized BEFORE hashing (internal/schema/
-    * canonicalization; registry.go hashes canonical form): leading/
-    * trailing whitespace trimmed and runs collapsed to one space, so
-    * formatting variants of the same schema collapse to one hash.
+    * canonicalization; registry.go hashes canonical form): runs of
+    * whitespace collapse to one space FIRST, then ends are trimmed —
+    * this order also strips leading/trailing tabs/newlines (trim()
+    * alone only removes spaces), so formatting variants of the same
+    * schema collapse to one hash.
     */
   def lookupByHash(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(md5(regexp_replace(trim(col("text")), "\\s+", " ")).as("content_hash"),
+      .select(md5(trim(regexp_replace(col("text"), "\\s+", " "))).as("content_hash"),
         col("doc_id"))
       .groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
@@ -647,7 +649,7 @@ object Registry {
         |  ON c_nationkey = ov_nationkey
         |ORDER BY c_custkey""".stripMargin,
     "reg_lookup_by_hash" ->
-      """SELECT md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS content_hash,
+      """SELECT md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash,
         |  min(doc_id) AS canonical_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
     "reg_referenced_by" ->
@@ -688,7 +690,7 @@ object Registry {
     "reg_rules_validate" ->
       """WITH rules AS (
         |  SELECT event_id, user_id,
-        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |  FROM events),
         |derived AS (
         |  SELECT
