@@ -340,7 +340,37 @@ object Pipeline {
       .orderBy(col("shard_id"))
   }
 
+  /** k-means assignment step (the E-step that follows
+    * [[embCentroids]]' M-step, and the recall-evaluation face of the
+    * IVF quantizer): every vector scores against the 10 broadcast
+    * label centroids (bounded 10× row expansion — the scale path for
+    * 10⁹ vectors routes through the IVF inverted lists instead), and
+    * the per-vector argmax rolls up into a label↔assigned confusion
+    * matrix. Cosine runs in the codegen'd graft_cosine expression;
+    * the oracle mirrors its exact index-order summation, so argmax
+    * ranks are bit-stable across engines.
+    */
+  def embAssign(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Native.register(s)
+    val cArr = embCentroids(s, dir)
+      .groupBy(col("label").as("c_label"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, centroid))), x -> x.centroid)")
+        .as("c_vec"))
+    val vecs = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("c_label"))
+    vecs.crossJoin(broadcast(cArr))
+      .withColumn("cos", expr("graft_cosine(v, c_vec)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("label"), col("c_label").as("assigned"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy(col("label"), col("assigned"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_assign" -> embAssign,
     "tok_shard_plan" -> tokShardPlan,
     "corpus_stats" -> corpusStats,
     "dedup_survivors" -> dedupSurvivors,
@@ -421,6 +451,26 @@ object Pipeline {
         |  UNION ALL SELECT 's3_dedup', CAST(sum(CAST(f1 AND f2 AND f3 AS INT)) AS BIGINT) FROM f
         |  UNION ALL SELECT 's4_sample', CAST(sum(CAST(f1 AND f2 AND f3 AND f4 AS INT)) AS BIGINT) FROM f) u
         |ORDER BY stage""".stripMargin,
+    "emb_assign" ->
+      """WITH cent AS (
+        |  SELECT label AS c_label, CAST(i AS BIGINT) AS dim,
+        |    round(avg(CAST(embedding[i] AS DOUBLE)), 4) + 0.0 AS centroid
+        |  FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t
+        |  GROUP BY label, dim),
+        |carr AS (SELECT c_label, list(centroid ORDER BY dim) AS c_vec FROM cent GROUP BY c_label),
+        |v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |      FROM embeddings),
+        |sc AS (
+        |  SELECT v.vec_id, v.label, c.c_label,
+        |    list_sum([v.v[i] * c.c_vec[i] for i in range(1, len(v.v) + 1)]) /
+        |    (sqrt(list_sum([x * x for x in v.v])) * sqrt(list_sum([x * x for x in c.c_vec]))) AS cos
+        |  FROM v, carr c),
+        |r AS (SELECT vec_id, label, c_label,
+        |        row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_label) AS rn
+        |      FROM sc)
+        |SELECT label, c_label AS assigned, count(*) AS n_vecs
+        |FROM r WHERE rn = 1
+        |GROUP BY label, assigned ORDER BY label, assigned""".stripMargin,
     "tok_shard_plan" ->
       """SELECT shard_id, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens FROM (
         |  SELECT doc_id, tok,

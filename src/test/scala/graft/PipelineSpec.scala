@@ -199,4 +199,15 @@ class PipelineSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sum
     assert(totalToks == expected)
   }
+
+  test("emb assign: every vector assigned once; diagonal dominates the confusion matrix") {
+    val rows = Pipeline.embAssign(spark, sfDir).collect()
+    val total = rows.map(_.getAs[Long]("n_vecs")).sum
+    assert(total == Tables.embeddings(spark, sfDir).count())
+    val diag = rows.filter(r => r.getAs[Int]("label") == r.getAs[Int]("assigned"))
+      .map(_.getAs[Long]("n_vecs")).sum
+    // the synthetic labels are noisy, but the diagonal must beat the
+    // 1/10 uniform-assignment baseline decisively
+    assert(diag.toDouble / total > 0.2, s"diagonal $diag of $total")
+  }
 }
