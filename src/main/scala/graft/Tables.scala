@@ -61,6 +61,18 @@ object Tables {
     df.repartition(n)
   }
 
+  /** Keyed variant of [[spread]]: hash-repartition on the given
+    * columns with the same conf-driven parallelism — the co-location
+    * shape pair-scoring joins need, without a hard-coded width.
+    */
+  def spreadBy(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame = {
+    val s = df.sparkSession
+    val n = s.conf.getOption("graft.spread.partitions")
+      .flatMap(_.toIntOption.filter(_ > 0))
+      .getOrElse(s.sessionState.conf.numShufflePartitions)
+    df.repartition(n, cols: _*)
+  }
+
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 

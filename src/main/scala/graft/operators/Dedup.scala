@@ -42,7 +42,7 @@ object Dedup {
   private def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
     graft.functions.Native.register(s)
     Tables.documents(s, dir)
-      .repartition(32)
+      .transform(Tables.spread)
       .selectExpr("doc_id", "split(text, ' ') AS ts")
       .where("size(ts) >= 3")
       .selectExpr("doc_id",
@@ -88,7 +88,7 @@ object Dedup {
   private def simhashChunks(s: SparkSession, dir: String): DataFrame = {
     graft.functions.Native.register(s)
     Tables.documents(s, dir)
-      .repartition(32)
+      .transform(Tables.spread)
       .selectExpr("doc_id", "graft_simhash64(split(text, ' ')) AS ch")
       .selectExpr("doc_id",
         "element_at(ch, 1) AS c0", "element_at(ch, 2) AS c1",
@@ -136,7 +136,7 @@ object Dedup {
     // would otherwise push `jaccard >= 0.3` into the join condition
     // AHEAD of the cheap doc_id conjunct, evaluating the expensive
     // expression on ~2× the pairs (measured 5.7s vs 1.4s at sf0.1).
-    val blocks = sh.repartition(32, col("lang"), col("len_bucket"))
+    val blocks = Tables.spreadBy(sh, col("lang"), col("len_bucket"))
     blocks.as("a").join(sh.as("b"),
         col("a.lang") === col("b.lang") && col("a.len_bucket") === col("b.len_bucket") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -154,7 +154,7 @@ object Dedup {
     graft.functions.Native.register(s)
     val e = Tables.embeddings(s, dir)
       .selectExpr("vec_id", "label", "cast(embedding AS array<double>) AS e")
-    e.repartition(32, col("label")).as("a").join(e.as("b"),
+    Tables.spreadBy(e, col("label")).as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .selectExpr("a.vec_id AS vec_a", "b.vec_id AS vec_b",
         "graft_cosine(a.e, b.e) AS cos")

@@ -41,7 +41,7 @@ object Multimodal {
     val width = 64 + n % 512
     val height = 64 + (n * 7) % 512
     val head = payload.take(16).map(b => (b & 0xff).toDouble)
-    val meanLuma = head.sum / head.length / 255.0
+    val meanLuma = if (head.isEmpty) 0.0 else head.sum / head.length / 255.0
     Row(docId, n, checksum, width, height, meanLuma)
   }
 
