@@ -117,7 +117,38 @@ object Multimodal {
         (floor(col("n_dedupable") / col("n_total").cast("double") * 10000 + 0.5) / lit(10000.0))
           .as("dedup_ratio"))
 
+  /** Audio-style windowed feature extraction: overlapping analysis
+    * windows (width 128 samples, hop 64 — the 50%-overlap STFT
+    * layout) over the payload, per-window RMS energy, rolled up to
+    * per-document statistics. Entirely row-local — window fan-out,
+    * the inner energy loop, and the per-doc rollup all happen inside
+    * one projection (no explode, no shuffle), so feature extraction
+    * parallelizes with the scan exactly like a 100 TB audio
+    * pipeline's first stage. Characters stand in for PCM samples
+    * (no codecs in the container); the windowing arithmetic is the
+    * real deliverable.
+    */
+  def audioWindows(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .withColumn("nwin", expr(
+        "CASE WHEN len >= 128 THEN cast(floor((len - 128) / 64) as bigint) + 1 ELSE cast(0 as bigint) END"))
+      .where(col("nwin") > 0)
+      .withColumn("energies", expr(
+        """transform(sequence(cast(0 as bigint), nwin - 1), w ->
+          |  sqrt(aggregate(sequence(1, 128),
+          |    cast(0 as double),
+          |    (a, j) -> a + pow(ascii(substring(text, cast(w * 64 + j as int), 1)), 2))
+          |    / cast(128 as double)) / cast(255 as double))""".stripMargin))
+      .select(col("doc_id"), col("nwin").as("n_windows"),
+        expr("floor(aggregate(energies, cast(0 as double), (a, x) -> a + x) / size(energies) * 10000 + 0.5) / cast(10000 as double)")
+          .as("rms_avg"),
+        expr("floor(array_max(energies) * 10000 + 0.5) / cast(10000 as double)")
+          .as("rms_max"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_audio_windows" -> audioWindows,
     "mm_meta_extract" -> metaExtract,
     "mm_blocks" -> blockDedup,
     "mm_frames" -> frameSample)
@@ -126,6 +157,23 @@ object Multimodal {
     * ASCII text: byte values == code points.
     */
   val oracleSql: Map[String, String] = Map(
+    "mm_audio_windows" ->
+      """WITH w AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(text) >= 128
+        |         THEN CAST(floor((length(text) - 128) / 64) AS BIGINT) + 1
+        |         ELSE CAST(0 AS BIGINT) END AS nwin
+        |  FROM documents)
+        |SELECT doc_id, nwin AS n_windows,
+        |  floor(list_sum(energies) / len(energies) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS rms_avg,
+        |  floor(list_max(energies) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS rms_max
+        |FROM (
+        |  SELECT doc_id, nwin,
+        |    [sqrt(list_sum([pow(ascii(substring(text, CAST(w * 64 + j AS INT), 1)), 2)
+        |                    for j in range(1, 129)]) / CAST(128 AS DOUBLE)) / CAST(255 AS DOUBLE)
+        |     for w in range(0, nwin)] AS energies
+        |  FROM w WHERE nwin > 0) t
+        |ORDER BY doc_id""".stripMargin,
     "mm_blocks" ->
       """WITH b AS (
         |  SELECT doc_id, md5(substr(text, CAST(i*64+1 AS INT), 64)) AS block_hash

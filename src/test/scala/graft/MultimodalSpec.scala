@@ -71,4 +71,22 @@ class MultimodalSpec extends SparkSpec {
     assert(total == expected)
     assert(r.getAs[Double]("dedup_ratio") >= 0 && r.getAs[Double]("dedup_ratio") < 1)
   }
+
+  test("audio windows: counts follow the hop arithmetic, energies normalized") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Multimodal.audioWindows(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val lens = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), length(col("text")).as("len")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("len")).toMap
+    rows.foreach { r =>
+      val len = lens(r.getLong(0))
+      val expected = if (len >= 128) (len - 128) / 64 + 1 else 0
+      assert(r.getAs[Long]("n_windows") == expected)
+      assert(r.getAs[Double]("rms_max") >= r.getAs[Double]("rms_avg"))
+      assert(r.getAs[Double]("rms_max") <= 1.0 && r.getAs[Double]("rms_avg") > 0)
+    }
+    // docs shorter than one window are excluded, all others present
+    assert(rows.length == lens.count(_._2 >= 128))
+  }
 }
