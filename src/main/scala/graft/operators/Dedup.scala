@@ -131,18 +131,16 @@ object Dedup {
           |  i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1), ' ', element_at(ts, i + 2))))) AS sh""".stripMargin)
       .cache()
     // Repartition the stream side so pair scoring parallelizes even
-    // when the input is a single parquet split. The threshold filter
-    // carries an always-false nondeterministic OR-guard: Catalyst
-    // would otherwise push `jaccard >= 0.3` into the join condition
-    // AHEAD of the cheap doc_id conjunct, evaluating the expensive
-    // expression on ~2× the pairs (measured 5.7s vs 1.4s at sf0.1).
+    // when the input is a single parquet split; the score threshold
+    // goes through Tables.filterBarrier so Catalyst cannot hoist the
+    // expensive expression into the join condition.
     val blocks = Tables.spreadBy(sh, col("lang"), col("len_bucket"))
-    blocks.as("a").join(sh.as("b"),
+    val scored = blocks.as("a").join(sh.as("b"),
         col("a.lang") === col("b.lang") && col("a.len_bucket") === col("b.len_bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("graft_jaccard(a.sh, b.sh)").as("jaccard"))
-      .where(col("jaccard") >= 0.3 || monotonically_increasing_id() < 0)
+    Tables.filterBarrier(scored, col("jaccard") >= 0.3)
       .selectExpr("doc_a", "doc_b", "floor(jaccard * 10000 + 0.5) / cast(10000 AS double) AS jaccard")
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -154,11 +152,11 @@ object Dedup {
     graft.functions.Native.register(s)
     val e = Tables.embeddings(s, dir)
       .selectExpr("vec_id", "label", "cast(embedding AS array<double>) AS e")
-    Tables.spreadBy(e, col("label")).as("a").join(e.as("b"),
+    val scored = Tables.spreadBy(e, col("label")).as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .selectExpr("a.vec_id AS vec_a", "b.vec_id AS vec_b",
         "graft_cosine(a.e, b.e) AS cos")
-      .where(col("cos") > 0.35 || monotonically_increasing_id() < 0)
+    Tables.filterBarrier(scored, col("cos") > 0.35)
       .selectExpr("vec_a", "vec_b", "round(cos, 4) AS cos")
       .orderBy(col("vec_a"), col("vec_b"))
   }
