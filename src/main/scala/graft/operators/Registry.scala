@@ -408,6 +408,30 @@ object Registry {
       .orderBy(col("doc_id"))
   }
 
+  /** Metadata-filtered latest-version lookup (tools_metadata.go:269
+    * handleGetSubjectMetadata: with a metadata filter, walk versions
+    * newest-first and return the first whose properties match ALL
+    * filter entries). Re-expressed corpus-wide: version numbering in
+    * one window, the filter as a pushed predicate, and the
+    * newest-match via max/max_by — one shuffle, no per-subject walk.
+    * Subjects with no matching version drop out (the reference
+    * errors there). Metadata properties derive deterministically
+    * from the payload (`stage` cycles dev/staging/prod with k).
+    */
+  def metaLatest(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val m = get_json_object(col("props"), "$.k").cast("bigint") % 3
+    Tables.events(s, dir)
+      .withColumn("version", row_number().over(w))
+      .withColumn("stage",
+        when(m === 0, "prod").when(m === 1, "staging").otherwise("dev"))
+      .filter(col("stage") === "prod")
+      .groupBy(col("user_id").as("subject"))
+      .agg(max(col("version")).as("latest_matching"),
+        expr("max_by(event_id, version)").as("event_id"))
+      .orderBy(col("subject"))
+  }
+
   /** Catalog health report — the data-quality constraint scan a
     * registry-backed catalog runs nightly (the relational face of
     * ValidateSchema registry.go:1053 plus referential guarantees the
@@ -482,6 +506,7 @@ object Registry {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "reg_meta_latest" -> metaLatest,
     "dq_checks" -> dqChecks,
     "reg_pagerank" -> pagerank,
     "reg_refs_closure" -> refsClosure,
@@ -504,6 +529,16 @@ object Registry {
     "reg_export_filtered" -> exportFiltered)
 
   val oracleSql: Map[String, String] = Map(
+    "reg_meta_latest" ->
+      """WITH v AS (
+        |  SELECT user_id AS subject, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version,
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 3 AS m
+        |  FROM events)
+        |SELECT subject, max(version) AS latest_matching,
+        |  arg_max(event_id, version) AS event_id
+        |FROM v WHERE m = 0
+        |GROUP BY subject ORDER BY subject""".stripMargin,
     "dq_checks" ->
       """SELECT check_name, n_checked, n_violations, n_violations = 0 AS pass FROM (
         |  SELECT 'fk_orders_customer' AS check_name,

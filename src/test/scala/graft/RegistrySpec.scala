@@ -102,4 +102,20 @@ class RegistrySpec extends SparkSpec {
       }
     }
   }
+
+  test("meta latest: returns the newest prod-stage version per subject") {
+    import org.apache.spark.sql.functions._
+    val rows = Registry.metaLatest(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // cross-check one subject against a brute-force recomputation
+    val subject = rows.head.getLong(0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val brute = Tables.events(spark, sfDir)
+      .withColumn("version", row_number().over(w))
+      .filter(col("user_id") === subject &&
+        get_json_object(col("props"), "$.k").cast("bigint") % 3 === 0)
+      .agg(max(col("version"))).head().getInt(0)
+    assert(rows.head.getAs[Int]("latest_matching") == brute)
+  }
 }
