@@ -49,28 +49,24 @@ object Tables {
     * `graft.spread.partitions` if set, else the session's shuffle
     * partition count — no magic constant on a cluster.
     */
-  def spread(df: DataFrame): DataFrame = {
+  def spread(df: DataFrame): DataFrame = df.repartition(spreadWidth(df))
+
+  /** Keyed variant of [[spread]]: hash-repartition on the given
+    * columns with the same conf-driven parallelism — the co-location
+    * shape pair-scoring joins need, without a hard-coded width.
+    */
+  def spreadBy(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
+    df.repartition(spreadWidth(df), cols: _*)
+
+  private def spreadWidth(df: DataFrame): Int = {
     val s = df.sparkSession
-    val n = s.conf.getOption("graft.spread.partitions")
+    s.conf.getOption("graft.spread.partitions")
       .map { v =>
         val parsed = v.toIntOption.filter(_ > 0)
         require(parsed.nonEmpty, s"graft.spread.partitions must be a positive int, got '$v'")
         parsed.get
       }
       .getOrElse(s.sessionState.conf.numShufflePartitions)
-    df.repartition(n)
-  }
-
-  /** Keyed variant of [[spread]]: hash-repartition on the given
-    * columns with the same conf-driven parallelism — the co-location
-    * shape pair-scoring joins need, without a hard-coded width.
-    */
-  def spreadBy(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame = {
-    val s = df.sparkSession
-    val n = s.conf.getOption("graft.spread.partitions")
-      .flatMap(_.toIntOption.filter(_ > 0))
-      .getOrElse(s.sessionState.conf.numShufflePartitions)
-    df.repartition(n, cols: _*)
   }
 
   /** A Filter that must stay EXACTLY where it is written. Catalyst

@@ -523,7 +523,7 @@ object Pipeline {
         |ORDER BY cluster_id, doc_id""".stripMargin,
     "sample_stratified" ->
       """SELECT source, lang, n_total, n_sampled,
-        |  round(n_sampled / CAST(n_total AS DOUBLE), 4) AS rate
+        |  floor(n_sampled / CAST(n_total AS DOUBLE) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS rate
         |FROM (
         |  SELECT source, lang, count(*) AS n_total,
         |    CAST(sum(CAST(md5(CAST(doc_id AS VARCHAR)) < (CASE WHEN lang = 'en' THEN '4' ELSE '8' END) AS INT)) AS BIGINT) AS n_sampled
