@@ -161,7 +161,30 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Recall measurement of the LSH scale path against exact blocked
+    * pairs — the evaluation every approximate-dedup deployment runs
+    * before trusting candidates at 100 TB: how many exact 3-gram
+    * Jaccard pairs (≥ 0.3, the verify stage's truth set) does the
+    * MinHash-LSH candidate generator surface? Composes the two
+    * existing pair pipelines with a semi join + three 1-row
+    * aggregates; output is one accounting row.
+    */
+  def minhashRecall(s: SparkSession, dir: String): DataFrame = {
+    val truth = ngramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+    val cand = minhashPairs(s, dir)
+      .select(col("doc_a").as("c_a"), col("doc_b").as("c_b"))
+    val hits = truth.join(cand,
+      col("doc_a") === col("c_a") && col("doc_b") === col("c_b"), "left_semi")
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_true"), col("n_candidates"), col("n_hit"),
+        (floor(col("n_hit") / col("n_true").cast("double") * 10000 + 0.5) / lit(10000.0))
+          .as("recall"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_minhash_recall" -> minhashRecall,
     "dedup_exact" -> exact,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhash,
@@ -203,6 +226,25 @@ object Dedup {
       s"""WITH $minhashPairsCte
         |SELECT doc_a, doc_b, round(est_jaccard, 4) AS est_jaccard
         |FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_minhash_recall" ->
+      s"""WITH $minhashPairsCte,
+        |ngt AS (
+        |  SELECT doc_id, lang, n_chars // 50 AS len_bucket,
+        |    list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts)-1)]) AS g
+        |  FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS ts FROM documents) t
+        |  WHERE len(ts) >= 3),
+        |truth AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM ngt a JOIN ngt b
+        |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.g, b.g))
+        |        / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.3),
+        |hits AS (SELECT * FROM truth WHERE (doc_a, doc_b) IN (SELECT (doc_a, doc_b) FROM pairs))
+        |SELECT (SELECT count(*) FROM truth) AS n_true,
+        |  (SELECT count(*) FROM pairs) AS n_candidates,
+        |  (SELECT count(*) FROM hits) AS n_hit,
+        |  floor((SELECT count(*) FROM hits) / CAST((SELECT count(*) FROM truth) AS DOUBLE) * 10000 + 0.5)
+        |    / CAST(10000 AS DOUBLE) AS recall""".stripMargin,
     "dedup_simhash" ->
       """WITH tok AS (
         |  SELECT doc_id, list_transform(string_split(text, ' '), t -> substr(md5(t), 1, 16)) AS th

@@ -40,6 +40,19 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Classifier evaluation at corpus scale: the language-ID
+    * heuristic's confusion matrix against the labeled lang column —
+    * the accuracy report every production classifier ships with.
+    * Composes [[langId]] with one vocab-sized rollup; the expensive
+    * scoring pass is shared, the extra shuffle carries ≤ langs²
+    * rows.
+    */
+  def langIdEval(s: SparkSession, dir: String): DataFrame =
+    langId(s, dir)
+      .groupBy(col("labeled_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("labeled_lang"), col("predicted_lang"))
+
   /** Quality scoring: token stats, stopword/duplication ratios and a
     * composite [0,1] quality signal (documents with heavy repetition
     * or extreme length score low) — the curation-filter shape.
@@ -130,6 +143,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid" -> langId,
+    "text_langid_eval" -> langIdEval,
     "text_quality" -> quality,
     "text_tokens" -> tokens,
     "text_redact" -> redact,
@@ -151,6 +165,23 @@ object TextAnalysis {
         |  CAST(len(regexp_extract_all(text, '\b(customer|value|table)\b')) AS BIGINT) AS n_hits,
         |  md5(regexp_replace(text, '\b(customer|value|table)\b', '[MASK]', 'g')) AS redacted_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_langid_eval" ->
+      """WITH sc AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(ts, t -> t IN ('the','fast','join','query'))) AS s_en,
+        |    len(list_filter(ts, t -> t IN ('table','row','group'))) AS s_de,
+        |    len(list_filter(ts, t -> t IN ('data','line','part'))) AS s_es,
+        |    len(list_filter(ts, t -> t IN ('sort','merge','filter'))) AS s_fr,
+        |    len(list_filter(ts, t -> t IN ('spark','hash','scan'))) AS s_zh
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents) t),
+        |p AS (
+        |  SELECT lang AS labeled_lang,
+        |    CASE WHEN s_de = mx THEN 'de' WHEN s_en = mx THEN 'en' WHEN s_es = mx THEN 'es'
+        |         WHEN s_fr = mx THEN 'fr' WHEN s_zh = mx THEN 'zh' END AS predicted_lang
+        |  FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS mx FROM sc) t)
+        |SELECT labeled_lang, predicted_lang, count(*) AS n_docs
+        |FROM p GROUP BY labeled_lang, predicted_lang
+        |ORDER BY labeled_lang, predicted_lang""".stripMargin,
     "text_langid" ->
       """WITH sc AS (
         |  SELECT doc_id, lang,

@@ -54,4 +54,11 @@ class DedupSpec extends SparkSpec {
       val c = r.getAs[Double]("cos"); c > 0.35 && c <= 1.0
     })
   }
+
+  test("minhash recall accounting is internally consistent") {
+    val r = operators.Dedup.minhashRecall(spark, sfDir).head()
+    val (t, c, h) = (r.getAs[Long]("n_true"), r.getAs[Long]("n_candidates"), r.getAs[Long]("n_hit"))
+    assert(h <= t && h <= c)
+    assert(r.getAs[Double]("recall") >= 0 && r.getAs[Double]("recall") <= 1)
+  }
 }

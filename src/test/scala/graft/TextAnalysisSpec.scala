@@ -74,4 +74,12 @@ class TextAnalysisSpec extends SparkSpec {
       assert(d <= r.getAs[Long]("n_tokens"))
     }
   }
+
+  test("langid eval: confusion matrix covers the corpus; diagonal dominates") {
+    val rows = operators.TextAnalysis.langIdEval(spark, sfDir).collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == Tables.documents(spark, sfDir).count())
+    val diag = rows.filter(r => r.getString(0) == r.getString(1)).map(_.getAs[Long]("n_docs")).sum
+    assert(diag.toDouble / total > 0.2, s"accuracy $diag/$total below chance-ish floor")
+  }
 }
