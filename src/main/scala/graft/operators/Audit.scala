@@ -276,7 +276,27 @@ object Audit {
       .orderBy(col("cohort"), col("week_n"))
   }
 
+  /** Registry growth curve: registrations per week with a running
+    * cumulative total — the adoption dashboard's headline series.
+    * The corpus collapses to per-week counts FIRST (one partial-agg
+    * shuffle); the unpartitioned cumulative window then runs over
+    * the weeks-sized series only, which is the one place a global
+    * window is legitimate at 100 TB.
+    */
+  def growth(s: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.events(s, dir)
+      .groupBy(to_date(date_trunc("week", col("ts"))).as("week"))
+      .agg(count(lit(1)).as("n_registrations"),
+        countDistinct(col("user_id")).as("n_active_subjects"))
+    val w = Window.orderBy(col("week"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    weekly
+      .withColumn("cumulative", sum(col("n_registrations")).over(w))
+      .orderBy(col("week"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "audit_growth" -> growth,
     "audit_retention" -> retention,
     "metrics_rate_hop" -> rateHopping,
     "metrics_outliers" -> metricsOutliers,
@@ -294,6 +314,14 @@ object Audit {
     "metrics_rate_1m" -> rate1m)
 
   val oracleSql: Map[String, String] = Map(
+    "audit_growth" ->
+      """WITH weekly AS (
+        |  SELECT date_trunc('week', ts) AS week, count(*) AS n_registrations,
+        |    count(DISTINCT user_id) AS n_active_subjects
+        |  FROM events GROUP BY week)
+        |SELECT week, n_registrations, n_active_subjects,
+        |  CAST(sum(n_registrations) OVER (ORDER BY week ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative
+        |FROM weekly ORDER BY week""".stripMargin,
     "audit_retention" ->
       """WITH f AS (
         |  SELECT user_id, min(date_trunc('week', ts)) AS cohort

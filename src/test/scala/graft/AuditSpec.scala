@@ -120,4 +120,12 @@ class AuditSpec extends SparkSpec {
       r.getAs[Long]("n_view_click"), r.getAs[Long]("n_full_funnel"))
     assert(u >= v && v >= c && c >= f && v > 0)
   }
+
+  test("growth: cumulative is monotone and ends at the corpus total") {
+    val rows = Audit.growth(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val cums = rows.map(_.getAs[Long]("cumulative"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => b >= a })
+    assert(cums.last == Tables.events(spark, sfDir).count())
+  }
 }
