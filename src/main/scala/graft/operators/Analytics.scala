@@ -559,7 +559,28 @@ object Analytics {
       .limit(10)
   }
 
+  /** Per-nation balance quartiles via ntile — the bucketed-ranking
+    * window shape (equi-depth histograms, percentile bands). The
+    * window partitions by nation so no task ever sorts more than one
+    * nation's customers; ties break on the key so bucket assignment
+    * is deterministic in both engines. Output is the quartile
+    * summary (nation × 4 rows).
+    */
+  def ntileBalance(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, dir)
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("c_nationkey"), col("quartile"))
+      .agg(count(lit(1)).as("n_cust"),
+        round(min(col("c_acctbal")), 4).as("lo_bal"),
+        round(max(col("c_acctbal")), 4).as("hi_bal"))
+      .orderBy(col("c_nationkey"), col("quartile"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ntile_balance" -> ntileBalance,
     "q12_priority_lines" -> q12PriorityLines,
     "q21_waiting_supplier" -> q21WaitingSupplier,
     "q17_small_qty" -> q17SmallQty,
@@ -595,6 +616,14 @@ object Analytics {
     "q_distinct_users" -> distinctUsers)
 
   val oracleSql: Map[String, String] = Map(
+    "q_ntile_balance" ->
+      """SELECT c_nationkey, quartile, count(*) AS n_cust,
+        |  round(min(c_acctbal), 4) AS lo_bal, round(max(c_acctbal), 4) AS hi_bal
+        |FROM (
+        |  SELECT c_nationkey, c_acctbal,
+        |    ntile(4) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS quartile
+        |  FROM customer) t
+        |GROUP BY c_nationkey, quartile ORDER BY c_nationkey, quartile""".stripMargin,
     "q12_priority_lines" ->
       """SELECT l_returnflag AS ship_class,
         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,

@@ -181,4 +181,18 @@ class AnalyticsSpec extends SparkSpec {
     val custkeys = rows.map(_.getAs[Long]("c_custkey")).toSet
     assert(custkeys.size == rows.length, "duplicate customers in ranking")
   }
+
+  test("ntile quartiles: per-nation buckets balanced within one, ranges ordered") {
+    val rows = Analytics.ntileBalance(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_cust")).sum == Tables.customer(spark, sfDir).count())
+    rows.groupBy(_.getAs[Int]("c_nationkey")).values.foreach { qs =>
+      val counts = qs.map(_.getAs[Long]("n_cust"))
+      assert(counts.max - counts.min <= 1, "ntile buckets must differ by at most 1")
+      val sorted = qs.sortBy(_.getAs[Int]("quartile"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getAs[Double]("hi_bal") <= b.getAs[Double]("lo_bal") + 1e-9)
+        case _ =>
+      }
+    }
+  }
 }
