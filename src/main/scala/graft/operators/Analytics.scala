@@ -156,18 +156,26 @@ object Analytics {
   }
 
   /** TPC-H Q4 shape: order counts by priority where any lineitem
-    * shipped >90 days after the order date (the late-commit EXISTS)
-    * — a semi join with a cross-table condition, then a tiny agg.
+    * shipped >90 days after the order date (the late-commit EXISTS).
+    * EXISTS(l_shipdate > o_orderdate + 90d) ⟺ max(l_shipdate) >
+    * o_orderdate + 90d, so lineitem collapses to one row per order
+    * FIRST (map-side combine does most of it before the shuffle) and
+    * the semi join probes a 4× smaller build side. At 100 TB the same
+    * rewrite shrinks the fact-fact shuffle instead of the broadcast.
     */
-  def q4PriorityCount(s: SparkSession, dir: String): DataFrame =
+  def q4PriorityCount(s: SparkSession, dir: String): DataFrame = {
+    val lastShip = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate")).as("max_ship"))
     Tables.orders(s, dir)
-      .join(Tables.lineitem(s, dir),
+      .join(lastShip,
         col("o_orderkey") === col("l_orderkey") &&
-          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          col("max_ship") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
         "left_semi")
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("order_count"))
       .orderBy(col("o_orderpriority"))
+  }
 
   /** TPC-H Q7 shape: bilateral volume between two customer nations. */
   def q7NationVolume(s: SparkSession, dir: String): DataFrame = {

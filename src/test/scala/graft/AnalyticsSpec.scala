@@ -182,6 +182,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(custkeys.size == rows.length, "duplicate customers in ranking")
   }
 
+  test("q4 max-shipdate pre-agg matches the naive EXISTS semi join") {
+    import org.apache.spark.sql.functions._
+    val rewritten = Analytics.q4PriorityCount(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("o_orderpriority"), r.getAs[Long]("order_count"))).toMap
+    val naive = Tables.orders(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("order_count"))
+      .collect()
+      .map(r => (r.getAs[String]("o_orderpriority"), r.getAs[Long]("order_count"))).toMap
+    assert(rewritten == naive)
+  }
+
   test("ntile quartiles: per-nation buckets balanced within one, ranges ordered") {
     val rows = Analytics.ntileBalance(spark, sfDir).collect()
     assert(rows.map(_.getAs[Long]("n_cust")).sum == Tables.customer(spark, sfDir).count())
