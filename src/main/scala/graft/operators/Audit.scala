@@ -219,7 +219,10 @@ object Audit {
       .agg(avg(col("value")).as("m"), stddev_samp(col("value")).as("sd"))
     Tables.events(s, dir)
       .join(broadcast(stats), "event_type")
-      .withColumn("z", abs((col("value") - col("m")) / col("sd")))
+      // sd = 0 (constant-valued type) or NULL (single row) must yield
+      // a defined NULL z on BOTH engines, not engine-specific
+      // divide-by-zero semantics — guard the divisor explicitly.
+      .withColumn("z", when(col("sd") > 0, abs((col("value") - col("m")) / col("sd"))))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(when(col("z") > 3.0, 1L).otherwise(0L)).as("n_outliers"),
@@ -227,11 +230,14 @@ object Audit {
       .orderBy(col("event_type"))
   }
 
-  /** Conversion funnel over the audit stream: users who viewed, then
-    * clicked after first viewing, then purchased after first
-    * clicking — ordered-stage analysis via conditional min-timestamp
-    * aggregation (one shuffle on user_id, no window, no self-join;
-    * the n-way self-join formulation would be a 100 TB trap).
+  /** Conversion funnel over the audit stream, with first-event stage
+    * semantics: a user converts a stage when their FIRST click is
+    * after their FIRST view (and their FIRST purchase after that
+    * first click). A user whose first click precedes their first view
+    * but who clicks again later does NOT count — min-timestamp
+    * comparison, not "exists an ordered triple". One shuffle on
+    * user_id, no window, no self-join; the n-way self-join
+    * formulation of exists-ordered-triple would be a 100 TB trap.
     */
   def funnel(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -345,8 +351,8 @@ object Audit {
         |  SELECT event_type, avg(value) AS m, stddev(value) AS sd
         |  FROM events GROUP BY event_type)
         |SELECT event_type, count(*) AS n_events,
-        |  CAST(sum(CASE WHEN abs((value - m) / sd) > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-        |  round(max(abs((value - m) / sd)), 4) AS max_abs_z
+        |  CAST(sum(CASE WHEN sd > 0 AND abs((value - m) / sd) > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  round(max(CASE WHEN sd > 0 THEN abs((value - m) / sd) END), 4) AS max_abs_z
         |FROM events JOIN s USING (event_type)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "audit_funnel" ->

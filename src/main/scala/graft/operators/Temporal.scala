@@ -81,8 +81,7 @@ object Temporal {
     */
   def asofCustom(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.{AsOfJoin, AsOfJoinStrategy}
-    if (!s.experimental.extraStrategies.contains(AsOfJoinStrategy))
-      s.experimental.extraStrategies = AsOfJoinStrategy +: s.experimental.extraStrategies
+    AsOfJoinStrategy.ensureRegistered(s)
     val ev = Tables.events(s, dir)
     val probes = ev.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"),

@@ -38,6 +38,17 @@ case class AsOfJoin(
     rightTime: Expression,
     rightTiebreak: Seq[Expression]) extends BinaryNode {
 
+  // The exec derives its key/time orderings from the LEFT side's
+  // types (AsOfJoinExec.doExecute), so a probe/build type mismatch
+  // (e.g. int key vs bigint key) would silently mis-compare or throw
+  // ClassCastException mid-task. Fail at plan construction instead.
+  require(leftKey.dataType.catalogString == rightKey.dataType.catalogString,
+    s"AsOfJoin key types must match: ${leftKey.dataType.catalogString} vs " +
+      s"${rightKey.dataType.catalogString}")
+  require(leftTime.dataType.catalogString == rightTime.dataType.catalogString,
+    s"AsOfJoin time types must match: ${leftTime.dataType.catalogString} vs " +
+      s"${rightTime.dataType.catalogString}")
+
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
@@ -55,6 +66,18 @@ object AsOfJoinStrategy extends SparkStrategy {
       AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
     case _ => Nil
   }
+
+  /** The ONE fallback registration path (shared by operators and
+    * tests) for sessions built without
+    * `spark.sql.extensions=graft.GraftExtensions` — the documented
+    * entry point, which injects this strategy at session build time.
+    * Checks the planner's effective strategy list (covers both the
+    * extension injection and a prior fallback), so it is idempotent
+    * and the two paths cannot drift.
+    */
+  def ensureRegistered(s: org.apache.spark.sql.SparkSession): Unit =
+    if (!s.sessionState.planner.strategies.contains(AsOfJoinStrategy))
+      s.experimental.extraStrategies = AsOfJoinStrategy +: s.experimental.extraStrategies
 }
 
 case class AsOfJoinExec(

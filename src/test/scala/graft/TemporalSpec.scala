@@ -60,4 +60,25 @@ class TemporalSpec extends SparkSpec {
     assert(viaCustom.length == viaWindow.length)
     assert(viaCustom.zip(viaWindow).forall { case (a, b) => a == b })
   }
+
+  test("AsOfJoin rejects mismatched key/time types at construction") {
+    import graft.plans.AsOfJoin
+    val ev = Tables.events(spark, sfDir)
+    val l = ev.select(col("user_id").cast("int").as("k"), col("ts").as("t"))
+      .queryExecution.analyzed
+    val r = ev.select(col("user_id").cast("bigint").as("k"), col("ts").as("t"))
+      .queryExecution.analyzed
+    def a(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).get
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin(l, r, a(l, "k"), a(r, "k"), a(l, "t"), a(r, "t"), Nil)
+    }
+    assert(e.getMessage.contains("key types must match"))
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin(l, r, a(l, "k"), a(l, "k"), a(l, "t"),
+        org.apache.spark.sql.catalyst.expressions.Cast(a(r, "t"),
+          org.apache.spark.sql.types.LongType), Nil)
+    }
+    assert(e2.getMessage.contains("time types must match"))
+  }
 }
