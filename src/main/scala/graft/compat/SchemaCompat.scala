@@ -13,13 +13,18 @@ import org.apache.spark.sql.types._
   *
   *  - BACKWARD: the new schema (reader) can read data written by the
   *    old schema (writer). A reader field missing from the writer
-  *    must be nullable (Spark's stand-in for "has default",
-  *    avro/checker.go:128-131).
+  *    must be nullable OR carry a default (avro/checker.go:128-131) —
+  *    defaults ride on `StructField.metadata` key `"default"`, the
+  *    Spark-native carrier for Avro's default dimension.
   *  - FORWARD: old reads new (roles swapped).
   *  - FULL: both. `_TRANSITIVE` variants check every prior version,
   *    non-transitive only the latest (checker.go:57-66).
   *  - Type promotions (avro/checker.go:304): int → long/float/double,
   *    long → float/double, float → double, string ↔ binary.
+  *  - Enum symbol compatibility (avro/checker.go:182-194): enums are
+  *    string fields with metadata key `"enumSymbols"`; a writer
+  *    symbol unknown to the reader breaks the read unless the reader
+  *    declares a default to fall back to.
   */
 object SchemaCompat {
 
@@ -69,24 +74,44 @@ object SchemaCompat {
   private def prefix(r: Result, p: String): Result =
     if (r.isCompatible) r else Result(isCompatible = false, r.messages.map(m => s"$p: $m"))
 
+  /** Avro default dimension: metadata key `"default"` present = the
+    * field has a default (checker.go:129's rescue condition).
+    */
+  def hasDefault(f: StructField): Boolean = f.metadata.contains("default")
+
+  /** Enum dimension: metadata key `"enumSymbols"` marks a string
+    * field as an enum with that symbol vocabulary.
+    */
+  def enumSymbols(f: StructField): Option[Array[String]] =
+    if (f.metadata.contains("enumSymbols")) Some(f.metadata.getStringArray("enumSymbols"))
+    else None
+
   /** Record rule (avro/checker.go:102): every reader field must be
-    * resolvable from the writer, or be nullable.
+    * resolvable from the writer, be nullable, or carry a default.
     */
   private def canRead(reader: StructType, writer: StructType, path: String): Result = {
     val writerFields = writer.fields.map(f => f.name -> f).toMap
     reader.fields.foldLeft(Compatible) { (acc, rf) =>
       val fieldPath = if (path.isEmpty) rf.name else s"$path.${rf.name}"
       writerFields.get(rf.name) match {
-        case None if rf.nullable => acc
+        case None if rf.nullable || hasDefault(rf) => acc
         case None =>
-          acc.merge(incompatible(s"${pathOrRoot(path)}: reader field '${rf.name}' is required (non-nullable) and missing from writer"))
+          acc.merge(incompatible(s"${pathOrRoot(path)}: reader field '${rf.name}' is required, defaultless, and missing from writer"))
         case Some(wf) =>
           val typeRes = canReadType(rf.dataType, wf.dataType, fieldPath)
           val nullRes =
             if (!rf.nullable && wf.nullable)
               incompatible(s"$fieldPath: reader requires non-null but writer may write null")
             else Compatible
-          acc.merge(typeRes).merge(nullRes)
+          // avro/checker.go:182-194 — symbols the writer may emit
+          // that the reader cannot decode, unless a reader default
+          // provides the fallback.
+          val enumRes = (enumSymbols(rf), enumSymbols(wf)) match {
+            case (Some(rs), Some(ws)) if !hasDefault(rf) && ws.exists(!rs.contains(_)) =>
+              incompatible(s"$fieldPath: writer enum symbols [${ws.filterNot(rs.contains).mkString(",")}] unknown to reader and reader has no default")
+            case _ => Compatible
+          }
+          acc.merge(typeRes).merge(nullRes).merge(enumRes)
       }
     }
   }

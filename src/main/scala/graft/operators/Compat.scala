@@ -19,6 +19,17 @@ object Compat {
   private def st(fields: (String, DataType, Boolean)*): StructType =
     StructType(fields.map { case (n, t, nullable) => StructField(n, t, nullable) })
 
+  /** Field with the Avro metadata dimensions ([[SchemaCompat
+    * .hasDefault]] / [[SchemaCompat.enumSymbols]]).
+    */
+  private def mf(name: String, dt: DataType, nullable: Boolean,
+                 default: Option[String] = None, syms: Seq[String] = Nil): StructField = {
+    val b = new MetadataBuilder()
+    default.foreach(b.putString("default", _))
+    if (syms.nonEmpty) b.putStringArray("enumSymbols", syms.toArray)
+    StructField(name, dt, nullable, b.build())
+  }
+
   private val v1 = st(("id", LongType, false), ("name", StringType, true))
 
   /** (case_id, description, mode, new schema, history oldest→newest) */
@@ -45,7 +56,15 @@ object Compat {
       st(("id", LongType, false), ("name", StringType, false)),
       Seq(st(("id", LongType, false)), v1)),
     (10, "NONE ignores breaking change", None_,
-      st(("totally", StringType, false)), Seq(v1)))
+      st(("totally", StringType, false)), Seq(v1)),
+    (11, "add required field with default", Backward,
+      StructType(v1.fields :+ mf("email", StringType, nullable = false, default = Some(""))), Seq(v1)),
+    (12, "enum symbol removed without default", Backward,
+      StructType(Seq(mf("status", StringType, nullable = false, syms = Seq("A", "B")))),
+      Seq(StructType(Seq(mf("status", StringType, nullable = false, syms = Seq("A", "B", "C")))))),
+    (13, "enum symbol removed with reader default", Backward,
+      StructType(Seq(mf("status", StringType, nullable = false, default = Some("A"), syms = Seq("A", "B")))),
+      Seq(StructType(Seq(mf("status", StringType, nullable = false, syms = Seq("A", "B", "C")))))))
 
   def checkBattery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -91,27 +110,44 @@ object Compat {
     * subject window); everything downstream of it is row-local.
     * Consumed by compat_scan, reg_diff_fields, and the latest-version
     * intelligence operators.
+    *
+    * Each field carries the full Avro-checker dimension set
+    * (avro/checker.go): name, type, nullability, default value
+    * (fdefault — NULL = no default, checker.go:129's rescue
+    * condition), and for enums the symbol list (fsyms, comma-joined —
+    * checker.go:182's symbol-compat input). `status` is the enum
+    * field: required, present for 2/3 of registrations, default 'A'
+    * for k%5<3, and its symbol vocabulary flips between {A,B} and
+    * {A,B,C} with k's parity — so every new rule fires both ways in
+    * real data.
     */
   private[operators] def fieldArrays(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select(
       col("user_id").as("subject"), col("ts"), col("event_id"),
       get_json_object(col("props"), "$.k").cast("bigint").as("k"))
     val w = Window.partitionBy(col("subject")).orderBy(col("ts"), col("event_id"))
-    def f(name: String, ftype: Column, fnull: Column, present: Column): Column =
-      struct(lit(name).as("fname"), ftype.as("ftype"), fnull.as("fnull"), present.as("present"))
+    val nullStr = lit(null).cast("string")
+    def f(name: String, ftype: Column, fnull: Column, present: Column,
+          fdefault: Column = nullStr, fsyms: Column = nullStr): Column =
+      struct(lit(name).as("fname"), ftype.as("ftype"), fnull.as("fnull"),
+        fdefault.as("fdefault"), fsyms.as("fsyms"), present.as("present"))
     ev
       .withColumn("version", row_number().over(w))
       .withColumn("flds", filter(array(
         f("id", lit("bigint"), lit(false), lit(true)),
         f("name", lit("string"), col("k") % lit(2) === 0, lit(true)),
         f("email", lit("string"), lit(true), col("k") % lit(3) === 0),
-        f("score", when(col("k") % lit(4) < 2, "int").otherwise("bigint"), lit(false), lit(true))
+        f("score", when(col("k") % lit(4) < 2, "int").otherwise("bigint"), lit(false), lit(true)),
+        f("status", lit("enum"), lit(false), col("k") % lit(3) < 2,
+          when(col("k") % lit(5) < 3, "A"),
+          when(col("k") % lit(2) === 0, "A,B").otherwise("A,B,C"))
       ), fld => fld("present")))
       .withColumn("w_flds", lag(col("flds"), 1).over(w))
   }
 
   /** DuckDB mirror of [[fieldArrays]]' relational (subject, version,
-    * fname, ftype, fnull) view — prepend inside WITH (...).
+    * fname, ftype, fnull, fdefault, fsyms) view — prepend inside
+    * WITH (...).
     */
   private[operators] val fieldModelCte: String =
     """ev AS (
@@ -123,11 +159,15 @@ object Compat {
       |         row_number() OVER (PARTITION BY subject ORDER BY ts, event_id) AS version
       |  FROM ev),
       |fields AS (
-      |  SELECT subject, version, 'id' AS fname, 'bigint' AS ftype, false AS fnull FROM versioned
-      |  UNION ALL SELECT subject, version, 'name', 'string', k % 2 = 0 FROM versioned
-      |  UNION ALL SELECT subject, version, 'email', 'string', true FROM versioned WHERE k % 3 = 0
+      |  SELECT subject, version, 'id' AS fname, 'bigint' AS ftype, false AS fnull,
+      |         CAST(NULL AS VARCHAR) AS fdefault, CAST(NULL AS VARCHAR) AS fsyms FROM versioned
+      |  UNION ALL SELECT subject, version, 'name', 'string', k % 2 = 0, NULL, NULL FROM versioned
+      |  UNION ALL SELECT subject, version, 'email', 'string', true, NULL, NULL FROM versioned WHERE k % 3 = 0
       |  UNION ALL SELECT subject, version, 'score',
-      |    CASE WHEN k % 4 < 2 THEN 'int' ELSE 'bigint' END, false FROM versioned)""".stripMargin
+      |    CASE WHEN k % 4 < 2 THEN 'int' ELSE 'bigint' END, false, NULL, NULL FROM versioned
+      |  UNION ALL SELECT subject, version, 'status', 'enum', false,
+      |    CASE WHEN k % 5 < 3 THEN 'A' END,
+      |    CASE WHEN k % 2 = 0 THEN 'A,B' ELSE 'A,B,C' END FROM versioned WHERE k % 3 < 2)""".stripMargin
 
   def compatScan(s: SparkSession, dir: String): DataFrame = {
     val versioned = fieldArrays(s, dir).filter(col("version") > 1)
@@ -139,12 +179,21 @@ object Compat {
     val joined = perField.select(
       col("subject"), col("version"),
       col("fld.ftype").as("ftype"), col("fld.fnull").as("fnull"),
-      wf("ftype").as("w_ftype"), wf("fnull").as("w_fnull"))
+      col("fld.fdefault").as("fdefault"), col("fld.fsyms").as("fsyms"),
+      wf("ftype").as("w_ftype"), wf("fnull").as("w_fnull"), wf("fsyms").as("w_fsyms"))
     val promotable = col("w_ftype") === "int" && col("ftype") === "bigint"
+    // avro/checker.go rules: (:129) a reader field missing from the
+    // writer breaks ONLY when required AND defaultless — a default
+    // rescues it; (:182) an enum writer symbol unknown to the reader
+    // breaks unless the reader declares an enum default.
+    val readerLacksWriterSymbol =
+      size(array_except(split(col("w_fsyms"), ","), split(col("fsyms"), ","))) > 0
     val violation =
-      (col("w_ftype").isNull && !col("fnull")) ||
+      (col("w_ftype").isNull && !col("fnull") && col("fdefault").isNull) ||
         (col("w_ftype").isNotNull && col("ftype") =!= col("w_ftype") && !promotable) ||
-        (col("w_ftype").isNotNull && !col("fnull") && col("w_fnull"))
+        (col("w_ftype").isNotNull && !col("fnull") && col("w_fnull")) ||
+        (col("ftype") === "enum" && col("w_ftype") === "enum" &&
+          col("fdefault").isNull && readerLacksWriterSymbol)
     joined
       .groupBy(col("subject"), col("version"))
       .agg(count(lit(1)).as("n_fields"),
@@ -168,12 +217,19 @@ object Compat {
     val joined = perField.select(
       col("subject"), col("version"),
       col("rfld.ftype").as("rtype"), col("rfld.fnull").as("rnull"),
-      wf("ftype").as("w_type"), wf("fnull").as("w_null"))
+      col("rfld.fdefault").as("r_default"), col("rfld.fsyms").as("r_syms"),
+      wf("ftype").as("w_type"), wf("fnull").as("w_null"), wf("fsyms").as("w_syms"))
     val promotable = col("w_type") === "int" && col("rtype") === "bigint"
+    // Roles swapped, same Avro rules: the OLD version's defaults and
+    // enum symbols are the reader side here.
+    val readerLacksWriterSymbol =
+      size(array_except(split(col("w_syms"), ","), split(col("r_syms"), ","))) > 0
     val violation =
-      (col("w_type").isNull && !col("rnull")) ||
+      (col("w_type").isNull && !col("rnull") && col("r_default").isNull) ||
         (col("w_type").isNotNull && col("rtype") =!= col("w_type") && !promotable) ||
-        (col("w_type").isNotNull && !col("rnull") && col("w_null"))
+        (col("w_type").isNotNull && !col("rnull") && col("w_null")) ||
+        (col("rtype") === "enum" && col("w_type") === "enum" &&
+          col("r_default").isNull && readerLacksWriterSymbol)
     joined
       .groupBy(col("subject"), col("version"))
       .agg(count(lit(1)).as("n_reader_fields"),
@@ -203,7 +259,8 @@ object Compat {
     val fieldsDf = fieldArrays(s, dir)
       .select(col("subject"), col("version"), explode(col("flds")).as("fld"))
       .select(col("subject"), col("version"), col("fld.fname").as("fname"),
-        col("fld.ftype").as("ftype"), col("fld.fnull").as("fnull"))
+        col("fld.ftype").as("ftype"), col("fld.fnull").as("fnull"),
+        col("fld.fdefault").as("fdefault"), col("fld.fsyms").as("fsyms"))
     val w = Window.partitionBy(col("subject"), col("fname")).orderBy(col("version"))
       .rangeBetween(Window.unboundedPreceding, -1)
     def cnt(cond: Column): Column =
@@ -214,12 +271,22 @@ object Compat {
       .withColumn("c_bigint", cnt(col("ftype") === "bigint"))
       .withColumn("c_string", cnt(col("ftype") === "string"))
       .withColumn("c_null", cnt(col("fnull")))
+      // Enum symbol accounting: the model's symbol vocabularies are
+      // nested ({A,B} ⊂ {A,B,C}), so "some earlier writer carries a
+      // symbol this reader lacks" collapses to "reader holds the
+      // smaller set and an earlier version held the larger". The
+      // oracle states the rule with REAL subset semantics
+      // (list_has_all, pairwise) — parity proves this O(V)
+      // specialization equals it on the vocabulary.
+      .withColumn("c_syms_wider", cnt(col("fsyms") === "A,B,C"))
     val bad =
-      (!col("fnull") && col("c_present") < col("version") - 1) ||
+      (!col("fnull") && col("fdefault").isNull && col("c_present") < col("version") - 1) ||
         (col("ftype") === "bigint" && col("c_string") > 0) ||
         (col("ftype") === "int" && (col("c_bigint") > 0 || col("c_string") > 0)) ||
         (col("ftype") === "string" && (col("c_int") > 0 || col("c_bigint") > 0)) ||
-        (!col("fnull") && col("c_null") > 0)
+        (!col("fnull") && col("c_null") > 0) ||
+        (col("ftype") === "enum" && col("fdefault").isNull &&
+          col("fsyms") === "A,B" && col("c_syms_wider") > 0)
     enriched.filter(col("version") > 1)
       .groupBy(col("subject"), col("version"))
       .agg(count(lit(1)).as("n_fields"),
@@ -252,35 +319,29 @@ object Compat {
         |  (7, 'string/binary interchange', 'FULL', true, CAST(0 AS BIGINT)),
         |  (8, 'nested struct type break', 'BACKWARD', false, CAST(1 AS BIGINT)),
         |  (9, 'transitive catches old break', 'BACKWARD_TRANSITIVE', false, CAST(2 AS BIGINT)),
-        |  (10, 'NONE ignores breaking change', 'NONE', true, CAST(0 AS BIGINT))
+        |  (10, 'NONE ignores breaking change', 'NONE', true, CAST(0 AS BIGINT)),
+        |  (11, 'add required field with default', 'BACKWARD', true, CAST(0 AS BIGINT)),
+        |  (12, 'enum symbol removed without default', 'BACKWARD', false, CAST(1 AS BIGINT)),
+        |  (13, 'enum symbol removed with reader default', 'BACKWARD', true, CAST(0 AS BIGINT))
         |) AS t(case_id, description, mode, compatible, n_messages)
         |ORDER BY case_id""".stripMargin,
     "compat_scan" ->
-      """WITH ev AS (
-        |  SELECT user_id AS subject, ts, event_id,
-        |         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-        |  FROM events),
-        |versioned AS (
-        |  SELECT subject, k,
-        |         row_number() OVER (PARTITION BY subject ORDER BY ts, event_id) AS version
-        |  FROM ev),
-        |fields AS (
-        |  SELECT subject, version, 'id' AS fname, 'bigint' AS ftype, false AS fnull FROM versioned
-        |  UNION ALL SELECT subject, version, 'name', 'string', k % 2 = 0 FROM versioned
-        |  UNION ALL SELECT subject, version, 'email', 'string', true FROM versioned WHERE k % 3 = 0
-        |  UNION ALL SELECT subject, version, 'score',
-        |    CASE WHEN k % 4 < 2 THEN 'int' ELSE 'bigint' END, false FROM versioned),
+      s"""WITH $fieldModelCte,
         |joined AS (
-        |  SELECT r.subject, r.version, r.ftype, r.fnull, w.ftype AS w_ftype, w.fnull AS w_fnull
+        |  SELECT r.subject, r.version, r.ftype, r.fnull, r.fdefault, r.fsyms,
+        |         w.ftype AS w_ftype, w.fnull AS w_fnull, w.fsyms AS w_fsyms
         |  FROM fields r LEFT JOIN fields w
         |    ON r.subject = w.subject AND w.version = r.version - 1 AND r.fname = w.fname
         |  WHERE r.version > 1)
         |SELECT subject, version, n_fields, n_violations, n_violations = 0 AS compatible
         |FROM (
         |  SELECT subject, version, count(*) AS n_fields,
-        |    CAST(sum(CASE WHEN (w_ftype IS NULL AND NOT fnull)
+        |    CAST(sum(CASE WHEN (w_ftype IS NULL AND NOT fnull AND fdefault IS NULL)
         |      OR (w_ftype IS NOT NULL AND ftype <> w_ftype AND NOT (w_ftype = 'int' AND ftype = 'bigint'))
-        |      OR (w_ftype IS NOT NULL AND NOT fnull AND w_fnull) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        |      OR (w_ftype IS NOT NULL AND NOT fnull AND w_fnull)
+        |      OR (ftype = 'enum' AND w_ftype = 'enum' AND fdefault IS NULL
+        |          AND NOT list_has_all(string_split(fsyms, ','), string_split(w_fsyms, ',')))
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
         |  FROM joined GROUP BY subject, version)
         |ORDER BY subject, version""".stripMargin,
     "compat_forward_scan" ->
@@ -288,34 +349,45 @@ object Compat {
         |maxv AS (SELECT subject, max(version) AS mv FROM fields GROUP BY subject),
         |joined AS (
         |  SELECT r.subject, r.version + 1 AS version, r.ftype AS rtype, r.fnull AS rnull,
-        |         w.ftype AS w_type, w.fnull AS w_null
+        |         r.fdefault AS r_default, r.fsyms AS r_syms,
+        |         w.ftype AS w_type, w.fnull AS w_null, w.fsyms AS w_syms
         |  FROM fields r
         |  JOIN maxv ON maxv.subject = r.subject AND r.version < maxv.mv
         |  LEFT JOIN fields w ON w.subject = r.subject
         |    AND w.version = r.version + 1 AND w.fname = r.fname)
         |SELECT subject, version, count(*) AS n_reader_fields,
-        |  CAST(sum(CASE WHEN (w_type IS NULL AND NOT rnull)
+        |  CAST(sum(CASE WHEN (w_type IS NULL AND NOT rnull AND r_default IS NULL)
         |    OR (w_type IS NOT NULL AND rtype <> w_type AND NOT (w_type = 'int' AND rtype = 'bigint'))
-        |    OR (w_type IS NOT NULL AND NOT rnull AND w_null) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
-        |  sum(CASE WHEN (w_type IS NULL AND NOT rnull)
+        |    OR (w_type IS NOT NULL AND NOT rnull AND w_null)
+        |    OR (rtype = 'enum' AND w_type = 'enum' AND r_default IS NULL
+        |        AND NOT list_has_all(string_split(r_syms, ','), string_split(w_syms, ',')))
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+        |  sum(CASE WHEN (w_type IS NULL AND NOT rnull AND r_default IS NULL)
         |    OR (w_type IS NOT NULL AND rtype <> w_type AND NOT (w_type = 'int' AND rtype = 'bigint'))
-        |    OR (w_type IS NOT NULL AND NOT rnull AND w_null) THEN 1 ELSE 0 END) = 0 AS forward_ok
+        |    OR (w_type IS NOT NULL AND NOT rnull AND w_null)
+        |    OR (rtype = 'enum' AND w_type = 'enum' AND r_default IS NULL
+        |        AND NOT list_has_all(string_split(r_syms, ','), string_split(w_syms, ',')))
+        |    THEN 1 ELSE 0 END) = 0 AS forward_ok
         |FROM joined GROUP BY subject, version ORDER BY subject, version""".stripMargin,
     "compat_transitive" ->
       s"""WITH $fieldModelCte,
         |versions AS (SELECT DISTINCT subject, version FROM fields),
         |pairs AS (
         |  SELECT rf.subject, rf.version AS rv, rf.fname, rf.ftype, rf.fnull,
-        |         wf.ftype AS w_ftype, wf.fnull AS w_fnull
+        |         rf.fdefault, rf.fsyms,
+        |         wf.ftype AS w_ftype, wf.fnull AS w_fnull, wf.fsyms AS w_fsyms
         |  FROM fields rf
         |  JOIN versions wv ON wv.subject = rf.subject AND wv.version < rf.version
         |  LEFT JOIN fields wf ON wf.subject = rf.subject
         |    AND wf.version = wv.version AND wf.fname = rf.fname),
         |badf AS (
         |  SELECT subject, rv AS version, fname,
-        |    max(CASE WHEN (w_ftype IS NULL AND NOT fnull)
+        |    max(CASE WHEN (w_ftype IS NULL AND NOT fnull AND fdefault IS NULL)
         |      OR (w_ftype IS NOT NULL AND ftype <> w_ftype AND NOT (w_ftype = 'int' AND ftype = 'bigint'))
-        |      OR (w_ftype IS NOT NULL AND NOT fnull AND w_fnull) THEN 1 ELSE 0 END) AS bad
+        |      OR (w_ftype IS NOT NULL AND NOT fnull AND w_fnull)
+        |      OR (ftype = 'enum' AND w_ftype = 'enum' AND fdefault IS NULL
+        |          AND NOT list_has_all(string_split(fsyms, ','), string_split(w_fsyms, ',')))
+        |      THEN 1 ELSE 0 END) AS bad
         |  FROM pairs GROUP BY subject, rv, fname)
         |SELECT subject, version, count(*) AS n_fields,
         |  CAST(sum(bad) AS BIGINT) AS n_bad_fields, sum(bad) = 0 AS transitive_ok

@@ -25,7 +25,8 @@ object Intelligence {
       .filter(col("version") === col("maxv"))
       .select(col("subject"), explode(col("flds")).as("f"))
       .select(col("subject"), col("f.fname").as("fname"),
-        col("f.ftype").as("ftype"), col("f.fnull").as("fnull"))
+        col("f.ftype").as("ftype"), col("f.fnull").as("fnull"),
+        col("f.fdefault").as("fdefault"), col("f.fsyms").as("fsyms"))
   }
 
   /** FindSimilarSchemas (tools_intelligence.go:251): subjects whose
@@ -193,7 +194,7 @@ object Intelligence {
 
   private val latestCte: String =
     """latest AS (SELECT subject, max(version) AS v FROM versioned GROUP BY subject),
-      |lf AS (SELECT f.subject, f.fname, f.ftype, f.fnull
+      |lf AS (SELECT f.subject, f.fname, f.ftype, f.fnull, f.fdefault, f.fsyms
       |       FROM fields f JOIN latest l ON f.subject = l.subject AND f.version = l.v)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(

@@ -56,6 +56,39 @@ class CompatSpec extends SparkSpec {
     intercept[IllegalArgumentException](Mode.parse("SIDEWAYS"))
   }
 
+  /** The spec-side rebuild of [[operators.Compat.fieldArrays]]'
+    * synthetic version model as a StructType — including the Avro
+    * metadata dimensions (default, enum symbols) on `status`.
+    */
+  private def schemaOf(k: Long): StructType = {
+    val base = Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = k % 2 == 0)) ++
+      (if (k % 3 == 0) Seq(StructField("email", StringType, nullable = true)) else Nil) :+
+      StructField("score", if (k % 4 < 2) IntegerType else LongType, nullable = false)
+    val status = if (k % 3 < 2) {
+      val b = new MetadataBuilder()
+      if (k % 5 < 3) b.putString("default", "A")
+      b.putStringArray("enumSymbols",
+        if (k % 2 == 0) Array("A", "B") else Array("A", "B", "C"))
+      Seq(StructField("status", StringType, nullable = false, b.build()))
+    } else Nil
+    StructType(base ++ status)
+  }
+
+  /** Per-subject ordered k-sequences for a handful of subjects. */
+  private def subjectHistories(limit: Long): Map[Long, Seq[Long]] = {
+    import org.apache.spark.sql.functions._
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("user_id") < limit)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), (r.getAs[java.sql.Timestamp]("ts"), r.getAs[Long]("event_id")), r.getAs[Long]("k")))
+      .groupBy(_._1)
+      .map { case (u, rows) => u -> rows.sortBy(_._2).map(_._3).toSeq }
+  }
+
   test("compat_scan relational checker agrees with the StructType checker") {
     import org.apache.spark.sql.functions._
     val df = operators.Compat.compatScan(spark, sfDir)
@@ -67,14 +100,6 @@ class CompatSpec extends SparkSpec {
     // Rebuild the same per-version StructTypes for a handful of subjects
     // and replay them through SchemaCompat — the relational join must
     // reach the same verdict as the recursive checker.
-    def schemaOf(k: Long): StructType = {
-      val base = Seq(
-        StructField("id", LongType, nullable = false),
-        StructField("name", StringType, nullable = k % 2 == 0)) ++
-        (if (k % 3 == 0) Seq(StructField("email", StringType, nullable = true)) else Nil) :+
-        StructField("score", if (k % 4 < 2) IntegerType else LongType, nullable = false)
-      StructType(base)
-    }
     val hist = Tables.events(spark, sfDir)
       .select(col("user_id"), col("ts"), col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
@@ -99,10 +124,37 @@ class CompatSpec extends SparkSpec {
 
   test("battery query matches hand-traced verdicts") {
     val rows = operators.Compat.checkBattery(spark, sfDir).collect()
-    assert(rows.length == 10)
+    assert(rows.length == 13)
     val verdicts = rows.map(r => r.getAs[Int]("case_id") -> r.getAs[Boolean]("compatible")).toMap
     assert(verdicts == Map(1 -> true, 2 -> false, 3 -> true, 4 -> false, 5 -> true,
-      6 -> false, 7 -> true, 8 -> false, 9 -> false, 10 -> true))
+      6 -> false, 7 -> true, 8 -> false, 9 -> false, 10 -> true,
+      11 -> true, 12 -> false, 13 -> true))
+  }
+
+  test("defaults rescue added-required fields; enum narrowing breaks — both live on the corpus") {
+    // Strip the metadata dimensions from a reader schema: what the
+    // pre-Avro-rules checker saw. A verdict that differs proves the
+    // new rule changed a real corpus outcome, in the claimed
+    // direction.
+    def stripped(stc: StructType): StructType =
+      StructType(stc.fields.map(f => StructField(f.name, f.dataType, f.nullable)))
+    var rescues, enumBreaks, checked = 0
+    subjectHistories(50).values.foreach { ks =>
+      ks.sliding(2).foreach {
+        case Seq(prevK, curK) =>
+          checked += 1
+          val withMeta = SchemaCompat.check(Backward, schemaOf(curK), Seq(schemaOf(prevK)))
+          val withoutMeta = SchemaCompat.check(Backward, stripped(schemaOf(curK)), Seq(stripped(schemaOf(prevK))))
+          // default rescued a required-field addition the old rules flagged
+          if (withMeta.isCompatible && !withoutMeta.isCompatible) rescues += 1
+          // enum narrowing the old rules could not see
+          if (withMeta.messages.exists(_.contains("enum symbols"))) enumBreaks += 1
+        case _ =>
+      }
+    }
+    assert(checked > 50)
+    assert(rescues > 0, "no version where a default rescued an added required field")
+    assert(enumBreaks > 0, "no version with an enum-symbol break")
   }
 
   test("transitive mode is at least as strict as the N-vs-N-1 scan") {

@@ -46,7 +46,7 @@ class IntelligenceSpec extends SparkSpec {
     rows.foreach { r =>
       val nf = r.getAs[Long]("n_fields"); val nr = r.getAs[Long]("n_required")
       val nt = r.getAs[Long]("n_types")
-      assert(nf >= 3 && nf <= 4)
+      assert(nf >= 3 && nf <= 5)
       assert(nr <= nf && nt <= nf)
       val expected = math.floor((nf + 0.5 * nt + 0.25 * nr) * 100 + 0.5) / 100.0
       assert(math.abs(r.getAs[Double]("complexity") - expected) < 1e-9)
@@ -57,9 +57,10 @@ class IntelligenceSpec extends SparkSpec {
     val rows = Intelligence.diffFields(spark, sfDir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      // only email appears/disappears; only score changes type; only
-      // name changes nullability — each bounded by 1 per step
-      assert(r.getAs[Long]("n_added") <= 1 && r.getAs[Long]("n_removed") <= 1)
+      // email and status appear/disappear; only score changes type;
+      // only name changes nullability — adds/removes bounded by 2
+      // (both presence-varying fields in one step), the rest by 1
+      assert(r.getAs[Long]("n_added") <= 2 && r.getAs[Long]("n_removed") <= 2)
       assert(r.getAs[Long]("n_type_changed") <= 1 && r.getAs[Long]("n_null_changed") <= 1)
       assert(r.getAs[Int]("version") > 1)
     }
