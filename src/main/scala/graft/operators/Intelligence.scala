@@ -141,6 +141,62 @@ object Intelligence {
       .select(col("subject"), col("ftype"), col("fnull"))
       .orderBy(col("subject"))
 
+  /** FindSchemasByType (tools_intelligence.go:177): the sibling of
+    * [[findByField]] — which subjects' latest schemas carry a field
+    * of a given TYPE (here: `bigint`, the id/widened-score type).
+    * Same pushed-predicate scan over the latest-fields view, filtered
+    * on ftype instead of fname.
+    */
+  def findByType(s: SparkSession, dir: String): DataFrame =
+    latestFields(s, dir)
+      .filter(col("ftype") === "bigint")
+      .select(col("subject"), col("fname"), col("fnull"))
+      .orderBy(col("subject"), col("fname"))
+
+  /** SuggestSchemaEvolution (tools_intelligence.go:590-728,
+    * suggestAddField :622 / suggestDeprecateField :658 /
+    * suggestAddEnumSymbol :690): a rule engine over each subject's
+    * latest version emitting (subject, rule, fname) suggestions.
+    * Every rule is data-driven:
+    *  - add_default_or_nullable: required non-enum field without a
+    *    default — the next consumer-breaking addition candidate.
+    *  - widen_int_to_long: an int field whose name is typed bigint in
+    *    some other subject's latest version (cross-subject drift,
+    *    detected via a vocab-sized broadcast of bigint field names).
+    *  - add_enum_default: enum field without a default — symbol
+    *    evolution is unsafe until one exists (checker.go:182).
+    *  - deprecate_before_remove: a field the latest version just
+    *    dropped (present in maxv-1, gone in maxv) — flag for formal
+    *    deprecation. Uses the lag array already on the latest row:
+    *    row-local, no extra shuffle.
+    * All rules are row-local over the latest-fields view except the
+    * broadcast name-set join; one window shuffle total.
+    */
+  def evolutionSuggest(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("subject"))
+    val latest = Compat.fieldArrays(s, dir)
+      .withColumn("maxv", max(col("version")).over(w))
+      .filter(col("version") === col("maxv"))
+    val lf = latest.select(col("subject"), explode(col("flds")).as("f"))
+      .select(col("subject"), col("f.fname").as("fname"), col("f.ftype").as("ftype"),
+        col("f.fnull").as("fnull"), col("f.fdefault").as("fdefault"))
+    val removed = latest
+      .select(col("subject"),
+        explode(expr("filter(w_flds, w -> !exists(flds, f -> f.fname = w.fname))")).as("f"))
+      .select(col("subject"), col("f.fname").as("fname"))
+    val bigintNames = lf.filter(col("ftype") === "bigint").select(col("fname")).distinct()
+    val s1 = lf.filter(!col("fnull") && col("fdefault").isNull && col("ftype") =!= "enum")
+      .select(col("subject"), lit("add_default_or_nullable").as("rule"), col("fname"))
+    val s2 = lf.filter(col("ftype") === "int")
+      .join(broadcast(bigintNames), "fname")
+      .select(col("subject"), lit("widen_int_to_long").as("rule"), col("fname"))
+    val s3 = lf.filter(col("ftype") === "enum" && col("fdefault").isNull)
+      .select(col("subject"), lit("add_enum_default").as("rule"), col("fname"))
+    val s4 = removed.select(col("subject"), lit("deprecate_before_remove").as("rule"), col("fname"))
+    s1.unionByName(s2).unionByName(s3).unionByName(s4)
+      .orderBy(col("subject"), col("rule"), col("fname"))
+  }
+
   /** DetectSchemaPatterns (tools_intelligence.go:485): the corpus-
     * shape summary the reference computes by iterating every subject
     * — subject count, total/multi-version stats, and how many fields
@@ -185,6 +241,8 @@ object Intelligence {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "reg_active_latest" -> activeLatest,
     "an_find_field" -> findByField,
+    "an_find_type" -> findByType,
+    "reg_evolution_suggest" -> evolutionSuggest,
     "an_patterns" -> detectPatterns,
     "reg_similar" -> similarSchemas,
     "an_consistency" -> fieldConsistency,
@@ -210,6 +268,29 @@ object Intelligence {
         |$latestCte
         |SELECT subject, ftype, fnull FROM lf WHERE fname = 'email'
         |ORDER BY subject""".stripMargin,
+    "an_find_type" ->
+      s"""WITH ${Compat.fieldModelCte},
+        |$latestCte
+        |SELECT subject, fname, fnull FROM lf WHERE ftype = 'bigint'
+        |ORDER BY subject, fname""".stripMargin,
+    "reg_evolution_suggest" ->
+      s"""WITH ${Compat.fieldModelCte},
+        |$latestCte,
+        |removed AS (
+        |  SELECT p.subject, p.fname
+        |  FROM fields p JOIN latest l ON p.subject = l.subject AND p.version = l.v - 1
+        |  WHERE NOT EXISTS (SELECT 1 FROM fields c
+        |                    WHERE c.subject = p.subject AND c.version = l.v AND c.fname = p.fname)),
+        |bigs AS (SELECT DISTINCT fname FROM lf WHERE ftype = 'bigint')
+        |SELECT subject, rule, fname FROM (
+        |  SELECT subject, 'add_default_or_nullable' AS rule, fname FROM lf
+        |    WHERE NOT fnull AND fdefault IS NULL AND ftype <> 'enum'
+        |  UNION ALL SELECT subject, 'widen_int_to_long', fname FROM lf
+        |    WHERE ftype = 'int' AND fname IN (SELECT fname FROM bigs)
+        |  UNION ALL SELECT subject, 'add_enum_default', fname FROM lf
+        |    WHERE ftype = 'enum' AND fdefault IS NULL
+        |  UNION ALL SELECT subject, 'deprecate_before_remove', fname FROM removed) t
+        |ORDER BY subject, rule, fname""".stripMargin,
     "an_patterns" ->
       s"""WITH ${Compat.fieldModelCte},
         |$latestCte,

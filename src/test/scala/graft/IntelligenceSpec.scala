@@ -30,6 +30,34 @@ class IntelligenceSpec extends SparkSpec {
     } assert(pairs.contains((math.min(a, c), math.max(a, c))), s"$a~$b~$c but not $a~$c")
   }
 
+  test("find-by-type: every subject's latest has bigint id; only id/score qualify") {
+    val rows = Intelligence.findByType(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[String]("fname")).toSet.subsetOf(Set("id", "score")))
+    val idSubjects = rows.filter(_.getAs[String]("fname") == "id").map(_.getAs[Long]("subject"))
+    val allSubjects = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(idSubjects.length == allSubjects, "id is bigint in every latest version")
+    assert(idSubjects.distinct.length == idSubjects.length)
+  }
+
+  test("evolution suggestions: rules fire data-driven, each on its own field class") {
+    val rows = Intelligence.evolutionSuggest(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("subject"), r.getAs[String]("rule"), r.getAs[String]("fname")))
+    assert(rows.nonEmpty)
+    val byRule = rows.groupBy(_._2).view.mapValues(_.map(_._3).toSet).toMap
+    assert(byRule.keySet.subsetOf(Set(
+      "add_default_or_nullable", "widen_int_to_long", "add_enum_default", "deprecate_before_remove")))
+    // id is always required+defaultless → the rule fires for every subject
+    assert(byRule("add_default_or_nullable").contains("id"))
+    // only score is ever int, and bigint peers exist corpus-wide
+    assert(byRule("widen_int_to_long") == Set("score"))
+    // only status is an enum
+    assert(byRule("add_enum_default") == Set("status"))
+    // some latest step dropped a presence-varying field
+    assert(byRule.get("deprecate_before_remove").exists(_.subsetOf(Set("email", "status"))))
+    assert(byRule("deprecate_before_remove").nonEmpty)
+  }
+
   test("field consistency flags the k-dependent fields and only those") {
     val rows = Intelligence.fieldConsistency(spark, sfDir).collect()
       .map(r => r.getAs[String]("fname") ->
