@@ -350,6 +350,91 @@ object Registry {
       .agg(count(col("anc")).as("n_ancestors"), max(col("anc")).as("max_anc"))
       .orderBy(col("doc_id"))
 
+  /** Dependency graph WITH hop depth (buildDependencyTree,
+    * tools_validation.go:295 walks references to maxDepth): the
+    * pointer-doubling closure extended to carry min-hop distance —
+    * min-plus matrix squaring. Init: direct edges at d=1; each round
+    * composes closure∘closure taking min(d1+d2) per (doc, anc), so
+    * exact min-depths for paths ≤ 2^r arrive after r rounds. The
+    * convergence witness is the 1-row (pair count, Σd) tuple: pairs
+    * only grow and, per pair, d only shrinks, so an unchanged tuple
+    * is a fixpoint. Same flat-lineage discipline as [[closurePairs]].
+    */
+  private def closureDepths(s: SparkSession, dir: String): DataFrame = {
+    def witness(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(col("d"))).first()
+      (r.getLong(0), r.getLong(1))
+    }
+    var closure = refEdges(s, dir)
+      .select(col("child").as("doc_id"), col("parent").as("anc"), lit(1L).as("d"))
+      .groupBy(col("doc_id"), col("anc")).agg(min(col("d")).as("d"))
+      .localCheckpoint()
+    var prev = (-1L, -1L)
+    var cur = witness(closure)
+    while (cur != prev) {
+      val hop = closure.select(col("doc_id"), col("anc").as("mid"), col("d").as("d1"))
+        .join(closure.select(col("doc_id").as("mid"), col("anc").as("anc2"), col("d").as("d2")), "mid")
+        .select(col("doc_id"), col("anc2").as("anc"), (col("d1") + col("d2")).as("d"))
+      val next = closure.union(hop)
+        .groupBy(col("doc_id"), col("anc")).agg(min(col("d")).as("d"))
+        .localCheckpoint()
+      prev = cur
+      cur = witness(next)
+      closure = next
+    }
+    closure
+  }
+
+  /** Per-document dependency-tree report (tools_validation.go:295):
+    * ancestor count, tree depth (max min-hop distance), and how many
+    * ancestors sit within maxDepth=2 — the truncation the reference
+    * applies when rendering the tree. Docs without references report
+    * 0/0/0 via the left join. Oracle: recursive CTE carrying depth,
+    * min() per (doc, anc) — parity proves the min-plus squaring.
+    */
+  def depDepth(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(closureDepths(s, dir), Seq("doc_id"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("anc")).as("n_ancestors"),
+        coalesce(max(col("d")), lit(0L)).as("depth"),
+        coalesce(sum(when(col("d") <= 2, 1L).otherwise(0L)), lit(0L)).as("n_within_2"))
+      .orderBy(col("doc_id"))
+
+  /** Free-text schema search (handleSearchSchemas,
+    * tools_validation.go:176: match a query string against subject
+    * names AND schema content corpus-wide). Re-expressed as the
+    * inverted-posting-list shape: the corpus tokenizes row-locally
+    * (content + source name in one pass), postings join the BROADCAST
+    * query-term table — so only matching postings ever shuffle — and
+    * candidates score relationally (distinct query terms hit), top-20
+    * per query by (score, doc_id). No full-corpus scan per query, no
+    * cartesian: the term join is the index probe, batched across the
+    * whole query workload in one pass.
+    */
+  def search(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val terms = broadcast(Seq(
+      (1L, "window"), (1L, "merge"),
+      (2L, "vector"), (2L, "hash"), (2L, "join"),
+      (3L, "spark"), (3L, "registry"),
+      (4L, "src3"), (4L, "stream"))
+      .toDF("query_id", "term"))
+    val postings = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(split(lower(concat(col("text"), lit(" "), col("source"))), "[^a-z0-9]+")).as("tok"))
+    val hits = postings.join(terms, col("tok") === col("term"))
+      .select(col("query_id"), col("doc_id"), col("tok")).distinct()
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_hit").desc, col("doc_id"))
+    hits.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 20)
+      .select(col("query_id"), col("doc_id"), col("n_hit"))
+      .orderBy(col("query_id"), col("n_hit").desc, col("doc_id"))
+  }
+
   /** Garbage-collection candidates: a soft-deleted schema (doc_id %
     * 7 tombstones) is permanently deletable iff NO live schema
     * transitively depends on it — the reference refuses deletion
@@ -510,6 +595,8 @@ object Registry {
     "dq_checks" -> dqChecks,
     "reg_pagerank" -> pagerank,
     "reg_refs_closure" -> refsClosure,
+    "reg_dep_depth" -> depDepth,
+    "reg_search" -> search,
     "reg_gc_candidates" -> gcCandidates,
     "reg_resolve_ref" -> resolveRef,
     "reg_validate" -> validatePayloads,
@@ -612,6 +699,43 @@ object Registry {
         |SELECT d.doc_id, count(a.anc) AS n_ancestors, max(a.anc) AS max_anc
         |FROM documents d LEFT JOIN anc a ON a.doc_id = d.doc_id
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    "reg_dep_depth" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT doc_id AS child, CAST(floor(doc_id / 2) AS BIGINT) AS parent
+        |  FROM documents WHERE doc_id >= 1
+        |  UNION ALL
+        |  SELECT doc_id AS child, CAST(floor(doc_id / 3) AS BIGINT) AS parent
+        |  FROM documents WHERE doc_id >= 3 AND doc_id % 5 = 0),
+        |paths AS (
+        |  SELECT child AS doc_id, parent AS anc, 1 AS d FROM edges
+        |  UNION
+        |  SELECT p.doc_id, e.parent AS anc, p.d + 1 AS d
+        |  FROM paths p JOIN edges e ON e.child = p.anc),
+        |mind AS (SELECT doc_id, anc, min(d) AS d FROM paths GROUP BY doc_id, anc)
+        |SELECT doc.doc_id, count(m.anc) AS n_ancestors,
+        |  CAST(coalesce(max(m.d), 0) AS BIGINT) AS depth,
+        |  CAST(coalesce(sum(CASE WHEN m.d <= 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_within_2
+        |FROM documents doc LEFT JOIN mind m ON m.doc_id = doc.doc_id
+        |GROUP BY doc.doc_id ORDER BY doc.doc_id""".stripMargin,
+    "reg_search" ->
+      """WITH q(query_id, term) AS (VALUES
+        |  (CAST(1 AS BIGINT), 'window'), (1, 'merge'),
+        |  (2, 'vector'), (2, 'hash'), (2, 'join'),
+        |  (3, 'spark'), (3, 'registry'),
+        |  (4, 'src3'), (4, 'stream')),
+        |toks AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(string_split_regex(lower(text || ' ' || source), '[^a-z0-9]+')) AS tok
+        |  FROM documents),
+        |hits AS (
+        |  SELECT q.query_id, t.doc_id, count(*) AS n_hit
+        |  FROM toks t JOIN q ON t.tok = q.term
+        |  GROUP BY q.query_id, t.doc_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY n_hit DESC, doc_id) AS rk
+        |  FROM hits)
+        |SELECT query_id, doc_id, n_hit FROM ranked WHERE rk <= 20
+        |ORDER BY query_id, n_hit DESC, doc_id""".stripMargin,
     "reg_gc_candidates" ->
       """WITH RECURSIVE edges AS (
         |  SELECT doc_id AS child, CAST(floor(doc_id / 2) AS BIGINT) AS parent

@@ -53,6 +53,47 @@ class RegistrySpec extends SparkSpec {
     assert(byId(10L) == 5)
   }
 
+  test("dep depth: min-hop depths match hand computation and agree with the closure") {
+    val rows = Registry.depDepth(spark, sfDir).collect()
+    assert(rows.length == Tables.documents(spark, sfDir).count())
+    val byId = rows.map(r => r.getLong(0) ->
+      (r.getAs[Long]("n_ancestors"), r.getAs[Long]("depth"), r.getAs[Long]("n_within_2"))).toMap
+    // doc 0: no refs. doc 12: chain 6,3,1,0 at depths 1..4, two within 2.
+    assert(byId(0L) == ((0L, 0L, 0L)))
+    assert(byId(12L) == ((4L, 4L, 2L)))
+    // doc 10: /2 chain gives 5(d1),2(d2),1(d3),0(d4); the /3 edge to
+    // 3(d1) shortens 1 to d2 and 0 to d3 — min over converging paths.
+    // Final: {5:1, 3:1, 2:2, 1:2, 0:3} → 5 ancestors, depth 3, 4 within 2.
+    assert(byId(10L) == ((5L, 3L, 4L)))
+    // depth consistency with the depth-less closure
+    val closure = Registry.refsClosure(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_ancestors")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_ancestors") == closure(r.getLong(0)))
+      assert(r.getAs[Long]("n_within_2") <= r.getAs[Long]("n_ancestors"))
+      assert((r.getAs[Long]("depth") == 0) == (r.getAs[Long]("n_ancestors") == 0))
+    }
+  }
+
+  test("search: posting-list hits bounded by query size, subject-name face works") {
+    val rows = Registry.search(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"), r.getAs[Long]("n_hit")))
+    assert(rows.nonEmpty)
+    val termCounts = Map(1L -> 2, 2L -> 3, 3L -> 2, 4L -> 2)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.length <= 20)
+      assert(rs.forall(_._3 <= termCounts(q)))
+    }
+    // query 4 matches 'src3' via the source-name face: top docs hit both terms
+    val q4 = rows.filter(_._1 == 4L)
+    assert(q4.nonEmpty && q4.map(_._3).max == 2,
+      "some src3 document containing 'stream' must score both terms")
+    // no cartesian in the plan; the term probe must be a broadcast join
+    val plan = Registry.search(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   test("gc candidates: only tombstoned docs appear; live-depended docs retained") {
     val rows = Registry.gcCandidates(spark, sfDir).collect()
     assert(rows.nonEmpty)
