@@ -40,13 +40,26 @@ object Intelligence {
     * floor-rounded.
     */
   def similarSchemas(s: SparkSession, dir: String): DataFrame = {
-    // subjects × ≤4 fields — tiny; cached because it feeds three
+    // subjects × ≤5 fields — tiny; cached because it feeds three
     // consumers (sizes + both join sides) and would otherwise re-run
     // the events window scan three times
     val lf = latestFields(s, dir).cache()
     val sizes = lf.groupBy(col("subject")).agg(count(lit(1)).as("n"))
-    val a = lf.select(col("subject").as("sub_a"), col("fname"), col("ftype"), col("fnull"))
-    val b = lf.select(col("subject").as("sub_b"), col("fname"), col("ftype"), col("fnull"))
+    // df-cap guard: pair work inside one signature is df², so a
+    // degenerate corpus where a huge share of subjects carries one
+    // identical typed-field signature quadratics there. Signatures
+    // with df > graft.similar.dfCap are excluded from PAIR GENERATION
+    // (sizes stay exact, so surviving scores are unchanged); the
+    // default cap is far above this corpus's vocabulary, and
+    // [[similarDropReport]] is the no-silent-cap accounting query.
+    val cap = s.conf.get("graft.similar.dfCap", "100000").toInt
+    val keep = lf.groupBy(col("fname"), col("ftype"), col("fnull"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap)
+      .select(col("fname"), col("ftype"), col("fnull"))
+    val lfK = lf.join(broadcast(keep), Seq("fname", "ftype", "fnull"), "left_semi")
+    val a = lfK.select(col("subject").as("sub_a"), col("fname"), col("ftype"), col("fnull"))
+    val b = lfK.select(col("subject").as("sub_b"), col("fname"), col("ftype"), col("fnull"))
     val jac = col("c") / (col("na") + col("nb") - col("c")).cast("double")
     a.join(b, Seq("fname", "ftype", "fnull"))
       .filter(col("sub_a") < col("sub_b"))
@@ -58,6 +71,22 @@ object Intelligence {
       .select(col("sub_a"), col("sub_b"), col("c").as("n_shared"),
         (floor(jac * 10000 + 0.5) / lit(10000.0)).as("jaccard"))
       .orderBy(col("sub_a"), col("sub_b"))
+  }
+
+  /** The accounting face of [[similarSchemas]]' df-cap guard (the
+    * no-silent-cap rule): how many typed-field signatures exceeded
+    * the cap and were excluded from pair generation, and how many
+    * posting rows they carried. Vocab-sized aggregate — rows =
+    * 1, cost negligible next to the pair join it guards.
+    */
+  def similarDropReport(s: SparkSession, dir: String): DataFrame = {
+    val cap = s.conf.get("graft.similar.dfCap", "100000").toInt
+    latestFields(s, dir)
+      .groupBy(col("fname"), col("ftype"), col("fnull"))
+      .agg(count(lit(1)).as("df"))
+      .agg(sum(when(col("df") > cap, 1L).otherwise(0L)).as("n_dropped_signatures"),
+        sum(when(col("df") > cap, col("df")).otherwise(0L)).as("n_dropped_postings"),
+        count(lit(1)).as("n_signatures"))
   }
 
   /** CheckFieldConsistency (tools_intelligence.go:370): for every

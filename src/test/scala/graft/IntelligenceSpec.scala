@@ -30,6 +30,23 @@ class IntelligenceSpec extends SparkSpec {
     } assert(pairs.contains((math.min(a, c), math.max(a, c))), s"$a~$b~$c but not $a~$c")
   }
 
+  test("df-cap guard: capped signatures leave pair generation, report accounts for them") {
+    val base = Intelligence.similarSchemas(spark, sfDir).count()
+    val baseReport = Intelligence.similarDropReport(spark, sfDir).head()
+    assert(baseReport.getAs[Long]("n_dropped_signatures") == 0,
+      "default cap must not bite on the test corpus")
+    try {
+      // cap 1: every signature shared by 2+ subjects is excluded, and
+      // threshold-1.0 pairs need ALL signatures shared — none survive
+      spark.conf.set("graft.similar.dfCap", "1")
+      assert(Intelligence.similarSchemas(spark, sfDir).count() == 0)
+      val r = Intelligence.similarDropReport(spark, sfDir).head()
+      assert(r.getAs[Long]("n_dropped_signatures") > 0)
+      assert(r.getAs[Long]("n_dropped_postings") > r.getAs[Long]("n_dropped_signatures"))
+    } finally spark.conf.unset("graft.similar.dfCap")
+    assert(Intelligence.similarSchemas(spark, sfDir).count() == base)
+  }
+
   test("find-by-type: every subject's latest has bigint id; only id/score qualify") {
     val rows = Intelligence.findByType(spark, sfDir).collect()
     assert(rows.nonEmpty)
