@@ -50,6 +50,26 @@ object Pipeline {
       .toDF("src", "dst")
       .repartition(col("dst"))
       .cache()
+    // graft.clusters.algo = label (default) | star: same fixpoint,
+    // different round complexity — diameter-many rounds vs O(log n).
+    val (labels, _) =
+      if (s.conf.get("graft.clusters.algo", "label") == "star") ccStar(edges)
+      else ccLabelProp(edges)
+    edges.unpersist()
+    val members = labels.select(col("label").as("cluster_id"), col("id").as("doc_id"))
+    val sizes = members.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_docs"))
+    members.join(sizes, "cluster_id")
+      .select(col("cluster_id"), col("doc_id"), col("n_docs"))
+      .orderBy(col("cluster_id"), col("doc_id"))
+  }
+
+  /** Min-label propagation CC core: every node takes the min of its
+    * own and its neighbors' labels each round; rounds = component
+    * diameter. `edges` must be symmetric (src, dst). Labels only
+    * decrease, so sum(label) is the monotone 1-row convergence
+    * witness. Returns (labels (id, label), rounds run).
+    */
+  private[graft] def ccLabelProp(edges: DataFrame, maxIter: Int = 20): (DataFrame, Int) = {
     // Eager by default: materializes the round and truncates lineage,
     // so every subsequent round plans against a flat LogicalRDD.
     var labels = edges.select(col("src").as("id")).distinct()
@@ -60,7 +80,7 @@ object Pipeline {
     var prevSum = -1L
     var curSum = labelSum(labels)
     var iter = 0
-    while (curSum != prevSum && iter < 20) {
+    while (curSum != prevSum && iter < maxIter) {
       val next = edges
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
         .select(col("src").as("id"), col("nl").as("label"))
@@ -72,12 +92,68 @@ object Pipeline {
       labels = next
       iter += 1
     }
-    edges.unpersist()
-    val members = labels.select(col("label").as("cluster_id"), col("id").as("doc_id"))
-    val sizes = members.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_docs"))
-    members.join(sizes, "cluster_id")
-      .select(col("cluster_id"), col("doc_id"), col("n_docs"))
-      .orderBy(col("cluster_id"), col("doc_id"))
+    (labels, iter)
+  }
+
+  /** Large-star/small-star CC core (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") — the adversarial-diameter
+    * upgrade path: path lengths contract multiplicatively, so a
+    * chain that costs label propagation diameter-many rounds
+    * converges in O(log n) alternations.
+    *
+    *  - large-star(u): every strictly-larger neighbor of u re-points
+    *    to m = min(Γ(u) ∪ u).
+    *  - small-star(u): edges orient toward the smaller endpoint;
+    *    every smaller-or-equal neighbor (and u itself) re-points to m.
+    *
+    * Both steps are one groupBy-min + one join over the edge set —
+    * the same building blocks as label propagation, applied to a
+    * shrinking edge list rather than a static one. Fixpoint = the
+    * edge set is stable (each node points straight at its component
+    * min); checked exactly via two symmetric-difference counts per
+    * round over the (tiny) pair-graph edge list — the honest price
+    * of an exact stop condition on a non-monotone edge set.
+    * Returns (labels (id, label), rounds run).
+    */
+  private[graft] def ccStar(edges: DataFrame, maxIter: Int = 30): (DataFrame, Int) = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val m = sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      sym.join(m, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      val m = oriented.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      oriented.join(m, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(m.select(col("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    var e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    var iter = 0
+    var stable = false
+    while (!stable && iter < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      stable = next.except(e).isEmpty && e.except(next).isEmpty
+      e = next
+      iter += 1
+    }
+    // Converged: every edge is (member → component min); minima label
+    // themselves. Nodes absent from e (isolated after self-loop
+    // removal) cannot occur here — every input node has a partner.
+    val labels = e.select(col("src").as("id"), col("dst").as("label"))
+      .union(e.select(col("dst").as("id"), col("dst").as("label")))
+      .groupBy(col("id")).agg(min(col("label")).as("label"))
+    (labels, iter)
   }
 
   /** Deterministic stratified sampling: each (source, lang) stratum

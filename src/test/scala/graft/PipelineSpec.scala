@@ -31,6 +31,31 @@ class PipelineSpec extends SparkSpec {
     assert(members.filter(col("n_docs") >= 3).count() > 0)
   }
 
+  test("large-star/small-star: O(log n) rounds on a 999-diameter chain label-prop can't finish") {
+    val n = 1000L
+    val chain = spark.range(n - 1).select(col("id").as("src"), (col("id") + lit(1)).as("dst"))
+    val (labels, rounds) = Pipeline.ccStar(chain)
+    assert(rounds <= 15, s"star took $rounds rounds — not logarithmic in $n")
+    val l = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l.size == n && l.values.forall(_ == 0L), "chain must collapse to one cluster rooted at 0")
+    // the same chain defeats min-label propagation: still iterating
+    // at a cap far beyond ccStar's convergence (diameter-bound rounds)
+    val sym = chain.union(chain.select(col("dst").as("src"), col("src").as("dst")))
+    val (_, lpRounds) = Pipeline.ccLabelProp(sym, maxIter = 25)
+    assert(lpRounds == 25, "label prop should still be iterating at the cap on this chain")
+  }
+
+  test("star variant reproduces the label-prop clusters on the real LSH pair graph") {
+    val base = Pipeline.dedupClusters(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("doc_id"), r.getAs[Long]("n_docs"))).toSet
+    spark.conf.set("graft.clusters.algo", "star")
+    try {
+      val star = Pipeline.dedupClusters(spark, sfDir).collect()
+        .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("doc_id"), r.getAs[Long]("n_docs"))).toSet
+      assert(star == base, "the two CC algorithms must reach the same fixpoint")
+    } finally spark.conf.unset("graft.clusters.algo")
+  }
+
   test("stratified sample keeps rate-consistent counts per stratum") {
     val rows = Pipeline.sampleStratified(spark, sfDir).collect()
     assert(rows.nonEmpty)
