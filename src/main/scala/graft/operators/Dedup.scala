@@ -120,6 +120,21 @@ object Dedup {
 
   /** Exact n-gram Jaccard verification over (lang, length-bucket)
     * blocks: set intersection / union of distinct word 3-grams.
+    *
+    * Plan shape: the build side is BROADCAST and the streamed side is
+    * spread evenly by row. Two reasons, both measured at the sf1
+    * bench (this query was 400× super-linear before): (a) a shuffle
+    * join on the block keys hashes ~dozens of distinct (lang,
+    * len_bucket) values over the partition space — most tasks idle
+    * while a few score every pair; (b) the all-pairs intermediate
+    * carries both shingle ARRAYS per pair, and shuffling/sorting
+    * ~KB-wide rows × pairs² spills long before the scoring loop is
+    * the bottleneck. Broadcasting the per-doc array table (tiny: one
+    * row per doc) lets every pair be generated AND scored inside one
+    * pipelined stage — the fat intermediate never materializes.
+    * At 100 TB corpus-wide exact verification is not run at all:
+    * [[minhashRecall]] is the evaluation that justifies running the
+    * exact scorer over LSH candidates only.
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     graft.functions.Native.register(s)
@@ -130,12 +145,12 @@ object Dedup {
         """array_sort(array_distinct(transform(sequence(1, size(ts) - 2),
           |  i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1), ' ', element_at(ts, i + 2))))) AS sh""".stripMargin)
       .cache()
-    // Repartition the stream side so pair scoring parallelizes even
-    // when the input is a single parquet split; the score threshold
-    // goes through Tables.filterBarrier so Catalyst cannot hoist the
-    // expensive expression into the join condition.
-    val blocks = Tables.spreadBy(sh, col("lang"), col("len_bucket"))
-    val scored = blocks.as("a").join(sh.as("b"),
+    // Spread the stream side BY ROW (not by block key) so pair
+    // scoring parallelizes across the full partition space; the score
+    // threshold goes through Tables.filterBarrier so Catalyst cannot
+    // hoist the expensive expression into the join condition.
+    val blocks = Tables.spread(sh)
+    val scored = blocks.as("a").join(broadcast(sh.as("b")),
         col("a.lang") === col("b.lang") && col("a.len_bucket") === col("b.len_bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -146,13 +161,19 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup pairs, blocked by label (the cluster
-    * key), computed in double precision end-to-end.
+    * key), computed in double precision end-to-end. Same plan shape
+    * as [[ngramJaccard]] and for the same measured reason: ~10
+    * distinct labels hash to ~10 shuffle partitions, so a keyed
+    * shuffle join caps parallelism at the label count and drags both
+    * vector columns through the pair-sized exchange. Broadcasting the
+    * vector table and spreading the stream side by row keeps all
+    * cores scoring and the pair intermediate pipelined.
     */
   def embedCosine(s: SparkSession, dir: String): DataFrame = {
     graft.functions.Native.register(s)
     val e = Tables.embeddings(s, dir)
       .selectExpr("vec_id", "label", "cast(embedding AS array<double>) AS e")
-    val scored = Tables.spreadBy(e, col("label")).as("a").join(e.as("b"),
+    val scored = Tables.spread(e).as("a").join(broadcast(e.as("b")),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .selectExpr("a.vec_id AS vec_a", "b.vec_id AS vec_b",
         "graft_cosine(a.e, b.e) AS cos")

@@ -30,60 +30,55 @@ object Intelligence {
   }
 
   /** FindSimilarSchemas (tools_intelligence.go:251): subjects whose
-    * latest typed field sets are Jaccard-identical. The self-join is
-    * keyed on the full typed-field signature — a posting-list join:
-    * pair work is bounded by Σ df(signature)², never |subjects|²,
-    * which is what makes corpus-wide similarity tractable at scale
-    * (same shape as the dedup family's LSH bucket join). The
-    * threshold compares the UNROUNDED ratio (small-int division —
-    * bit-identical in both engines); only the reported score is
-    * floor-rounded.
+    * latest typed field sets are Jaccard-identical. At threshold 1.0
+    * "similar" means set-identical, so the pair join is keyed on ONE
+    * whole-set signature per subject — md5 of the sorted typed-field
+    * list. Work is ∝ subjects + output pairs: no per-field posting
+    * lists, so a ubiquitous field shared by every subject (id here)
+    * costs nothing. The r3 posting-list formulation was Σ df² over
+    * per-field signatures, which quadratics on exactly those
+    * ubiquitous fields — measured 14× super-linear at the sf1 bench;
+    * this shape removed it while producing identical output (c =
+    * |set| and jaccard = 1.0 exactly for identical sets).
+    *
+    * Identity-class cap: pair enumeration inside one identity class
+    * is class², so classes larger than graft.similar.dfCap are
+    * excluded from pair generation (a degenerate corpus where
+    * thousands of subjects share one schema stays output-bounded);
+    * [[similarDropReport]] is the no-silent-cap accounting query.
     */
   def similarSchemas(s: SparkSession, dir: String): DataFrame = {
-    // subjects × ≤5 fields — tiny; cached because it feeds three
-    // consumers (sizes + both join sides) and would otherwise re-run
-    // the events window scan three times
-    val lf = latestFields(s, dir).cache()
-    val sizes = lf.groupBy(col("subject")).agg(count(lit(1)).as("n"))
-    // df-cap guard: pair work inside one signature is df², so a
-    // degenerate corpus where a huge share of subjects carries one
-    // identical typed-field signature quadratics there. Signatures
-    // with df > graft.similar.dfCap are excluded from PAIR GENERATION
-    // (sizes stay exact, so surviving scores are unchanged); the
-    // default cap is far above this corpus's vocabulary, and
-    // [[similarDropReport]] is the no-silent-cap accounting query.
     val cap = s.conf.get("graft.similar.dfCap", "100000").toInt
-    val keep = lf.groupBy(col("fname"), col("ftype"), col("fnull"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= cap)
-      .select(col("fname"), col("ftype"), col("fnull"))
-    val lfK = lf.join(broadcast(keep), Seq("fname", "ftype", "fnull"), "left_semi")
-    val a = lfK.select(col("subject").as("sub_a"), col("fname"), col("ftype"), col("fnull"))
-    val b = lfK.select(col("subject").as("sub_b"), col("fname"), col("ftype"), col("fnull"))
-    val jac = col("c") / (col("na") + col("nb") - col("c")).cast("double")
-    a.join(b, Seq("fname", "ftype", "fnull"))
+    val sigs = latestFields(s, dir)
+      .groupBy(col("subject"))
+      .agg(count(lit(1)).as("n"),
+        md5(concat_ws("|", sort_array(collect_list(
+          concat_ws(":", col("fname"), col("ftype"), col("fnull").cast("string")))))).as("sig"))
+    val capped = sigs.join(
+      broadcast(sigs.groupBy(col("sig")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= cap).select(col("sig"))),
+      Seq("sig"), "left_semi")
+    capped.select(col("sig"), col("subject").as("sub_a"), col("n"))
+      .join(capped.select(col("sig"), col("subject").as("sub_b")), "sig")
       .filter(col("sub_a") < col("sub_b"))
-      .groupBy(col("sub_a"), col("sub_b"))
-      .agg(count(lit(1)).as("c"))
-      .join(broadcast(sizes.select(col("subject").as("sub_a"), col("n").as("na"))), "sub_a")
-      .join(broadcast(sizes.select(col("subject").as("sub_b"), col("n").as("nb"))), "sub_b")
-      .filter(jac >= 1.0)
-      .select(col("sub_a"), col("sub_b"), col("c").as("n_shared"),
-        (floor(jac * 10000 + 0.5) / lit(10000.0)).as("jaccard"))
+      .select(col("sub_a"), col("sub_b"), col("n").as("n_shared"),
+        lit(1.0).as("jaccard"))
       .orderBy(col("sub_a"), col("sub_b"))
   }
 
-  /** The accounting face of [[similarSchemas]]' df-cap guard (the
-    * no-silent-cap rule): how many typed-field signatures exceeded
-    * the cap and were excluded from pair generation, and how many
-    * posting rows they carried. Vocab-sized aggregate — rows =
-    * 1, cost negligible next to the pair join it guards.
+  /** The accounting face of [[similarSchemas]]' identity-class cap
+    * (the no-silent-cap rule): how many whole-schema identity classes
+    * exceeded the cap and were excluded from pair enumeration, and
+    * how many subjects they held. One subjects-sized aggregate —
+    * cost negligible next to the pair join it guards.
     */
   def similarDropReport(s: SparkSession, dir: String): DataFrame = {
     val cap = s.conf.get("graft.similar.dfCap", "100000").toInt
     latestFields(s, dir)
-      .groupBy(col("fname"), col("ftype"), col("fnull"))
-      .agg(count(lit(1)).as("df"))
+      .groupBy(col("subject"))
+      .agg(md5(concat_ws("|", sort_array(collect_list(
+        concat_ws(":", col("fname"), col("ftype"), col("fnull").cast("string")))))).as("sig"))
+      .groupBy(col("sig")).agg(count(lit(1)).as("df"))
       .agg(sum(when(col("df") > cap, 1L).otherwise(0L)).as("n_dropped_signatures"),
         sum(when(col("df") > cap, col("df")).otherwise(0L)).as("n_dropped_postings"),
         count(lit(1)).as("n_signatures"))
