@@ -169,7 +169,17 @@ object Compat {
       |    CASE WHEN k % 5 < 3 THEN 'A' END,
       |    CASE WHEN k % 2 = 0 THEN 'A,B' ELSE 'A,B,C' END FROM versioned WHERE k % 3 < 2)""".stripMargin
 
-  def compatScan(s: SparkSession, dir: String): DataFrame = {
+  /** Per-reader-field rows for version N vs N-1 with each Avro rule's
+    * individual verdict as a flag column — the shared core of
+    * [[compatScan]] (which aggregates) and [[compatExplain]] (which
+    * emits one diagnosis row per violated rule).
+    *
+    * avro/checker.go rules: (:129) a reader field missing from the
+    * writer breaks ONLY when required AND defaultless — a default
+    * rescues it; (:182) an enum writer symbol unknown to the reader
+    * breaks unless the reader declares an enum default.
+    */
+  private def backwardFieldChecks(s: SparkSession, dir: String): DataFrame = {
     val versioned = fieldArrays(s, dir).filter(col("version") > 1)
     val perField = versioned.select(
       col("subject"), col("version"), col("w_flds"), explode(col("flds")).as("fld"))
@@ -177,29 +187,62 @@ object Compat {
     // which the violation predicate's IS NULL arm consumes directly.
     val wf = get(filter(col("w_flds"), x => x("fname") === col("fld.fname")), lit(0))
     val joined = perField.select(
-      col("subject"), col("version"),
+      col("subject"), col("version"), col("fld.fname").as("fname"),
       col("fld.ftype").as("ftype"), col("fld.fnull").as("fnull"),
       col("fld.fdefault").as("fdefault"), col("fld.fsyms").as("fsyms"),
       wf("ftype").as("w_ftype"), wf("fnull").as("w_fnull"), wf("fsyms").as("w_fsyms"))
     val promotable = col("w_ftype") === "int" && col("ftype") === "bigint"
-    // avro/checker.go rules: (:129) a reader field missing from the
-    // writer breaks ONLY when required AND defaultless — a default
-    // rescues it; (:182) an enum writer symbol unknown to the reader
-    // breaks unless the reader declares an enum default.
     val readerLacksWriterSymbol =
       size(array_except(split(col("w_fsyms"), ","), split(col("fsyms"), ","))) > 0
-    val violation =
-      (col("w_ftype").isNull && !col("fnull") && col("fdefault").isNull) ||
-        (col("w_ftype").isNotNull && col("ftype") =!= col("w_ftype") && !promotable) ||
-        (col("w_ftype").isNotNull && !col("fnull") && col("w_fnull")) ||
-        (col("ftype") === "enum" && col("w_ftype") === "enum" &&
-          col("fdefault").isNull && readerLacksWriterSymbol)
     joined
+      .withColumn("v_missing_default",
+        col("w_ftype").isNull && !col("fnull") && col("fdefault").isNull)
+      .withColumn("v_type_change",
+        col("w_ftype").isNotNull && col("ftype") =!= col("w_ftype") && !promotable)
+      .withColumn("v_required_reads_nullable",
+        col("w_ftype").isNotNull && !col("fnull") && col("w_fnull"))
+      .withColumn("v_enum_symbols",
+        col("ftype") === "enum" && col("w_ftype") === "enum" &&
+          col("fdefault").isNull && readerLacksWriterSymbol)
+  }
+
+  def compatScan(s: SparkSession, dir: String): DataFrame = {
+    val violation = col("v_missing_default") || col("v_type_change") ||
+      col("v_required_reads_nullable") || col("v_enum_symbols")
+    backwardFieldChecks(s, dir)
       .groupBy(col("subject"), col("version"))
       .agg(count(lit(1)).as("n_fields"),
         sum(when(violation, 1).otherwise(0)).as("n_violations"))
       .withColumn("compatible", col("n_violations") === 0)
       .orderBy(col("subject"), col("version"))
+  }
+
+  /** explain_compatibility_failure + suggest_compatible_change
+    * (tools_comparison.go:371 handleExplainCompatibilityFailure,
+    * :422 explainMessage): for every violated rule on every breaking
+    * version step, one diagnosis row (subject, version, fname,
+    * violation class, suggestion) — the corpus-wide face of the
+    * reference's per-message explanation loop, re-expressed as a
+    * class → suggestion mapping over [[backwardFieldChecks]]' flag
+    * columns. Entirely row-local past the shared single window
+    * shuffle; a field violating two rules yields two rows, as the
+    * reference yields two messages.
+    */
+  def compatExplain(s: SparkSession, dir: String): DataFrame = {
+    val checks = backwardFieldChecks(s, dir)
+    def cls(flag: String, name: String, suggestion: String): DataFrame =
+      checks.filter(col(flag))
+        .select(col("subject"), col("version"), col("fname"),
+          lit(name).as("violation"), lit(suggestion).as("suggestion"))
+    cls("v_missing_default", "missing_default",
+      "Add a default value to the new field so old data can be read with the new schema.")
+      .unionByName(cls("v_type_change", "type_change",
+        "Use type promotion (e.g., int to long) or add a new field with the desired type."))
+      .unionByName(cls("v_required_reads_nullable", "required_reads_nullable",
+        "Keep the field nullable or add a default before tightening it."))
+      .unionByName(cls("v_enum_symbols", "enum_symbols",
+        "Only add new enum symbols; do not remove or rename existing ones."))
+      .orderBy(col("subject"), col("version"), col("fname"), col("violation"))
   }
 
   /** FORWARD mode over the corpus (modes.go: old readers must cope
@@ -298,6 +341,7 @@ object Compat {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "compat_check" -> checkBattery,
     "compat_scan" -> compatScan,
+    "compat_explain" -> compatExplain,
     "compat_forward_scan" -> compatForwardScan,
     "compat_transitive" -> compatTransitive)
 
@@ -344,6 +388,33 @@ object Compat {
         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
         |  FROM joined GROUP BY subject, version)
         |ORDER BY subject, version""".stripMargin,
+    "compat_explain" ->
+      s"""WITH $fieldModelCte,
+        |joined AS (
+        |  SELECT r.subject, r.version, r.fname, r.ftype, r.fnull, r.fdefault, r.fsyms,
+        |         w.ftype AS w_ftype, w.fnull AS w_fnull, w.fsyms AS w_fsyms
+        |  FROM fields r LEFT JOIN fields w
+        |    ON r.subject = w.subject AND w.version = r.version - 1 AND r.fname = w.fname
+        |  WHERE r.version > 1)
+        |SELECT subject, version, fname, violation, suggestion FROM (
+        |  SELECT subject, version, fname, 'missing_default' AS violation,
+        |    'Add a default value to the new field so old data can be read with the new schema.' AS suggestion
+        |  FROM joined WHERE w_ftype IS NULL AND NOT fnull AND fdefault IS NULL
+        |  UNION ALL
+        |  SELECT subject, version, fname, 'type_change',
+        |    'Use type promotion (e.g., int to long) or add a new field with the desired type.'
+        |  FROM joined WHERE w_ftype IS NOT NULL AND ftype <> w_ftype
+        |    AND NOT (w_ftype = 'int' AND ftype = 'bigint')
+        |  UNION ALL
+        |  SELECT subject, version, fname, 'required_reads_nullable',
+        |    'Keep the field nullable or add a default before tightening it.'
+        |  FROM joined WHERE w_ftype IS NOT NULL AND NOT fnull AND w_fnull
+        |  UNION ALL
+        |  SELECT subject, version, fname, 'enum_symbols',
+        |    'Only add new enum symbols; do not remove or rename existing ones.'
+        |  FROM joined WHERE ftype = 'enum' AND w_ftype = 'enum' AND fdefault IS NULL
+        |    AND NOT list_has_all(string_split(fsyms, ','), string_split(w_fsyms, ','))
+        |) t ORDER BY subject, version, fname, violation""".stripMargin,
     "compat_forward_scan" ->
       s"""WITH $fieldModelCte,
         |maxv AS (SELECT subject, max(version) AS mv FROM fields GROUP BY subject),

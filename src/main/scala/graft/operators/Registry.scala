@@ -286,6 +286,64 @@ object Registry {
           lit("\",\"user\":"), col("user_id"), lit("}")).as("json_line"))
       .orderBy(col("event_id"))
 
+  /** validate_subject_name (tools_validation.go:118,
+    * subjectNamePatterns :126): every subject-name candidate checked
+    * against every naming strategy's regex. Candidates derive from
+    * the subject vocabulary row-locally (the plain name, a
+    * topic-style `-value` form, and a deliberately-broken
+    * digit-prefixed dotted form), so all three strategies produce
+    * both verdicts on real data. One distinct + explode, regexes are
+    * codegen rlike — no shuffle beyond the tiny distinct.
+    */
+  def nameValidate(s: SparkSession, dir: String): DataFrame = {
+    val strategies = Seq(
+      ("topic_name", "^[a-zA-Z0-9._-]+-(key|value)$"),
+      ("record_name", "^[a-zA-Z_][a-zA-Z0-9_.]*$"),
+      ("topic_record_name", "^[a-zA-Z0-9._-]+-[a-zA-Z_][a-zA-Z0-9_.]*$"))
+    val names = Tables.events(s, dir)
+      .select(col("event_type")).distinct()
+      .select(explode(array(
+        col("event_type"),
+        concat(col("event_type"), lit("-value")),
+        concat(lit("9"), col("event_type"), lit(".x")))).as("subject_name"))
+    strategies.map { case (strat, pattern) =>
+      names.select(col("subject_name"), lit(strat).as("strategy"),
+        col("subject_name").rlike(pattern).as("is_valid"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("subject_name"), col("strategy"))
+  }
+
+  /** get_registry_statistics (tools_validation.go:413): the reference
+    * walks every subject summing versions and tallying the latest
+    * version's schema type — re-expressed as one pass over the
+    * version stream + one latest-per-subject window, stack'd to
+    * (metric, value) rows. Schema type derives from the latest
+    * payload (k % 3 → AVRO/JSON/PROTOBUF), matching the synthetic
+    * model's other payload-derived dimensions. KEK/exporter counts
+    * are serving-state, out of scope per SURVEY §6.
+    */
+  def statistics(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      col("user_id").as("subject"), col("ts"), col("event_id"),
+      get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+    val w = Window.partitionBy(col("subject")).orderBy(col("ts").desc, col("event_id").desc)
+    val totals = ev.agg(countDistinct(col("subject")).as("total_subjects"),
+      count(lit(1)).as("total_versions"))
+    val types = ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(when(col("k") % 3 === 0, "AVRO")
+        .when(col("k") % 3 === 1, "JSON")
+        .otherwise("PROTOBUF").as("schema_type"))
+      .groupBy(col("schema_type")).agg(count(lit(1)).as("n"))
+    totals.crossJoin(broadcast(
+      types.groupBy().pivot("schema_type", Seq("AVRO", "JSON", "PROTOBUF")).sum("n")))
+      .selectExpr(
+        """stack(5, 'total_subjects', total_subjects, 'total_versions', total_versions,
+          |  'type_avro', coalesce(AVRO, 0), 'type_json', coalesce(JSON, 0),
+          |  'type_protobuf', coalesce(PROTOBUF, 0)) AS (metric, value)""".stripMargin)
+      .orderBy(col("metric"))
+  }
+
   /** Reference edges of the schema-dependency DAG, synthesized
     * deterministically from the corpus: every document references
     * doc_id/2 (its "import parent"), and every fifth one additionally
@@ -597,6 +655,8 @@ object Registry {
     "reg_refs_closure" -> refsClosure,
     "reg_dep_depth" -> depDepth,
     "reg_search" -> search,
+    "reg_name_validate" -> nameValidate,
+    "reg_statistics" -> statistics,
     "reg_gc_candidates" -> gcCandidates,
     "reg_resolve_ref" -> resolveRef,
     "reg_validate" -> validatePayloads,
@@ -736,6 +796,36 @@ object Registry {
         |  FROM hits)
         |SELECT query_id, doc_id, n_hit FROM ranked WHERE rk <= 20
         |ORDER BY query_id, n_hit DESC, doc_id""".stripMargin,
+    "reg_name_validate" ->
+      """WITH names AS (
+        |  SELECT unnest([event_type, event_type || '-value', '9' || event_type || '.x']) AS subject_name
+        |  FROM (SELECT DISTINCT event_type FROM events) t),
+        |strat(strategy, pattern) AS (VALUES
+        |  ('topic_name', '^[a-zA-Z0-9._-]+-(key|value)$'),
+        |  ('record_name', '^[a-zA-Z_][a-zA-Z0-9_.]*$'),
+        |  ('topic_record_name', '^[a-zA-Z0-9._-]+-[a-zA-Z_][a-zA-Z0-9_.]*$'))
+        |SELECT subject_name, strategy, regexp_matches(subject_name, pattern) AS is_valid
+        |FROM names CROSS JOIN strat
+        |ORDER BY subject_name, strategy""".stripMargin,
+    "reg_statistics" ->
+      """WITH ev AS (
+        |  SELECT user_id AS subject, ts, event_id,
+        |         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events),
+        |latest AS (
+        |  SELECT subject, k FROM (
+        |    SELECT subject, k, row_number() OVER (PARTITION BY subject ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM ev) t WHERE rn = 1),
+        |types AS (
+        |  SELECT CASE WHEN k % 3 = 0 THEN 'AVRO' WHEN k % 3 = 1 THEN 'JSON' ELSE 'PROTOBUF' END AS st
+        |  FROM latest)
+        |SELECT metric, value FROM (
+        |  SELECT 'total_subjects' AS metric, count(DISTINCT subject) AS value FROM ev
+        |  UNION ALL SELECT 'total_versions', count(*) FROM ev
+        |  UNION ALL SELECT 'type_avro', count(*) FILTER (WHERE st = 'AVRO') FROM types
+        |  UNION ALL SELECT 'type_json', count(*) FILTER (WHERE st = 'JSON') FROM types
+        |  UNION ALL SELECT 'type_protobuf', count(*) FILTER (WHERE st = 'PROTOBUF') FROM types) t
+        |ORDER BY metric""".stripMargin,
     "reg_gc_candidates" ->
       """WITH RECURSIVE edges AS (
         |  SELECT doc_id AS child, CAST(floor(doc_id / 2) AS BIGINT) AS parent

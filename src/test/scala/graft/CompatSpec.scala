@@ -157,6 +157,22 @@ class CompatSpec extends SparkSpec {
     assert(enumBreaks > 0, "no version with an enum-symbol break")
   }
 
+  test("explain rows account exactly for the scan's violated fields, all 4 classes live") {
+    import org.apache.spark.sql.functions._
+    val explain = operators.Compat.compatExplain(spark, sfDir)
+    val classes = explain.select("violation").distinct().collect().map(_.getString(0)).toSet
+    assert(classes == Set("missing_default", "type_change", "required_reads_nullable", "enum_symbols"),
+      s"every diagnosis class must occur on the corpus, got $classes")
+    // compat_scan counts violated FIELDS (a field breaking two rules
+    // counts once); explain's distinct (subject, version, fname) must
+    // reconcile exactly
+    val explained = explain.select("subject", "version", "fname").distinct().count()
+    val scanned = operators.Compat.compatScan(spark, sfDir)
+      .agg(sum(col("n_violations"))).head().getLong(0)
+    assert(explained == scanned, s"explain covers $explained fields, scan counted $scanned")
+    assert(explain.collect().forall(_.getAs[String]("suggestion").nonEmpty))
+  }
+
   test("transitive mode is at least as strict as the N-vs-N-1 scan") {
     import org.apache.spark.sql.functions.col
     val scan = operators.Compat.compatScan(spark, sfDir)

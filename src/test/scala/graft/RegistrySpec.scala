@@ -94,6 +94,31 @@ class RegistrySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("name validation: each strategy accepts its shape and rejects the broken form") {
+    val rows = Registry.nameValidate(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("subject_name"), r.getAs[String]("strategy"), r.getAs[Boolean]("is_valid")))
+    val types = Tables.events(spark, sfDir).select("event_type").distinct().count()
+    assert(rows.length == types * 3 * 3, "3 name variants x 3 strategies per subject type")
+    rows.foreach { case (name, strat, valid) =>
+      val expected = strat match {
+        case "topic_name" => name.endsWith("-value")
+        case "record_name" => !name.contains("-") && !name.head.isDigit
+        case "topic_record_name" => name.endsWith("-value") // topic 'x', record 'value'
+      }
+      assert(valid == expected, s"$name under $strat: got $valid")
+    }
+  }
+
+  test("registry statistics reconcile with the raw event stream") {
+    val m = Registry.statistics(spark, sfDir).collect()
+      .map(r => r.getAs[String]("metric") -> r.getAs[Long]("value")).toMap
+    val ev = Tables.events(spark, sfDir)
+    assert(m("total_versions") == ev.count())
+    assert(m("total_subjects") == ev.select("user_id").distinct().count())
+    assert(m("type_avro") + m("type_json") + m("type_protobuf") == m("total_subjects"),
+      "every subject's latest version has exactly one schema type")
+  }
+
   test("gc candidates: only tombstoned docs appear; live-depended docs retained") {
     val rows = Registry.gcCandidates(spark, sfDir).collect()
     assert(rows.nonEmpty)
