@@ -228,22 +228,27 @@ object Compat {
     * shuffle; a field violating two rules yields two rows, as the
     * reference yields two messages.
     */
-  def compatExplain(s: SparkSession, dir: String): DataFrame = {
-    val checks = backwardFieldChecks(s, dir)
-    def cls(flag: String, name: String, suggestion: String): DataFrame =
-      checks.filter(col(flag))
-        .select(col("subject"), col("version"), col("fname"),
-          lit(name).as("violation"), lit(suggestion).as("suggestion"))
-    cls("v_missing_default", "missing_default",
-      "Add a default value to the new field so old data can be read with the new schema.")
-      .unionByName(cls("v_type_change", "type_change",
-        "Use type promotion (e.g., int to long) or add a new field with the desired type."))
-      .unionByName(cls("v_required_reads_nullable", "required_reads_nullable",
-        "Keep the field nullable or add a default before tightening it."))
-      .unionByName(cls("v_enum_symbols", "enum_symbols",
-        "Only add new enum symbols; do not remove or rename existing ones."))
+  def compatExplain(s: SparkSession, dir: String): DataFrame =
+    // ONE pass over the shared checks (a 4-way union of filtered
+    // selects re-ran the window scan per class — 6s vs 1.9s for the
+    // sibling aggregate at sf0.1): the live classes explode from a
+    // row-local array, then a when-chain attaches the suggestion.
+    backwardFieldChecks(s, dir)
+      .select(col("subject"), col("version"), col("fname"),
+        explode(filter(array(
+          when(col("v_missing_default"), "missing_default"),
+          when(col("v_type_change"), "type_change"),
+          when(col("v_required_reads_nullable"), "required_reads_nullable"),
+          when(col("v_enum_symbols"), "enum_symbols")), x => x.isNotNull)).as("violation"))
+      .withColumn("suggestion",
+        when(col("violation") === "missing_default",
+          "Add a default value to the new field so old data can be read with the new schema.")
+          .when(col("violation") === "type_change",
+            "Use type promotion (e.g., int to long) or add a new field with the desired type.")
+          .when(col("violation") === "required_reads_nullable",
+            "Keep the field nullable or add a default before tightening it.")
+          .otherwise("Only add new enum symbols; do not remove or rename existing ones."))
       .orderBy(col("subject"), col("version"), col("fname"), col("violation"))
-  }
 
   /** FORWARD mode over the corpus (modes.go: old readers must cope
     * with data written by the NEW version). Same single-window scan

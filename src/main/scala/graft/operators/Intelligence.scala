@@ -198,9 +198,12 @@ object Intelligence {
     */
   def evolutionSuggest(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("subject"))
+    // cached: four rule branches consume this subjects-sized view —
+    // uncached, each union branch re-runs the events window scan
     val latest = Compat.fieldArrays(s, dir)
       .withColumn("maxv", max(col("version")).over(w))
       .filter(col("version") === col("maxv"))
+      .cache()
     val lf = latest.select(col("subject"), explode(col("flds")).as("f"))
       .select(col("subject"), col("f.fname").as("fname"), col("f.ftype").as("ftype"),
         col("f.fnull").as("fnull"), col("f.fdefault").as("fdefault"))
