@@ -343,12 +343,83 @@ object Compat {
       .orderBy(col("subject"), col("version"))
   }
 
+  /** check_compatibility_multi (tools_comparison.go:70
+    * handleCheckCompatibilityMulti): ONE candidate schema checked
+    * BACKWARD against the latest version of EVERY subject, with the
+    * reference's per-subject is_compatible verdicts plus the
+    * `all_compatible` rollup. The candidate is a fixed reader schema
+    * chosen so every Avro rule fires both ways in real data:
+    * required defaultless `status` absent from k%3=2 writers
+    * (missing_default) and narrower-symboled than odd-k writers
+    * (enum_symbols), required `email` whose default rescues it when
+    * the writer lacks it but which still breaks against k%3=0
+    * writers' nullable email (required_reads_nullable), `score`
+    * exercising int→bigint promotion, nullable `name` never breaking.
+    *
+    * Shape: the latest writer version per subject is one window max
+    * over the already-subject-partitioned version stream; each
+    * candidate field then probes the writer's field array ROW-LOCALLY
+    * (no explode, no per-field shuffle), and the per-subject +
+    * all_compatible levels come from a single ROLLUP partial agg over
+    * subject-sized data. The reference's N-subject loop is the whole
+    * workload here — every subject in one pass.
+    */
+  def compatMulti(s: SparkSession, dir: String): DataFrame = {
+    val byS = Window.partitionBy(col("subject"))
+    val latest = fieldArrays(s, dir)
+      .withColumn("maxv", max(col("version")).over(byS))
+      .filter(col("version") === col("maxv"))
+      .select(col("subject"), col("flds"))
+    // One candidate reader field vs the writer array: the same four
+    // avro/checker.go rules as [[backwardFieldChecks]], as a scalar.
+    def viol(fname: String, ftype: String, fnull: Boolean,
+             fdefault: Option[String], fsyms: Option[String]): Column = {
+      val w = get(filter(col("flds"), x => x("fname") === lit(fname)), lit(0))
+      val noDefault = lit(fdefault.isEmpty)
+      val promotable =
+        if (ftype == "bigint") w("ftype") === "int" else lit(false)
+      val enumBreak = fsyms match {
+        case Some(syms) =>
+          lit(ftype == "enum") && w("ftype") === "enum" && noDefault &&
+            size(array_except(split(w("fsyms"), ","), split(lit(syms), ","))) > 0
+        case None => lit(false)
+      }
+      (w("ftype").isNull && lit(!fnull) && noDefault) ||
+        (w("ftype").isNotNull && w("ftype") =!= lit(ftype) && !promotable) ||
+        (w("ftype").isNotNull && lit(!fnull) && w("fnull")) ||
+        enumBreak
+    }
+    // Candidate verdicts vary with the data: a subject's latest is
+    // compatible iff its k ≡ 1 (mod 3) AND k is even (status present
+    // with the narrow symbol set, email rescued by absence+default),
+    // so both the per-subject branches and the all_compatible rollup
+    // are exercised for real.
+    val nViolations =
+      Seq(
+        viol("id", "bigint", fnull = false, None, None),
+        viol("name", "string", fnull = true, None, None),
+        viol("email", "string", fnull = false, Some("none"), None),
+        viol("score", "bigint", fnull = false, None, None),
+        viol("status", "enum", fnull = false, None, Some("A,B")))
+        .map(v => when(v, 1L).otherwise(0L)).reduce(_ + _)
+    latest
+      .select(col("subject"), nViolations.as("nv"))
+      .rollup(col("subject"))
+      .agg(sum(col("nv")).as("n_violations"),
+        sum(when(col("nv") > 0, 1L).otherwise(0L)).as("n_incompatible"))
+      .select(coalesce(col("subject"), lit(-1)).as("subject"),
+        col("n_violations"), col("n_incompatible"),
+        (col("n_incompatible") === 0).as("compatible"))
+      .orderBy(col("subject"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "compat_check" -> checkBattery,
     "compat_scan" -> compatScan,
     "compat_explain" -> compatExplain,
     "compat_forward_scan" -> compatForwardScan,
-    "compat_transitive" -> compatTransitive)
+    "compat_transitive" -> compatTransitive,
+    "compat_multi" -> compatMulti)
 
   /** Expected verdicts, hand-traced through the reference rules:
     * case 4: old reader requires `id` (non-nullable) which the new
@@ -467,5 +538,34 @@ object Compat {
         |  FROM pairs GROUP BY subject, rv, fname)
         |SELECT subject, version, count(*) AS n_fields,
         |  CAST(sum(bad) AS BIGINT) AS n_bad_fields, sum(bad) = 0 AS transitive_ok
-        |FROM badf GROUP BY subject, version ORDER BY subject, version""".stripMargin)
+        |FROM badf GROUP BY subject, version ORDER BY subject, version""".stripMargin,
+    "compat_multi" ->
+      s"""WITH $fieldModelCte,
+        |maxv AS (SELECT subject, max(version) AS mv FROM fields GROUP BY subject),
+        |lf AS (SELECT f.* FROM fields f JOIN maxv ON maxv.subject = f.subject AND f.version = maxv.mv),
+        |cand AS (
+        |  SELECT * FROM (VALUES
+        |    ('id', 'bigint', false, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+        |    ('name', 'string', true, NULL, NULL),
+        |    ('email', 'string', false, 'none', NULL),
+        |    ('score', 'bigint', false, NULL, NULL),
+        |    ('status', 'enum', false, NULL, 'A,B')
+        |  ) AS t(fname, ftype, fnull, fdefault, fsyms)),
+        |subs AS (SELECT DISTINCT subject FROM fields),
+        |checks AS (
+        |  SELECT s.subject,
+        |    CASE WHEN (w.ftype IS NULL AND NOT c.fnull AND c.fdefault IS NULL)
+        |      OR (w.ftype IS NOT NULL AND c.ftype <> w.ftype AND NOT (w.ftype = 'int' AND c.ftype = 'bigint'))
+        |      OR (w.ftype IS NOT NULL AND NOT c.fnull AND w.fnull)
+        |      OR (c.ftype = 'enum' AND w.ftype = 'enum' AND c.fdefault IS NULL
+        |          AND NOT list_has_all(string_split(c.fsyms, ','), string_split(w.fsyms, ',')))
+        |    THEN 1 ELSE 0 END AS v
+        |  FROM subs s CROSS JOIN cand c
+        |  LEFT JOIN lf w ON w.subject = s.subject AND w.fname = c.fname),
+        |per AS (SELECT subject, CAST(sum(v) AS BIGINT) AS n_violations FROM checks GROUP BY subject)
+        |SELECT coalesce(subject, -1) AS subject,
+        |  CAST(sum(n_violations) AS BIGINT) AS n_violations,
+        |  CAST(sum(CASE WHEN n_violations > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_incompatible,
+        |  sum(CASE WHEN n_violations > 0 THEN 1 ELSE 0 END) = 0 AS compatible
+        |FROM per GROUP BY ROLLUP(subject) ORDER BY subject""".stripMargin)
 }

@@ -265,7 +265,51 @@ object Intelligence {
         count(lit(1)).as("n_versions"))
       .orderBy(col("subject"))
 
+  /** compare_subjects (tools_comparison.go:206
+    * handleCompareSubjects): latest-vs-latest field comparison of two
+    * subjects — field counts, common-field count, and
+    * computeFieldDiffs' added/removed/modified (:172 — modified =
+    * same path, different type) tallies. The reference compares one
+    * chosen pair; the whole-workload face here pairs every subject
+    * with its successor in subject order, so each comparison the
+    * reference could be asked for between neighbors is one row.
+    *
+    * Shape: the latest field ARRAY per subject (the one existing
+    * window shuffle), then a lead() over the subjects-sized series
+    * hands each row its neighbor's array, and every diff tally is a
+    * row-local array HOF — intersect/except for membership,
+    * exists-probe for type drift. The global lead window runs over
+    * SUBJECTS (the dimension, like reg_subject_list's sorted
+    * distinct), never the version stream — the documented tiny-series
+    * exception.
+    */
+  def compareSubjects(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("subject"))
+    val latestArr = Compat.fieldArrays(s, dir)
+      .withColumn("maxv", max(col("version")).over(w))
+      .filter(col("version") === col("maxv"))
+      .select(col("subject"), col("flds"))
+    val byName = Window.orderBy(col("subject"))
+    val namesA = transform(col("flds"), x => x("fname"))
+    val namesB = transform(col("flds_b"), x => x("fname"))
+    latestArr
+      .withColumn("subject_b", lead(col("subject"), 1).over(byName))
+      .withColumn("flds_b", lead(col("flds"), 1).over(byName))
+      .filter(col("subject_b").isNotNull)
+      .select(col("subject").as("subject_a"), col("subject_b"),
+        size(col("flds")).cast("long").as("fields_a"),
+        size(col("flds_b")).cast("long").as("fields_b"),
+        size(array_intersect(namesA, namesB)).cast("long").as("n_common"),
+        size(array_except(namesB, namesA)).cast("long").as("n_added"),
+        size(array_except(namesA, namesB)).cast("long").as("n_removed"),
+        size(filter(col("flds"), x => exists(col("flds_b"),
+          y => y("fname") === x("fname") && y("ftype") =!= x("ftype"))))
+          .cast("long").as("n_modified"))
+      .orderBy(col("subject_a"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "reg_compare_subjects" -> compareSubjects,
     "reg_active_latest" -> activeLatest,
     "an_find_field" -> findByField,
     "an_find_type" -> findByType,
@@ -283,6 +327,28 @@ object Intelligence {
       |       FROM fields f JOIN latest l ON f.subject = l.subject AND f.version = l.v)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "reg_compare_subjects" ->
+      s"""WITH ${Compat.fieldModelCte},
+        |$latestCte,
+        |subs AS (SELECT DISTINCT subject FROM fields),
+        |pairs AS (SELECT subject AS sa, lead(subject) OVER (ORDER BY subject) AS sb FROM subs),
+        |pp AS (SELECT sa, sb FROM pairs WHERE sb IS NOT NULL),
+        |m AS (
+        |  SELECT p.sa, p.sb, f.fname,
+        |    max(CASE WHEN f.subject = p.sa THEN 1 ELSE 0 END) AS in_a,
+        |    max(CASE WHEN f.subject = p.sb THEN 1 ELSE 0 END) AS in_b,
+        |    max(CASE WHEN f.subject = p.sa THEN f.ftype END) AS ta,
+        |    max(CASE WHEN f.subject = p.sb THEN f.ftype END) AS tb
+        |  FROM pp p JOIN lf f ON f.subject = p.sa OR f.subject = p.sb
+        |  GROUP BY p.sa, p.sb, f.fname)
+        |SELECT sa AS subject_a, sb AS subject_b,
+        |  CAST(sum(in_a) AS BIGINT) AS fields_a,
+        |  CAST(sum(in_b) AS BIGINT) AS fields_b,
+        |  CAST(sum(in_a * in_b) AS BIGINT) AS n_common,
+        |  CAST(sum(CASE WHEN in_b = 1 AND in_a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |  CAST(sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 AND ta <> tb THEN 1 ELSE 0 END) AS BIGINT) AS n_modified
+        |FROM m GROUP BY sa, sb ORDER BY sa""".stripMargin,
     "reg_active_latest" ->
       s"""WITH ${Compat.fieldModelCte}
         |SELECT subject,

@@ -189,4 +189,26 @@ class CompatSpec extends SparkSpec {
       .filter(!col("transitive_ok") && col("compatible")).count()
     assert(stricter > 0, "expected at least one version that passes N-1 but fails transitive")
   }
+
+  test("compat_multi: per-subject verdicts + all_compatible rollup reconcile") {
+    import org.apache.spark.sql.functions.col
+    val rows = operators.Compat.compatMulti(spark, sfDir).collect()
+    val (grand, per) = rows.partition(_.getAs[Long]("subject") == -1L)
+    assert(grand.length == 1, "exactly one all_compatible rollup row")
+    val nSubjects = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(per.length == nSubjects, "one verdict per subject, like the reference's per-subject loop")
+    // both verdicts must occur in real data
+    assert(per.exists(_.getAs[Boolean]("compatible")), "some subject should be compatible")
+    assert(per.exists(!_.getAs[Boolean]("compatible")), "some subject should break")
+    // rollup row = totals of the per-subject rows
+    val g = grand.head
+    assert(g.getAs[Long]("n_violations") == per.map(_.getAs[Long]("n_violations")).sum)
+    assert(g.getAs[Long]("n_incompatible") == per.count(_.getAs[Long]("n_violations") > 0))
+    assert(g.getAs[Boolean]("compatible") == per.forall(_.getAs[Boolean]("compatible")),
+      "all_compatible is the conjunction of the per-subject verdicts")
+    // per-subject: compatible ⇔ zero violations
+    per.foreach { r =>
+      assert(r.getAs[Boolean]("compatible") == (r.getAs[Long]("n_violations") == 0L))
+    }
+  }
 }

@@ -152,4 +152,22 @@ class IntelligenceSpec extends SparkSpec {
     assert(m("ubiquitous_fields") == 3)
     assert(m("total_versions") == Tables.events(spark, sfDir).count())
   }
+
+  test("compare-subjects: neighbor pairing covers the corpus, tallies reconcile") {
+    val rows = Intelligence.compareSubjects(spark, sfDir).collect()
+    val nSubjects = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(rows.length == nSubjects - 1, "every adjacent subject pair, once")
+    rows.foreach { r =>
+      val (fa, fb) = (r.getAs[Long]("fields_a"), r.getAs[Long]("fields_b"))
+      val common = r.getAs[Long]("n_common")
+      assert(r.getAs[Long]("subject_a") < r.getAs[Long]("subject_b"), "successor pairing is ordered")
+      // set algebra must reconcile exactly (computeFieldDiffs partitions the union)
+      assert(common + r.getAs[Long]("n_added") == fb, "common + added = fields_b")
+      assert(common + r.getAs[Long]("n_removed") == fa, "common + removed = fields_a")
+      assert(r.getAs[Long]("n_modified") <= common, "modified fields are common by name")
+      assert(common >= 3, "id/name/score are in every latest version")
+    }
+    // score flips int↔bigint with k: type drift must be observed somewhere
+    assert(rows.exists(_.getAs[Long]("n_modified") > 0), "expected some modified field on the corpus")
+  }
 }
