@@ -17,6 +17,7 @@ object SparkEntry {
     (operators.Audit.queries, operators.Audit.oracleSql),
     (operators.Analysis.queries, operators.Analysis.oracleSql),
     (operators.Compat.queries, operators.Compat.oracleSql),
+    (operators.FormatCompat.queries, operators.FormatCompat.oracleSql),
     (operators.Intelligence.queries, operators.Intelligence.oracleSql),
     (operators.Dedup.queries, operators.Dedup.oracleSql),
     (operators.Pipeline.queries, operators.Pipeline.oracleSql),

@@ -1,0 +1,414 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-format compatibility semantics — the rules that make Protobuf
+  * and JSON Schema genuinely different formalisms from the
+  * name-keyed Avro model in [[Compat]]:
+  *
+  *  - Protobuf (internal/compatibility/protobuf/checker.go) matches
+  *    fields by NUMBER, not name — renames are wire-compatible — and
+  *    judges type changes by wire-format group (varint / 64-bit /
+  *    length-delimited), cardinality transitions, and oneof
+  *    membership.
+  *  - JSON Schema (internal/compatibility/jsonschema/checker.go)
+  *    judges against the OPEN vs CLOSED content model
+  *    (additionalProperties): property removal is fine under an open
+  *    reader but breaking under a closed one, and adding even an
+  *    optional property breaks against an open WRITER (the old
+  *    producer may have used that name with any type).
+  *
+  * Both scans reuse the shared registration stream (one subject
+  * window shuffle; everything past the lag() is row-local array
+  * probing), mirroring the shape proven by [[Compat.compatScan]].
+  */
+object FormatCompat {
+
+  // -------------------------------------------------------------------
+  // Protobuf
+  // -------------------------------------------------------------------
+
+  /** Synthetic Protobuf message model per registration, number-keyed
+    * (the wire identity — checker.go:159 builds the old-field map by
+    * number). Dimensions per field: fnum, fname, kind, cardinality,
+    * containing oneof. Derived from payload k so every rule fires
+    * both ways in real data:
+    *  - num 2 renames name↔title with k's parity and flips
+    *    string↔bytes inside the length-delimited wire group — both
+    *    compatible (renames tallied, not flagged).
+    *  - num 3 walks int32→int64→fixed64 with k%7 (varint→varint is
+    *    compatible promotion, →fixed64 crosses wire groups) and flips
+    *    optional↔repeated on a scalar kind (breaking both directions,
+    *    checker.go:290/:305).
+    *  - num 4 (email) is sometimes absent and sometimes required —
+    *    exercising REQUIRED added (checker.go:179), required removed
+    *    (:251), and optional→required (:301).
+    *  - num 5 (status, enum — wire-compatible with varint) moves in
+    *    and out of oneof `contact` (out = breaking, :327; in = fine,
+    *    :332) and its removal while in the oneof breaks (:255).
+    */
+  private[graft] def pbFieldArrays(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      col("user_id").as("subject"), col("ts"), col("event_id"),
+      get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+    val w = Window.partitionBy(col("subject")).orderBy(col("ts"), col("event_id"))
+    val noOneof = lit(null).cast("string")
+    def f(fnum: Int, fname: Column, kind: Column, card: Column,
+          oneof: Column, present: Column): Column =
+      struct(lit(fnum).as("fnum"), fname.as("fname"), kind.as("kind"),
+        card.as("card"), oneof.as("oneof"), present.as("present"))
+    ev
+      .withColumn("version", row_number().over(w))
+      .withColumn("pb", filter(array(
+        f(1, lit("id"), lit("int64"), lit("optional"), noOneof, lit(true)),
+        f(2, when(col("k") % 2 === 0, "name").otherwise("title"),
+          when(col("k") % 9 < 6, "string").otherwise("bytes"),
+          lit("optional"), noOneof, lit(true)),
+        f(3, lit("score"),
+          when(col("k") % 7 < 3, "int32").when(col("k") % 7 < 5, "int64")
+            .otherwise("fixed64"),
+          when(col("k") % 11 < 8, "optional").otherwise("repeated"),
+          noOneof, lit(true)),
+        f(4, lit("email"), lit("string"),
+          when(col("k") % 5 === 0, "required").otherwise("optional"),
+          noOneof, col("k") % 3 =!= 2),
+        f(5, lit("status"), lit("enum"), lit("optional"),
+          when(col("k") % 2 === 1, "contact"), col("k") % 3 < 2)
+      ), fld => fld("present")))
+      .withColumn("w_pb", lag(col("pb"), 1).over(w))
+  }
+
+  /** Wire-format group per kind (checker.go:361 compatibleGroups;
+    * enum rides varint per :393). Model kinds only.
+    */
+  private def wireGroup(kind: Column): Column =
+    when(kind.isin("int32", "int64", "enum"), "varint")
+      .when(kind === "fixed64", "64bit")
+      .when(kind.isin("string", "bytes"), "len")
+
+  /** DuckDB mirror of [[pbFieldArrays]]' relational (subject, version,
+    * fnum, fname, kind, card, oneof) view — prepend inside WITH (...).
+    */
+  private val pbModelCte: String =
+    """ev AS (
+      |  SELECT user_id AS subject, ts, event_id,
+      |         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events),
+      |versioned AS (
+      |  SELECT subject, k,
+      |         row_number() OVER (PARTITION BY subject ORDER BY ts, event_id) AS version
+      |  FROM ev),
+      |pbf AS (
+      |  SELECT subject, version, 1 AS fnum, 'id' AS fname, 'int64' AS kind,
+      |         'optional' AS card, CAST(NULL AS VARCHAR) AS oneof FROM versioned
+      |  UNION ALL SELECT subject, version, 2,
+      |    CASE WHEN k % 2 = 0 THEN 'name' ELSE 'title' END,
+      |    CASE WHEN k % 9 < 6 THEN 'string' ELSE 'bytes' END,
+      |    'optional', NULL FROM versioned
+      |  UNION ALL SELECT subject, version, 3, 'score',
+      |    CASE WHEN k % 7 < 3 THEN 'int32' WHEN k % 7 < 5 THEN 'int64' ELSE 'fixed64' END,
+      |    CASE WHEN k % 11 < 8 THEN 'optional' ELSE 'repeated' END,
+      |    NULL FROM versioned
+      |  UNION ALL SELECT subject, version, 4, 'email', 'string',
+      |    CASE WHEN k % 5 = 0 THEN 'required' ELSE 'optional' END,
+      |    NULL FROM versioned WHERE k % 3 <> 2
+      |  UNION ALL SELECT subject, version, 5, 'status', 'enum', 'optional',
+      |    CASE WHEN k % 2 = 1 THEN 'contact' END FROM versioned WHERE k % 3 < 2),
+      |wiregrp AS (
+      |  SELECT * FROM (VALUES ('int32', 'varint'), ('int64', 'varint'),
+      |    ('enum', 'varint'), ('fixed64', '64bit'), ('string', 'len'),
+      |    ('bytes', 'len')) AS t(kind, grp))""".stripMargin
+
+  /** Protobuf BACKWARD scan over the corpus: version N (reader) vs
+    * N-1 (writer), fields matched by NUMBER. Violations
+    * (protobuf/checker.go):
+    *  - required field added (:179) / required field removed (:251) /
+    *    field removed from a oneof (:255)
+    *  - wire-group type change (:361 — same-group changes like
+    *    int32→int64 or string↔bytes are compatible; enum↔varint is
+    *    compatible per :393)
+    *  - optional→required (:301); optional↔repeated on a non-(string|
+    *    bytes|message) kind (:290 judges by the OLD kind, :305 by the
+    *    NEW)
+    *  - field moved OUT of a real oneof (:327; moving in is fine :332)
+    * Renames at the same number are wire-compatible (:270) and
+    * reported as `n_renames` — the tally that PROVES number-keyed
+    * matching, since the name-keyed Avro model would flag them.
+    * Row-local past the one lag() window: each step explodes the
+    * union of its two versions' field numbers and probes both arrays.
+    */
+  def protoScan(s: SparkSession, dir: String): DataFrame = {
+    val versioned = pbFieldArrays(s, dir).filter(col("version") > 1)
+    val nums = array_union(
+      transform(col("pb"), x => x("fnum")),
+      transform(col("w_pb"), x => x("fnum")))
+    val perNum = versioned
+      .select(col("subject"), col("version"), col("pb"), col("w_pb"),
+        explode(nums).as("num"))
+    val r = get(filter(col("pb"), x => x("fnum") === col("num")), lit(0))
+    val w = get(filter(col("w_pb"), x => x("fnum") === col("num")), lit(0))
+    val probed = perNum.select(
+      col("subject"), col("version"),
+      r("fname").as("r_name"), r("kind").as("r_kind"), r("card").as("r_card"),
+      r("oneof").as("r_oneof"),
+      w("fname").as("w_name"), w("kind").as("w_kind"), w("card").as("w_card"),
+      w("oneof").as("w_oneof"))
+    val bothPresent = col("r_kind").isNotNull && col("w_kind").isNotNull
+    val scalarKind = (k: Column) => !k.isin("string", "bytes")
+    val violation =
+      // added required (checker.go:179)
+      (col("w_kind").isNull && col("r_card") === "required") ||
+        // removed required / removed from oneof (:251, :255)
+        (col("r_kind").isNull &&
+          (col("w_card") === "required" || col("w_oneof").isNotNull)) ||
+        (bothPresent && (
+          // wire-group change (:361)
+          wireGroup(col("r_kind")) =!= wireGroup(col("w_kind")) ||
+            // optional→required (:301)
+            (col("r_card") === "required" && col("w_card") =!= "required") ||
+            // optional→repeated on a scalar kind (:290, old kind)
+            (col("w_card") === "optional" && col("r_card") === "repeated" &&
+              scalarKind(col("w_kind"))) ||
+            // repeated→singular on a scalar kind (:305, new kind)
+            (col("w_card") === "repeated" && col("r_card") =!= "repeated" &&
+              scalarKind(col("r_kind"))) ||
+            // moved out of a real oneof (:327)
+            (col("w_oneof").isNotNull && col("r_oneof").isNull)))
+    probed
+      .groupBy(col("subject"), col("version"))
+      .agg(sum(when(col("r_kind").isNotNull, 1L).otherwise(0L)).as("n_fields"),
+        sum(when(bothPresent && col("r_name") =!= col("w_name"), 1L)
+          .otherwise(0L)).as("n_renames"),
+        sum(when(violation, 1L).otherwise(0L)).as("n_violations"))
+      .withColumn("proto_ok", col("n_violations") === 0)
+      .orderBy(col("subject"), col("version"))
+  }
+
+  // -------------------------------------------------------------------
+  // JSON Schema
+  // -------------------------------------------------------------------
+
+  /** Synthetic JSON Schema object model per registration: an OPEN or
+    * CLOSED content model (additionalProperties — k's parity) plus a
+    * property set with (name, type, required, enum values). Derived
+    * from k so every jsonschema/checker.go rule fires both ways:
+    * `name` flips optional↔required with k%3, `tags` flips
+    * array↔string and comes and goes with k%5, `level` carries an
+    * enum whose value set narrows and widens with k%3 and turns
+    * required when k%11&lt;3 — so its reappearance sometimes adds a
+    * REQUIRED property (checker.go:342).
+    */
+  private[graft] def jsFieldArrays(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      col("user_id").as("subject"), col("ts"), col("event_id"),
+      get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+    val w = Window.partitionBy(col("subject")).orderBy(col("ts"), col("event_id"))
+    val noEnum = lit(null).cast("string")
+    def p(pname: String, ptype: Column, preq: Column, penum: Column,
+          present: Column): Column =
+      struct(lit(pname).as("pname"), ptype.as("ptype"), preq.as("preq"),
+        penum.as("penum"), present.as("present"))
+    ev
+      .withColumn("version", row_number().over(w))
+      .withColumn("open", col("k") % 2 === 0)
+      .withColumn("props_arr", filter(array(
+        p("id", lit("integer"), lit(true), noEnum, lit(true)),
+        p("name", lit("string"), col("k") % 3 === 0, noEnum, lit(true)),
+        p("tags", when(col("k") % 4 < 2, "array").otherwise("string"),
+          lit(false), noEnum, col("k") % 5 < 3),
+        p("level", lit("integer"), col("k") % 11 < 3,
+          when(col("k") % 3 === 1, "1,2,3").otherwise("1,2,3,4"),
+          col("k") % 7 < 4)
+      ), fld => fld("present")))
+      .withColumn("w_open", lag(col("open"), 1).over(w))
+      .withColumn("w_props", lag(col("props_arr"), 1).over(w))
+  }
+
+  /** DuckDB mirror of [[jsFieldArrays]] — (subject, version, open)
+    * schema rows + (subject, version, pname, ptype, preq, penum)
+    * property rows.
+    */
+  private val jsModelCte: String =
+    """ev AS (
+      |  SELECT user_id AS subject, ts, event_id,
+      |         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events),
+      |versioned AS (
+      |  SELECT subject, k,
+      |         row_number() OVER (PARTITION BY subject ORDER BY ts, event_id) AS version
+      |  FROM ev),
+      |schemas AS (SELECT subject, version, k % 2 = 0 AS open FROM versioned),
+      |jsp AS (
+      |  SELECT subject, version, 'id' AS pname, 'integer' AS ptype,
+      |         true AS preq, CAST(NULL AS VARCHAR) AS penum FROM versioned
+      |  UNION ALL SELECT subject, version, 'name', 'string', k % 3 = 0, NULL FROM versioned
+      |  UNION ALL SELECT subject, version, 'tags',
+      |    CASE WHEN k % 4 < 2 THEN 'array' ELSE 'string' END, false, NULL
+      |    FROM versioned WHERE k % 5 < 3
+      |  UNION ALL SELECT subject, version, 'level', 'integer', k % 11 < 3,
+      |    CASE WHEN k % 3 = 1 THEN '1,2,3' ELSE '1,2,3,4' END
+      |    FROM versioned WHERE k % 7 < 4)""".stripMargin
+
+  /** JSON Schema BACKWARD scan: version N (reader) vs N-1 (writer)
+    * under the open/closed content model (jsonschema/checker.go).
+    * Per-class violation counts:
+    *  - v_type: property type changed (:70)
+    *  - v_removed: property removed while the READER is closed (:323;
+    *    an open reader absorbs removals)
+    *  - v_req_added: new required property (:342)
+    *  - v_open_added: new OPTIONAL property against an open WRITER
+    *    (:346 — the old producer may have used that name freely)
+    *  - v_opt_req: optional→required (:362)
+    *  - v_enum: enum constraint added (:538) or a writer enum value
+    *    dropped by the reader (:564)
+    *  - v_ap: additionalProperties flipped allowed→forbidden (:611)
+    * Same one-window shape as every other scan; all checks are
+    * row-local array probes.
+    */
+  def jsonScan(s: SparkSession, dir: String): DataFrame = {
+    val versioned = jsFieldArrays(s, dir).filter(col("version") > 1)
+    val names = array_union(
+      transform(col("props_arr"), x => x("pname")),
+      transform(col("w_props"), x => x("pname")))
+    val perProp = versioned
+      .select(col("subject"), col("version"), col("open"), col("w_open"),
+        col("props_arr"), col("w_props"), explode(names).as("pname"))
+    val r = get(filter(col("props_arr"), x => x("pname") === col("pname")), lit(0))
+    val w = get(filter(col("w_props"), x => x("pname") === col("pname")), lit(0))
+    val probed = perProp.select(
+      col("subject"), col("version"), col("open"), col("w_open"),
+      r("ptype").as("r_type"), r("preq").as("r_req"), r("penum").as("r_enum"),
+      w("ptype").as("w_type"), w("preq").as("w_req"), w("penum").as("w_enum"))
+    val both = col("r_type").isNotNull && col("w_type").isNotNull
+    def cnt(cond: Column): Column = sum(when(cond, 1L).otherwise(0L))
+    val enumNarrowed = col("r_enum").isNotNull && col("w_enum").isNotNull &&
+      size(array_except(split(col("w_enum"), ","), split(col("r_enum"), ","))) > 0
+    probed
+      .groupBy(col("subject"), col("version"))
+      .agg(sum(when(col("r_type").isNotNull, 1L).otherwise(0L)).as("n_props"),
+        cnt(both && col("r_type") =!= col("w_type")).as("v_type"),
+        cnt(col("r_type").isNull && !col("open")).as("v_removed"),
+        cnt(col("w_type").isNull && col("r_req")).as("v_req_added"),
+        cnt(col("w_type").isNull && !col("r_req") && col("w_open")).as("v_open_added"),
+        cnt(both && !col("w_req") && col("r_req")).as("v_opt_req"),
+        cnt(both && ((col("w_enum").isNull && col("r_enum").isNotNull) || enumNarrowed))
+          .as("v_enum"),
+        // schema-level: one per step, counted once via max()
+        max(when(col("w_open") && !col("open"), 1L).otherwise(0L)).as("v_ap"))
+      .withColumn("n_violations",
+        col("v_type") + col("v_removed") + col("v_req_added") +
+          col("v_open_added") + col("v_opt_req") + col("v_enum") + col("v_ap"))
+      .withColumn("json_ok", col("n_violations") === 0)
+      .orderBy(col("subject"), col("version"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "compat_proto_scan" -> protoScan,
+    "compat_json_scan" -> jsonScan)
+
+  val oracleSql: Map[String, String] = Map(
+    "compat_proto_scan" ->
+      s"""WITH $pbModelCte,
+        |vers AS (SELECT DISTINCT subject, version FROM pbf WHERE version > 1),
+        |nums AS (
+        |  SELECT DISTINCT v.subject, v.version, f.fnum
+        |  FROM vers v JOIN pbf f ON f.subject = v.subject
+        |    AND f.version IN (v.version, v.version - 1)),
+        |probed AS (
+        |  SELECT n.subject, n.version,
+        |    r.fname AS r_name, r.kind AS r_kind, r.card AS r_card, r.oneof AS r_oneof,
+        |    w.fname AS w_name, w.kind AS w_kind, w.card AS w_card, w.oneof AS w_oneof,
+        |    rg.grp AS r_grp, wg.grp AS w_grp
+        |  FROM nums n
+        |  LEFT JOIN pbf r ON r.subject = n.subject AND r.version = n.version AND r.fnum = n.fnum
+        |  LEFT JOIN pbf w ON w.subject = n.subject AND w.version = n.version - 1 AND w.fnum = n.fnum
+        |  LEFT JOIN wiregrp rg ON rg.kind = r.kind
+        |  LEFT JOIN wiregrp wg ON wg.kind = w.kind)
+        |SELECT subject, version,
+        |  CAST(sum(CASE WHEN r_kind IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_fields,
+        |  CAST(sum(CASE WHEN r_kind IS NOT NULL AND w_kind IS NOT NULL
+        |    AND r_name <> w_name THEN 1 ELSE 0 END) AS BIGINT) AS n_renames,
+        |  CAST(sum(CASE WHEN
+        |    (w_kind IS NULL AND r_card = 'required')
+        |    OR (r_kind IS NULL AND (w_card = 'required' OR w_oneof IS NOT NULL))
+        |    OR (r_kind IS NOT NULL AND w_kind IS NOT NULL AND (
+        |      r_grp <> w_grp
+        |      OR (r_card = 'required' AND w_card <> 'required')
+        |      OR (w_card = 'optional' AND r_card = 'repeated' AND w_kind NOT IN ('string', 'bytes'))
+        |      OR (w_card = 'repeated' AND r_card <> 'repeated' AND r_kind NOT IN ('string', 'bytes'))
+        |      OR (w_oneof IS NOT NULL AND r_oneof IS NULL)))
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+        |  sum(CASE WHEN
+        |    (w_kind IS NULL AND r_card = 'required')
+        |    OR (r_kind IS NULL AND (w_card = 'required' OR w_oneof IS NOT NULL))
+        |    OR (r_kind IS NOT NULL AND w_kind IS NOT NULL AND (
+        |      r_grp <> w_grp
+        |      OR (r_card = 'required' AND w_card <> 'required')
+        |      OR (w_card = 'optional' AND r_card = 'repeated' AND w_kind NOT IN ('string', 'bytes'))
+        |      OR (w_card = 'repeated' AND r_card <> 'repeated' AND r_kind NOT IN ('string', 'bytes'))
+        |      OR (w_oneof IS NOT NULL AND r_oneof IS NULL)))
+        |    THEN 1 ELSE 0 END) = 0 AS proto_ok
+        |FROM probed GROUP BY subject, version ORDER BY subject, version""".stripMargin,
+    "compat_json_scan" ->
+      s"""WITH $jsModelCte,
+        |vers AS (SELECT s.subject, s.version, s.open, ws.open AS w_open
+        |  FROM schemas s JOIN schemas ws
+        |    ON ws.subject = s.subject AND ws.version = s.version - 1),
+        |names AS (
+        |  SELECT DISTINCT v.subject, v.version, f.pname
+        |  FROM vers v JOIN jsp f ON f.subject = v.subject
+        |    AND f.version IN (v.version, v.version - 1)),
+        |probed AS (
+        |  SELECT n.subject, n.version, v.open, v.w_open,
+        |    r.ptype AS r_type, r.preq AS r_req, r.penum AS r_enum,
+        |    w.ptype AS w_type, w.preq AS w_req, w.penum AS w_enum
+        |  FROM names n
+        |  JOIN vers v ON v.subject = n.subject AND v.version = n.version
+        |  LEFT JOIN jsp r ON r.subject = n.subject AND r.version = n.version AND r.pname = n.pname
+        |  LEFT JOIN jsp w ON w.subject = n.subject AND w.version = n.version - 1 AND w.pname = n.pname)
+        |SELECT subject, version,
+        |  CAST(sum(CASE WHEN r_type IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_props,
+        |  CAST(sum(CASE WHEN r_type IS NOT NULL AND w_type IS NOT NULL
+        |    AND r_type <> w_type THEN 1 ELSE 0 END) AS BIGINT) AS v_type,
+        |  CAST(sum(CASE WHEN r_type IS NULL AND NOT open THEN 1 ELSE 0 END) AS BIGINT) AS v_removed,
+        |  CAST(sum(CASE WHEN w_type IS NULL AND r_req THEN 1 ELSE 0 END) AS BIGINT) AS v_req_added,
+        |  CAST(sum(CASE WHEN w_type IS NULL AND NOT r_req AND w_open THEN 1 ELSE 0 END) AS BIGINT) AS v_open_added,
+        |  CAST(sum(CASE WHEN r_type IS NOT NULL AND w_type IS NOT NULL
+        |    AND NOT w_req AND r_req THEN 1 ELSE 0 END) AS BIGINT) AS v_opt_req,
+        |  CAST(sum(CASE WHEN r_type IS NOT NULL AND w_type IS NOT NULL
+        |    AND ((w_enum IS NULL AND r_enum IS NOT NULL)
+        |      OR (w_enum IS NOT NULL AND r_enum IS NOT NULL
+        |          AND NOT list_has_all(string_split(r_enum, ','), string_split(w_enum, ','))))
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS v_enum,
+        |  CAST(max(CASE WHEN w_open AND NOT open THEN 1 ELSE 0 END) AS BIGINT) AS v_ap,
+        |  CAST(sum(CASE WHEN r_type IS NOT NULL AND w_type IS NOT NULL
+        |    AND r_type <> w_type THEN 1 ELSE 0 END)
+        |    + sum(CASE WHEN r_type IS NULL AND NOT open THEN 1 ELSE 0 END)
+        |    + sum(CASE WHEN w_type IS NULL AND r_req THEN 1 ELSE 0 END)
+        |    + sum(CASE WHEN w_type IS NULL AND NOT r_req AND w_open THEN 1 ELSE 0 END)
+        |    + sum(CASE WHEN r_type IS NOT NULL AND w_type IS NOT NULL
+        |        AND NOT w_req AND r_req THEN 1 ELSE 0 END)
+        |    + sum(CASE WHEN r_type IS NOT NULL AND w_type IS NOT NULL
+        |        AND ((w_enum IS NULL AND r_enum IS NOT NULL)
+        |          OR (w_enum IS NOT NULL AND r_enum IS NOT NULL
+        |              AND NOT list_has_all(string_split(r_enum, ','), string_split(w_enum, ','))))
+        |        THEN 1 ELSE 0 END)
+        |    + max(CASE WHEN w_open AND NOT open THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+        |  sum(CASE WHEN r_type IS NOT NULL AND w_type IS NOT NULL
+        |    AND r_type <> w_type THEN 1 ELSE 0 END)
+        |    + sum(CASE WHEN r_type IS NULL AND NOT open THEN 1 ELSE 0 END)
+        |    + sum(CASE WHEN w_type IS NULL AND r_req THEN 1 ELSE 0 END)
+        |    + sum(CASE WHEN w_type IS NULL AND NOT r_req AND w_open THEN 1 ELSE 0 END)
+        |    + sum(CASE WHEN r_type IS NOT NULL AND w_type IS NOT NULL
+        |        AND NOT w_req AND r_req THEN 1 ELSE 0 END)
+        |    + sum(CASE WHEN r_type IS NOT NULL AND w_type IS NOT NULL
+        |        AND ((w_enum IS NULL AND r_enum IS NOT NULL)
+        |          OR (w_enum IS NOT NULL AND r_enum IS NOT NULL
+        |              AND NOT list_has_all(string_split(r_enum, ','), string_split(w_enum, ','))))
+        |        THEN 1 ELSE 0 END)
+        |    + max(CASE WHEN w_open AND NOT open THEN 1 ELSE 0 END) = 0 AS json_ok
+        |FROM probed GROUP BY subject, version ORDER BY subject, version""".stripMargin)
+}

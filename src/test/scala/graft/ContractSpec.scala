@@ -17,7 +17,8 @@ class ContractSpec extends SparkSpec {
     val groups = Seq(
       operators.Analytics.queries, operators.Registry.queries,
       operators.Audit.queries, operators.Analysis.queries,
-      operators.Compat.queries, operators.Intelligence.queries,
+      operators.Compat.queries, operators.FormatCompat.queries,
+      operators.Intelligence.queries,
       operators.Dedup.queries, operators.Pipeline.queries,
       operators.Similarity.queries, operators.TextAnalysis.queries,
       operators.Multimodal.queries, operators.Streaming.queries,

@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.FormatCompat
+import org.apache.spark.sql.functions._
+
+class FormatCompatSpec extends SparkSpec {
+
+  test("proto scan: renames happen and never violate alone (number-keyed matching)") {
+    val rows = FormatCompat.protoScan(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // renames occur on the corpus (num 2 flips name<->title with k's parity)
+    assert(rows.exists(_.getAs[Long]("n_renames") > 0), "expected renames in the corpus")
+    // and a rename is not a violation: some step renames yet stays compatible
+    assert(rows.exists(r => r.getAs[Long]("n_renames") > 0 && r.getAs[Boolean]("proto_ok")),
+      "a pure rename step must be wire-compatible — the name-keyed model would flag it")
+    // both verdicts are data-driven
+    assert(rows.exists(_.getAs[Boolean]("proto_ok")))
+    assert(rows.exists(!_.getAs[Boolean]("proto_ok")))
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("proto_ok") == (r.getAs[Long]("n_violations") == 0L))
+      assert(r.getAs[Long]("n_fields") >= 3L, "id/name-or-title/score are always present")
+    }
+  }
+
+  test("proto scan: field count matches the model's presence predicates") {
+    // reader field count per version must equal the model: 3 always-present
+    // + email (k%3 != 2) + status (k%3 < 2)
+    val model = FormatCompat.pbFieldArrays(spark, sfDir)
+      .filter(col("version") > 1)
+      .select(col("subject"), col("version"), size(col("pb")).cast("long").as("expected"))
+    val scan = FormatCompat.protoScan(spark, sfDir)
+      .select(col("subject"), col("version"), col("n_fields"))
+    val mismatches = scan.join(model, Seq("subject", "version"))
+      .filter(col("n_fields") =!= col("expected")).count()
+    assert(mismatches == 0)
+  }
+
+  test("json scan: every violation class fires somewhere, counts reconcile") {
+    val rows = FormatCompat.jsonScan(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val classes = Seq("v_type", "v_removed", "v_req_added", "v_open_added",
+      "v_opt_req", "v_enum", "v_ap")
+    classes.foreach { c =>
+      assert(rows.exists(_.getAs[Long](c) > 0), s"$c never fires on the corpus")
+    }
+    rows.foreach { r =>
+      val total = classes.map(r.getAs[Long](_)).sum
+      assert(r.getAs[Long]("n_violations") == total, "class counts must sum to the total")
+      assert(r.getAs[Boolean]("json_ok") == (total == 0L))
+    }
+    // both verdicts are data-driven
+    assert(rows.exists(_.getAs[Boolean]("json_ok")))
+    assert(rows.exists(!_.getAs[Boolean]("json_ok")))
+  }
+
+  test("json scan: open reader absorbs removals, closed reader flags them") {
+    // Directly exercise the content-model asymmetry (:323): among steps
+    // where a property disappeared, closed readers must report v_removed
+    // and open readers must not.
+    val base = FormatCompat.jsFieldArrays(spark, sfDir)
+      .filter(col("version") > 1)
+      .withColumn("n_removed_names",
+        size(expr("filter(w_props, w -> !exists(props_arr, p -> p.pname = w.pname))")))
+    val joined = base
+      .select(col("subject"), col("version"), col("open"), col("n_removed_names"))
+      .join(FormatCompat.jsonScan(spark, sfDir), Seq("subject", "version"))
+    val openFlagged = joined
+      .filter(col("open") && col("n_removed_names") > 0 && col("v_removed") > 0).count()
+    assert(openFlagged == 0, "open readers must absorb property removals")
+    val closedMissed = joined
+      .filter(!col("open") && col("n_removed_names") > 0 &&
+        col("v_removed") =!= col("n_removed_names").cast("long")).count()
+    assert(closedMissed == 0, "closed readers must flag every removed property")
+  }
+}
