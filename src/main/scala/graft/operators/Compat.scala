@@ -343,6 +343,123 @@ object Compat {
       .orderBy(col("subject"), col("version"))
   }
 
+  /** FORWARD_TRANSITIVE over the corpus (modes.go:23 — ALL earlier
+    * versions must be able to read data written by version N). The
+    * pairwise formulation is O(V²) readers×writers; re-expressed as
+    * O(V) running per-(subject, field) aggregates like
+    * [[compatTransitive]], with one twist: the breaking condition can
+    * involve a field ABSENT from the writer version (an earlier
+    * reader requires it, defaultless — avro/checker.go:129 with roles
+    * swapped), so the scan runs over the (version × subject-field-
+    * vocabulary) grid, not just the present fields. The vocabulary is
+    * a subjects-sized rollup joined back on the subject key; the grid
+    * probe into the version's field array is row-local.
+    *
+    * A writer version N breaks some earlier reader iff, per vocab
+    * field:
+    *  - absent from N while some earlier occurrence was required and
+    *    defaultless (the reader still expects it);
+    *  - its type at N conflicts with an earlier occurrence's type
+    *    under forward promotion (reader bigint reads writer int, so
+    *    writer int only breaks string readers; writer bigint breaks
+    *    int and string readers; writer string breaks numeric readers);
+    *  - nullable at N while some earlier reader declared it required;
+    *  - its enum vocabulary at N is wider than an earlier defaultless
+    *    reader's (the old reader meets unknown symbols —
+    *    checker.go:182, roles swapped; vocabularies are nested so
+    *    "wider writer vs narrow defaultless reader" is exact).
+    * The oracle states the same semantics pairwise — parity proves
+    * the rewrite.
+    */
+  def compatFTransitive(s: SparkSession, dir: String): DataFrame = {
+    val base = fieldArrays(s, dir)
+    val ex = base.select(col("subject"), col("version"), explode(col("flds")).as("fld"))
+    val vocab = ex.groupBy(col("subject"))
+      .agg(collect_set(col("fld.fname")).as("vocab"))
+    val grid = base.select(col("subject"), col("version"), col("flds"))
+      .join(vocab, "subject")
+      .select(col("subject"), col("version"), col("flds"),
+        explode(col("vocab")).as("fname"))
+    val fld = get(filter(col("flds"), x => x("fname") === col("fname")), lit(0))
+    val probed = grid.select(
+      col("subject"), col("version"), col("fname"),
+      fld("ftype").as("ftype"), fld("fnull").as("fnull"),
+      fld("fdefault").as("fdefault"), fld("fsyms").as("fsyms"))
+    val w = Window.partitionBy(col("subject"), col("fname")).orderBy(col("version"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    def cnt(cond: Column): Column =
+      coalesce(sum(when(cond, 1L).otherwise(0L)).over(w), lit(0L))
+    val present = col("ftype").isNotNull
+    val enriched = probed
+      .withColumn("c_req_nodefault",
+        cnt(col("ftype").isNotNull && !col("fnull") && col("fdefault").isNull))
+      .withColumn("c_req", cnt(col("ftype").isNotNull && !col("fnull")))
+      .withColumn("c_int", cnt(col("ftype") === "int"))
+      .withColumn("c_bigint", cnt(col("ftype") === "bigint"))
+      .withColumn("c_string", cnt(col("ftype") === "string"))
+      .withColumn("c_narrow_nodefault",
+        cnt(col("fsyms") === "A,B" && col("fdefault").isNull))
+    val bad =
+      (!present && col("c_req_nodefault") > 0) ||
+        (col("ftype") === "int" && col("c_string") > 0) ||
+        (col("ftype") === "bigint" && (col("c_int") > 0 || col("c_string") > 0)) ||
+        (col("ftype") === "string" && (col("c_int") > 0 || col("c_bigint") > 0)) ||
+        (present && col("fnull") && col("c_req") > 0) ||
+        (col("fsyms") === "A,B,C" && col("c_narrow_nodefault") > 0)
+    enriched.filter(col("version") > 1)
+      .groupBy(col("subject"), col("version"))
+      .agg(sum(when(present, 1L).otherwise(0L)).as("n_fields"),
+        sum(when(bad, 1L).otherwise(0L)).as("n_bad_fields"))
+      .withColumn("ftransitive_ok", col("n_bad_fields") === 0)
+      .orderBy(col("subject"), col("version"))
+  }
+
+  /** The RegisterSchema admission gate (registry.go CheckCompatibility
+    * + modes.go): each subject's configured compatibility mode is
+    * resolved (GetConfig fallback — here the mode derives
+    * deterministically from the subject id so all seven modes occur
+    * in the corpus), then the modes.go decision matrix
+    * (RequiresBackward :54, RequiresForward :64, IsTransitive :44,
+    * NONE disabling checks :9) picks which of the four verdict
+    * streams gate version N's registration. Composes
+    * [[compatScan]]/[[compatForwardScan]]/[[compatTransitive]]/
+    * [[compatFTransitive]] on their shared (subject, version) key —
+    * the same composition shape as reg_migration over compat_scan.
+    */
+  def compatGate(s: SparkSession, dir: String): DataFrame = {
+    val modes = Seq("NONE", "BACKWARD", "FORWARD", "FULL",
+      "BACKWARD_TRANSITIVE", "FORWARD_TRANSITIVE", "FULL_TRANSITIVE")
+    val modeCol = element_at(
+      array(modes.map(lit): _*), (col("subject") % 7 + 1).cast("int"))
+    val b = compatScan(s, dir).select(col("subject"), col("version"),
+      col("compatible").as("b_ok"))
+    val f = compatForwardScan(s, dir).select(col("subject"), col("version"),
+      col("forward_ok").as("f_ok"))
+    val bt = compatTransitive(s, dir).select(col("subject"), col("version"),
+      col("transitive_ok").as("bt_ok"))
+    val ft = compatFTransitive(s, dir).select(col("subject"), col("version"),
+      col("ftransitive_ok").as("ft_ok"))
+    b.join(f, Seq("subject", "version"))
+      .join(bt, Seq("subject", "version"))
+      .join(ft, Seq("subject", "version"))
+      .withColumn("mode", modeCol)
+      .withColumn("req_backward",
+        col("mode").isin("BACKWARD", "BACKWARD_TRANSITIVE", "FULL", "FULL_TRANSITIVE"))
+      .withColumn("req_forward",
+        col("mode").isin("FORWARD", "FORWARD_TRANSITIVE", "FULL", "FULL_TRANSITIVE"))
+      .withColumn("transitive", col("mode").endsWith("TRANSITIVE"))
+      .withColumn("allowed",
+        when(col("mode") === "NONE", lit(true))
+          .otherwise(
+            (!col("req_backward") ||
+              when(col("transitive"), col("bt_ok")).otherwise(col("b_ok"))) &&
+              (!col("req_forward") ||
+                when(col("transitive"), col("ft_ok")).otherwise(col("f_ok")))))
+      .select(col("subject"), col("version"), col("mode"),
+        col("req_backward"), col("req_forward"), col("transitive"), col("allowed"))
+      .orderBy(col("subject"), col("version"))
+  }
+
   /** check_compatibility_multi (tools_comparison.go:70
     * handleCheckCompatibilityMulti): ONE candidate schema checked
     * BACKWARD against the latest version of EVERY subject, with the
@@ -419,6 +536,8 @@ object Compat {
     "compat_explain" -> compatExplain,
     "compat_forward_scan" -> compatForwardScan,
     "compat_transitive" -> compatTransitive,
+    "compat_ftransitive" -> compatFTransitive,
+    "compat_gate" -> compatGate,
     "compat_multi" -> compatMulti)
 
   /** Expected verdicts, hand-traced through the reference rules:
@@ -427,7 +546,7 @@ object Compat {
     * `name` is required in reader but v1-writer may write null →
     * fails, and vs the first version `name` is missing entirely.
     */
-  val oracleSql: Map[String, String] = Map(
+  private val baseOracleSql: Map[String, String] = Map(
     "compat_check" ->
       """SELECT * FROM (VALUES
         |  (1, 'add nullable field', 'BACKWARD', true, CAST(0 AS BIGINT)),
@@ -539,6 +658,43 @@ object Compat {
         |SELECT subject, version, count(*) AS n_fields,
         |  CAST(sum(bad) AS BIGINT) AS n_bad_fields, sum(bad) = 0 AS transitive_ok
         |FROM badf GROUP BY subject, version ORDER BY subject, version""".stripMargin,
+    "compat_ftransitive" ->
+      s"""WITH $fieldModelCte,
+        |versions AS (SELECT DISTINCT subject, version FROM fields),
+        |vocabv AS (SELECT DISTINCT subject, fname FROM fields),
+        |grid AS (
+        |  SELECT v.subject, v.version, vc.fname
+        |  FROM versions v JOIN vocabv vc ON vc.subject = v.subject
+        |  WHERE v.version > 1),
+        |wf AS (
+        |  SELECT g.subject, g.version, g.fname,
+        |         w.ftype, w.fnull, w.fdefault, w.fsyms
+        |  FROM grid g LEFT JOIN fields w ON w.subject = g.subject
+        |    AND w.version = g.version AND w.fname = g.fname),
+        |pairs AS (
+        |  SELECT wf.subject, wf.version, wf.fname,
+        |         wf.ftype AS w_ftype, wf.fnull AS w_fnull, wf.fsyms AS w_fsyms,
+        |         r.ftype AS r_ftype, r.fnull AS r_fnull,
+        |         r.fdefault AS r_fdefault, r.fsyms AS r_fsyms
+        |  FROM wf LEFT JOIN fields r ON r.subject = wf.subject
+        |    AND r.fname = wf.fname AND r.version < wf.version),
+        |badf AS (
+        |  SELECT subject, version, fname,
+        |    max(CASE WHEN w_ftype IS NOT NULL THEN 1 ELSE 0 END) AS wpresent,
+        |    max(CASE WHEN r_ftype IS NOT NULL AND (
+        |        (w_ftype IS NULL AND NOT r_fnull AND r_fdefault IS NULL)
+        |        OR (w_ftype IS NOT NULL AND r_ftype <> w_ftype
+        |            AND NOT (w_ftype = 'int' AND r_ftype = 'bigint'))
+        |        OR (w_ftype IS NOT NULL AND NOT r_fnull AND w_fnull)
+        |        OR (r_ftype = 'enum' AND w_ftype = 'enum' AND r_fdefault IS NULL
+        |            AND NOT list_has_all(string_split(r_fsyms, ','), string_split(w_fsyms, ','))))
+        |      THEN 1 ELSE 0 END) AS bad
+        |  FROM pairs GROUP BY subject, version, fname)
+        |SELECT subject, version,
+        |  CAST(sum(wpresent) AS BIGINT) AS n_fields,
+        |  CAST(sum(bad) AS BIGINT) AS n_bad_fields,
+        |  sum(bad) = 0 AS ftransitive_ok
+        |FROM badf GROUP BY subject, version ORDER BY subject, version""".stripMargin,
     "compat_multi" ->
       s"""WITH $fieldModelCte,
         |maxv AS (SELECT subject, max(version) AS mv FROM fields GROUP BY subject),
@@ -568,4 +724,36 @@ object Compat {
         |  CAST(sum(CASE WHEN n_violations > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_incompatible,
         |  sum(CASE WHEN n_violations > 0 THEN 1 ELSE 0 END) = 0 AS compatible
         |FROM per GROUP BY ROLLUP(subject) ORDER BY subject""".stripMargin)
+
+  /** compat_gate's oracle composes the four scan oracles as CTEs (the
+    * same nesting reg_migration uses over compat_scan) plus the
+    * modes.go matrix as a VALUES dimension keyed subject % 7.
+    */
+  private val gateOracle: String =
+    s"""WITH b AS (${baseOracleSql("compat_scan")}),
+      |f AS (${baseOracleSql("compat_forward_scan")}),
+      |bt AS (${baseOracleSql("compat_transitive")}),
+      |ft AS (${baseOracleSql("compat_ftransitive")}),
+      |modes AS (SELECT * FROM (VALUES
+      |  (0, 'NONE'), (1, 'BACKWARD'), (2, 'FORWARD'), (3, 'FULL'),
+      |  (4, 'BACKWARD_TRANSITIVE'), (5, 'FORWARD_TRANSITIVE'),
+      |  (6, 'FULL_TRANSITIVE')) AS t(idx, mode))
+      |SELECT b.subject, b.version, m.mode,
+      |  m.mode IN ('BACKWARD', 'BACKWARD_TRANSITIVE', 'FULL', 'FULL_TRANSITIVE') AS req_backward,
+      |  m.mode IN ('FORWARD', 'FORWARD_TRANSITIVE', 'FULL', 'FULL_TRANSITIVE') AS req_forward,
+      |  m.mode LIKE '%TRANSITIVE' AS transitive,
+      |  (m.mode NOT IN ('BACKWARD', 'BACKWARD_TRANSITIVE', 'FULL', 'FULL_TRANSITIVE')
+      |     OR CASE WHEN m.mode LIKE '%TRANSITIVE' THEN bt.transitive_ok ELSE b.compatible END)
+      |  AND (m.mode NOT IN ('FORWARD', 'FORWARD_TRANSITIVE', 'FULL', 'FULL_TRANSITIVE')
+      |     OR CASE WHEN m.mode LIKE '%TRANSITIVE' THEN ft.ftransitive_ok ELSE f.forward_ok END)
+      |  AS allowed
+      |FROM b
+      |JOIN f ON f.subject = b.subject AND f.version = b.version
+      |JOIN bt ON bt.subject = b.subject AND bt.version = b.version
+      |JOIN ft ON ft.subject = b.subject AND ft.version = b.version
+      |JOIN modes m ON m.idx = b.subject % 7
+      |ORDER BY b.subject, b.version""".stripMargin
+
+  val oracleSql: Map[String, String] =
+    baseOracleSql + ("compat_gate" -> gateOracle)
 }

@@ -190,6 +190,58 @@ class CompatSpec extends SparkSpec {
     assert(stricter > 0, "expected at least one version that passes N-1 but fails transitive")
   }
 
+  test("forward-transitive is at least as strict as the one-step forward scan") {
+    import org.apache.spark.sql.functions.col
+    val fwd = operators.Compat.compatForwardScan(spark, sfDir)
+      .select(col("subject"), col("version"), col("forward_ok"))
+    val ft = operators.Compat.compatFTransitive(spark, sfDir)
+      .select(col("subject"), col("version"), col("ftransitive_ok"))
+    assert(ft.count() == fwd.count())
+    // ftransitive_ok ⇒ forward_ok: the N-1 reader is one of the earlier readers
+    val contradictions = ft.join(fwd, Seq("subject", "version"))
+      .filter(col("ftransitive_ok") && !col("forward_ok")).count()
+    assert(contradictions == 0)
+    // and strictly stricter somewhere on this corpus
+    val stricter = ft.join(fwd, Seq("subject", "version"))
+      .filter(!col("ftransitive_ok") && col("forward_ok")).count()
+    assert(stricter > 0, "expected a version that passes one-step forward but fails transitive")
+  }
+
+  test("compat_gate: modes.go decision matrix over the four verdict streams") {
+    import org.apache.spark.sql.functions.col
+    val gate = operators.Compat.compatGate(spark, sfDir)
+    val rows = gate.collect()
+    // every mode occurs (subject % 7 covers the mode vocabulary)
+    val modes = rows.map(_.getAs[String]("mode")).toSet
+    assert(modes == Set("NONE", "BACKWARD", "FORWARD", "FULL",
+      "BACKWARD_TRANSITIVE", "FORWARD_TRANSITIVE", "FULL_TRANSITIVE"))
+    // NONE disables checking entirely (modes.go:9)
+    assert(rows.filter(_.getAs[String]("mode") == "NONE").forall(_.getAs[Boolean]("allowed")))
+    // matrix flags match the mode string (RequiresBackward/RequiresForward/IsTransitive)
+    rows.foreach { r =>
+      val m = r.getAs[String]("mode")
+      assert(r.getAs[Boolean]("req_backward") ==
+        Set("BACKWARD", "BACKWARD_TRANSITIVE", "FULL", "FULL_TRANSITIVE").contains(m))
+      assert(r.getAs[Boolean]("req_forward") ==
+        Set("FORWARD", "FORWARD_TRANSITIVE", "FULL", "FULL_TRANSITIVE").contains(m))
+      assert(r.getAs[Boolean]("transitive") == m.endsWith("TRANSITIVE"))
+    }
+    // allowed reconciles with the underlying verdict streams
+    val b = operators.Compat.compatScan(spark, sfDir)
+      .select(col("subject"), col("version"), col("compatible").as("b_ok"))
+    val joined = gate.join(b, Seq("subject", "version")).collect()
+    joined.filter(r => r.getAs[String]("mode") == "BACKWARD").foreach { r =>
+      assert(r.getAs[Boolean]("allowed") == r.getAs[Boolean]("b_ok"))
+    }
+    // FULL is the conjunction: never more permissive than BACKWARD alone
+    joined.filter(r => r.getAs[String]("mode") == "FULL").foreach { r =>
+      assert(!r.getAs[Boolean]("allowed") || r.getAs[Boolean]("b_ok"))
+    }
+    // both admission outcomes occur in real data
+    assert(rows.exists(_.getAs[Boolean]("allowed")))
+    assert(rows.exists(!_.getAs[Boolean]("allowed")))
+  }
+
   test("compat_multi: per-subject verdicts + all_compatible rollup reconcile") {
     import org.apache.spark.sql.functions.col
     val rows = operators.Compat.compatMulti(spark, sfDir).collect()
