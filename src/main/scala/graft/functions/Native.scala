@@ -200,6 +200,108 @@ object Native {
     new GenericArrayData(out.toArray)
   }
 
+  /** Avro Parsing Canonical Form (reference internal/schema/avro/
+    * parser.go:141 canonicalize / :155 canonicalizeValue / :182
+    * canonicalizeObject / :282 canonicalizeField / :302
+    * isNonCanonicalField), byte-faithful to the reference:
+    *  - named types (record/error/enum/fixed) resolve their namespace
+    *    (explicit `namespace` key, else inherited from the enclosing
+    *    named type) and emit a fully-qualified name; the separate
+    *    namespace key is never emitted (it is absent from every
+    *    canonical field order);
+    *  - an already-dotted name is left as-is and does NOT establish a
+    *    namespace for nested types (the reference keeps the parent's
+    *    resolved namespace — a deliberate mirror of parser.go:163,
+    *    observable when a nested unqualified type canonicalizes
+    *    differently under inline-dotted vs explicit-namespace
+    *    parents);
+    *  - canonical key order per type (record: name,type,fields; enum:
+    *    name,type,symbols; array: type,items; map: type,values;
+    *    fixed: name,type,size; otherwise alphabetical), with
+    *    doc/aliases/order dropped everywhere and `default` dropped at
+    *    type level but KEPT inside field objects (name,type,default —
+    *    parser.go:288's fingerprint-relevant comment);
+    *  - invalid JSON returns the trimmed input (primitive type names).
+    */
+  def avroPcf(json: UTF8String): UTF8String = {
+    import com.fasterxml.jackson.databind.JsonNode
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    // Sorted-key JSON marshal for `default` values — the reference
+    // round-trips defaults through Go's json.Marshal, which orders
+    // object keys alphabetically.
+    def marshalSorted(n: JsonNode): String =
+      if (n.isObject) {
+        val keys = scala.collection.mutable.ArrayBuffer.empty[String]
+        val it = n.fieldNames()
+        while (it.hasNext) keys += it.next()
+        keys.sorted.map(k => "\"" + k + "\":" + marshalSorted(n.get(k))).mkString("{", ",", "}")
+      } else if (n.isArray) {
+        (0 until n.size()).map(i => marshalSorted(n.get(i))).mkString("[", ",", "]")
+      } else n.toString
+    val nonCanonical = Set("doc", "aliases", "default", "order")
+    def value(n: JsonNode, parentNs: String): String =
+      if (n.isTextual) "\"" + n.asText + "\""
+      else if (n.isArray) (0 until n.size()).map(i => value(n.get(i), parentNs)).mkString("[", ",", "]")
+      else if (n.isObject) obj(n.asInstanceOf[ObjectNode], parentNs)
+      else n.toString
+    def field(f: JsonNode, parentNs: String): String = {
+      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+      if (f.has("name")) parts += "\"name\":\"" + f.get("name").asText + "\""
+      if (f.has("type")) parts += "\"type\":" + value(f.get("type"), parentNs)
+      if (f.has("default")) parts += "\"default\":" + marshalSorted(f.get("default"))
+      parts.mkString("{", ",", "}")
+    }
+    def obj(o: ObjectNode, parentNs: String): String = {
+      val schemaType = if (o.has("type") && o.get("type").isTextual) o.get("type").asText else ""
+      var resolvedNs = parentNs
+      var qualifiedName: String = null
+      if (Set("record", "error", "enum", "fixed").contains(schemaType)) {
+        val name = if (o.has("name")) o.get("name").asText else ""
+        if (o.has("namespace") && o.get("namespace").isTextual &&
+          o.get("namespace").asText.nonEmpty) resolvedNs = o.get("namespace").asText
+        qualifiedName =
+          if (!name.contains(".") && resolvedNs.nonEmpty) resolvedNs + "." + name else name
+      }
+      val fieldOrder: Seq[String] = schemaType match {
+        case "record" | "error" => Seq("name", "type", "fields")
+        case "enum" => Seq("name", "type", "symbols")
+        case "array" => Seq("type", "items")
+        case "map" => Seq("type", "values")
+        case "fixed" => Seq("name", "type", "size")
+        case _ =>
+          val keys = scala.collection.mutable.ArrayBuffer.empty[String]
+          val it = o.fieldNames()
+          while (it.hasNext) keys += it.next()
+          keys.sorted.toSeq
+      }
+      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+      fieldOrder.foreach { key =>
+        if (o.has(key) && !nonCanonical.contains(key)) {
+          val v = o.get(key)
+          val valStr = key match {
+            case "fields" if v.isArray =>
+              (0 until v.size()).map(i => field(v.get(i), resolvedNs)).mkString("[", ",", "]")
+            case "fields" => ""
+            case "symbols" if v.isArray =>
+              (0 until v.size()).map(i => "\"" + v.get(i).asText + "\"").mkString("[", ",", "]")
+            case "symbols" => ""
+            case "name" if qualifiedName != null => "\"" + qualifiedName + "\""
+            case _ => value(v, resolvedNs)
+          }
+          if (valStr.nonEmpty) parts += "\"" + key + "\":" + valStr
+        }
+      }
+      parts.mkString("{", ",", "}")
+    }
+    try {
+      val root = jsonMapper.readTree(json.toString)
+      if (root == null) UTF8String.fromString(json.toString.trim)
+      else UTF8String.fromString(value(root, ""))
+    } catch {
+      case _: Exception => UTF8String.fromString(json.toString.trim)
+    }
+  }
+
   /** Register the functions on a session (idempotent). */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -208,6 +310,7 @@ object Native {
     registry.createOrReplaceTempFunction("graft_jaccard", exprs => JaccardExpr(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("graft_cosine", exprs => CosineExpr(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("graft_json_paths", exprs => JsonPathsExpr(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("graft_avro_pcf", exprs => AvroPcfExpr(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("graft_topk",
       exprs => TopKAgg(exprs(0), exprs(1), exprs(2)), "built-in")
   }
@@ -263,6 +366,21 @@ case class CosineExpr(left: Expression, right: Expression) extends BinaryExpress
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineExpr =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "graft_cosine"
+}
+
+/** `graft_avro_pcf(string) -> string`: Avro Parsing Canonical Form of
+  * a schema document (avro/parser.go:141 canonicalize).
+  */
+case class AvroPcfExpr(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    Native.avroPcf(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Native.avroPcf($c)")
+  override protected def withNewChildInternal(newChild: Expression): AvroPcfExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_avro_pcf"
 }
 
 /** `graft_json_paths(string) -> array<struct<path string, jtype string>>`:

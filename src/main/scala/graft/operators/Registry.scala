@@ -95,6 +95,81 @@ object Registry {
     * alone only removes spaces), so formatting variants of the same
     * schema collapse to one hash.
     */
+  /** Avro Parsing Canonical Form fingerprinting (schema/avro/
+    * parser.go:141 canonicalize, :93 Fingerprint; the real semantics
+    * behind normalize_schema and schema identity, where
+    * [[lookupByHash]] models only the whitespace-collapse face).
+    * A synthetic Avro-schema corpus derives from each registration's
+    * payload k: 3 namespaces × 5 record names × primitive-vs-nested
+    * field type × with/without field default, each rendered in FOUR
+    * formatting variants (compact inline-qualified name; spaced with
+    * separate namespace key; doc + scrambled key order; aliases +
+    * field doc/order noise). The REAL canonicalizer
+    * (`graft_avro_pcf`, a codegen Catalyst expression mirroring the
+    * reference recursion) collapses every formatting variant of one
+    * primitive schema to ONE fingerprint, while keeping
+    * default-bearing schemas distinct (parser.go:288). Nested groups
+    * keep TWO fingerprints: the reference does not let an
+    * inline-dotted parent name establish a namespace for nested
+    * types (parser.go:163), so explicit-namespace variants qualify
+    * `Inner` and inline-dotted variants do not — the oracle encodes
+    * that exact behavior.
+    *
+    * Shape: the corpus text + canonicalization are one row-local
+    * codegen projection over the registration stream; the rollup is
+    * one partial-agg groupBy on the small logical-schema dimension.
+    */
+  def canonicalFp(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Native.register(s)
+    val ev = Tables.events(s, dir).select(
+      get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .filter(col("k").isNotNull)
+    val ns = concat(lit("com.ex"), (col("k") % 3).cast("string"))
+    val rec = concat(lit("Rec"), (col("k") % 5).cast("string"))
+    val prim = col("k") % 2 === 0
+    val d = prim && col("k") % 7 < 3
+    val innerCompact =
+      """{"type":"record","name":"Inner","fields":[{"name":"g","type":"int"}]}"""
+    val innerSpaced =
+      """{ "type" : "record" , "name" : "Inner" , "fields" : [ { "name" : "g" , "type" : "int" } ] }"""
+    val fCompact = when(prim,
+      concat(lit("""{"name":"f1","type":"long""""),
+        when(d, ""","default":7""").otherwise(""), lit("}")))
+      .otherwise(lit(s"""{"name":"f1","type":$innerCompact}"""))
+    val fSpaced = when(prim,
+      concat(lit("""{ "name" : "f1" , "type" : "long""""),
+        when(d, """ , "default" : 7""").otherwise(""), lit(" }")))
+      .otherwise(lit(s"""{ "name" : "f1" , "type" : $innerSpaced }"""))
+    val fExtra = when(prim,
+      concat(lit("""{"name":"f1","doc":"fd","order":"ascending","type":"long""""),
+        when(d, ""","default":7""").otherwise(""), lit("}")))
+      .otherwise(lit(s"""{"name":"f1","doc":"fd","order":"ascending","type":$innerCompact}"""))
+    val text = when(col("k") % 4 === 0,
+      concat(lit("""{"type":"record","name":""""), ns, lit("."), rec,
+        lit("""","fields":["""), fCompact, lit("]}")))
+      .when(col("k") % 4 === 1,
+        concat(lit("""{ "type" : "record" , "namespace" : """"), ns,
+          lit("""" , "name" : """"), rec, lit("""" , "fields" : [ """),
+          fSpaced, lit(" ] }")))
+      .when(col("k") % 4 === 2,
+        concat(lit("""{"doc":"generated","namespace":""""), ns,
+          lit("""","fields":["""), fCompact, lit("""],"name":""""), rec,
+          lit("""","type":"record"}""")))
+      .otherwise(
+        concat(lit("""{"type":"record","name":""""), ns, lit("."), rec,
+          lit("""","aliases":["Old"],"fields":["""), fExtra, lit("]}")))
+    ev.select(ns.as("namespace"), rec.as("rec_name"),
+      prim.as("is_primitive"), d.as("with_default"), text.as("text"))
+      .withColumn("fp", md5(expr("graft_avro_pcf(text)")))
+      .groupBy(col("namespace"), col("rec_name"),
+        col("is_primitive"), col("with_default"))
+      .agg(countDistinct(col("text")).as("n_texts"),
+        countDistinct(col("fp")).as("n_fps"),
+        min(col("fp")).as("fp"))
+      .orderBy(col("namespace"), col("rec_name"),
+        col("is_primitive"), col("with_default"))
+  }
+
   def lookupByHash(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(md5(trim(regexp_replace(col("text"), "\\s+", " "))).as("content_hash"),
@@ -667,6 +742,7 @@ object Registry {
     "reg_counts_by_type" -> countsByType,
     "reg_config_fallback" -> configFallback,
     "reg_lookup_by_hash" -> lookupByHash,
+    "reg_canonical_fp" -> canonicalFp,
     "reg_referenced_by" -> referencedBy,
     "reg_soft_delete" -> softDelete,
     "reg_import_dedupe" -> importDedupe,
@@ -676,6 +752,48 @@ object Registry {
     "reg_export_filtered" -> exportFiltered)
 
   val oracleSql: Map[String, String] = Map(
+    "reg_canonical_fp" ->
+      """WITH ev AS (
+        |  SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events),
+        |base AS (
+        |  SELECT k, 'com.ex' || (k % 3) AS ns, 'Rec' || (k % 5) AS rec,
+        |         k % 2 = 0 AS prim, (k % 2 = 0 AND k % 7 < 3) AS d, k % 4 AS v
+        |  FROM ev WHERE k IS NOT NULL),
+        |flds AS (
+        |  SELECT *,
+        |    CASE WHEN prim THEN '{"name":"f1","type":"long"'
+        |        || CASE WHEN d THEN ',"default":7' ELSE '' END || '}'
+        |      ELSE '{"name":"f1","type":{"type":"record","name":"Inner","fields":[{"name":"g","type":"int"}]}}'
+        |    END AS fc,
+        |    CASE WHEN prim THEN '{ "name" : "f1" , "type" : "long"'
+        |        || CASE WHEN d THEN ' , "default" : 7' ELSE '' END || ' }'
+        |      ELSE '{ "name" : "f1" , "type" : { "type" : "record" , "name" : "Inner" , "fields" : [ { "name" : "g" , "type" : "int" } ] } }'
+        |    END AS fs,
+        |    CASE WHEN prim THEN '{"name":"f1","doc":"fd","order":"ascending","type":"long"'
+        |        || CASE WHEN d THEN ',"default":7' ELSE '' END || '}'
+        |      ELSE '{"name":"f1","doc":"fd","order":"ascending","type":{"type":"record","name":"Inner","fields":[{"name":"g","type":"int"}]}}'
+        |    END AS fe
+        |  FROM base),
+        |txt AS (
+        |  SELECT ns AS namespace, rec AS rec_name, prim AS is_primitive, d AS with_default,
+        |    CASE v
+        |      WHEN 0 THEN '{"type":"record","name":"' || ns || '.' || rec || '","fields":[' || fc || ']}'
+        |      WHEN 1 THEN '{ "type" : "record" , "namespace" : "' || ns || '" , "name" : "' || rec || '" , "fields" : [ ' || fs || ' ] }'
+        |      WHEN 2 THEN '{"doc":"generated","namespace":"' || ns || '","fields":[' || fc || '],"name":"' || rec || '","type":"record"}'
+        |      ELSE '{"type":"record","name":"' || ns || '.' || rec || '","aliases":["Old"],"fields":[' || fe || ']}'
+        |    END AS text,
+        |    '{"name":"' || ns || '.' || rec || '","type":"record","fields":[{"name":"f1","type":'
+        |      || CASE WHEN prim THEN '"long"'
+        |           WHEN v IN (1, 2) THEN '{"name":"' || ns || '.Inner","type":"record","fields":[{"name":"g","type":"int"}]}'
+        |           ELSE '{"name":"Inner","type":"record","fields":[{"name":"g","type":"int"}]}' END
+        |      || CASE WHEN d THEN ',"default":7' ELSE '' END || '}]}' AS canon
+        |  FROM flds)
+        |SELECT namespace, rec_name, is_primitive, with_default,
+        |  count(DISTINCT text) AS n_texts,
+        |  count(DISTINCT md5(canon)) AS n_fps,
+        |  min(md5(canon)) AS fp
+        |FROM txt GROUP BY namespace, rec_name, is_primitive, with_default
+        |ORDER BY namespace, rec_name, is_primitive, with_default""".stripMargin,
     "reg_meta_latest" ->
       """WITH v AS (
         |  SELECT user_id AS subject, event_id,

@@ -53,6 +53,41 @@ class NativeFunctionsSpec extends SparkSpec {
     assert(native.exceptAll(hof).count() == 0 && hof.exceptAll(native).count() == 0)
   }
 
+  test("graft_avro_pcf: reference canonicalization semantics, case by case") {
+    Native.register(spark)
+    import spark.implicits._
+    def pcf(s: String): String =
+      Seq(s).toDF("t").selectExpr("graft_avro_pcf(t) AS c").head().getString(0)
+    // whitespace + separate-namespace variant collapses to the qualified form
+    assert(pcf("""{ "type" : "record" , "namespace" : "com.x" , "name" : "R" , "fields" : [ ] }""")
+      == """{"name":"com.x.R","type":"record","fields":[]}""")
+    // doc/aliases/order stripped; raw key order irrelevant
+    assert(pcf("""{"doc":"d","fields":[{"name":"a","order":"ascending","type":"int"}],"name":"com.x.R","type":"record","aliases":["Z"]}""")
+      == """{"name":"com.x.R","type":"record","fields":[{"name":"a","type":"int"}]}""")
+    // field default KEPT (fingerprint-relevant, parser.go:288); type-level default stripped
+    assert(pcf("""{"type":"record","name":"R","fields":[{"name":"a","type":"int","default":3}]}""")
+      == """{"name":"R","type":"record","fields":[{"name":"a","type":"int","default":3}]}""")
+    // namespace inheritance: nested unqualified record takes the enclosing
+    // EXPLICIT namespace; an inline-dotted parent name does NOT establish one
+    assert(pcf("""{"type":"record","namespace":"com.x","name":"R","fields":[{"name":"a","type":{"type":"record","name":"I","fields":[]}}]}""")
+      == """{"name":"com.x.R","type":"record","fields":[{"name":"a","type":{"name":"com.x.I","type":"record","fields":[]}}]}""")
+    assert(pcf("""{"type":"record","name":"com.x.R","fields":[{"name":"a","type":{"type":"record","name":"I","fields":[]}}]}""")
+      == """{"name":"com.x.R","type":"record","fields":[{"name":"a","type":{"name":"I","type":"record","fields":[]}}]}""")
+    // enum symbol order preserved; union arrays keep element order
+    assert(pcf("""{"namespace":"n","type":"enum","name":"E","doc":"x","symbols":["B","A"]}""")
+      == """{"name":"n.E","type":"enum","symbols":["B","A"]}""")
+    assert(pcf("""{"type":"record","name":"R","fields":[{"name":"u","type":["null","string"]}]}""")
+      == """{"name":"R","type":"record","fields":[{"name":"u","type":["null","string"]}]}""")
+    // array/map/fixed canonical key orders
+    assert(pcf("""{"items":"int","type":"array"}""") == """{"type":"array","items":"int"}""")
+    assert(pcf("""{"values":"long","type":"map"}""") == """{"type":"map","values":"long"}""")
+    assert(pcf("""{"size":16,"name":"F","type":"fixed","namespace":"n"}""")
+      == """{"name":"n.F","type":"fixed","size":16}""")
+    // invalid JSON → trimmed input (primitive type names)
+    assert(pcf("  \"int\" ") == "\"int\"")
+    assert(pcf(" long ") == "long")
+  }
+
   test("graft_cosine equals the zip_with/aggregate formulation") {
     Native.register(spark)
     val e = Tables.embeddings(spark, sfDir)
