@@ -49,13 +49,34 @@ object Streaming {
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
       .orderBy(col("segment"), col("event_type"))
 
+  /** Batch face of the incremental RegisterSchema gate: the
+    * flatMapGroupsWithState compat checker over the full registration
+    * history reproduces compat_scan's N-vs-N-1 verdicts exactly —
+    * the oracle IS compat_scan's SQL. On a stream the same function
+    * holds one field set per subject in state (see StreamingSpec's
+    * cross-micro-batch test). One shuffle on subject, O(fields)
+    * state, no windows.
+    */
+  def compatVerdicts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val regs = Tables.events(s, dir)
+      .select(col("user_id").as("subject"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .as[EventStream.RegEvt]
+    EventStream.compatStateful(regs).toDF()
+      .orderBy(col("subject"), col("version"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_counts" -> windowCounts,
     "stream_enrich_counts" -> enrichCounts,
     "stream_sessions" -> sessions,
+    "stream_compat" -> compatVerdicts,
     "stream_dedup_counts" -> dedupCounts)
 
   val oracleSql: Map[String, String] = Map(
+    // the incremental gate must agree with the relational scan exactly
+    "stream_compat" -> Compat.oracleSql("compat_scan"),
     "stream_window_counts" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  count(*) AS n_events, round(sum(value), 4) AS total_value

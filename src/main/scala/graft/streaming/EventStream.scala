@@ -126,4 +126,87 @@ object EventStream {
           out.result().iterator
       }
   }
+
+  // ---------------------------------------------------------------------
+  // Incremental schema-compatibility gate
+  // ---------------------------------------------------------------------
+
+  final case class RegEvt(subject: Long, ts: java.sql.Timestamp, event_id: Long, k: Long)
+  final case class FieldDef(fname: String, ftype: String, fnull: Boolean,
+    fdefault: Option[String], fsyms: Option[String])
+  final case class CompatState(version: Int, fields: Seq[FieldDef])
+  final case class CompatOut(subject: Long, version: Int, n_fields: Long,
+    n_violations: Long, compatible: Boolean)
+
+  /** The registration's field set, derived from payload k — the
+    * state-machine twin of [[graft.operators.Compat.fieldArrays]]'
+    * array expression (same model, same residues).
+    */
+  def fieldsOf(k: Long): Seq[FieldDef] = {
+    val b = Seq.newBuilder[FieldDef]
+    b += FieldDef("id", "bigint", fnull = false, None, None)
+    b += FieldDef("name", "string", k % 2 == 0, None, None)
+    if (k % 3 == 0) b += FieldDef("email", "string", fnull = true, None, None)
+    b += FieldDef("score", if (k % 4 < 2) "int" else "bigint", fnull = false, None, None)
+    if (k % 3 < 2) b += FieldDef("status", "enum", fnull = false,
+      if (k % 5 < 3) Some("A") else None,
+      if (k % 2 == 0) Some("A,B") else Some("A,B,C"))
+    b.result()
+  }
+
+  /** BACKWARD violations of reader (new) vs writer (previous) —
+    * the four avro/checker.go rules (:129 missing-without-default,
+    * type change modulo int→long promotion, required-reads-nullable,
+    * :182 enum symbol compat), one count per violating field, exactly
+    * [[graft.operators.Compat.compatScan]]'s predicate.
+    */
+  def backwardViolations(reader: Seq[FieldDef], writer: Seq[FieldDef]): Long =
+    reader.count { r =>
+      writer.find(_.fname == r.fname) match {
+        case None => !r.fnull && r.fdefault.isEmpty
+        case Some(w) =>
+          val promotable = w.ftype == "int" && r.ftype == "bigint"
+          val enumBreak = r.ftype == "enum" && w.ftype == "enum" &&
+            r.fdefault.isEmpty && w.fsyms.exists(ws => r.fsyms.exists(rs =>
+              (ws.split(',').toSet -- rs.split(',').toSet).nonEmpty))
+          (r.ftype != w.ftype && !promotable) || (!r.fnull && w.fnull) || enumBreak
+      }
+    }.toLong
+
+  /** The RegisterSchema write path as an incremental stream
+    * (registry.go CheckCompatibility before accept): per-subject
+    * state holds ONLY the last accepted version's field set, each
+    * arriving registration is verdicted against it and becomes the
+    * new state. State is O(fields) per subject regardless of history
+    * length — the property that makes the gate run forever on a
+    * stream. In batch mode each group carries its whole history, so
+    * the same function reproduces compat_scan's N-vs-N-1 verdicts
+    * end-to-end (the oracle IS compat_scan's).
+    */
+  def compatStateful(regs: Dataset[RegEvt]): Dataset[CompatOut] = {
+    import regs.sparkSession.implicits._
+    regs
+      .groupByKey(_.subject)
+      .flatMapGroupsWithState[CompatState, CompatOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (subject: Long, evts: Iterator[RegEvt], state: GroupState[CompatState]) =>
+          val sorted = evts.toSeq.sortBy(e => (toMicros(e.ts), e.event_id))
+          var cur = state.getOption
+          val out = Seq.newBuilder[CompatOut]
+          sorted.foreach { e =>
+            val flds = fieldsOf(e.k)
+            cur match {
+              case Some(st) =>
+                val v = st.version + 1
+                val nViol = backwardViolations(flds, st.fields)
+                out += CompatOut(subject, v, flds.size.toLong, nViol, nViol == 0)
+                cur = Some(CompatState(v, flds))
+              case None =>
+                cur = Some(CompatState(1, flds))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
 }

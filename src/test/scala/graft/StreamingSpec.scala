@@ -89,6 +89,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental compat gate verdicts registrations across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import EventStream.{CompatOut, RegEvt}
+    val stream = MemoryStream[RegEvt]
+    val q = EventStream.compatStateful(stream.toDS())
+      .writeStream.format("memory").queryName("compat_gate_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: v1 (k=1: name required, score int, status enum A,B,C
+      // defaultless). First registration emits no verdict.
+      stream.addData(RegEvt(7L, ts(0), 1L, 1L))
+      q.processAllAvailable()
+      assert(spark.table("compat_gate_stream").count() == 0)
+      // batch 2: k=13 — same field shape (score int, status enum
+      // defaultless A,B,C, name required) → v2 compatible. The writer
+      // fields come from STATE carried across the batch boundary.
+      stream.addData(RegEvt(7L, ts(10), 2L, 13L))
+      q.processAllAvailable()
+      val afterV2 = spark.table("compat_gate_stream").as[CompatOut].collect()
+      assert(afterV2.length == 1)
+      assert(afterV2.head.version == 2 && afterV2.head.compatible)
+      // batch 3: k=2 — name goes nullable (a nullable reader of a
+      // required writer is fine), score widens int->bigint (the
+      // promotable direction), and status disappears (field removal
+      // never breaks BACKWARD) -> v3 compatible.
+      stream.addData(RegEvt(7L, ts(20), 3L, 2L))
+      q.processAllAvailable()
+      // batch 4: k=5 — name turns REQUIRED while v3's writer had it
+      // nullable (required-reads-nullable), and score narrows
+      // bigint->int (only int->bigint is promotable): two violations.
+      stream.addData(RegEvt(7L, ts(30), 4L, 5L))
+      q.processAllAvailable()
+      val out = spark.table("compat_gate_stream").as[CompatOut].collect().sortBy(_.version)
+      assert(out.map(_.version).toSeq == Seq(2, 3, 4))
+      assert(out(1).compatible, "v3: nullable-reader + int->bigint promotion + removal are all legal")
+      assert(!out(2).compatible && out(2).n_violations == 2L,
+        "v4: required-reads-nullable + bigint->int narrowing must both fire")
+    } finally q.stop()
+  }
+
   test("ingest dedup collapses redelivered events across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
