@@ -69,4 +69,39 @@ class ScalePathSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("compat-family plans: bounded shuffles, no cartesians") {
+    // Plan-shape regression guard for the field-model scan family:
+    // every scan is one-or-two exchanges past the shared subject
+    // window and must never degrade to a nested-loop/cartesian.
+    val ops: Seq[(String, Int)] = Seq(
+      "compat_scan" -> 2, "compat_forward_scan" -> 2, "compat_explain" -> 2,
+      "compat_transitive" -> 2, "compat_proto_scan" -> 2,
+      "compat_json_scan" -> 2, "compat_ftransitive" -> 3)
+    ops.foreach { case (name, maxExchanges) =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+        s"$name: cartesian/BNL in plan")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges <= maxExchanges,
+        s"$name: $exchanges hash exchanges, expected <= $maxExchanges:\n$plan")
+    }
+  }
+
+  test("compat_gate reuses the shared field-model exchange across its four streams") {
+    // The gate composes four scans over one base; exchange reuse must
+    // dedupe the shared subject-window shuffle (ReusedExchange nodes
+    // present) rather than recomputing the base per stream. The
+    // static ReuseExchange rule is only visible with AQE off (under
+    // AQE the same dedup happens via stage reuse at runtime).
+    val plan = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      SparkEntry.queries("compat_gate")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(plan.contains("ReusedExchange"),
+      s"expected ReusedExchange in the composed gate plan:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+  }
 }
