@@ -194,6 +194,45 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
       .orderBy(col("source"), col("chunk_id"))
 
+  /** Fixed-size chunking WITH OVERLAP — the RAG/embedding corpus-prep
+    * step (every retrieval corpus splits documents into ~C-token
+    * windows overlapping by O so no answer span straddles a cut),
+    * distinct from [[packSequences]]' concat-then-chunk training
+    * packing. Chunk i of a doc covers tokens [i·(C−O), min(i·(C−O)+C,
+    * n)); a doc yields ceil((n−C)/(C−O))+1 chunks (min 1). Sizes come
+    * from `graft.chunk.size`/`graft.chunk.overlap` (default 32/8 —
+    * corpus-scaled; the production shape is 512/64 and changes
+    * nothing structurally). Entirely row-local: the per-doc fan-out
+    * is a bounded sequence() explode (expansion factor ≈ C/(C−O)),
+    * then ONE partial-agg groupBy on source. The summary reports the
+    * overlap duplication cost (total chunk tokens − corpus tokens) —
+    * the storage price a corpus build pays for overlap.
+    */
+  def chunkOverlap(s: SparkSession, dir: String): DataFrame = {
+    val c = s.conf.get("graft.chunk.size", "32").toInt
+    val stride = c - s.conf.get("graft.chunk.overlap", "8").toInt
+    require(stride > 0, "chunk overlap must be smaller than chunk size")
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tok"))
+      .withColumn("n_chunks",
+        when(col("n_tok") <= c, lit(1L))
+          .otherwise(ceil((col("n_tok") - c).cast("double") / stride).cast("bigint") + 1L))
+      .select(col("source"), col("doc_id"), col("n_tok"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("i"))
+      .select(col("source"), col("doc_id"), col("n_tok"),
+        (col("i") * stride).as("start_tok"),
+        least(col("i") * stride + c, col("n_tok")).as("end_tok"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("end_tok") - col("start_tok")).as("total_chunk_tokens"),
+        sum(when(col("end_tok") - col("start_tok") < c, 1L).otherwise(0L)).as("n_tail_chunks"),
+        (sum(col("end_tok") - col("start_tok")) -
+          sum(when(col("start_tok") === 0, col("n_tok")).otherwise(0L))).as("overlap_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** Corpus boilerplate detection (the C4-style "drop spans that
     * repeat across many documents" signal): word 5-grams that occur
     * in >= 3 distinct documents, with their document frequency.
@@ -457,6 +496,7 @@ object Pipeline {
     "dedup_clusters" -> dedupClusters,
     "sample_stratified" -> sampleStratified,
     "pack_sequences" -> packSequences,
+    "text_chunks" -> chunkOverlap,
     "text_boilerplate" -> textBoilerplate,
     "emb_centroids" -> embCentroids)
 
@@ -611,6 +651,22 @@ object Pipeline {
         |    (CAST(sum(tok) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - tok) // 2048 AS chunk_id
         |  FROM (SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents) t) p
         |GROUP BY source, chunk_id ORDER BY source, chunk_id""".stripMargin,
+    "text_chunks" ->
+      """WITH d AS (
+        |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |nc AS (
+        |  SELECT *, CASE WHEN n_tok <= 32 THEN 1
+        |    ELSE CAST(ceil((n_tok - 32) / 24.0) AS BIGINT) + 1 END AS n_chunks FROM d),
+        |ch AS (
+        |  SELECT source, doc_id, n_tok,
+        |    i * 24 AS start_tok, least(i * 24 + 32, n_tok) AS end_tok
+        |  FROM nc, LATERAL (SELECT unnest(range(0, n_chunks)) AS i) t)
+        |SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
+        |  CAST(sum(end_tok - start_tok) AS BIGINT) AS total_chunk_tokens,
+        |  CAST(sum(CASE WHEN end_tok - start_tok < 32 THEN 1 ELSE 0 END) AS BIGINT) AS n_tail_chunks,
+        |  CAST(sum(end_tok - start_tok) - sum(CASE WHEN start_tok = 0 THEN n_tok ELSE 0 END) AS BIGINT) AS overlap_tokens
+        |FROM ch GROUP BY source ORDER BY source""".stripMargin,
     "text_boilerplate" ->
       """SELECT ngram, df FROM (
         |  SELECT ngram, count(*) AS df FROM (

@@ -235,4 +235,34 @@ class PipelineSpec extends SparkSpec {
     // 1/10 uniform-assignment baseline decisively
     assert(diag.toDouble / total > 0.2, s"diagonal $diag of $total")
   }
+
+  test("chunk overlap: chunks cover every doc, overlap cost follows the stride") {
+    import org.apache.spark.sql.functions._
+    val rows = Pipeline.chunkOverlap(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(nDocs == Tables.documents(spark, sfDir).count(), "every doc chunked")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_chunks") >= r.getAs[Long]("n_docs"), "at least one chunk per doc")
+      // total chunk tokens = corpus tokens + overlap duplication, so
+      // overlap_tokens is exactly the storage overhead and never negative
+      assert(r.getAs[Long]("overlap_tokens") >= 0L)
+      assert(r.getAs[Long]("n_tail_chunks") <= r.getAs[Long]("n_chunks"))
+    }
+    // multi-chunk docs exist on this corpus (docs up to ~100 tokens vs C=32),
+    // so overlap duplication must actually occur
+    assert(rows.map(_.getAs[Long]("overlap_tokens")).sum > 0, "expected real overlap")
+    // doubling the chunk size via conf must reduce the chunk count
+    val base = rows.map(_.getAs[Long]("n_chunks")).sum
+    try {
+      spark.conf.set("graft.chunk.size", "64")
+      spark.conf.set("graft.chunk.overlap", "16")
+      val bigger = Pipeline.chunkOverlap(spark, sfDir).collect()
+        .map(_.getAs[Long]("n_chunks")).sum
+      assert(bigger < base, s"bigger chunks must mean fewer chunks ($bigger vs $base)")
+    } finally {
+      spark.conf.unset("graft.chunk.size")
+      spark.conf.unset("graft.chunk.overlap")
+    }
+  }
 }
