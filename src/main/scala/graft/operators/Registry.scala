@@ -723,7 +723,139 @@ object Registry {
       .orderBy(col("resolved_subject"), col("version_spec"))
   }
 
+  /** match_subjects (tools_comparison.go:334 handleMatchSubjects):
+    * substring OR regex pattern matching over the subject name
+    * vocabulary. The pattern set is a tiny broadcast dimension
+    * crossed against the names (a broadcast nested-loop whose inner
+    * predicate is a codegen contains/rlike — row-local, scan-bound,
+    * no shuffle besides the per-pattern rollup), so the shape holds
+    * when the vocabulary is billions of names. `p_name` plays the
+    * subject vocabulary — the corpus with realistic multi-word
+    * names.
+    */
+  def matchSubjects(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val patterns = Seq(
+      ("substr", "old"), ("substr", "ring"),
+      ("regex", "^bl"), ("regex", "r(od|ing)$"))
+      .toDF("mode", "pattern")
+    val matched = when(col("mode") === "substr",
+      col("p_name").contains(col("pattern")))
+      .otherwise(expr("p_name RLIKE pattern"))
+    Tables.part(s, dir)
+      .select(col("p_name"))
+      .crossJoin(broadcast(patterns))
+      .filter(matched)
+      .groupBy(col("mode"), col("pattern"))
+      .agg(count(lit(1)).as("n_matches"), min(col("p_name")).as("first_match"))
+      .orderBy(col("mode"), col("pattern"))
+  }
+
+  /** CheckModeForWrite (registry_helpers.go:14, surfaced by
+    * tools_metadata.go:180 handleCheckWriteMode): the per-subject
+    * mode override falls back to the global READWRITE default; only
+    * READONLY and READONLY_OVERRIDE block writes (IMPORT does not —
+    * the reference returns blocking for exactly those two). Same
+    * broadcast-override shape as [[configFallback]]: the mode
+    * dimension is tiny config state, the subject stream never
+    * shuffles.
+    */
+  def writeMode(s: SparkSession, dir: String): DataFrame = {
+    val modeOverrides = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("ov_nationkey"),
+        when(col("n_nationkey") % 5 === 0, "READONLY")
+          .when(col("n_nationkey") % 5 === 1, "READONLY_OVERRIDE")
+          .when(col("n_nationkey") % 5 === 2, "IMPORT").as("mode_override"))
+      .filter(col("mode_override").isNotNull)
+    Tables.customer(s, dir)
+      .join(broadcast(modeOverrides), col("c_nationkey") === col("ov_nationkey"), "left")
+      .select(col("c_custkey").as("subject_key"),
+        coalesce(col("mode_override"), lit("READWRITE")).as("effective_mode"))
+      .withColumn("writable",
+        !col("effective_mode").isin("READONLY", "READONLY_OVERRIDE"))
+      .withColumn("blocking_mode",
+        when(!col("writable"), col("effective_mode")).otherwise(lit("")))
+      .orderBy(col("subject_key"))
+  }
+
+  /** suggest_compatible_change (tools_comparison.go:259 +
+    * compatibilityAdvice :276): the advice matrix keyed on
+    * (effective compatibility level, change type). The level comes
+    * from per-subject config with the reference's BACKWARD fallback
+    * (GetConfig error → "BACKWARD", :261); rename/change_type advice
+    * is level-independent, add/remove branch on the level exactly as
+    * the Go switch does. Rolled up to (level, change_type) — the
+    * matrix the tool serves — with the subject count per cell, so
+    * the output is O(levels × types) regardless of corpus size.
+    */
+  def changeAdvice(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val levelDim = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("lv_nationkey"),
+        when(col("n_nationkey") % 4 === 0, "BACKWARD")
+          .when(col("n_nationkey") % 4 === 1, "FORWARD")
+          .when(col("n_nationkey") % 4 === 2, "FULL")
+          .otherwise("NONE").as("level"))
+    val changeTypes = Seq("add_field", "remove_field", "rename_field", "change_type")
+      .toDF("change_type")
+    val nAdvice = when(col("change_type").isin("rename_field", "change_type"), 3)
+      .when(col("level") === "NONE", 1)
+      .otherwise(2)
+    val firstAdvice = when(col("change_type") === "rename_field",
+      "Field renames are NOT directly compatible in any mode.")
+      .when(col("change_type") === "change_type",
+        "Type changes are generally incompatible.")
+      .when(col("level") === "NONE",
+        "With NONE compatibility, any change is allowed.")
+      .when(col("change_type") === "add_field",
+        when(col("level") === "FORWARD",
+          "New fields can be added freely in forward-compatible mode.")
+          .when(col("level") === "FULL",
+            "New fields MUST have a default value for full compatibility.")
+          .otherwise("New fields MUST have a default value for backward compatibility."))
+      .otherwise(
+        when(col("level") === "FORWARD",
+          "Removing fields is NOT forward-compatible. Old consumers still expect the field.")
+          .when(col("level") === "FULL",
+            "Removing fields is only safe if the field had a default value.")
+          .otherwise("Removing fields is allowed in backward-compatible mode if the field had a default value."))
+    Tables.customer(s, dir)
+      .join(broadcast(levelDim), col("c_nationkey") === col("lv_nationkey"), "left")
+      .select(col("c_custkey"), coalesce(col("level"), lit("BACKWARD")).as("level"))
+      .crossJoin(broadcast(changeTypes))
+      .groupBy(col("level"), col("change_type"))
+      .agg(count(lit(1)).as("n_subjects"))
+      .withColumn("n_advice", nAdvice.cast("int"))
+      .withColumn("first_advice", firstAdvice)
+      .orderBy(col("level"), col("change_type"))
+  }
+
+  /** GetSubjectsBySchemaID / GetVersionsBySchemaID
+    * (tools_schema.go:218, :235): the reverse index from a schema's
+    * content identity to every subject and version that registered
+    * it — the "where is this schema used" query. Content identity is
+    * the same whitespace-collapsed hash as [[lookupByHash]]; `source`
+    * plays the subject axis. One groupBy on the (uniform) hash key:
+    * n_versions counts all registrations, n_subjects/subjects the
+    * distinct owners — collect_set is bounded by the subject
+    * vocabulary, not the corpus.
+    */
+  def schemaUsage(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(md5(trim(regexp_replace(col("text"), "\\s+", " "))).as("content_hash"),
+        col("doc_id"), col("source"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_versions"),
+        countDistinct(col("source")).as("n_subjects"),
+        concat_ws(",", sort_array(collect_set(col("source")))).as("subjects"))
+      .orderBy(col("canonical_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "reg_match_subjects" -> matchSubjects,
+    "reg_write_mode" -> writeMode,
+    "reg_change_advice" -> changeAdvice,
+    "reg_schema_usage" -> schemaUsage,
     "reg_meta_latest" -> metaLatest,
     "dq_checks" -> dqChecks,
     "reg_pagerank" -> pagerank,
@@ -752,6 +884,86 @@ object Registry {
     "reg_export_filtered" -> exportFiltered)
 
   val oracleSql: Map[String, String] = Map(
+    "reg_match_subjects" ->
+      """WITH pat(mode, pattern) AS (VALUES
+        |  ('substr', 'old'), ('substr', 'ring'),
+        |  ('regex', '^bl'), ('regex', 'r(od|ing)$'))
+        |SELECT mode, pattern, count(*) AS n_matches, min(p_name) AS first_match
+        |FROM part CROSS JOIN pat
+        |WHERE CASE WHEN mode = 'substr' THEN contains(p_name, pattern)
+        |           ELSE regexp_matches(p_name, pattern) END
+        |GROUP BY mode, pattern
+        |ORDER BY mode, pattern""".stripMargin,
+    "reg_write_mode" ->
+      """WITH ov AS (
+        |  SELECT n_nationkey AS ov_nationkey,
+        |         CASE WHEN n_nationkey % 5 = 0 THEN 'READONLY'
+        |              WHEN n_nationkey % 5 = 1 THEN 'READONLY_OVERRIDE'
+        |              WHEN n_nationkey % 5 = 2 THEN 'IMPORT' END AS mode_override
+        |  FROM nation
+        |  WHERE n_nationkey % 5 IN (0, 1, 2))
+        |SELECT c_custkey AS subject_key,
+        |  coalesce(mode_override, 'READWRITE') AS effective_mode,
+        |  coalesce(mode_override, 'READWRITE') NOT IN ('READONLY', 'READONLY_OVERRIDE') AS writable,
+        |  CASE WHEN coalesce(mode_override, 'READWRITE') IN ('READONLY', 'READONLY_OVERRIDE')
+        |       THEN coalesce(mode_override, 'READWRITE') ELSE '' END AS blocking_mode
+        |FROM customer LEFT JOIN ov ON c_nationkey = ov_nationkey
+        |ORDER BY subject_key""".stripMargin,
+    "reg_change_advice" ->
+      """WITH lv AS (
+        |  SELECT n_nationkey AS lv_nationkey,
+        |         CASE WHEN n_nationkey % 4 = 0 THEN 'BACKWARD'
+        |              WHEN n_nationkey % 4 = 1 THEN 'FORWARD'
+        |              WHEN n_nationkey % 4 = 2 THEN 'FULL'
+        |              ELSE 'NONE' END AS level
+        |  FROM nation),
+        |ct(change_type) AS (VALUES
+        |  ('add_field'), ('remove_field'), ('rename_field'), ('change_type')),
+        |subj AS (
+        |  SELECT coalesce(level, 'BACKWARD') AS level
+        |  FROM customer LEFT JOIN lv ON c_nationkey = lv_nationkey)
+        |SELECT level, change_type, count(*) AS n_subjects,
+        |  CAST(CASE WHEN change_type IN ('rename_field', 'change_type') THEN 3
+        |            WHEN level = 'NONE' THEN 1 ELSE 2 END AS INT) AS n_advice,
+        |  CASE WHEN change_type = 'rename_field'
+        |         THEN 'Field renames are NOT directly compatible in any mode.'
+        |       WHEN change_type = 'change_type'
+        |         THEN 'Type changes are generally incompatible.'
+        |       WHEN level = 'NONE'
+        |         THEN 'With NONE compatibility, any change is allowed.'
+        |       WHEN change_type = 'add_field' THEN
+        |         CASE WHEN level = 'FORWARD'
+        |                THEN 'New fields can be added freely in forward-compatible mode.'
+        |              WHEN level = 'FULL'
+        |                THEN 'New fields MUST have a default value for full compatibility.'
+        |              ELSE 'New fields MUST have a default value for backward compatibility.' END
+        |       ELSE
+        |         CASE WHEN level = 'FORWARD'
+        |                THEN 'Removing fields is NOT forward-compatible. Old consumers still expect the field.'
+        |              WHEN level = 'FULL'
+        |                THEN 'Removing fields is only safe if the field had a default value.'
+        |              ELSE 'Removing fields is allowed in backward-compatible mode if the field had a default value.' END
+        |  END AS first_advice
+        |FROM subj CROSS JOIN ct
+        |GROUP BY level, change_type
+        |ORDER BY level, change_type""".stripMargin,
+    "reg_schema_usage" ->
+      """WITH hashed AS (
+        |  SELECT md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash,
+        |         doc_id, source
+        |  FROM documents),
+        |pairs AS (SELECT DISTINCT content_hash, source FROM hashed),
+        |subj AS (
+        |  SELECT content_hash, count(*) AS n_subjects,
+        |         string_agg(source, ',' ORDER BY source) AS subjects
+        |  FROM pairs GROUP BY content_hash)
+        |SELECT h.content_hash, min(h.doc_id) AS canonical_id,
+        |       count(*) AS n_versions,
+        |       any_value(s.n_subjects) AS n_subjects,
+        |       any_value(s.subjects) AS subjects
+        |FROM hashed h JOIN subj s ON h.content_hash = s.content_hash
+        |GROUP BY h.content_hash
+        |ORDER BY canonical_id""".stripMargin,
     "reg_canonical_fp" ->
       """WITH ev AS (
         |  SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events),

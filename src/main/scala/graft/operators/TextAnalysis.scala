@@ -141,7 +141,45 @@ object TextAnalysis {
           .as("entropy"))
       .orderBy(col("doc_id"))
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
+    * most-frequent word's count and the most-frequent bigram's count
+    * against the doc's totals — the "top-ngram coverage" filters that
+    * catch boilerplate [[quality]]'s set-based dup_ratio misses (a
+    * doc repeating one phrase has low distinct-ratio loss but huge
+    * top-bigram coverage). All counts stay integers: the ratio
+    * thresholds belong to the consumer, and integer outputs dodge
+    * the decimal-rounding-boundary parity trap entirely. Row-local
+    * higher-order functions over the split array — no explode, no
+    * shuffle, scan-bound at any scale (docs are bounded, so the
+    * O(distinct × len) inner counting is constant per row).
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(s, dir))
+      .selectExpr("doc_id", "split(text, ' ') AS ws")
+      // sequence(1, 0) would infer step -1 and yield [1, 0] — guard
+      // one-word docs before building the bigram index list.
+      .selectExpr("doc_id", "ws",
+        """CASE WHEN size(ws) >= 2
+          |  THEN transform(sequence(1, size(ws) - 1),
+          |         i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))
+          |  ELSE array() END AS gs""".stripMargin)
+      .selectExpr("doc_id", "ws", "gs",
+        "array_distinct(ws) AS dw", "array_distinct(gs) AS dg")
+      .selectExpr("doc_id", "ws", "gs", "dw", "dg",
+        "array_max(transform(dw, w -> size(filter(ws, x -> x = w)))) AS top_word_count",
+        "array_max(transform(dg, q -> size(filter(gs, x -> x = q)))) AS tbc")
+      .selectExpr("doc_id",
+        "size(ws) AS n_words",
+        "size(dw) AS n_distinct_words",
+        "top_word_count",
+        "array_min(filter(dw, w -> size(filter(ws, x -> x = w)) = top_word_count)) AS top_word",
+        "size(gs) AS n_bigrams",
+        "size(dg) AS n_distinct_bigrams",
+        "coalesce(tbc, 0) AS top_bigram_count")
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> repetition,
     "text_langid" -> langId,
     "text_langid_eval" -> langIdEval,
     "text_quality" -> quality,
@@ -151,6 +189,26 @@ object TextAnalysis {
     "text_fingerprint" -> fingerprint)
 
   val oracleSql: Map[String, String] = Map(
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id, ws,
+        |    CASE WHEN len(ws) >= 2
+        |      THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+        |      ELSE [] END AS gs
+        |  FROM t),
+        |d AS (SELECT doc_id, ws, gs, list_distinct(ws) AS dw, list_distinct(gs) AS dg FROM g),
+        |m AS (
+        |  SELECT doc_id, ws, gs, dw, dg,
+        |    list_max(list_transform(dw, w -> len(list_filter(ws, x -> x = w)))) AS top_word_count,
+        |    list_max(list_transform(dg, q -> len(list_filter(gs, x -> x = q)))) AS tbc
+        |  FROM d)
+        |SELECT doc_id, len(ws) AS n_words, len(dw) AS n_distinct_words,
+        |  top_word_count,
+        |  list_min(list_filter(dw, w -> len(list_filter(ws, x -> x = w)) = top_word_count)) AS top_word,
+        |  len(gs) AS n_bigrams, len(dg) AS n_distinct_bigrams,
+        |  coalesce(tbc, 0) AS top_bigram_count
+        |FROM m ORDER BY doc_id""".stripMargin,
     "text_entropy" ->
       """WITH tc AS (
         |  SELECT doc_id, t, count(*) AS c FROM (

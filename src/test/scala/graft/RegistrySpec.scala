@@ -184,4 +184,69 @@ class RegistrySpec extends SparkSpec {
       .agg(max(col("version"))).head().getInt(0)
     assert(rows.head.getAs[Int]("latest_matching") == brute)
   }
+
+  test("match subjects: counts agree with direct filters, first_match matches its pattern") {
+    val rows = Registry.matchSubjects(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("mode"), r.getAs[String]("pattern"),
+        r.getAs[Long]("n_matches"), r.getAs[String]("first_match")))
+    val part = Tables.part(spark, sfDir)
+    rows.foreach { case (mode, pat, n, first) =>
+      val expected = mode match {
+        case "substr" => part.filter(col("p_name").contains(pat)).count()
+        case "regex"  => part.filter(col("p_name").rlike(pat)).count()
+      }
+      assert(n == expected, s"$mode/$pat")
+      assert(if (mode == "substr") first.contains(pat)
+             else pat.r.findFirstIn(first).isDefined, s"first_match $first vs $pat")
+    }
+    assert(rows.exists { case (m, _, n, _) => m == "substr" && n > 0 })
+    assert(rows.exists { case (m, _, n, _) => m == "regex" && n > 0 })
+  }
+
+  test("write mode: only READONLY modes block, every subject gets a verdict") {
+    val rows = Registry.writeMode(spark, sfDir).collect()
+    assert(rows.length == Tables.customer(spark, sfDir).count())
+    rows.foreach { r =>
+      val (mode, writable, blocking) = (r.getAs[String]("effective_mode"),
+        r.getAs[Boolean]("writable"), r.getAs[String]("blocking_mode"))
+      if (Set("READONLY", "READONLY_OVERRIDE")(mode)) {
+        assert(!writable && blocking == mode)
+      } else {
+        assert(writable && blocking == "", s"$mode must not block (IMPORT/READWRITE write through)")
+      }
+    }
+    val modes = rows.map(_.getAs[String]("effective_mode")).toSet
+    assert(Set("READONLY", "READONLY_OVERRIDE", "IMPORT", "READWRITE").subsetOf(modes))
+  }
+
+  test("change advice: full level x change-type matrix with the reference's branch structure") {
+    val rows = Registry.changeAdvice(spark, sfDir).collect()
+    assert(rows.length == 16, "4 levels x 4 change types")
+    val cells = rows.map(r => (r.getAs[String]("level"), r.getAs[String]("change_type")) ->
+      (r.getAs[Long]("n_subjects"), r.getAs[Int]("n_advice"), r.getAs[String]("first_advice"))).toMap
+    val nCust = Tables.customer(spark, sfDir).count()
+    assert(cells.values.map(_._1).sum == 4 * nCust)
+    // rename/change_type advice is level-independent (3 lines each)
+    for (lvl <- Seq("BACKWARD", "FORWARD", "FULL", "NONE")) {
+      assert(cells((lvl, "rename_field"))._2 == 3)
+      assert(cells((lvl, "rename_field"))._3 == cells(("NONE", "rename_field"))._3)
+      assert(cells((lvl, "change_type"))._2 == 3)
+    }
+    // NONE collapses add/remove to the single permissive line
+    assert(cells(("NONE", "add_field"))._2 == 1)
+    assert(cells(("NONE", "add_field"))._3.contains("any change is allowed"))
+    assert(cells(("BACKWARD", "add_field"))._3.contains("MUST have a default value"))
+    assert(cells(("FORWARD", "remove_field"))._3.contains("NOT forward-compatible"))
+  }
+
+  test("schema usage: version totals reconcile, subjects list length matches its count") {
+    val rows = Registry.schemaUsage(spark, sfDir).collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_versions")).sum == nDocs)
+    rows.foreach { r =>
+      val subjects = r.getAs[String]("subjects").split(",")
+      assert(subjects.length == r.getAs[Long]("n_subjects"))
+      assert(subjects.sameElements(subjects.sorted), "subjects list is canonical-sorted")
+    }
+  }
 }

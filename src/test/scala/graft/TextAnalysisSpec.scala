@@ -82,4 +82,27 @@ class TextAnalysisSpec extends SparkSpec {
     val diag = rows.filter(r => r.getString(0) == r.getString(1)).map(_.getAs[Long]("n_docs")).sum
     assert(diag.toDouble / total > 0.2, s"accuracy $diag/$total below chance-ish floor")
   }
+
+  test("repetition: top-ngram counts obey coverage bounds and agree with entropy's tallies") {
+    val rep = operators.TextAnalysis.repetition(spark, sfDir)
+    rep.collect().foreach { r =>
+      val (n, d, top) = (r.getAs[Int]("n_words"), r.getAs[Int]("n_distinct_words"),
+        r.getAs[Int]("top_word_count"))
+      assert(top >= 1 && top <= n && d <= n)
+      // pigeonhole: the max count can't be smaller than the mean bucket
+      assert(top.toLong * d >= n, s"doc ${r.getAs[Long]("doc_id")}: top=$top d=$d n=$n")
+      assert(r.getAs[Int]("n_bigrams") == math.max(n - 1, 0))
+      assert(r.getAs[Int]("top_bigram_count") <= math.max(n - 1, 0))
+      assert(r.getAs[Int]("n_distinct_bigrams") <= r.getAs[Int]("n_bigrams"))
+      assert(r.getAs[String]("top_word") != null)
+    }
+    // the word tallies must agree with text_entropy's independent explode-based count
+    val ent = operators.TextAnalysis.entropy(spark, sfDir)
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"))
+    val mismatches = rep.select(col("doc_id"), col("n_words"), col("n_distinct_words"))
+      .join(ent, "doc_id")
+      .filter(col("n_words") =!= col("n_tokens") ||
+        col("n_distinct_words") =!= col("n_distinct"))
+    assert(mismatches.count() == 0)
+  }
 }
