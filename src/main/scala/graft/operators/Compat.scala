@@ -309,8 +309,12 @@ object Compat {
       .select(col("subject"), col("version"), col("fld.fname").as("fname"),
         col("fld.ftype").as("ftype"), col("fld.fnull").as("fnull"),
         col("fld.fdefault").as("fdefault"), col("fld.fsyms").as("fsyms"))
+    // version is strictly increasing and distinct within each
+    // (subject, fname) partition, so this ROWS frame is identical to
+    // RANGE(unboundedPreceding, -1) — but runs as a plain running
+    // accumulator instead of per-row range-bound seeks.
     val w = Window.partitionBy(col("subject"), col("fname")).orderBy(col("version"))
-      .rangeBetween(Window.unboundedPreceding, -1)
+      .rowsBetween(Window.unboundedPreceding, -1)
     def cnt(cond: Column): Column =
       coalesce(sum(when(cond, 1L).otherwise(0L)).over(w), lit(0L))
     val enriched = fieldsDf
@@ -385,8 +389,10 @@ object Compat {
       col("subject"), col("version"), col("fname"),
       fld("ftype").as("ftype"), fld("fnull").as("fnull"),
       fld("fdefault").as("fdefault"), fld("fsyms").as("fsyms"))
+    // grid rows are one-per-version per (subject, fname) — ROWS ≡
+    // RANGE here, same as [[compatTransitive]]'s frame.
     val w = Window.partitionBy(col("subject"), col("fname")).orderBy(col("version"))
-      .rangeBetween(Window.unboundedPreceding, -1)
+      .rowsBetween(Window.unboundedPreceding, -1)
     def cnt(cond: Column): Column =
       coalesce(sum(when(cond, 1L).otherwise(0L)).over(w), lit(0L))
     val present = col("ftype").isNotNull

@@ -104,4 +104,29 @@ class ScalePathSpec extends SparkSpec {
       s"expected ReusedExchange in the composed gate plan:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
   }
+
+  test("registry handler ops keep their broadcast/row-local shapes") {
+    def plan(name: String) =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+    // match_subjects: the pattern dim × name corpus probe is an
+    // INTENTIONAL broadcast nested loop (a 4-row broadcast side);
+    // the only hash exchange is the per-pattern rollup.
+    val ms = plan("reg_match_subjects")
+    assert(ms.contains("BroadcastNestedLoopJoin"), s"pattern probe must broadcast:\n$ms")
+    assert("Exchange hashpartitioning".r.findAllIn(ms).size <= 1, ms)
+    // write_mode: broadcast mode-override dim, the fact side never
+    // hash-shuffles (orderBy's range exchange is the only movement).
+    val wm = plan("reg_write_mode")
+    assert(wm.contains("BroadcastHashJoin"), wm)
+    assert("Exchange hashpartitioning".r.findAllIn(wm).size == 0, wm)
+    // schema_usage: hash-keyed rollup only (collect_set + distinct
+    // count plan as a two-phase agg over the same key).
+    val su = plan("reg_schema_usage")
+    assert(!su.contains("CartesianProduct") && !su.contains("BroadcastNestedLoop"), su)
+    assert("Exchange hashpartitioning".r.findAllIn(su).size <= 2, su)
+    // text_repetition: row-local HOFs — no join, no hash exchange.
+    val tr = plan("text_repetition")
+    assert(!tr.contains("Join"), tr)
+    assert("Exchange hashpartitioning".r.findAllIn(tr).size == 0, tr)
+  }
 }
