@@ -158,12 +158,22 @@ object Registry {
       .otherwise(
         concat(lit("""{"type":"record","name":""""), ns, lit("."), rec,
           lit("""","aliases":["Old"],"fields":["""), fExtra, lit("]}")))
+    // Dedupe BEFORE canonicalizing: fp is a pure function of text, so
+    // distinct() first (map-side partial dedupe — the shuffle carries
+    // only the logical-schema dimension, ~hundreds of rows at any
+    // corpus size) and graft_avro_pcf's Jackson parse+rebuild runs
+    // once per DISTINCT text instead of once per registration. At sf1
+    // this is 6M parses → ~240; at 100 TB it's the difference between
+    // the canonicalizer being a scan cost and being free. After
+    // distinct, each text appears once per group, so n_texts is a
+    // plain count.
     ev.select(ns.as("namespace"), rec.as("rec_name"),
       prim.as("is_primitive"), d.as("with_default"), text.as("text"))
+      .distinct()
       .withColumn("fp", md5(expr("graft_avro_pcf(text)")))
       .groupBy(col("namespace"), col("rec_name"),
         col("is_primitive"), col("with_default"))
-      .agg(countDistinct(col("text")).as("n_texts"),
+      .agg(count(lit(1)).as("n_texts"),
         countDistinct(col("fp")).as("n_fps"),
         min(col("fp")).as("fp"))
       .orderBy(col("namespace"), col("rec_name"),
