@@ -861,7 +861,58 @@ object Registry {
         concat_ws(",", sort_array(collect_set(col("source")))).as("subjects"))
       .orderBy(col("canonical_id"))
 
+  /** Context-name normalization + validation + round-trip
+    * (context.go:97 NormalizeContextName — ":.:" and "" map to the
+    * default ".", undotted names get the leading dot; :77
+    * IsValidContextName — alphanumeric/dash/underscore/dot charset,
+    * ≤255 chars, "." always valid; :65 FormatSubject — default
+    * context renders the bare subject, others ":ctx:subject").
+    * Candidates derive from the distinct source vocabulary in four
+    * shapes (plain, pre-dotted, charset-breaking, plus the ":.:" and
+    * "" literals) so every branch fires. round_trip_ok re-parses the
+    * formatted name with [[resolveSubject]]'s parser — data shows
+    * the parser is charset-agnostic (invalid names still round-trip,
+    * as in the reference, where validation is a separate gate).
+    * Entirely row-local over a vocabulary-sized frame.
+    */
+  def contextNorm(s: SparkSession, dir: String): DataFrame = {
+    val candidates = Tables.documents(s, dir)
+      .select(col("source")).distinct()
+      .select(explode(array(
+        col("source"),
+        concat(lit("."), col("source")),
+        concat(col("source"), lit(" !")))).as("raw"))
+      .unionByName(s.range(1).select(lit(":.:").as("raw")))
+      .unionByName(s.range(1).select(lit("").as("raw")))
+    val normalized = when(col("raw").isin(":.:", ""), lit("."))
+      .when(col("raw").startsWith("."), col("raw"))
+      .otherwise(concat(lit("."), col("raw")))
+    val isValid = col("normalized") === "." ||
+      (length(col("normalized")) <= 255 &&
+        col("normalized").rlike("^[A-Za-z0-9._-]+$"))
+    val formatted = when(col("normalized") === ".", lit("doc"))
+      .otherwise(concat(lit(":"), col("normalized"), lit(":doc")))
+    // re-parse with the ResolveSubject rules (context.go:47)
+    val rest = expr("substring(formatted, 3)")
+    val idx = instr(rest, ":")
+    val isQ = col("formatted").startsWith(":.") && idx > 1
+    val parsedCtx = when(isQ, concat(lit("."), expr(
+      "substring(substring(formatted, 3), 1, instr(substring(formatted, 3), ':') - 1)")))
+      .otherwise(lit("."))
+    val parsedSubj = when(isQ,
+      expr("substring(substring(formatted, 3), instr(substring(formatted, 3), ':') + 1)"))
+      .otherwise(col("formatted"))
+    candidates
+      .withColumn("normalized", normalized)
+      .withColumn("is_valid", isValid)
+      .withColumn("formatted", formatted)
+      .withColumn("round_trip_ok",
+        parsedCtx === col("normalized") && parsedSubj === "doc")
+      .orderBy(col("raw"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "reg_context_norm" -> contextNorm,
     "reg_match_subjects" -> matchSubjects,
     "reg_write_mode" -> writeMode,
     "reg_change_advice" -> changeAdvice,
@@ -894,6 +945,34 @@ object Registry {
     "reg_export_filtered" -> exportFiltered)
 
   val oracleSql: Map[String, String] = Map(
+    "reg_context_norm" ->
+      """WITH src AS (SELECT DISTINCT source FROM documents),
+        |cand AS (
+        |  SELECT unnest([source, '.' || source, source || ' !']) AS raw FROM src
+        |  UNION ALL SELECT ':.:' UNION ALL SELECT ''),
+        |n AS (
+        |  SELECT raw,
+        |    CASE WHEN raw IN (':.:', '') THEN '.'
+        |         WHEN raw LIKE '.%' THEN raw
+        |         ELSE '.' || raw END AS normalized
+        |  FROM cand),
+        |f AS (
+        |  SELECT raw, normalized,
+        |    normalized = '.' OR (length(normalized) <= 255
+        |      AND regexp_matches(normalized, '^[A-Za-z0-9._-]+$')) AS is_valid,
+        |    CASE WHEN normalized = '.' THEN 'doc'
+        |         ELSE ':' || normalized || ':doc' END AS formatted
+        |  FROM n)
+        |SELECT raw, normalized, is_valid, formatted,
+        |  (CASE WHEN formatted LIKE ':.%' AND position(':' IN substring(formatted, 3)) > 1
+        |        THEN '.' || substring(substring(formatted, 3), 1,
+        |                              position(':' IN substring(formatted, 3)) - 1)
+        |        ELSE '.' END) = normalized
+        |  AND (CASE WHEN formatted LIKE ':.%' AND position(':' IN substring(formatted, 3)) > 1
+        |        THEN substring(substring(formatted, 3),
+        |                       position(':' IN substring(formatted, 3)) + 1)
+        |        ELSE formatted END) = 'doc' AS round_trip_ok
+        |FROM f ORDER BY raw""".stripMargin,
     "reg_match_subjects" ->
       """WITH pat(mode, pattern) AS (VALUES
         |  ('substr', 'old'), ('substr', 'ring'),

@@ -239,6 +239,27 @@ class RegistrySpec extends SparkSpec {
     assert(cells(("FORWARD", "remove_field"))._3.contains("NOT forward-compatible"))
   }
 
+  test("context norm: every branch fires; validation and parsing stay independent") {
+    val rows = Registry.contextNorm(spark, sfDir).collect()
+    val byRaw = rows.map(r => r.getAs[String]("raw") -> r).toMap
+    // special literals map to the default context and render bare subjects
+    for (special <- Seq(":.:", "")) {
+      val r = byRaw(special)
+      assert(r.getAs[String]("normalized") == "." && r.getAs[Boolean]("is_valid"))
+      assert(r.getAs[String]("formatted") == "doc" && r.getAs[Boolean]("round_trip_ok"))
+    }
+    rows.foreach { r =>
+      val n = r.getAs[String]("normalized")
+      assert(n.startsWith("."), s"normalized must be display form: $n")
+      // the parser is charset-agnostic: everything round-trips, valid or not
+      assert(r.getAs[Boolean]("round_trip_ok"), s"round trip failed for $n")
+      if (r.getAs[String]("raw").endsWith(" !"))
+        assert(!r.getAs[Boolean]("is_valid"), s"charset breaker must be invalid: $n")
+    }
+    assert(rows.count(!_.getAs[Boolean]("is_valid")) > 0)
+    assert(rows.count(_.getAs[Boolean]("is_valid")) > 2)
+  }
+
   test("schema usage: version totals reconcile, subjects list length matches its count") {
     val rows = Registry.schemaUsage(spark, sfDir).collect()
     val nDocs = Tables.documents(spark, sfDir).count()
