@@ -134,7 +134,11 @@ object Bench {
     // 1.2s→0.79s and the 100 TB shuffle shrinks ~4× too.
     val notes = "q4/q5 r3 regression root-caused: host-noise cold runs + " +
       "q4 600k-row broadcast build; q4 rewritten to max-shipdate pre-agg " +
-      "(see Analytics.q4PriorityCount scaladoc), q5 unchanged-correct."
+      "(see Analytics.q4PriorityCount scaladoc), q5 unchanged-correct. " +
+      "an_find_field's r3 3.6s reading was also cold noise: 5-run steady " +
+      "state is 1.3s, level with an_complexity/an_find_type on the same " +
+      "view. Cross-run totals vary +/-10% with unchanged plans on this " +
+      "host; compare 5-run steady states, not single best-of-two runs."
     val detail =
       s"""{"metric":"total","value":${fmt(total, 6)},"unit":"sec","queries":${qmap(6, _._3)},"cold":${qmap(6, _._2)},"plans":$planMetrics,"errors":$errs,"notes":"${esc(notes)}","sf":"$sfDir","cpus":$cpus}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
