@@ -735,28 +735,30 @@ object Registry {
 
   /** match_subjects (tools_comparison.go:334 handleMatchSubjects):
     * substring OR regex pattern matching over the subject name
-    * vocabulary. The pattern set is a tiny broadcast dimension
-    * crossed against the names (a broadcast nested-loop whose inner
-    * predicate is a codegen contains/rlike — row-local, scan-bound,
-    * no shuffle besides the per-pattern rollup), so the shape holds
-    * when the vocabulary is billions of names. `p_name` plays the
-    * subject vocabulary — the corpus with realistic multi-word
+    * vocabulary — one scan, a row-local per-pattern verdict stack,
+    * and a per-pattern rollup as the only shuffle, so the shape
+    * holds when the vocabulary is billions of names. `p_name` plays
+    * the subject vocabulary — the corpus with realistic multi-word
     * names.
     */
   def matchSubjects(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val patterns = Seq(
       ("substr", "old"), ("substr", "ring"),
       ("regex", "^bl"), ("regex", "r(od|ing)$"))
-      .toDF("mode", "pattern")
-    val matched = when(col("mode") === "substr",
-      col("p_name").contains(col("pattern")))
-      .otherwise(expr("p_name RLIKE pattern"))
+    // Patterns are LITERALS in the plan (one row-local explode of a
+    // per-pattern verdict array), not a joined column: RLike with a
+    // non-foldable pattern recompiles the regex per row — a scale
+    // footgun — while literal patterns compile once per task under
+    // codegen. One scan regardless of pattern count.
+    val verdicts = array(patterns.map { case (mode, pat) =>
+      val m = if (mode == "substr") col("p_name").contains(pat)
+              else col("p_name").rlike(pat)
+      struct(lit(mode).as("mode"), lit(pat).as("pattern"), m.as("matched"))
+    }: _*)
     Tables.part(s, dir)
-      .select(col("p_name"))
-      .crossJoin(broadcast(patterns))
-      .filter(matched)
-      .groupBy(col("mode"), col("pattern"))
+      .select(col("p_name"), explode(verdicts).as("v"))
+      .filter(col("v.matched"))
+      .groupBy(col("v.mode").as("mode"), col("v.pattern").as("pattern"))
       .agg(count(lit(1)).as("n_matches"), min(col("p_name")).as("first_match"))
       .orderBy(col("mode"), col("pattern"))
   }

@@ -108,11 +108,11 @@ class ScalePathSpec extends SparkSpec {
   test("registry handler ops keep their broadcast/row-local shapes") {
     def plan(name: String) =
       SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
-    // match_subjects: the pattern dim × name corpus probe is an
-    // INTENTIONAL broadcast nested loop (a 4-row broadcast side);
+    // match_subjects: literal-pattern verdict stack — no join at
+    // all (non-foldable RLike would recompile the regex per row);
     // the only hash exchange is the per-pattern rollup.
     val ms = plan("reg_match_subjects")
-    assert(ms.contains("BroadcastNestedLoopJoin"), s"pattern probe must broadcast:\n$ms")
+    assert(!ms.contains("Join"), s"pattern matching must not join:\n$ms")
     assert("Exchange hashpartitioning".r.findAllIn(ms).size <= 1, ms)
     // write_mode: broadcast mode-override dim, the fact side never
     // hash-shuffles (orderBy's range exchange is the only movement).
