@@ -484,7 +484,48 @@ object Pipeline {
       .orderBy(col("label"), col("assigned"))
   }
 
+  /** Data-mixture planning — the reconciliation step between corpus
+    * stats and sampling that every pretraining run does: TARGET
+    * mixture shares (config; here a deterministic per-source weight
+    * so both over- and under-subscribed branches occur in data) are
+    * applied to a global token budget (half the available corpus —
+    * scale-invariant) and reconciled against what each source
+    * actually HAS. Under-subscribed sources get a < 1 sampling rate;
+    * over-subscribed sources report the epoch count (repeat factor)
+    * and the single-epoch shortfall — the "code is 5% of the corpus
+    * but the mixture wants 20%" accounting. One groupBy over the
+    * corpus + a 1-row budget broadcast + a vocabulary-sized weight
+    * dim: the plan output is O(sources) no matter the corpus size.
+    */
+  def corpusMixPlan(s: SparkSession, dir: String): DataFrame = {
+    val avail = Tables.documents(s, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("bigint").as("tok"))
+      .groupBy(col("source"))
+      .agg(sum(col("tok")).as("avail_tokens"))
+      // deterministic skewed target weight: last digit of the source
+      // name spread over 1..4 — decoupled from availability so some
+      // sources land over- and some under-subscribed
+      .withColumn("w", (ascii(expr("right(source, 1)")) % 4 + 1).cast("double"))
+    val totals = avail.agg(sum(col("w")).as("w_tot"),
+      (sum(col("avail_tokens")) / 2).cast("double").as("budget"))
+    avail.crossJoin(broadcast(totals))
+      .withColumn("target_share", floor(col("w") / col("w_tot") * 1e6 + 0.5) / 1e6)
+      .withColumn("target_tokens",
+        floor(col("w") / col("w_tot") * col("budget")).cast("bigint"))
+      .withColumn("sample_rate",
+        floor(least(lit(1.0), col("target_tokens") / col("avail_tokens")) * 1e6 + 0.5) / 1e6)
+      .withColumn("n_epochs",
+        ceil(col("target_tokens") / col("avail_tokens")).cast("bigint"))
+      .withColumn("shortfall_single_epoch",
+        greatest(lit(0L), col("target_tokens") - col("avail_tokens")))
+      .select(col("source"), col("avail_tokens"), col("target_share"),
+        col("target_tokens"), col("sample_rate"), col("n_epochs"),
+        col("shortfall_single_epoch"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_mix_plan" -> corpusMixPlan,
     "emb_assign" -> embAssign,
     "tok_shard_plan" -> tokShardPlan,
     "corpus_stats" -> corpusStats,
@@ -501,6 +542,23 @@ object Pipeline {
     "emb_centroids" -> embCentroids)
 
   val oracleSql: Map[String, String] = Map(
+    "corpus_mix_plan" ->
+      """WITH a AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens,
+        |    CAST(ascii(right(source, 1)) % 4 + 1 AS DOUBLE) AS w
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT sum(w) AS w_tot, CAST(sum(avail_tokens) / 2 AS DOUBLE) AS budget FROM a),
+        |p AS (
+        |  SELECT source, avail_tokens,
+        |    floor(w / w_tot * 1e6 + 0.5) / 1e6 AS target_share,
+        |    CAST(floor(w / w_tot * budget) AS BIGINT) AS target_tokens
+        |  FROM a CROSS JOIN t)
+        |SELECT source, avail_tokens, target_share, target_tokens,
+        |  floor(least(1.0, target_tokens / CAST(avail_tokens AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS sample_rate,
+        |  CAST(ceil(target_tokens / CAST(avail_tokens AS DOUBLE)) AS BIGINT) AS n_epochs,
+        |  greatest(0, target_tokens - avail_tokens) AS shortfall_single_epoch
+        |FROM p ORDER BY source""".stripMargin,
     "text_logprob" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),

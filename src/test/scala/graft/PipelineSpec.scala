@@ -265,4 +265,32 @@ class PipelineSpec extends SparkSpec {
       spark.conf.unset("graft.chunk.overlap")
     }
   }
+
+  test("mix plan: budget reconciles, rates cap at 1, epochs and shortfall agree") {
+    val rows = Pipeline.corpusMixPlan(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val shares = rows.map(_.getAs[Double]("target_share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-4, s"shares must sum to ~1: ${shares.sum}")
+    val totalAvail = rows.map(_.getAs[Long]("avail_tokens")).sum
+    val totalTarget = rows.map(_.getAs[Long]("target_tokens")).sum
+    // budget is half the corpus; floor() per source loses < 1 token each
+    assert(totalTarget <= totalAvail / 2 && totalTarget >= totalAvail / 2 - rows.length)
+    rows.foreach { r =>
+      val (avail, target) = (r.getAs[Long]("avail_tokens"), r.getAs[Long]("target_tokens"))
+      val rate = r.getAs[Double]("sample_rate")
+      val epochs = r.getAs[Long]("n_epochs")
+      val shortfall = r.getAs[Long]("shortfall_single_epoch")
+      assert(rate > 0 && rate <= 1.0)
+      if (target <= avail) {
+        assert(epochs <= 1 && shortfall == 0, s"${r.get(0)}: under-subscribed branch")
+      } else {
+        assert(rate == 1.0 && epochs >= 2 && shortfall == target - avail,
+          s"${r.get(0)}: over-subscribed branch")
+      }
+    }
+    // the deterministic weights must exercise BOTH branches on this corpus
+    assert(rows.exists(_.getAs[Long]("shortfall_single_epoch") > 0), "need an over-subscribed source")
+    assert(rows.exists(r => r.getAs[Long]("target_tokens") <= r.getAs[Long]("avail_tokens")),
+      "need an under-subscribed source")
+  }
 }
