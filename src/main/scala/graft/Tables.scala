@@ -19,18 +19,24 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame = load(s, dir, "part")
   def orders(s: SparkSession, dir: String): DataFrame = load(s, dir, "orders")
   def lineitem(s: SparkSession, dir: String): DataFrame = load(s, dir, "lineitem")
-  /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS), which
-    * Spark only reads with `spark.sql.legacy.parquet.nanosAsLong=true`
-    * (as a long of epoch-nanos). Normalize it to a micros-precision
-    * timestamp here so every operator sees a real timestamp column —
-    * `div 1000` truncates exactly like DuckDB's ns→us cast.
+  /** `events.parquet` has stored `ts` as INT64 TIMESTAMP(NANOS)
+    * (readable only via `spark.sql.legacy.parquet.nanosAsLong=true`,
+    * as epoch-nanos longs) and, in newer drops, as TIMESTAMP(MICROS)
+    * without a timezone (Spark 4 reads that as TIMESTAMP_NTZ, which
+    * rejects the second-arithmetic casts the operators use).
+    * Normalize both to a plain micros-precision TIMESTAMP here so
+    * every operator sees one canonical column type — the session
+    * timezone is pinned to UTC everywhere, so the NTZ→LTZ
+    * reinterpretation is value-identical to DuckDB's TIMESTAMP.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = load(s, dir, "events")
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast(TimestampType))
       case _ => raw
     }
   }

@@ -86,6 +86,39 @@ object SchemaCompat {
     if (f.metadata.contains("enumSymbols")) Some(f.metadata.getStringArray("enumSymbols"))
     else None
 
+  /** Union dimension: metadata key `"unionBranches"` marks a field as
+    * an Avro union with the given primitive branch-type names —
+    * Spark's StructType has no union type, so branches ride on
+    * metadata like the default/enum dimensions do.
+    */
+  def unionBranches(f: StructField): Option[Array[String]] =
+    if (f.metadata.contains("unionBranches")) Some(f.metadata.getStringArray("unionBranches"))
+    else None
+
+  /** Primitive branch-name of a Spark type ("bigint" is the model's
+    * spelling of Avro long, BinaryType of bytes).
+    */
+  private def typeName(dt: DataType): String = dt match {
+    case IntegerType => "int"
+    case LongType => "bigint"
+    case FloatType => "float"
+    case DoubleType => "double"
+    case StringType => "string"
+    case BinaryType => "bytes"
+    case other => other.simpleString
+  }
+
+  /** Promotion closure over branch names (avro/checker.go:304): the
+    * writer types a reader branch can decode.
+    */
+  private val nameAccepts: Map[String, Set[String]] = Map(
+    "bigint" -> Set("bigint", "int"),
+    "float" -> Set("float", "bigint", "int"),
+    "double" -> Set("double", "float", "bigint", "int"),
+    "string" -> Set("string", "bytes"),
+    "bytes" -> Set("bytes", "string"))
+  private def acceptsName(b: String): Set[String] = nameAccepts.getOrElse(b, Set(b))
+
   /** Record rule (avro/checker.go:102): every reader field must be
     * resolvable from the writer, be nullable, or carry a default.
     */
@@ -98,7 +131,22 @@ object SchemaCompat {
         case None =>
           acc.merge(incompatible(s"${pathOrRoot(path)}: reader field '${rf.name}' is required, defaultless, and missing from writer"))
         case Some(wf) =>
-          val typeRes = canReadType(rf.dataType, wf.dataType, fieldPath)
+          // Union resolution (avro/checker.go:224 checkUnion, :247
+          // checkReaderUnion, :263 checkWriterUnion): with branch
+          // sets normalized (scalar = singleton), all three collapse
+          // to "every writer branch readable by some reader branch",
+          // promotion included.
+          val typeRes = (unionBranches(rf), unionBranches(wf)) match {
+            case (scala.None, scala.None) => canReadType(rf.dataType, wf.dataType, fieldPath)
+            case (ru, wu) =>
+              val rb = ru.map(_.toSeq).getOrElse(Seq(typeName(rf.dataType)))
+              val wb = wu.map(_.toSeq).getOrElse(Seq(typeName(wf.dataType)))
+              val acc = rb.flatMap(acceptsName).toSet
+              val badBranches = wb.filterNot(acc)
+              if (badBranches.isEmpty) Compatible
+              else incompatible(s"$fieldPath: writer branch(es) [${badBranches.mkString(",")}] " +
+                s"not readable by any reader branch of [${rb.mkString(",")}]")
+          }
           val nullRes =
             if (!rf.nullable && wf.nullable)
               incompatible(s"$fieldPath: reader requires non-null but writer may write null")

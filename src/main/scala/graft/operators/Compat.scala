@@ -16,17 +16,112 @@ import org.apache.spark.sql.types._
   */
 object Compat {
 
+  // -------------------------------------------------------------------
+  // Avro type-resolution core: promotion matrix + union branch sets
+  // -------------------------------------------------------------------
+
+  /** A field's branch set: the union's branches, or the scalar type as
+    * a singleton — the normalization that lets ONE predicate cover
+    * checkUnion (avro/checker.go:224), checkReaderUnion (:247),
+    * checkWriterUnion (:263) and plain scalar resolution (:54 + :297):
+    * in every case the rule is "every writer branch must be readable
+    * by some reader branch".
+    */
+  private[operators] def branchesOf(ftype: Column, funion: Column): Column =
+    coalesce(split(funion, ","), array(ftype))
+
+  /** Branch sets as BITMASKS. Array higher-order functions are
+    * interpreted per element and fall out of whole-stage codegen; on
+    * the full-corpus scans that cost ~3× (sf0.1 compat_gate 29.9s
+    * array-HOF vs 9-10s masked). With one bit per primitive type the
+    * whole resolution algebra is integer ops: set membership = AND,
+    * set union across versions = a single bit_or window aggregate.
+    */
+  private val typeBits: Seq[(String, Int)] = Seq(
+    "int" -> 1, "bigint" -> 2, "float" -> 4, "double" -> 8,
+    "string" -> 16, "bytes" -> 32, "enum" -> 64, "null" -> 128)
+
+  /** Bitmask of a field's branch set. Bits are disjoint so + ≡ |. */
+  private[operators] def maskOf(ftype: Column, funion: Column): Column = {
+    val br = branchesOf(ftype, funion)
+    typeBits.map { case (t, bit) =>
+      when(array_contains(br, t), lit(bit)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
+  /** Scala-side twins of the mask algebra, for candidate schemas
+    * whose branch sets are compile-time constants.
+    */
+  private[operators] def maskInt(ftype: String, funion: Option[String]): Int = {
+    val bits = typeBits.toMap
+    funion.map(_.split(',').map(bits).sum).getOrElse(bits(ftype))
+  }
+  private[operators] def acceptsMaskInt(m: Int): Int = {
+    var a = m
+    if ((m & 2) != 0) a |= 1
+    if ((m & 4) != 0) a |= 3
+    if ((m & 8) != 0) a |= 7
+    if ((m & 16) != 0) a |= 32
+    if ((m & 32) != 0) a |= 16
+    a
+  }
+
+  /** Reader-side promotion closure (avro/checker.go:304 canPromote)
+    * over a branch mask: int→long/float/double, long→float/double,
+    * float→double, string↔bytes (`bigint` is the model's spelling of
+    * Avro long). Each reader branch contributes the writer types it
+    * can decode.
+    */
+  private[operators] def acceptsMaskOf(mask: Column): Column =
+    mask
+      .bitwiseOR(when(mask.bitwiseAND(lit(2)) =!= 0, lit(1)).otherwise(lit(0)))
+      .bitwiseOR(when(mask.bitwiseAND(lit(4)) =!= 0, lit(3)).otherwise(lit(0)))
+      .bitwiseOR(when(mask.bitwiseAND(lit(8)) =!= 0, lit(7)).otherwise(lit(0)))
+      .bitwiseOR(when(mask.bitwiseAND(lit(16)) =!= 0, lit(32)).otherwise(lit(0)))
+      .bitwiseOR(when(mask.bitwiseAND(lit(32)) =!= 0, lit(16)).otherwise(lit(0)))
+
+  /** TRUE iff some writer branch is unreadable by every reader branch
+    * — the single type-resolution verdict (union rules + promotion
+    * matrix in one membership test): writer ⊄ accepts(reader),
+    * spelled NOT-free as (w AND acc) ≠ w. Callers guard writer
+    * presence.
+    */
+  private[operators] def typeBreak(rtype: Column, runion: Column,
+                                   wtype: Column, wunion: Column): Column = {
+    val acc = acceptsMaskOf(maskOf(rtype, runion))
+    val wm = maskOf(wtype, wunion)
+    wm.bitwiseAND(acc) =!= wm
+  }
+
+  /** DuckDB spellings of the same three helpers. */
+  private[operators] def sqlBranches(t: String, u: String): String =
+    s"coalesce(string_split($u, ','), [$t])"
+  private[operators] def sqlAccepts(t: String, u: String): String =
+    s"""flatten(list_transform(${sqlBranches(t, u)}, b ->
+       |    CASE b WHEN 'bigint' THEN ['bigint','int']
+       |           WHEN 'float' THEN ['float','bigint','int']
+       |           WHEN 'double' THEN ['double','float','bigint','int']
+       |           WHEN 'string' THEN ['string','bytes']
+       |           WHEN 'bytes' THEN ['bytes','string']
+       |           ELSE [b] END))""".stripMargin
+  private[operators] def sqlTypeBreak(rt: String, ru: String,
+                                      wt: String, wu: String): String =
+    s"NOT list_has_all(${sqlAccepts(rt, ru)}, ${sqlBranches(wt, wu)})"
+
   private def st(fields: (String, DataType, Boolean)*): StructType =
     StructType(fields.map { case (n, t, nullable) => StructField(n, t, nullable) })
 
   /** Field with the Avro metadata dimensions ([[SchemaCompat
-    * .hasDefault]] / [[SchemaCompat.enumSymbols]]).
+    * .hasDefault]] / [[SchemaCompat.enumSymbols]] /
+    * [[SchemaCompat.unionBranches]]).
     */
   private def mf(name: String, dt: DataType, nullable: Boolean,
-                 default: Option[String] = None, syms: Seq[String] = Nil): StructField = {
+                 default: Option[String] = None, syms: Seq[String] = Nil,
+                 union: Seq[String] = Nil): StructField = {
     val b = new MetadataBuilder()
     default.foreach(b.putString("default", _))
     if (syms.nonEmpty) b.putStringArray("enumSymbols", syms.toArray)
+    if (union.nonEmpty) b.putStringArray("unionBranches", union.toArray)
     StructField(name, dt, nullable, b.build())
   }
 
@@ -64,7 +159,26 @@ object Compat {
       Seq(StructType(Seq(mf("status", StringType, nullable = false, syms = Seq("A", "B", "C")))))),
     (13, "enum symbol removed with reader default", Backward,
       StructType(Seq(mf("status", StringType, nullable = false, default = Some("A"), syms = Seq("A", "B")))),
-      Seq(StructType(Seq(mf("status", StringType, nullable = false, syms = Seq("A", "B", "C")))))))
+      Seq(StructType(Seq(mf("status", StringType, nullable = false, syms = Seq("A", "B", "C")))))),
+    (14, "evolve T to nullable union [null,T]", Backward,
+      StructType(Seq(mf("ref", StringType, nullable = true, union = Seq("null", "string")))),
+      Seq(st(("ref", StringType, true)))),
+    (15, "union to scalar drops null branch", Backward,
+      st(("ref", StringType, true)),
+      Seq(StructType(Seq(mf("ref", StringType, nullable = true, union = Seq("null", "string")))))),
+    (16, "union branch removed", Backward,
+      StructType(Seq(mf("ref", StringType, nullable = true, union = Seq("null", "string")))),
+      Seq(StructType(Seq(mf("ref", StringType, nullable = true, union = Seq("bigint", "null", "string")))))),
+    (17, "union branch added", Backward,
+      StructType(Seq(mf("ref", StringType, nullable = true, union = Seq("bigint", "null", "string")))),
+      Seq(StructType(Seq(mf("ref", StringType, nullable = true, union = Seq("null", "string")))))),
+    (18, "writer int promotes into reader union long branch", Backward,
+      StructType(Seq(mf("ref", StringType, nullable = true, union = Seq("bigint", "null", "string")))),
+      Seq(st(("ref", IntegerType, true)))),
+    (19, "numeric promotion int to double", Backward,
+      st(("ratio", DoubleType, true)), Seq(st(("ratio", IntegerType, true)))),
+    (20, "numeric narrowing double to float", Backward,
+      st(("ratio", FloatType, true)), Seq(st(("ratio", DoubleType, true)))))
 
   def checkBattery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -114,12 +228,22 @@ object Compat {
     * Each field carries the full Avro-checker dimension set
     * (avro/checker.go): name, type, nullability, default value
     * (fdefault — NULL = no default, checker.go:129's rescue
-    * condition), and for enums the symbol list (fsyms, comma-joined —
-    * checker.go:182's symbol-compat input). `status` is the enum
-    * field: required, present for 2/3 of registrations, default 'A'
-    * for k%5<3, and its symbol vocabulary flips between {A,B} and
-    * {A,B,C} with k's parity — so every new rule fires both ways in
-    * real data.
+    * condition), for enums the symbol list (fsyms, comma-joined —
+    * checker.go:182's symbol-compat input), and for unions the
+    * branch set (funion, comma-joined — checker.go:224/:247/:263's
+    * input; NULL = scalar). `status` is the enum field: required,
+    * present for 2/3 of registrations, default 'A' for k%5<3, symbol
+    * vocabulary flipping between {A,B} and {A,B,C} with k's parity.
+    * `ratio` walks the full numeric promotion matrix
+    * (int→bigint→float→double with k%9 — legal promotions and
+    * illegal narrowings both occur between versions); `payload`
+    * flips string↔bytes (promotable BOTH ways — never a violation,
+    * the matrix's symmetric case); `ref` walks union shapes — scalar
+    * string, scalar int, ["null","string"], ["bigint","null",
+    * "string"], ["bigint","string"] — so the T→["null",T] evolution,
+    * its breaking reverse, union widening/narrowing, and
+    * promotion-into-a-union-branch (int writer vs bigint branch) all
+    * fire both ways in real data.
     */
   private[operators] def fieldArrays(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select(
@@ -127,23 +251,59 @@ object Compat {
       get_json_object(col("props"), "$.k").cast("bigint").as("k"))
     val w = Window.partitionBy(col("subject")).orderBy(col("ts"), col("event_id"))
     val nullStr = lit(null).cast("string")
+    // fmask: the field's branch-set bitmask ([[typeBits]]), baked in
+    // as an integer when-chain at model-build time — every residue's
+    // branch set is statically known, so the scans' type algebra
+    // never touches an array or a string at probe time.
     def f(name: String, ftype: Column, fnull: Column, present: Column,
-          fdefault: Column = nullStr, fsyms: Column = nullStr): Column =
+          fmask: Column, fdefault: Column = nullStr, fsyms: Column = nullStr,
+          funion: Column = nullStr): Column =
       struct(lit(name).as("fname"), ftype.as("ftype"), fnull.as("fnull"),
-        fdefault.as("fdefault"), fsyms.as("fsyms"), present.as("present"))
+        fdefault.as("fdefault"), fsyms.as("fsyms"), funion.as("funion"),
+        fmask.as("fmask"), present.as("present"))
     ev
       .withColumn("version", row_number().over(w))
-      .withColumn("flds", filter(array(
-        f("id", lit("bigint"), lit(false), lit(true)),
-        f("name", lit("string"), col("k") % lit(2) === 0, lit(true)),
-        f("email", lit("string"), lit(true), col("k") % lit(3) === 0),
-        f("score", when(col("k") % lit(4) < 2, "int").otherwise("bigint"), lit(false), lit(true)),
-        f("status", lit("enum"), lit(false), col("k") % lit(3) < 2,
+      .withColumn("flds_all", array(
+        f("id", lit("bigint"), lit(false), lit(true), lit(2)),
+        f("name", lit("string"), col("k") % lit(2) === 0, lit(true), lit(16)),
+        f("email", lit("string"), lit(true), col("k") % lit(3) === 0, lit(16)),
+        f("score", when(col("k") % lit(4) < 2, "int").otherwise("bigint"), lit(false), lit(true),
+          when(col("k") % lit(4) < 2, 1).otherwise(2)),
+        f("status", lit("enum"), lit(false), col("k") % lit(3) < 2, lit(64),
           when(col("k") % lit(5) < 3, "A"),
-          when(col("k") % lit(2) === 0, "A,B").otherwise("A,B,C"))
-      ), fld => fld("present")))
-      .withColumn("w_flds", lag(col("flds"), 1).over(w))
+          when(col("k") % lit(2) === 0, "A,B").otherwise("A,B,C")),
+        f("ratio",
+          when(col("k") % lit(9) < 2, "int").when(col("k") % lit(9) < 4, "bigint")
+            .when(col("k") % lit(9) < 6, "float").otherwise("double"),
+          lit(true), lit(true),
+          when(col("k") % lit(9) < 2, 1).when(col("k") % lit(9) < 4, 2)
+            .when(col("k") % lit(9) < 6, 4).otherwise(8)),
+        f("payload", when(col("k") % lit(13) < 7, "string").otherwise("bytes"),
+          lit(true), lit(true),
+          when(col("k") % lit(13) < 7, 16).otherwise(32)),
+        f("ref",
+          when(col("k") % lit(6) === 0, "int")
+            .when(col("k") % lit(6) === 1, "string").otherwise("union"),
+          lit(true), lit(true),
+          when(col("k") % lit(6) === 0, 1).when(col("k") % lit(6) === 1, 16)
+            .when(col("k") % lit(6) === 2, 146).when(col("k") % lit(6) === 3, 18)
+            .otherwise(144),
+          nullStr, nullStr,
+          when(col("k") % lit(6) === 4 || col("k") % lit(6) === 5, "null,string")
+            .when(col("k") % lit(6) === 2, "bigint,null,string")
+            .when(col("k") % lit(6) === 3, "bigint,string"))
+      ))
+      .withColumn("w_all", lag(col("flds_all"), 1).over(w))
+      // present-only views for consumers that think in field SETS
+      // (diffs, latest-version tools); the scans use the positional
+      // 8-slot arrays directly — element_at is codegen'd, a
+      // filter-by-fname probe is an interpreted HOF.
+      .withColumn("flds", filter(col("flds_all"), fld => fld("present")))
+      .withColumn("w_flds", filter(col("w_all"), fld => fld("present")))
   }
+
+  /** Number of slots in the positional field-model array. */
+  private val nSlots = 8
 
   /** DuckDB mirror of [[fieldArrays]]' relational (subject, version,
     * fname, ftype, fnull, fdefault, fsyms) view — prepend inside
@@ -160,14 +320,28 @@ object Compat {
       |  FROM ev),
       |fields AS (
       |  SELECT subject, version, 'id' AS fname, 'bigint' AS ftype, false AS fnull,
-      |         CAST(NULL AS VARCHAR) AS fdefault, CAST(NULL AS VARCHAR) AS fsyms FROM versioned
-      |  UNION ALL SELECT subject, version, 'name', 'string', k % 2 = 0, NULL, NULL FROM versioned
-      |  UNION ALL SELECT subject, version, 'email', 'string', true, NULL, NULL FROM versioned WHERE k % 3 = 0
+      |         CAST(NULL AS VARCHAR) AS fdefault, CAST(NULL AS VARCHAR) AS fsyms,
+      |         CAST(NULL AS VARCHAR) AS funion FROM versioned
+      |  UNION ALL SELECT subject, version, 'name', 'string', k % 2 = 0, NULL, NULL, NULL FROM versioned
+      |  UNION ALL SELECT subject, version, 'email', 'string', true, NULL, NULL, NULL FROM versioned WHERE k % 3 = 0
       |  UNION ALL SELECT subject, version, 'score',
-      |    CASE WHEN k % 4 < 2 THEN 'int' ELSE 'bigint' END, false, NULL, NULL FROM versioned
+      |    CASE WHEN k % 4 < 2 THEN 'int' ELSE 'bigint' END, false, NULL, NULL, NULL FROM versioned
       |  UNION ALL SELECT subject, version, 'status', 'enum', false,
       |    CASE WHEN k % 5 < 3 THEN 'A' END,
-      |    CASE WHEN k % 2 = 0 THEN 'A,B' ELSE 'A,B,C' END FROM versioned WHERE k % 3 < 2)""".stripMargin
+      |    CASE WHEN k % 2 = 0 THEN 'A,B' ELSE 'A,B,C' END, NULL FROM versioned WHERE k % 3 < 2
+      |  UNION ALL SELECT subject, version, 'ratio',
+      |    CASE WHEN k % 9 < 2 THEN 'int' WHEN k % 9 < 4 THEN 'bigint'
+      |         WHEN k % 9 < 6 THEN 'float' ELSE 'double' END,
+      |    true, NULL, NULL, NULL FROM versioned
+      |  UNION ALL SELECT subject, version, 'payload',
+      |    CASE WHEN k % 13 < 7 THEN 'string' ELSE 'bytes' END,
+      |    true, NULL, NULL, NULL FROM versioned
+      |  UNION ALL SELECT subject, version, 'ref',
+      |    CASE WHEN k % 6 = 0 THEN 'int' WHEN k % 6 = 1 THEN 'string' ELSE 'union' END,
+      |    true, NULL, NULL,
+      |    CASE WHEN k % 6 IN (4, 5) THEN 'null,string'
+      |         WHEN k % 6 = 2 THEN 'bigint,null,string'
+      |         WHEN k % 6 = 3 THEN 'bigint,string' END FROM versioned)""".stripMargin
 
   /** Per-reader-field rows for version N vs N-1 with each Avro rule's
     * individual verdict as a flag column — the shared core of
@@ -177,33 +351,40 @@ object Compat {
     * avro/checker.go rules: (:129) a reader field missing from the
     * writer breaks ONLY when required AND defaultless — a default
     * rescues it; (:182) an enum writer symbol unknown to the reader
-    * breaks unless the reader declares an enum default.
+    * breaks unless the reader declares an enum default; type
+    * resolution is [[typeBreak]] — the union rules (:224/:247/:263)
+    * and the full promotion matrix (:304) as one branch-set
+    * membership test. `v_type_narrowed` sub-classifies a type break
+    * whose REVERSE direction would resolve (pure narrowing — the
+    * author should have widened); the rest are genuine rewrites.
     */
   private def backwardFieldChecks(s: SparkSession, dir: String): DataFrame = {
     val versioned = fieldArrays(s, dir).filter(col("version") > 1)
-    val perField = versioned.select(
-      col("subject"), col("version"), col("w_flds"), explode(col("flds")).as("fld"))
-    // get(): NULL on no-match (field absent from the writer version),
-    // which the violation predicate's IS NULL arm consumes directly.
-    val wf = get(filter(col("w_flds"), x => x("fname") === col("fld.fname")), lit(0))
-    val joined = perField.select(
-      col("subject"), col("version"), col("fld.fname").as("fname"),
-      col("fld.ftype").as("ftype"), col("fld.fnull").as("fnull"),
-      col("fld.fdefault").as("fdefault"), col("fld.fsyms").as("fsyms"),
-      wf("ftype").as("w_ftype"), wf("fnull").as("w_fnull"), wf("fsyms").as("w_fsyms"))
-    val promotable = col("w_ftype") === "int" && col("ftype") === "bigint"
-    val readerLacksWriterSymbol =
-      size(array_except(split(col("w_fsyms"), ","), split(col("fsyms"), ","))) > 0
-    joined
-      .withColumn("v_missing_default",
-        col("w_ftype").isNull && !col("fnull") && col("fdefault").isNull)
-      .withColumn("v_type_change",
-        col("w_ftype").isNotNull && col("ftype") =!= col("w_ftype") && !promotable)
-      .withColumn("v_required_reads_nullable",
-        col("w_ftype").isNotNull && !col("fnull") && col("w_fnull"))
-      .withColumn("v_enum_symbols",
-        col("ftype") === "enum" && col("w_ftype") === "enum" &&
-          col("fdefault").isNull && readerLacksWriterSymbol)
+    // Positional pairing: slot i of version N vs slot i of N-1 —
+    // both arrays share the fixed 8-slot layout, so the reader↔writer
+    // field match is element_at by the posexploded index (codegen'd),
+    // not a filter-by-fname HOF probe, and each flag is evaluated
+    // once per surviving exploded row, not once per slot per row.
+    val perField = versioned
+      .select(col("subject"), col("version"), col("w_all"),
+        posexplode(col("flds_all")).as(Seq("pos", "fld")))
+      .where(col("fld.present"))
+      .withColumn("wf", element_at(col("w_all"), col("pos") + 1))
+    val r = col("fld")
+    val wf = col("wf")
+    val wPresent = wf("present")
+    val vType = wPresent &&
+      wf("fmask").bitwiseAND(acceptsMaskOf(r("fmask"))) =!= wf("fmask")
+    perField.select(col("subject"), col("version"), col("fld.fname").as("fname"),
+      (!wPresent && !r("fnull") && r("fdefault").isNull).as("v_missing_default"),
+      vType.as("v_type_change"),
+      (vType && r("fmask").bitwiseAND(acceptsMaskOf(wf("fmask"))) === r("fmask"))
+        .as("v_type_narrowed"),
+      (wPresent && !r("fnull") && wf("fnull")).as("v_required_reads_nullable"),
+      (r("ftype") === "enum" && wPresent && wf("ftype") === "enum" &&
+        r("fdefault").isNull &&
+        size(array_except(split(wf("fsyms"), ","), split(r("fsyms"), ","))) > 0)
+        .as("v_enum_symbols"))
   }
 
   def compatScan(s: SparkSession, dir: String): DataFrame = {
@@ -233,16 +414,23 @@ object Compat {
     // selects re-ran the window scan per class — 6s vs 1.9s for the
     // sibling aggregate at sf0.1): the live classes explode from a
     // row-local array, then a when-chain attaches the suggestion.
+    // Type breaks carry the promotion-aware split: `type_narrowed`
+    // (reverse direction WOULD promote — the pure-narrowing mistakes
+    // like double→float, bigint→int, union branch removal) vs
+    // `type_change` (a genuine rewrite no promotion order fixes).
     backwardFieldChecks(s, dir)
       .select(col("subject"), col("version"), col("fname"),
         explode(filter(array(
           when(col("v_missing_default"), "missing_default"),
-          when(col("v_type_change"), "type_change"),
+          when(col("v_type_narrowed"), "type_narrowed"),
+          when(col("v_type_change") && !col("v_type_narrowed"), "type_change"),
           when(col("v_required_reads_nullable"), "required_reads_nullable"),
           when(col("v_enum_symbols"), "enum_symbols")), x => x.isNotNull)).as("violation"))
       .withColumn("suggestion",
         when(col("violation") === "missing_default",
           "Add a default value to the new field so old data can be read with the new schema.")
+          .when(col("violation") === "type_narrowed",
+            "This reverses a legal promotion; keep the wider type (or widen the union) instead of narrowing.")
           .when(col("violation") === "type_change",
             "Use type promotion (e.g., int to long) or add a new field with the desired type.")
           .when(col("violation") === "required_reads_nullable",
@@ -259,26 +447,28 @@ object Compat {
     */
   def compatForwardScan(s: SparkSession, dir: String): DataFrame = {
     val versioned = fieldArrays(s, dir).filter(col("version") > 1)
-    val perField = versioned.select(
-      col("subject"), col("version"), col("flds"), explode(col("w_flds")).as("rfld"))
-    val wf = get(filter(col("flds"), x => x("fname") === col("rfld.fname")), lit(0))
-    val joined = perField.select(
-      col("subject"), col("version"),
-      col("rfld.ftype").as("rtype"), col("rfld.fnull").as("rnull"),
-      col("rfld.fdefault").as("r_default"), col("rfld.fsyms").as("r_syms"),
-      wf("ftype").as("w_type"), wf("fnull").as("w_null"), wf("fsyms").as("w_syms"))
-    val promotable = col("w_type") === "int" && col("rtype") === "bigint"
-    // Roles swapped, same Avro rules: the OLD version's defaults and
-    // enum symbols are the reader side here.
-    val readerLacksWriterSymbol =
-      size(array_except(split(col("w_syms"), ","), split(col("r_syms"), ","))) > 0
+    // Roles swapped, same Avro rules and the same positional pairing
+    // as [[backwardFieldChecks]]: the OLD version's slot (reader)
+    // checks the current version's slot (writer). Promotion
+    // direction flips with the roles automatically (the mask
+    // predicate is stated reader-vs-writer).
+    val perField = versioned
+      .select(col("subject"), col("version"), col("flds_all"),
+        posexplode(col("w_all")).as(Seq("pos", "rfld")))
+      .where(col("rfld.present"))
+      .withColumn("wf", element_at(col("flds_all"), col("pos") + 1))
+    val r = col("rfld")
+    val wf = col("wf")
+    val wPresent = wf("present")
     val violation =
-      (col("w_type").isNull && !col("rnull") && col("r_default").isNull) ||
-        (col("w_type").isNotNull && col("rtype") =!= col("w_type") && !promotable) ||
-        (col("w_type").isNotNull && !col("rnull") && col("w_null")) ||
-        (col("rtype") === "enum" && col("w_type") === "enum" &&
-          col("r_default").isNull && readerLacksWriterSymbol)
-    joined
+      (!wPresent && !r("fnull") && r("fdefault").isNull) ||
+        (wPresent &&
+          wf("fmask").bitwiseAND(acceptsMaskOf(r("fmask"))) =!= wf("fmask")) ||
+        (wPresent && !r("fnull") && wf("fnull")) ||
+        (r("ftype") === "enum" && wPresent && wf("ftype") === "enum" &&
+          r("fdefault").isNull &&
+          size(array_except(split(wf("fsyms"), ","), split(r("fsyms"), ","))) > 0)
+    perField
       .groupBy(col("subject"), col("version"))
       .agg(count(lit(1)).as("n_reader_fields"),
         sum(when(violation, 1L).otherwise(0L)).as("n_violations"))
@@ -305,10 +495,16 @@ object Compat {
     */
   def compatTransitive(s: SparkSession, dir: String): DataFrame = {
     val fieldsDf = fieldArrays(s, dir)
-      .select(col("subject"), col("version"), explode(col("flds")).as("fld"))
+      .select(col("subject"), col("version"), explode(col("flds_all")).as("fld"))
+      .where(col("fld.present"))
       .select(col("subject"), col("version"), col("fld.fname").as("fname"),
         col("fld.ftype").as("ftype"), col("fld.fnull").as("fnull"),
-        col("fld.fdefault").as("fdefault"), col("fld.fsyms").as("fsyms"))
+        col("fld.fdefault").as("fdefault"), col("fld.fsyms").as("fsyms"),
+        col("fld.fmask").as("bm"))
+      // branch mask (this row as WRITER, baked into the model) and
+      // promotion-closure accept mask (this row as READER) — pure
+      // integer ops from here on
+      .withColumn("am", acceptsMaskOf(col("bm")))
     // version is strictly increasing and distinct within each
     // (subject, fname) partition, so this ROWS frame is identical to
     // RANGE(unboundedPreceding, -1) — but runs as a plain running
@@ -317,28 +513,35 @@ object Compat {
       .rowsBetween(Window.unboundedPreceding, -1)
     def cnt(cond: Column): Column =
       coalesce(sum(when(cond, 1L).otherwise(0L)).over(w), lit(0L))
+    // Generic type accounting: "some earlier writer had a branch this
+    // reader cannot decode" = (OR of all earlier branch masks) ⊄ this
+    // reader's accept mask. The nullability and enum-width facts are
+    // also pure existence tests, so they ride as extra bits in the
+    // SAME bit_or running aggregate — one window aggregate plus one
+    // presence count for the whole rule set, where the pairwise
+    // statement (the oracle's) is O(V²) per subject.
+    // Enum symbol accounting: the model's symbol vocabularies are
+    // nested ({A,B} ⊂ {A,B,C}), so "some earlier writer carries a
+    // symbol this reader lacks" collapses to "reader holds the
+    // smaller set and an earlier version held the larger". The
+    // oracle states the rule with REAL subset semantics
+    // (list_has_all, pairwise) — parity proves this O(V)
+    // specialization equals it on the vocabulary.
+    val histBits = col("bm")
+      .bitwiseOR(when(col("fnull"), lit(256)).otherwise(lit(0)))
+      .bitwiseOR(when(col("fsyms") === "A,B,C", lit(512)).otherwise(lit(0)))
     val enriched = fieldsDf
       .withColumn("c_present", count(lit(1)).over(w))
-      .withColumn("c_int", cnt(col("ftype") === "int"))
-      .withColumn("c_bigint", cnt(col("ftype") === "bigint"))
-      .withColumn("c_string", cnt(col("ftype") === "string"))
-      .withColumn("c_null", cnt(col("fnull")))
-      // Enum symbol accounting: the model's symbol vocabularies are
-      // nested ({A,B} ⊂ {A,B,C}), so "some earlier writer carries a
-      // symbol this reader lacks" collapses to "reader holds the
-      // smaller set and an earlier version held the larger". The
-      // oracle states the rule with REAL subset semantics
-      // (list_has_all, pairwise) — parity proves this O(V)
-      // specialization equals it on the vocabulary.
-      .withColumn("c_syms_wider", cnt(col("fsyms") === "A,B,C"))
+      .withColumn("hist", coalesce(bit_or(histBits).over(w), lit(0)))
+    val typeBad =
+      col("hist").bitwiseAND(lit(255)).bitwiseAND(col("am")) =!=
+        col("hist").bitwiseAND(lit(255))
     val bad =
       (!col("fnull") && col("fdefault").isNull && col("c_present") < col("version") - 1) ||
-        (col("ftype") === "bigint" && col("c_string") > 0) ||
-        (col("ftype") === "int" && (col("c_bigint") > 0 || col("c_string") > 0)) ||
-        (col("ftype") === "string" && (col("c_int") > 0 || col("c_bigint") > 0)) ||
-        (!col("fnull") && col("c_null") > 0) ||
+        typeBad ||
+        (!col("fnull") && col("hist").bitwiseAND(lit(256)) =!= 0) ||
         (col("ftype") === "enum" && col("fdefault").isNull &&
-          col("fsyms") === "A,B" && col("c_syms_wider") > 0)
+          col("fsyms") === "A,B" && col("hist").bitwiseAND(lit(512)) =!= 0)
     enriched.filter(col("version") > 1)
       .groupBy(col("subject"), col("version"))
       .agg(count(lit(1)).as("n_fields"),
@@ -377,41 +580,59 @@ object Compat {
     */
   def compatFTransitive(s: SparkSession, dir: String): DataFrame = {
     val base = fieldArrays(s, dir)
-    val ex = base.select(col("subject"), col("version"), explode(col("flds")).as("fld"))
-    val vocab = ex.groupBy(col("subject"))
-      .agg(collect_set(col("fld.fname")).as("vocab"))
-    val grid = base.select(col("subject"), col("version"), col("flds"))
-      .join(vocab, "subject")
-      .select(col("subject"), col("version"), col("flds"),
-        explode(col("vocab")).as("fname"))
-    val fld = get(filter(col("flds"), x => x("fname") === col("fname")), lit(0))
-    val probed = grid.select(
-      col("subject"), col("version"), col("fname"),
-      fld("ftype").as("ftype"), fld("fnull").as("fnull"),
-      fld("fdefault").as("fdefault"), fld("fsyms").as("fsyms"))
+    // The (version × field-vocabulary) grid, positionally: every
+    // version contributes all 8 slots, absence encoded as NULL ftype
+    // (what the probe produced before). Slots never present for a
+    // subject contribute nothing to any aggregate (no earlier
+    // presence, no bad flags), so no per-subject vocabulary rollup —
+    // and its broadcast join — is needed at all.
+    val slots = array((0 until nSlots).map { i =>
+      val f = col("flds_all")(i)
+      val p = f("present")
+      struct(f("fname").as("fname"),
+        when(p, f("ftype")).as("ftype"),
+        when(p, f("fnull")).as("fnull"),
+        when(p, f("fdefault")).as("fdefault"),
+        when(p, f("fsyms")).as("fsyms"),
+        when(p, f("fmask")).as("bm"))
+    }: _*)
+    val probed = base
+      .select(col("subject"), col("version"), explode(slots).as("s"))
+      .select(col("subject"), col("version"), col("s.fname").as("fname"),
+        col("s.ftype").as("ftype"), col("s.fnull").as("fnull"),
+        col("s.fdefault").as("fdefault"), col("s.fsyms").as("fsyms"),
+        col("s.bm").as("bm"))
+      // this version's branch mask (WRITER role, baked into the
+      // model) and accept-closure mask (READER role for later
+      // versions' writer probes)
+      .withColumn("am", acceptsMaskOf(col("bm")))
     // grid rows are one-per-version per (subject, fname) — ROWS ≡
     // RANGE here, same as [[compatTransitive]]'s frame.
     val w = Window.partitionBy(col("subject"), col("fname")).orderBy(col("version"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    def cnt(cond: Column): Column =
-      coalesce(sum(when(cond, 1L).otherwise(0L)).over(w), lit(0L))
     val present = col("ftype").isNotNull
+    // Forward accounting in ONE bit_or running aggregate: bits 0-7
+    // accumulate the type bits earlier PRESENT readers CANNOT decode
+    // (the complement of each accept mask — writer N breaks iff one
+    // of its branches intersects); bits 8-10 record the existence
+    // facts the other rules test (a required defaultless reader, a
+    // required reader, a narrow defaultless enum reader) — every one
+    // of them was only ever consumed as `count > 0`.
+    val histBits =
+      when(present, (lit(255) - col("am"))
+        .bitwiseOR(when(!col("fnull") && col("fdefault").isNull, lit(256)).otherwise(lit(0)))
+        .bitwiseOR(when(!col("fnull"), lit(512)).otherwise(lit(0))))
+        .otherwise(lit(0))
+        .bitwiseOR(when(col("fsyms") === "A,B" && col("fdefault").isNull, lit(1024))
+          .otherwise(lit(0)))
     val enriched = probed
-      .withColumn("c_req_nodefault",
-        cnt(col("ftype").isNotNull && !col("fnull") && col("fdefault").isNull))
-      .withColumn("c_req", cnt(col("ftype").isNotNull && !col("fnull")))
-      .withColumn("c_int", cnt(col("ftype") === "int"))
-      .withColumn("c_bigint", cnt(col("ftype") === "bigint"))
-      .withColumn("c_string", cnt(col("ftype") === "string"))
-      .withColumn("c_narrow_nodefault",
-        cnt(col("fsyms") === "A,B" && col("fdefault").isNull))
+      .withColumn("hist", coalesce(bit_or(histBits).over(w), lit(0)))
+    val typeBad = col("bm").bitwiseAND(col("hist")).bitwiseAND(lit(255)) =!= 0
     val bad =
-      (!present && col("c_req_nodefault") > 0) ||
-        (col("ftype") === "int" && col("c_string") > 0) ||
-        (col("ftype") === "bigint" && (col("c_int") > 0 || col("c_string") > 0)) ||
-        (col("ftype") === "string" && (col("c_int") > 0 || col("c_bigint") > 0)) ||
-        (present && col("fnull") && col("c_req") > 0) ||
-        (col("fsyms") === "A,B,C" && col("c_narrow_nodefault") > 0)
+      (!present && col("hist").bitwiseAND(lit(256)) =!= 0) ||
+        (present && typeBad) ||
+        (present && col("fnull") && col("hist").bitwiseAND(lit(512)) =!= 0) ||
+        (col("fsyms") === "A,B,C" && col("hist").bitwiseAND(lit(1024)) =!= 0)
     enriched.filter(col("version") > 1)
       .groupBy(col("subject"), col("version"))
       .agg(sum(when(present, 1L).otherwise(0L)).as("n_fields"),
@@ -494,13 +715,16 @@ object Compat {
       .filter(col("version") === col("maxv"))
       .select(col("subject"), col("flds"))
     // One candidate reader field vs the writer array: the same four
-    // avro/checker.go rules as [[backwardFieldChecks]], as a scalar.
+    // avro/checker.go rules as [[backwardFieldChecks]], as a scalar —
+    // type resolution via the shared [[typeBreak]] (promotion matrix
+    // + union branch sets).
     def viol(fname: String, ftype: String, fnull: Boolean,
-             fdefault: Option[String], fsyms: Option[String]): Column = {
+             fdefault: Option[String], fsyms: Option[String],
+             funion: Option[String] = None): Column = {
       val w = get(filter(col("flds"), x => x("fname") === lit(fname)), lit(0))
       val noDefault = lit(fdefault.isEmpty)
-      val promotable =
-        if (ftype == "bigint") w("ftype") === "int" else lit(false)
+      // the candidate's accept mask is a compile-time constant
+      val candAccepts = lit(acceptsMaskInt(maskInt(ftype, funion)))
       val enumBreak = fsyms match {
         case Some(syms) =>
           lit(ftype == "enum") && w("ftype") === "enum" && noDefault &&
@@ -508,22 +732,24 @@ object Compat {
         case None => lit(false)
       }
       (w("ftype").isNull && lit(!fnull) && noDefault) ||
-        (w("ftype").isNotNull && w("ftype") =!= lit(ftype) && !promotable) ||
+        (w("ftype").isNotNull &&
+          w("fmask").bitwiseAND(candAccepts) =!= w("fmask")) ||
         (w("ftype").isNotNull && lit(!fnull) && w("fnull")) ||
         enumBreak
     }
-    // Candidate verdicts vary with the data: a subject's latest is
-    // compatible iff its k ≡ 1 (mod 3) AND k is even (status present
-    // with the narrow symbol set, email rescued by absence+default),
-    // so both the per-subject branches and the all_compatible rollup
-    // are exercised for real.
+    // Candidate verdicts vary with the data: the per-subject branches
+    // and the all_compatible rollup are both exercised for real. The
+    // `ref` candidate reads writers whose ref is scalar string or
+    // ["null","string"] but breaks on bigint-branched unions and the
+    // scalar-int form — the reader-union rule live on the corpus.
     val nViolations =
       Seq(
         viol("id", "bigint", fnull = false, None, None),
         viol("name", "string", fnull = true, None, None),
         viol("email", "string", fnull = false, Some("none"), None),
         viol("score", "bigint", fnull = false, None, None),
-        viol("status", "enum", fnull = false, None, Some("A,B")))
+        viol("status", "enum", fnull = false, None, Some("A,B")),
+        viol("ref", "union", fnull = true, None, None, Some("null,string")))
         .map(v => when(v, 1L).otherwise(0L)).reduce(_ + _)
     latest
       .select(col("subject"), nViolations.as("nv"))
@@ -552,6 +778,28 @@ object Compat {
     * `name` is required in reader but v1-writer may write null →
     * fails, and vs the first version `name` is missing entirely.
     */
+  /** The four backward rules as one DuckDB predicate over a joined
+    * reader/writer field row — shared by the scan/explain/transitive
+    * oracles so the rule set is stated once.
+    */
+  private def backViolation(rt: String = "ftype", ru: String = "funion",
+                            rn: String = "fnull", rd: String = "fdefault",
+                            rs: String = "fsyms", wt: String = "w_ftype",
+                            wn: String = "w_fnull", ws: String = "w_fsyms",
+                            wu: String = "w_funion"): String =
+    s"""($wt IS NULL AND NOT $rn AND $rd IS NULL)
+       |      OR ($wt IS NOT NULL AND ${sqlTypeBreak(rt, ru, wt, wu)})
+       |      OR ($wt IS NOT NULL AND NOT $rn AND $wn)
+       |      OR ($rt = 'enum' AND $wt = 'enum' AND $rd IS NULL
+       |          AND NOT list_has_all(string_split($rs, ','), string_split($ws, ',')))""".stripMargin
+
+  /** Forward = the same rules with the N-1 version's columns playing
+    * the reader role (the column aliases the forward oracle uses).
+    */
+  private def fwdViolation(): String =
+    backViolation(rt = "rtype", ru = "r_union", rn = "rnull", rd = "r_default",
+      rs = "r_syms", wt = "w_type", wn = "w_null", ws = "w_syms", wu = "w_union")
+
   private val baseOracleSql: Map[String, String] = Map(
     "compat_check" ->
       """SELECT * FROM (VALUES
@@ -567,33 +815,38 @@ object Compat {
         |  (10, 'NONE ignores breaking change', 'NONE', true, CAST(0 AS BIGINT)),
         |  (11, 'add required field with default', 'BACKWARD', true, CAST(0 AS BIGINT)),
         |  (12, 'enum symbol removed without default', 'BACKWARD', false, CAST(1 AS BIGINT)),
-        |  (13, 'enum symbol removed with reader default', 'BACKWARD', true, CAST(0 AS BIGINT))
+        |  (13, 'enum symbol removed with reader default', 'BACKWARD', true, CAST(0 AS BIGINT)),
+        |  (14, 'evolve T to nullable union [null,T]', 'BACKWARD', true, CAST(0 AS BIGINT)),
+        |  (15, 'union to scalar drops null branch', 'BACKWARD', false, CAST(1 AS BIGINT)),
+        |  (16, 'union branch removed', 'BACKWARD', false, CAST(1 AS BIGINT)),
+        |  (17, 'union branch added', 'BACKWARD', true, CAST(0 AS BIGINT)),
+        |  (18, 'writer int promotes into reader union long branch', 'BACKWARD', true, CAST(0 AS BIGINT)),
+        |  (19, 'numeric promotion int to double', 'BACKWARD', true, CAST(0 AS BIGINT)),
+        |  (20, 'numeric narrowing double to float', 'BACKWARD', false, CAST(1 AS BIGINT))
         |) AS t(case_id, description, mode, compatible, n_messages)
         |ORDER BY case_id""".stripMargin,
     "compat_scan" ->
       s"""WITH $fieldModelCte,
         |joined AS (
-        |  SELECT r.subject, r.version, r.ftype, r.fnull, r.fdefault, r.fsyms,
-        |         w.ftype AS w_ftype, w.fnull AS w_fnull, w.fsyms AS w_fsyms
+        |  SELECT r.subject, r.version, r.ftype, r.fnull, r.fdefault, r.fsyms, r.funion,
+        |         w.ftype AS w_ftype, w.fnull AS w_fnull, w.fsyms AS w_fsyms,
+        |         w.funion AS w_funion
         |  FROM fields r LEFT JOIN fields w
         |    ON r.subject = w.subject AND w.version = r.version - 1 AND r.fname = w.fname
         |  WHERE r.version > 1)
         |SELECT subject, version, n_fields, n_violations, n_violations = 0 AS compatible
         |FROM (
         |  SELECT subject, version, count(*) AS n_fields,
-        |    CAST(sum(CASE WHEN (w_ftype IS NULL AND NOT fnull AND fdefault IS NULL)
-        |      OR (w_ftype IS NOT NULL AND ftype <> w_ftype AND NOT (w_ftype = 'int' AND ftype = 'bigint'))
-        |      OR (w_ftype IS NOT NULL AND NOT fnull AND w_fnull)
-        |      OR (ftype = 'enum' AND w_ftype = 'enum' AND fdefault IS NULL
-        |          AND NOT list_has_all(string_split(fsyms, ','), string_split(w_fsyms, ',')))
+        |    CAST(sum(CASE WHEN ${backViolation()}
         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
         |  FROM joined GROUP BY subject, version)
         |ORDER BY subject, version""".stripMargin,
     "compat_explain" ->
       s"""WITH $fieldModelCte,
         |joined AS (
-        |  SELECT r.subject, r.version, r.fname, r.ftype, r.fnull, r.fdefault, r.fsyms,
-        |         w.ftype AS w_ftype, w.fnull AS w_fnull, w.fsyms AS w_fsyms
+        |  SELECT r.subject, r.version, r.fname, r.ftype, r.fnull, r.fdefault, r.fsyms, r.funion,
+        |         w.ftype AS w_ftype, w.fnull AS w_fnull, w.fsyms AS w_fsyms,
+        |         w.funion AS w_funion
         |  FROM fields r LEFT JOIN fields w
         |    ON r.subject = w.subject AND w.version = r.version - 1 AND r.fname = w.fname
         |  WHERE r.version > 1)
@@ -602,10 +855,17 @@ object Compat {
         |    'Add a default value to the new field so old data can be read with the new schema.' AS suggestion
         |  FROM joined WHERE w_ftype IS NULL AND NOT fnull AND fdefault IS NULL
         |  UNION ALL
+        |  SELECT subject, version, fname, 'type_narrowed',
+        |    'This reverses a legal promotion; keep the wider type (or widen the union) instead of narrowing.'
+        |  FROM joined WHERE w_ftype IS NOT NULL
+        |    AND ${sqlTypeBreak("ftype", "funion", "w_ftype", "w_funion")}
+        |    AND NOT ${sqlTypeBreak("w_ftype", "w_funion", "ftype", "funion")}
+        |  UNION ALL
         |  SELECT subject, version, fname, 'type_change',
         |    'Use type promotion (e.g., int to long) or add a new field with the desired type.'
-        |  FROM joined WHERE w_ftype IS NOT NULL AND ftype <> w_ftype
-        |    AND NOT (w_ftype = 'int' AND ftype = 'bigint')
+        |  FROM joined WHERE w_ftype IS NOT NULL
+        |    AND ${sqlTypeBreak("ftype", "funion", "w_ftype", "w_funion")}
+        |    AND ${sqlTypeBreak("w_ftype", "w_funion", "ftype", "funion")}
         |  UNION ALL
         |  SELECT subject, version, fname, 'required_reads_nullable',
         |    'Keep the field nullable or add a default before tightening it.'
@@ -621,24 +881,17 @@ object Compat {
         |maxv AS (SELECT subject, max(version) AS mv FROM fields GROUP BY subject),
         |joined AS (
         |  SELECT r.subject, r.version + 1 AS version, r.ftype AS rtype, r.fnull AS rnull,
-        |         r.fdefault AS r_default, r.fsyms AS r_syms,
-        |         w.ftype AS w_type, w.fnull AS w_null, w.fsyms AS w_syms
+        |         r.fdefault AS r_default, r.fsyms AS r_syms, r.funion AS r_union,
+        |         w.ftype AS w_type, w.fnull AS w_null, w.fsyms AS w_syms,
+        |         w.funion AS w_union
         |  FROM fields r
         |  JOIN maxv ON maxv.subject = r.subject AND r.version < maxv.mv
         |  LEFT JOIN fields w ON w.subject = r.subject
         |    AND w.version = r.version + 1 AND w.fname = r.fname)
         |SELECT subject, version, count(*) AS n_reader_fields,
-        |  CAST(sum(CASE WHEN (w_type IS NULL AND NOT rnull AND r_default IS NULL)
-        |    OR (w_type IS NOT NULL AND rtype <> w_type AND NOT (w_type = 'int' AND rtype = 'bigint'))
-        |    OR (w_type IS NOT NULL AND NOT rnull AND w_null)
-        |    OR (rtype = 'enum' AND w_type = 'enum' AND r_default IS NULL
-        |        AND NOT list_has_all(string_split(r_syms, ','), string_split(w_syms, ',')))
+        |  CAST(sum(CASE WHEN ${fwdViolation()}
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
-        |  sum(CASE WHEN (w_type IS NULL AND NOT rnull AND r_default IS NULL)
-        |    OR (w_type IS NOT NULL AND rtype <> w_type AND NOT (w_type = 'int' AND rtype = 'bigint'))
-        |    OR (w_type IS NOT NULL AND NOT rnull AND w_null)
-        |    OR (rtype = 'enum' AND w_type = 'enum' AND r_default IS NULL
-        |        AND NOT list_has_all(string_split(r_syms, ','), string_split(w_syms, ',')))
+        |  sum(CASE WHEN ${fwdViolation()}
         |    THEN 1 ELSE 0 END) = 0 AS forward_ok
         |FROM joined GROUP BY subject, version ORDER BY subject, version""".stripMargin,
     "compat_transitive" ->
@@ -646,19 +899,16 @@ object Compat {
         |versions AS (SELECT DISTINCT subject, version FROM fields),
         |pairs AS (
         |  SELECT rf.subject, rf.version AS rv, rf.fname, rf.ftype, rf.fnull,
-        |         rf.fdefault, rf.fsyms,
-        |         wf.ftype AS w_ftype, wf.fnull AS w_fnull, wf.fsyms AS w_fsyms
+        |         rf.fdefault, rf.fsyms, rf.funion,
+        |         wf.ftype AS w_ftype, wf.fnull AS w_fnull, wf.fsyms AS w_fsyms,
+        |         wf.funion AS w_funion
         |  FROM fields rf
         |  JOIN versions wv ON wv.subject = rf.subject AND wv.version < rf.version
         |  LEFT JOIN fields wf ON wf.subject = rf.subject
         |    AND wf.version = wv.version AND wf.fname = rf.fname),
         |badf AS (
         |  SELECT subject, rv AS version, fname,
-        |    max(CASE WHEN (w_ftype IS NULL AND NOT fnull AND fdefault IS NULL)
-        |      OR (w_ftype IS NOT NULL AND ftype <> w_ftype AND NOT (w_ftype = 'int' AND ftype = 'bigint'))
-        |      OR (w_ftype IS NOT NULL AND NOT fnull AND w_fnull)
-        |      OR (ftype = 'enum' AND w_ftype = 'enum' AND fdefault IS NULL
-        |          AND NOT list_has_all(string_split(fsyms, ','), string_split(w_fsyms, ',')))
+        |    max(CASE WHEN ${backViolation()}
         |      THEN 1 ELSE 0 END) AS bad
         |  FROM pairs GROUP BY subject, rv, fname)
         |SELECT subject, version, count(*) AS n_fields,
@@ -674,26 +924,23 @@ object Compat {
         |  WHERE v.version > 1),
         |wf AS (
         |  SELECT g.subject, g.version, g.fname,
-        |         w.ftype, w.fnull, w.fdefault, w.fsyms
+        |         w.ftype, w.fnull, w.fdefault, w.fsyms, w.funion
         |  FROM grid g LEFT JOIN fields w ON w.subject = g.subject
         |    AND w.version = g.version AND w.fname = g.fname),
         |pairs AS (
         |  SELECT wf.subject, wf.version, wf.fname,
         |         wf.ftype AS w_ftype, wf.fnull AS w_fnull, wf.fsyms AS w_fsyms,
+        |         wf.funion AS w_funion,
         |         r.ftype AS r_ftype, r.fnull AS r_fnull,
-        |         r.fdefault AS r_fdefault, r.fsyms AS r_fsyms
+        |         r.fdefault AS r_fdefault, r.fsyms AS r_fsyms, r.funion AS r_funion
         |  FROM wf LEFT JOIN fields r ON r.subject = wf.subject
         |    AND r.fname = wf.fname AND r.version < wf.version),
         |badf AS (
         |  SELECT subject, version, fname,
         |    max(CASE WHEN w_ftype IS NOT NULL THEN 1 ELSE 0 END) AS wpresent,
         |    max(CASE WHEN r_ftype IS NOT NULL AND (
-        |        (w_ftype IS NULL AND NOT r_fnull AND r_fdefault IS NULL)
-        |        OR (w_ftype IS NOT NULL AND r_ftype <> w_ftype
-        |            AND NOT (w_ftype = 'int' AND r_ftype = 'bigint'))
-        |        OR (w_ftype IS NOT NULL AND NOT r_fnull AND w_fnull)
-        |        OR (r_ftype = 'enum' AND w_ftype = 'enum' AND r_fdefault IS NULL
-        |            AND NOT list_has_all(string_split(r_fsyms, ','), string_split(w_fsyms, ','))))
+        |        ${backViolation(rt = "r_ftype", ru = "r_funion", rn = "r_fnull",
+                   rd = "r_fdefault", rs = "r_fsyms")})
         |      THEN 1 ELSE 0 END) AS bad
         |  FROM pairs GROUP BY subject, version, fname)
         |SELECT subject, version,
@@ -707,20 +954,19 @@ object Compat {
         |lf AS (SELECT f.* FROM fields f JOIN maxv ON maxv.subject = f.subject AND f.version = maxv.mv),
         |cand AS (
         |  SELECT * FROM (VALUES
-        |    ('id', 'bigint', false, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
-        |    ('name', 'string', true, NULL, NULL),
-        |    ('email', 'string', false, 'none', NULL),
-        |    ('score', 'bigint', false, NULL, NULL),
-        |    ('status', 'enum', false, NULL, 'A,B')
-        |  ) AS t(fname, ftype, fnull, fdefault, fsyms)),
+        |    ('id', 'bigint', false, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+        |    ('name', 'string', true, NULL, NULL, NULL),
+        |    ('email', 'string', false, 'none', NULL, NULL),
+        |    ('score', 'bigint', false, NULL, NULL, NULL),
+        |    ('status', 'enum', false, NULL, 'A,B', NULL),
+        |    ('ref', 'union', true, NULL, NULL, 'null,string')
+        |  ) AS t(fname, ftype, fnull, fdefault, fsyms, funion)),
         |subs AS (SELECT DISTINCT subject FROM fields),
         |checks AS (
         |  SELECT s.subject,
-        |    CASE WHEN (w.ftype IS NULL AND NOT c.fnull AND c.fdefault IS NULL)
-        |      OR (w.ftype IS NOT NULL AND c.ftype <> w.ftype AND NOT (w.ftype = 'int' AND c.ftype = 'bigint'))
-        |      OR (w.ftype IS NOT NULL AND NOT c.fnull AND w.fnull)
-        |      OR (c.ftype = 'enum' AND w.ftype = 'enum' AND c.fdefault IS NULL
-        |          AND NOT list_has_all(string_split(c.fsyms, ','), string_split(w.fsyms, ',')))
+        |    CASE WHEN ${backViolation(rt = "c.ftype", ru = "c.funion",
+               rn = "c.fnull", rd = "c.fdefault", rs = "c.fsyms",
+               wt = "w.ftype", wn = "w.fnull", ws = "w.fsyms", wu = "w.funion")}
         |    THEN 1 ELSE 0 END AS v
         |  FROM subs s CROSS JOIN cand c
         |  LEFT JOIN lf w ON w.subject = s.subject AND w.fname = c.fname),

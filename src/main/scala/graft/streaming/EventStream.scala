@@ -133,7 +133,7 @@ object EventStream {
 
   final case class RegEvt(subject: Long, ts: java.sql.Timestamp, event_id: Long, k: Long)
   final case class FieldDef(fname: String, ftype: String, fnull: Boolean,
-    fdefault: Option[String], fsyms: Option[String])
+    fdefault: Option[String], fsyms: Option[String], funion: Option[String] = None)
   final case class CompatState(version: Int, fields: Seq[FieldDef])
   final case class CompatOut(subject: Long, version: Int, n_fields: Long,
     n_violations: Long, compatible: Boolean)
@@ -151,13 +151,38 @@ object EventStream {
     if (k % 3 < 2) b += FieldDef("status", "enum", fnull = false,
       if (k % 5 < 3) Some("A") else None,
       if (k % 2 == 0) Some("A,B") else Some("A,B,C"))
+    b += FieldDef("ratio",
+      if (k % 9 < 2) "int" else if (k % 9 < 4) "bigint"
+      else if (k % 9 < 6) "float" else "double", fnull = true, None, None)
+    b += FieldDef("payload", if (k % 13 < 7) "string" else "bytes",
+      fnull = true, None, None)
+    b += FieldDef("ref",
+      if (k % 6 == 0) "int" else if (k % 6 == 1) "string" else "union",
+      fnull = true, None, None,
+      if (k % 6 == 4 || k % 6 == 5) Some("null,string")
+      else if (k % 6 == 2) Some("bigint,null,string")
+      else if (k % 6 == 3) Some("bigint,string") else None)
     b.result()
   }
 
+  /** Promotion closure over branch names (avro/checker.go:304) — the
+    * state-machine twin of [[graft.operators.Compat.typeBreak]]'s
+    * accept sets.
+    */
+  private val nameAccepts: Map[String, Set[String]] = Map(
+    "bigint" -> Set("bigint", "int"),
+    "float" -> Set("float", "bigint", "int"),
+    "double" -> Set("double", "float", "bigint", "int"),
+    "string" -> Set("string", "bytes"),
+    "bytes" -> Set("bytes", "string"))
+  private def branches(f: FieldDef): Seq[String] =
+    f.funion.map(_.split(',').toSeq).getOrElse(Seq(f.ftype))
+
   /** BACKWARD violations of reader (new) vs writer (previous) —
     * the four avro/checker.go rules (:129 missing-without-default,
-    * type change modulo int→long promotion, required-reads-nullable,
-    * :182 enum symbol compat), one count per violating field, exactly
+    * branch-set type resolution covering unions :224/:247/:263 and
+    * the promotion matrix :304, required-reads-nullable, :182 enum
+    * symbol compat), one count per violating field, exactly
     * [[graft.operators.Compat.compatScan]]'s predicate.
     */
   def backwardViolations(reader: Seq[FieldDef], writer: Seq[FieldDef]): Long =
@@ -165,11 +190,12 @@ object EventStream {
       writer.find(_.fname == r.fname) match {
         case None => !r.fnull && r.fdefault.isEmpty
         case Some(w) =>
-          val promotable = w.ftype == "int" && r.ftype == "bigint"
+          val accepts = branches(r).flatMap(b => nameAccepts.getOrElse(b, Set(b))).toSet
+          val typeBreak = branches(w).exists(!accepts(_))
           val enumBreak = r.ftype == "enum" && w.ftype == "enum" &&
             r.fdefault.isEmpty && w.fsyms.exists(ws => r.fsyms.exists(rs =>
               (ws.split(',').toSet -- rs.split(',').toSet).nonEmpty))
-          (r.ftype != w.ftype && !promotable) || (!r.fnull && w.fnull) || enumBreak
+          typeBreak || (!r.fnull && w.fnull) || enumBreak
       }
     }.toLong
 

@@ -73,7 +73,23 @@ class CompatSpec extends SparkSpec {
         if (k % 2 == 0) Array("A", "B") else Array("A", "B", "C"))
       Seq(StructField("status", StringType, nullable = false, b.build()))
     } else Nil
-    StructType(base ++ status)
+    val ratio = StructField("ratio",
+      if (k % 9 < 2) IntegerType else if (k % 9 < 4) LongType
+      else if (k % 9 < 6) FloatType else DoubleType, nullable = true)
+    val payload = StructField("payload",
+      if (k % 13 < 7) StringType else BinaryType, nullable = true)
+    val ref =
+      if (k % 6 == 0) StructField("ref", IntegerType, nullable = true)
+      else if (k % 6 == 1) StructField("ref", StringType, nullable = true)
+      else {
+        val b = new MetadataBuilder()
+        b.putStringArray("unionBranches",
+          if (k % 6 == 2) Array("bigint", "null", "string")
+          else if (k % 6 == 3) Array("bigint", "string")
+          else Array("null", "string"))
+        StructField("ref", StringType, nullable = true, b.build())
+      }
+    StructType(base ++ status ++ Seq(ratio, payload, ref))
   }
 
   /** Per-subject ordered k-sequences for a handful of subjects. */
@@ -124,11 +140,33 @@ class CompatSpec extends SparkSpec {
 
   test("battery query matches hand-traced verdicts") {
     val rows = operators.Compat.checkBattery(spark, sfDir).collect()
-    assert(rows.length == 13)
+    assert(rows.length == 20)
     val verdicts = rows.map(r => r.getAs[Int]("case_id") -> r.getAs[Boolean]("compatible")).toMap
     assert(verdicts == Map(1 -> true, 2 -> false, 3 -> true, 4 -> false, 5 -> true,
       6 -> false, 7 -> true, 8 -> false, 9 -> false, 10 -> true,
-      11 -> true, 12 -> false, 13 -> true))
+      11 -> true, 12 -> false, 13 -> true, 14 -> true, 15 -> false,
+      16 -> false, 17 -> true, 18 -> true, 19 -> true, 20 -> false))
+  }
+
+  test("union resolution: the three checker cases via metadata branch sets") {
+    def uf(branches: String*): StructField = {
+      val b = new MetadataBuilder()
+      b.putStringArray("unionBranches", branches.toArray)
+      StructField("u", StringType, nullable = true, b.build())
+    }
+    val scalarStr = StructType(Seq(StructField("u", StringType, nullable = true)))
+    val scalarInt = StructType(Seq(StructField("u", IntegerType, nullable = true)))
+    val nullStr = StructType(Seq(uf("null", "string")))
+    val wide = StructType(Seq(uf("bigint", "null", "string")))
+    // checkReaderUnion: writer scalar must land in some reader branch
+    assert(SchemaCompat.check(Backward, nullStr, Seq(scalarStr)).isCompatible)
+    assert(SchemaCompat.check(Backward, wide, Seq(scalarInt)).isCompatible) // int→bigint branch
+    assert(!SchemaCompat.check(Backward, nullStr, Seq(scalarInt)).isCompatible)
+    // checkWriterUnion: every writer branch must be readable by scalar reader
+    assert(!SchemaCompat.check(Backward, scalarStr, Seq(nullStr)).isCompatible)
+    // checkUnion: writer branches ⊆ reader accept closure
+    assert(SchemaCompat.check(Backward, wide, Seq(nullStr)).isCompatible)
+    assert(!SchemaCompat.check(Backward, nullStr, Seq(wide)).isCompatible)
   }
 
   test("defaults rescue added-required fields; enum narrowing breaks — both live on the corpus") {
@@ -157,11 +195,12 @@ class CompatSpec extends SparkSpec {
     assert(enumBreaks > 0, "no version with an enum-symbol break")
   }
 
-  test("explain rows account exactly for the scan's violated fields, all 4 classes live") {
+  test("explain rows account exactly for the scan's violated fields, all 5 classes live") {
     import org.apache.spark.sql.functions._
     val explain = operators.Compat.compatExplain(spark, sfDir)
     val classes = explain.select("violation").distinct().collect().map(_.getString(0)).toSet
-    assert(classes == Set("missing_default", "type_change", "required_reads_nullable", "enum_symbols"),
+    assert(classes == Set("missing_default", "type_change", "type_narrowed",
+      "required_reads_nullable", "enum_symbols"),
       s"every diagnosis class must occur on the corpus, got $classes")
     // compat_scan counts violated FIELDS (a field breaking two rules
     // counts once); explain's distinct (subject, version, fname) must

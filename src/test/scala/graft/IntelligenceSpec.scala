@@ -47,10 +47,10 @@ class IntelligenceSpec extends SparkSpec {
     assert(Intelligence.similarSchemas(spark, sfDir).count() == base)
   }
 
-  test("find-by-type: every subject's latest has bigint id; only id/score qualify") {
+  test("find-by-type: every subject's latest has bigint id; only id/score/ratio qualify") {
     val rows = Intelligence.findByType(spark, sfDir).collect()
     assert(rows.nonEmpty)
-    assert(rows.map(_.getAs[String]("fname")).toSet.subsetOf(Set("id", "score")))
+    assert(rows.map(_.getAs[String]("fname")).toSet.subsetOf(Set("id", "score", "ratio")))
     val idSubjects = rows.filter(_.getAs[String]("fname") == "id").map(_.getAs[Long]("subject"))
     val allSubjects = Tables.events(spark, sfDir).select("user_id").distinct().count()
     assert(idSubjects.length == allSubjects, "id is bigint in every latest version")
@@ -66,8 +66,8 @@ class IntelligenceSpec extends SparkSpec {
       "add_default_or_nullable", "widen_int_to_long", "add_enum_default", "deprecate_before_remove")))
     // id is always required+defaultless → the rule fires for every subject
     assert(byRule("add_default_or_nullable").contains("id"))
-    // only score is ever int, and bigint peers exist corpus-wide
-    assert(byRule("widen_int_to_long") == Set("score"))
+    // score and ratio both walk through int with bigint peers corpus-wide
+    assert(byRule("widen_int_to_long") == Set("score", "ratio"))
     // only status is an enum
     assert(byRule("add_enum_default") == Set("status"))
     // some latest step dropped a presence-varying field
@@ -91,7 +91,7 @@ class IntelligenceSpec extends SparkSpec {
     rows.foreach { r =>
       val nf = r.getAs[Long]("n_fields"); val nr = r.getAs[Long]("n_required")
       val nt = r.getAs[Long]("n_types")
-      assert(nf >= 3 && nf <= 5)
+      assert(nf >= 6 && nf <= 8)
       assert(nr <= nf && nt <= nf)
       val expected = math.floor((nf + 0.5 * nt + 0.25 * nr) * 100 + 0.5) / 100.0
       assert(math.abs(r.getAs[Double]("complexity") - expected) < 1e-9)
@@ -102,11 +102,11 @@ class IntelligenceSpec extends SparkSpec {
     val rows = Intelligence.diffFields(spark, sfDir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      // email and status appear/disappear; only score changes type;
-      // only name changes nullability — adds/removes bounded by 2
-      // (both presence-varying fields in one step), the rest by 1
+      // email and status appear/disappear; score/ratio/payload/ref
+      // change type; only name changes nullability — adds/removes
+      // bounded by 2 (both presence-varying fields in one step)
       assert(r.getAs[Long]("n_added") <= 2 && r.getAs[Long]("n_removed") <= 2)
-      assert(r.getAs[Long]("n_type_changed") <= 1 && r.getAs[Long]("n_null_changed") <= 1)
+      assert(r.getAs[Long]("n_type_changed") <= 4 && r.getAs[Long]("n_null_changed") <= 1)
       assert(r.getAs[Int]("version") > 1)
     }
     // diffs exist in both directions somewhere in the corpus
@@ -148,8 +148,8 @@ class IntelligenceSpec extends SparkSpec {
     assert(m.keySet == Set("n_subjects", "total_versions", "multi_version_subjects", "ubiquitous_fields"))
     assert(m("multi_version_subjects") <= m("n_subjects"))
     assert(m("total_versions") >= m("n_subjects"))
-    // id/name/score are always present; email only sometimes
-    assert(m("ubiquitous_fields") == 3)
+    // id/name/score/ratio/payload/ref are always present; email/status only sometimes
+    assert(m("ubiquitous_fields") == 6)
     assert(m("total_versions") == Tables.events(spark, sfDir).count())
   }
 

@@ -111,22 +111,26 @@ class StreamingSpec extends SparkSpec {
       val afterV2 = spark.table("compat_gate_stream").as[CompatOut].collect()
       assert(afterV2.length == 1)
       assert(afterV2.head.version == 2 && afterV2.head.compatible)
-      // batch 3: k=2 — name goes nullable (a nullable reader of a
+      // batch 3: k=14 — name goes nullable (a nullable reader of a
       // required writer is fine), score widens int->bigint (the
-      // promotable direction), and status disappears (field removal
-      // never breaks BACKWARD) -> v3 compatible.
-      stream.addData(RegEvt(7L, ts(20), 3L, 2L))
+      // promotable direction), status disappears (field removal
+      // never breaks BACKWARD), ratio stays float, and ref evolves
+      // scalar string -> union [bigint,null,string] (checkReaderUnion:
+      // the writer scalar lands in a branch) -> v3 compatible.
+      stream.addData(RegEvt(7L, ts(20), 3L, 14L))
       q.processAllAvailable()
       // batch 4: k=5 — name turns REQUIRED while v3's writer had it
-      // nullable (required-reads-nullable), and score narrows
-      // bigint->int (only int->bigint is promotable): two violations.
+      // nullable (required-reads-nullable), score narrows bigint->int
+      // (only int->bigint is promotable), and ref narrows its union
+      // [bigint,null,string] -> [null,string] (the bigint branch is
+      // unreadable): three violations.
       stream.addData(RegEvt(7L, ts(30), 4L, 5L))
       q.processAllAvailable()
       val out = spark.table("compat_gate_stream").as[CompatOut].collect().sortBy(_.version)
       assert(out.map(_.version).toSeq == Seq(2, 3, 4))
-      assert(out(1).compatible, "v3: nullable-reader + int->bigint promotion + removal are all legal")
-      assert(!out(2).compatible && out(2).n_violations == 2L,
-        "v4: required-reads-nullable + bigint->int narrowing must both fire")
+      assert(out(1).compatible, "v3: nullable-reader + promotion + removal + T->[null,T] are all legal")
+      assert(!out(2).compatible && out(2).n_violations == 3L,
+        "v4: required-reads-nullable + bigint->int narrowing + union narrowing must all fire")
     } finally q.stop()
   }
 
