@@ -762,7 +762,140 @@ object Compat {
       .orderBy(col("subject"))
   }
 
+  /** The union dimension's focused face: every consecutive-version
+    * transition of the `ref` field classified by shape
+    * (scalar/union → scalar/union) with its branch-resolution
+    * verdict — the corpus-wide view of checkUnion/checkReaderUnion/
+    * checkWriterUnion (avro/checker.go:224/:247/:263). `ref` lives at
+    * a fixed slot of the positional model array, so the whole report
+    * is two getItems and integer mask ops per version step on top of
+    * the shared window shuffle — no explode at all.
+    */
+  def unionScan(s: SparkSession, dir: String): DataFrame = {
+    val refSlot = 7
+    val v = fieldArrays(s, dir).filter(col("version") > 1)
+    val r = col("flds_all")(refSlot)
+    val wf = col("w_all")(refSlot)
+    v.select(col("subject"), col("version"),
+      coalesce(wf("funion"), wf("ftype")).as("w_set"),
+      coalesce(r("funion"), r("ftype")).as("r_set"),
+      concat(when(wf("funion").isNotNull, "union").otherwise("scalar"),
+        lit("_to_"),
+        when(r("funion").isNotNull, "union").otherwise("scalar")).as("transition"),
+      (wf("fmask").bitwiseAND(acceptsMaskOf(r("fmask"))) === wf("fmask"))
+        .as("union_ok"))
+      .orderBy(col("subject"), col("version"))
+  }
+
+  // -------------------------------------------------------------------
+  // Nested-path compatibility (checkRecord recursion, checkArray,
+  // checkMap — avro/checker.go:54/:102/:215/:220)
+  // -------------------------------------------------------------------
+
+  /** Synthetic NESTED schema model: each registration carries a path
+    * tree — `meta` (record) with scalar children, an optional nested
+    * record `meta.geo`, an array item path `tags[]`, and a map value
+    * path `attrs{}` (the reference's appendPath spellings,
+    * checker.go:216/:221). Flattened to (path, type) rows exactly as
+    * checkSchemas recurses: record fields by name, array/map by their
+    * single item/value child. Derived from k so every nested rule
+    * fires both ways:
+    *  - meta.score walks int→bigint (promotion one way, narrowing the
+    *    other) — a break INVISIBLE to the flat scans, which only see
+    *    top-level fields;
+    *  - meta.rank is required and defaultless but only sometimes
+    *    present — the checker.go:129 missing rule at depth;
+    *  - meta.geo.lat walks float↔double under an optional parent
+    *    (child paths vanish with it — recursion stops at an absent
+    *    subtree);
+    *  - tags[] flips string↔bytes (symmetric promotion — never
+    *    breaks, proving item-level promotion);
+    *  - attrs{} flips int↔string (breaks BOTH directions).
+    */
+  private[operators] def pathArrays(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      col("user_id").as("subject"), col("ts"), col("event_id"),
+      get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+    val w = Window.partitionBy(col("subject")).orderBy(col("ts"), col("event_id"))
+    def p(path: String, ptype: Column, pnull: Column, present: Column,
+          pmask: Column): Column =
+      struct(lit(path).as("path"), ptype.as("ptype"), pnull.as("pnull"),
+        pmask.as("pmask"), present.as("present"))
+    val geoPresent = col("k") % lit(5) < 3
+    ev
+      .withColumn("version", row_number().over(w))
+      .withColumn("paths_all", array(
+        p("meta", lit("record"), lit(false), lit(true), lit(2048)),
+        p("meta.score", when(col("k") % lit(4) < 2, "int").otherwise("bigint"),
+          lit(false), lit(true), when(col("k") % lit(4) < 2, 1).otherwise(2)),
+        p("meta.rank", lit("int"), lit(false), col("k") % lit(11) < 6, lit(1)),
+        p("meta.geo", lit("record"), lit(true), geoPresent, lit(2048)),
+        p("meta.geo.lat", when(col("k") % lit(7) < 4, "float").otherwise("double"),
+          lit(true), geoPresent, when(col("k") % lit(7) < 4, 4).otherwise(8)),
+        p("tags[]", when(col("k") % lit(8) < 5, "string").otherwise("bytes"),
+          lit(true), lit(true), when(col("k") % lit(8) < 5, 16).otherwise(32)),
+        p("attrs{}", when(col("k") % lit(6) < 3, "int").otherwise("string"),
+          lit(true), lit(true), when(col("k") % lit(6) < 3, 1).otherwise(16))))
+      .withColumn("w_paths", lag(col("paths_all"), 1).over(w))
+  }
+
+  /** DuckDB mirror of [[pathArrays]]' relational (subject, version,
+    * path, ptype, pnull) view.
+    */
+  private[operators] val pathModelCte: String =
+    """ev AS (
+      |  SELECT user_id AS subject, ts, event_id,
+      |         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events),
+      |versioned AS (
+      |  SELECT subject, k,
+      |         row_number() OVER (PARTITION BY subject ORDER BY ts, event_id) AS version
+      |  FROM ev),
+      |paths AS (
+      |  SELECT subject, version, 'meta' AS path, 'record' AS ptype, false AS pnull FROM versioned
+      |  UNION ALL SELECT subject, version, 'meta.score',
+      |    CASE WHEN k % 4 < 2 THEN 'int' ELSE 'bigint' END, false FROM versioned
+      |  UNION ALL SELECT subject, version, 'meta.rank', 'int', false FROM versioned WHERE k % 11 < 6
+      |  UNION ALL SELECT subject, version, 'meta.geo', 'record', true FROM versioned WHERE k % 5 < 3
+      |  UNION ALL SELECT subject, version, 'meta.geo.lat',
+      |    CASE WHEN k % 7 < 4 THEN 'float' ELSE 'double' END, true FROM versioned WHERE k % 5 < 3
+      |  UNION ALL SELECT subject, version, 'tags[]',
+      |    CASE WHEN k % 8 < 5 THEN 'string' ELSE 'bytes' END, true FROM versioned
+      |  UNION ALL SELECT subject, version, 'attrs{}',
+      |    CASE WHEN k % 6 < 3 THEN 'int' ELSE 'string' END, true FROM versioned)""".stripMargin
+
+  /** Nested-path BACKWARD scan: version N vs N-1 compared PER PATH
+    * with the same reader/writer rules the flat scan applies per
+    * field — the relational re-expression of checkSchemas' recursion
+    * (each recursive call IS a path row; array items and map values
+    * are the `[]`/`{}` child paths). Same one-window positional
+    * shape as [[backwardFieldChecks]].
+    */
+  def nestedScan(s: SparkSession, dir: String): DataFrame = {
+    val versioned = pathArrays(s, dir).filter(col("version") > 1)
+    val perPath = versioned
+      .select(col("subject"), col("version"), col("w_paths"),
+        posexplode(col("paths_all")).as(Seq("pos", "pth")))
+      .where(col("pth.present"))
+      .withColumn("wp", element_at(col("w_paths"), col("pos") + 1))
+    val r = col("pth")
+    val wp = col("wp")
+    val violation =
+      (!wp("present") && !r("pnull")) ||
+        (wp("present") &&
+          wp("pmask").bitwiseAND(acceptsMaskOf(r("pmask"))) =!= wp("pmask")) ||
+        (wp("present") && !r("pnull") && wp("pnull"))
+    perPath
+      .groupBy(col("subject"), col("version"))
+      .agg(count(lit(1)).as("n_paths"),
+        sum(when(violation, 1L).otherwise(0L)).as("n_violations"))
+      .withColumn("nested_ok", col("n_violations") === 0)
+      .orderBy(col("subject"), col("version"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "compat_union" -> unionScan,
+    "compat_nested" -> nestedScan,
     "compat_check" -> checkBattery,
     "compat_scan" -> compatScan,
     "compat_explain" -> compatExplain,
@@ -801,6 +934,35 @@ object Compat {
       rs = "r_syms", wt = "w_type", wn = "w_null", ws = "w_syms", wu = "w_union")
 
   private val baseOracleSql: Map[String, String] = Map(
+    "compat_union" ->
+      s"""WITH $fieldModelCte,
+        |r AS (SELECT subject, version, ftype, funion FROM fields WHERE fname = 'ref')
+        |SELECT r.subject, r.version,
+        |  coalesce(w.funion, w.ftype) AS w_set,
+        |  coalesce(r.funion, r.ftype) AS r_set,
+        |  (CASE WHEN w.funion IS NOT NULL THEN 'union' ELSE 'scalar' END) || '_to_' ||
+        |  (CASE WHEN r.funion IS NOT NULL THEN 'union' ELSE 'scalar' END) AS transition,
+        |  NOT (${sqlTypeBreak("r.ftype", "r.funion", "w.ftype", "w.funion")}) AS union_ok
+        |FROM r JOIN r w ON w.subject = r.subject AND w.version = r.version - 1
+        |ORDER BY r.subject, r.version""".stripMargin,
+    "compat_nested" ->
+      s"""WITH $pathModelCte,
+        |joined AS (
+        |  SELECT r.subject, r.version, r.ptype, r.pnull,
+        |         w.ptype AS w_ptype, w.pnull AS w_pnull
+        |  FROM paths r LEFT JOIN paths w
+        |    ON r.subject = w.subject AND w.version = r.version - 1 AND r.path = w.path
+        |  WHERE r.version > 1)
+        |SELECT subject, version, n_paths, n_violations, n_violations = 0 AS nested_ok
+        |FROM (
+        |  SELECT subject, version, count(*) AS n_paths,
+        |    CAST(sum(CASE WHEN (w_ptype IS NULL AND NOT pnull)
+        |      OR (w_ptype IS NOT NULL AND ${sqlTypeBreak("ptype",
+               "CAST(NULL AS VARCHAR)", "w_ptype", "CAST(NULL AS VARCHAR)")})
+        |      OR (w_ptype IS NOT NULL AND NOT pnull AND w_pnull)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        |  FROM joined GROUP BY subject, version)
+        |ORDER BY subject, version""".stripMargin,
     "compat_check" ->
       """SELECT * FROM (VALUES
         |  (1, 'add nullable field', 'BACKWARD', true, CAST(0 AS BIGINT)),

@@ -148,6 +148,34 @@ class CompatSpec extends SparkSpec {
       16 -> false, 17 -> true, 18 -> true, 19 -> true, 20 -> false))
   }
 
+  test("compat_union: transitions fire in every shape, verdicts flip both ways") {
+    val rows = operators.Compat.unionScan(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("transition"), r.getAs[Boolean]("union_ok")))
+    val byTransition = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // all four shape transitions occur on the corpus
+    assert(byTransition.keySet == Set(
+      "scalar_to_scalar", "scalar_to_union", "union_to_scalar", "union_to_union"))
+    // widening vs narrowing makes union_to_union carry both verdicts;
+    // same for scalar_to_union (T→[null,T] legal; int-reader unions
+    // reading string writers are not readable the other way around)
+    assert(byTransition("union_to_union") == Set(true, false))
+    assert(byTransition("scalar_to_union").contains(true), "T -> [null,T] must be legal")
+    assert(byTransition("union_to_scalar").contains(false),
+      "dropping the null branch must break somewhere on the corpus")
+  }
+
+  test("compat_nested catches breaks the flat scans cannot see") {
+    val flat = operators.Compat.compatScan(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("subject"), r.getAs[Int]("version")) -> r.getAs[Boolean]("compatible")).toMap
+    val nested = operators.Compat.nestedScan(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("subject"), r.getAs[Int]("version")) -> r.getAs[Boolean]("nested_ok")).toMap
+    assert(nested.values.exists(identity) && nested.values.exists(!_),
+      "nested verdicts must flip both ways on the corpus")
+    val nestedOnly = nested.collect { case (k, ok) if !ok && flat.getOrElse(k, true) => k }
+    assert(nestedOnly.nonEmpty,
+      "some version step must break ONLY at a nested path (invisible to the flat scans)")
+  }
+
   test("union resolution: the three checker cases via metadata branch sets") {
     def uf(branches: String*): StructField = {
       val b = new MetadataBuilder()
