@@ -57,17 +57,24 @@ object Dedup {
     * Shared by the pair report ([[minhashLsh]]) and the duplicate-
     * cluster builder ([[Pipeline.dedupClusters]]).
     */
-  private[operators] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val mh = minhashSignatures(s, dir).cache()
+  /** Band-bucket candidate pairs (distinct, unordered) — the raw LSH
+    * candidate generator, before any signature-agreement threshold.
+    * This is the stage the 100 TB exact verifier consumes.
+    */
+  private[operators] def minhashCandidates(mh: DataFrame): DataFrame = {
     val bands = mh.selectExpr("doc_id", "explode(sequence(0, 3)) AS b", "m")
       .selectExpr("doc_id", "b",
         "md5(concat(element_at(m, b*4+1), element_at(m, b*4+2), element_at(m, b*4+3), element_at(m, b*4+4))) AS band_key")
-    val cand = bands.as("a").join(bands.as("bb"),
+    bands.as("a").join(bands.as("bb"),
         col("a.b") === col("bb.b") && col("a.band_key") === col("bb.band_key") &&
           col("a.doc_id") < col("bb.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("bb.doc_id").as("doc_b"))
       .distinct()
-    cand
+  }
+
+  private[operators] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val mh = minhashSignatures(s, dir).cache()
+    minhashCandidates(mh)
       .join(mh.selectExpr("doc_id AS doc_a", "m AS ma"), "doc_a")
       .join(mh.selectExpr("doc_id AS doc_b", "m AS mb"), "doc_b")
       .selectExpr("doc_a", "doc_b",
@@ -136,7 +143,7 @@ object Dedup {
     * [[minhashRecall]] is the evaluation that justifies running the
     * exact scorer over LSH candidates only.
     */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+  def ngramJaccardBlocked(s: SparkSession, dir: String): DataFrame = {
     graft.functions.Native.register(s)
     val sh = Tables.documents(s, dir)
       .selectExpr("doc_id", "lang", "n_chars div 50 AS len_bucket", "split(text, ' ') AS ts")
@@ -155,6 +162,35 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("graft_jaccard(a.sh, b.sh)").as("jaccard"))
+    Tables.filterBarrier(scored, col("jaccard") >= 0.3)
+      .selectExpr("doc_a", "doc_b", "floor(jaccard * 10000 + 0.5) / cast(10000 AS double) AS jaccard")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The REGISTERED (and benched) n-gram Jaccard verifier — the
+    * 100 TB form: the exact scorer runs ONLY over MinHash-LSH band
+    * candidates, never over blocked all-pairs. Banding keys the only
+    * pair-generating shuffle, the shingle arrays join in by doc_id
+    * (uniform key, no block skew), and the scoring stays row-local —
+    * work is O(candidates), which LSH bounds near-linearly in corpus
+    * size. [[ngramJaccardBlocked]] remains the small-sf truth set
+    * that [[minhashRecall]] scores this candidate generator against
+    * (recall is MEASURED, not assumed — that evaluation is the
+    * license to run candidates-only at scale).
+    */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Native.register(s)
+    val sh = Tables.documents(s, dir)
+      .selectExpr("doc_id", "split(text, ' ') AS ts")
+      .where("size(ts) >= 3")
+      .selectExpr("doc_id",
+        """array_sort(array_distinct(transform(sequence(1, size(ts) - 2),
+          |  i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1), ' ', element_at(ts, i + 2))))) AS sh""".stripMargin)
+    val mh = minhashSignatures(s, dir).cache()
+    val scored = minhashCandidates(mh)
+      .join(sh.selectExpr("doc_id AS doc_a", "sh AS sha"), "doc_a")
+      .join(sh.selectExpr("doc_id AS doc_b", "sh AS shb"), "doc_b")
+      .selectExpr("doc_a", "doc_b", "graft_jaccard(sha, shb) AS jaccard")
     Tables.filterBarrier(scored, col("jaccard") >= 0.3)
       .selectExpr("doc_a", "doc_b", "floor(jaccard * 10000 + 0.5) / cast(10000 AS double) AS jaccard")
       .orderBy(col("doc_a"), col("doc_b"))
@@ -191,7 +227,7 @@ object Dedup {
     * aggregates; output is one accounting row.
     */
   def minhashRecall(s: SparkSession, dir: String): DataFrame = {
-    val truth = ngramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+    val truth = ngramJaccardBlocked(s, dir).select(col("doc_a"), col("doc_b"))
     val cand = minhashPairs(s, dir)
       .select(col("doc_a").as("c_a"), col("doc_b").as("c_b"))
     val hits = truth.join(cand,
@@ -292,15 +328,16 @@ object Dedup {
         |WHERE hamming <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_ngram_jaccard" ->
-      """WITH sh AS (
-        |  SELECT doc_id, lang, n_chars // 50 AS len_bucket,
+      s"""WITH $minhashPairsCte,
+        |shd AS (
+        |  SELECT doc_id,
         |    list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts)-1)]) AS sh
-        |  FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS ts FROM documents) t
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t
         |  WHERE len(ts) >= 3)
         |SELECT doc_a, doc_b, floor(jaccard * 10000 + 0.5) / cast(10000 AS double) AS jaccard FROM (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  SELECT c.doc_a, c.doc_b,
         |    len(list_intersect(a.sh, b.sh)) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
-        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id) t
+        |  FROM cand c JOIN shd a ON c.doc_a = a.doc_id JOIN shd b ON c.doc_b = b.doc_id) t
         |WHERE jaccard >= 0.3
         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_embed_cosine" ->
