@@ -120,25 +120,16 @@ object Bench {
       }
       "\"" + name + "\":" + m
     }.mkString("{", ",", "}")
-    // r3→r4 root-cause note for the q4/q5 "regressions" flagged in
-    // VERDICT r3: profiled with graft.Profile (5 back-to-back runs,
-    // same toRdd.count materialization). (a) The r2→r3 count()→
-    // toRdd.count() switch costs only ~0.1-0.2s on these queries —
-    // not the cause. (b) q5's plan is unchanged (all-dim broadcast,
-    // fact-only shuffle) and times 0.65-1.2s steady across identical
-    // runs — its 2.86s reading was a cold-dominated best-of-two on a
-    // loaded host, not a plan change. (c) q4 DID have a real cost: at
-    // sf0.1 the size estimate broadcast the 600k-row lineitem side of
-    // the semi join (driver hash build). Rewritten to pre-aggregate
-    // max(l_shipdate) per orderkey (EXISTS ⟺ max>cutoff), steady
-    // 1.2s→0.79s and the 100 TB shuffle shrinks ~4× too.
-    val notes = "q4/q5 r3 regression root-caused: host-noise cold runs + " +
-      "q4 600k-row broadcast build; q4 rewritten to max-shipdate pre-agg " +
-      "(see Analytics.q4PriorityCount scaladoc), q5 unchanged-correct. " +
-      "an_find_field's r3 3.6s reading was also cold noise: 5-run steady " +
-      "state is 1.3s, level with an_complexity/an_find_type on the same " +
-      "view. Cross-run totals vary +/-10% with unchanged plans on this " +
-      "host; compare 5-run steady states, not single best-of-two runs."
+    // Methodology note only — round-specific root-cause narratives
+    // belong in SURVEY.md/VERDICT.md, not in every future run's
+    // artifact (an r4 regression story was baked here and re-emitted
+    // verbatim by each subsequent bench).
+    val notes = "value = best of two runs per query (cold JIT/codegen " +
+      "amortizes to zero on a long-lived cluster; min also self-heals " +
+      "transient GC/host stalls). Cross-run totals vary +/-10% with " +
+      "unchanged plans on this host; compare steady states, not single " +
+      "best-of-two runs. Raw cold times in 'cold', plan-shape metrics " +
+      "(shuffles/broadcasts/codegen spans) in 'plans'."
     val detail =
       s"""{"metric":"total","value":${fmt(total, 6)},"unit":"sec","queries":${qmap(6, _._3)},"cold":${qmap(6, _._2)},"plans":$planMetrics,"errors":$errs,"notes":"${esc(notes)}","sf":"$sfDir","cpus":$cpus}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),

@@ -30,6 +30,23 @@ object Verify {
       // for the remaining ~120 queries and squeeze execution memory
       spark.catalog.clearCache()
     }
+    // reg_similar's oracle enumerates ALL identity-class pairs, but
+    // the Spark side excludes classes larger than graft.similar.dfCap
+    // — parity is only meaningful when nothing was dropped. Surface a
+    // loud warning if the guard ever fires on this corpus (the driver
+    // treats stderr lines as diagnostics, not failures).
+    if (keep("reg_similar")) {
+      try {
+        val drop = operators.Intelligence.similarDropReport(spark, sfDir).head()
+        val n = drop.getAs[Long]("n_dropped_signatures")
+        if (n != 0L)
+          System.err.println(s"[verify] WARNING: reg_similar excluded $n identity classes " +
+            s"(${drop.getAs[Long]("n_dropped_postings")} subjects) at the dfCap - " +
+            "the DuckDB oracle enumerates ALL pairs, parity is NOT trustworthy here")
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] similarDropReport guard failed: ${e.getMessage}")
+      }
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

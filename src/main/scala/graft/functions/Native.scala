@@ -229,6 +229,15 @@ object Native {
     // Sorted-key JSON marshal for `default` values — the reference
     // round-trips defaults through Go's json.Marshal, which orders
     // object keys alphabetically.
+    // FIDELITY SCOPE: parity with Go json.Marshal is claimed for the
+    // corpus's schema shapes (integer/string/bool/object defaults
+    // without HTML-significant characters). Known divergences on
+    // inputs outside that scope: Jackson renders a float default as
+    // "7.0" where Go renders "7", and Go HTML-escapes <, >, & inside
+    // strings while this marshal (and value()/field() below) emits
+    // them raw. Mirroring Go exactly would mean porting its float
+    // shortest-round-trip formatter and escape table — not warranted
+    // until a consumer feeds such defaults.
     def marshalSorted(n: JsonNode): String =
       if (n.isObject) {
         val keys = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -136,6 +136,22 @@ object Audit {
         round(expr("percentile(value, 0.99)"), 4).as("p99"))
       .orderBy(col("event_type"))
 
+  /** The 100 TB form of [[latencyPctile]]: `approx_percentile`
+    * (t-digest-style mergeable sketch, map-side combinable) at the
+    * same groupings — the exact `percentile` holds each group's
+    * values and stops scaling when a single event type carries
+    * billions of rows. Spec-checked against the exact operator with
+    * a 5% tolerance (ScalePathSpec) — SURVEY §4's claim, executable.
+    */
+  def latencyPctileApprox(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("approx_percentile(value, 0.5, 10000)").as("p50"),
+        expr("approx_percentile(value, 0.95, 10000)").as("p95"),
+        expr("approx_percentile(value, 0.99, 10000)").as("p99"))
+      .orderBy(col("event_type"))
+
   /** Per-minute event rate (metrics.go rate counters): tumbling
     * 1-minute buckets per type.
     */

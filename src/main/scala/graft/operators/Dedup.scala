@@ -151,7 +151,10 @@ object Dedup {
       .selectExpr("doc_id", "lang", "len_bucket",
         """array_sort(array_distinct(transform(sequence(1, size(ts) - 2),
           |  i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1), ' ', element_at(ts, i + 2))))) AS sh""".stripMargin)
-      .cache()
+      // localCheckpoint (not cache): blocks are ContextCleaner-
+      // collected with the DataFrame, so repeated invocations in a
+      // long-lived session do not accumulate pinned memory
+      .localCheckpoint()
     // Spread the stream side BY ROW (not by block key) so pair
     // scoring parallelizes across the full partition space; the score
     // threshold goes through Tables.filterBarrier so Catalyst cannot

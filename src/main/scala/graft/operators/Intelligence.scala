@@ -118,24 +118,31 @@ object Intelligence {
   /** DiffSchemas / computeFieldDiffs (tools_comparison.go:123,152):
     * added/removed/type-changed/nullability-changed field counts for
     * every consecutive version pair. Entirely row-local after the one
-    * window shuffle: the previous version's fields arrive as the
-    * lag() array and the diff is a pair of exists()-probes over ≤4
-    * elements — no self-join, the same shape argument as
-    * [[Compat.compatScan]].
+    * window shuffle — and, on the positional 8-slot model, entirely
+    * HOF-free: each tally is an integer sum of per-slot presence/
+    * type/nullability comparisons between getItems of the two
+    * arrays, emitted one row per (subject, version) with no second
+    * aggregation shuffle. (The r4 form probed the width-audit-heavy
+    * struct arrays with exists() per field — interpreted, and 1.5×
+    * slower per extra model dimension.)
     */
-  def diffFields(s: SparkSession, dir: String): DataFrame =
+  def diffFields(s: SparkSession, dir: String): DataFrame = {
+    val nSlots = 8
+    def r(i: Int) = col("flds_all")(i)
+    def wf(i: Int) = col("w_all")(i)
+    def cnt(cond: Int => org.apache.spark.sql.Column) =
+      (0 until nSlots).map(i => when(cond(i), 1L).otherwise(0L)).reduce(_ + _)
     Compat.fieldArrays(s, dir)
       .filter(col("version") > 1)
-      .select(col("subject"), col("version").as("version"),
-        expr("cast(size(filter(flds, f -> !exists(w_flds, w -> w.fname = f.fname))) as bigint)")
-          .as("n_added"),
-        expr("cast(size(filter(w_flds, w -> !exists(flds, f -> f.fname = w.fname))) as bigint)")
-          .as("n_removed"),
-        expr("cast(size(filter(flds, f -> exists(w_flds, w -> w.fname = f.fname AND w.ftype != f.ftype))) as bigint)")
-          .as("n_type_changed"),
-        expr("cast(size(filter(flds, f -> exists(w_flds, w -> w.fname = f.fname AND w.fnull != f.fnull))) as bigint)")
-          .as("n_null_changed"))
+      .select(col("subject"), col("version"),
+        cnt(i => r(i)("present") && !wf(i)("present")).as("n_added"),
+        cnt(i => wf(i)("present") && !r(i)("present")).as("n_removed"),
+        cnt(i => r(i)("present") && wf(i)("present") &&
+          r(i)("ftype") =!= wf(i)("ftype")).as("n_type_changed"),
+        cnt(i => r(i)("present") && wf(i)("present") &&
+          r(i)("fnull") =!= wf(i)("fnull")).as("n_null_changed"))
       .orderBy(col("subject"), col("version"))
+  }
 
   /** PlanMigrationPath (tools_intelligence.go:729): can a consumer
     * jump straight from version 1 to latest, or does the chain
@@ -198,12 +205,16 @@ object Intelligence {
     */
   def evolutionSuggest(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("subject"))
-    // cached: four rule branches consume this subjects-sized view —
-    // uncached, each union branch re-runs the events window scan
+    // Materialized once: four rule branches consume this
+    // subjects-sized view — unmaterialized, each union branch re-runs
+    // the events window scan. localCheckpoint (not cache) so the
+    // blocks are ContextCleaner-collected once the DataFrame goes out
+    // of scope: a .cache() here pinned memory for the life of the
+    // session across repeated invocations.
     val latest = Compat.fieldArrays(s, dir)
       .withColumn("maxv", max(col("version")).over(w))
       .filter(col("version") === col("maxv"))
-      .cache()
+      .localCheckpoint()
     val lf = latest.select(col("subject"), explode(col("flds")).as("f"))
       .select(col("subject"), col("f.fname").as("fname"), col("f.ftype").as("ftype"),
         col("f.fnull").as("fnull"), col("f.fdefault").as("fdefault"))

@@ -17,6 +17,10 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  // Convergence-cap warnings (the iterative CC cores). slf4j rides
+  // Spark's own logging backend.
+  private val ccLog = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Duplicate clusters = connected components over the MinHash-LSH
     * near-dup pair graph (the step that turns pairwise candidates
     * into "keep one doc per cluster" at corpus scale). Min-label
@@ -92,6 +96,9 @@ object Pipeline {
       labels = next
       iter += 1
     }
+    if (curSum != prevSum)
+      ccLog.warn(s"ccLabelProp exited at maxIter=$maxIter WITHOUT converging - " +
+        "labels are not a fixpoint; raise maxIter or use graft.clusters.algo=star")
     (labels, iter)
   }
 
@@ -147,6 +154,9 @@ object Pipeline {
       e = next
       iter += 1
     }
+    if (!stable)
+      ccLog.warn(s"ccStar exited at maxIter=$maxIter WITHOUT reaching the edge-set " +
+        "fixpoint - component labels may be wrong; raise maxIter")
     // Converged: every edge is (member → component min); minima label
     // themselves. Nodes absent from e (isolated after self-loop
     // removal) cannot occur here — every input node has a partner.
@@ -397,6 +407,21 @@ object Pipeline {
         round(avg(col("n_chars")), 4).as("avg_chars"),
         round(expr("percentile(n_chars, 0.5)"), 4).as("p50_chars"),
         round(expr("percentile(n_chars, 0.95)"), 4).as("p95_chars"))
+      .orderBy(col("source"), col("lang"))
+
+  /** The 100 TB form of [[corpusStats]]: `approx_percentile` at the
+    * same strata, for corpora whose (source, lang) groups grow
+    * unbounded. Spec-checked against the exact operator with a 5%
+    * tolerance (ScalePathSpec) — SURVEY §4's claim, executable.
+    */
+  def corpusStatsApprox(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        expr("approx_percentile(n_chars, 0.5, 10000)").as("p50_chars"),
+        expr("approx_percentile(n_chars, 0.95, 10000)").as("p95_chars"))
       .orderBy(col("source"), col("lang"))
 
   /** Duplicate-survivor selection — the decision step after

@@ -148,11 +148,31 @@ object TextAnalysis {
     * doc repeating one phrase has low distinct-ratio loss but huge
     * top-bigram coverage). All counts stay integers: the ratio
     * thresholds belong to the consumer, and integer outputs dodge
-    * the decimal-rounding-boundary parity trap entirely. Row-local
-    * higher-order functions over the split array — no explode, no
-    * shuffle, scan-bound at any scale (docs are bounded, so the
-    * O(distinct × len) inner counting is constant per row).
+    * the decimal-rounding-boundary parity trap entirely. Row-local —
+    * no explode, no shuffle — and O(n log n) per document: sort the
+    * grams, then ONE run-length scan finds the longest run (= the top
+    * gram's count), its gram, and the run count (= distinct grams).
+    * The r4 form counted each distinct gram against the whole array —
+    * O(distinct × len) ≈ O(len²) per doc, twice, plus a third re-scan
+    * for the argmax word; on a web corpus a single 100k-token outlier
+    * made one row a 10¹⁰-op straggler. Scanning ascending and keeping
+    * the first strictly-greater run reproduces the old tie-break
+    * (lexicographically smallest among equally-frequent grams)
+    * exactly.
     */
+  private def runLen(arr: String): String =
+    s"""aggregate(array_sort($arr),
+       |  named_struct('prev', cast(null as string), 'cur', 0, 'best', 0,
+       |               'bw', cast(null as string), 'runs', 0),
+       |  (a, x) -> named_struct(
+       |    'prev', x,
+       |    'cur', IF(a.prev <=> x, a.cur + 1, 1),
+       |    'best', IF(IF(a.prev <=> x, a.cur + 1, 1) > a.best,
+       |               IF(a.prev <=> x, a.cur + 1, 1), a.best),
+       |    'bw', IF(IF(a.prev <=> x, a.cur + 1, 1) > a.best, x, a.bw),
+       |    'runs', a.runs + IF(a.prev <=> x, 0, 1)),
+       |  a -> named_struct('best', a.best, 'bw', a.bw, 'runs', a.runs))""".stripMargin
+
   def repetition(s: SparkSession, dir: String): DataFrame =
     Tables.spread(Tables.documents(s, dir))
       .selectExpr("doc_id", "split(text, ' ') AS ws")
@@ -164,18 +184,15 @@ object TextAnalysis {
           |         i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))
           |  ELSE array() END AS gs""".stripMargin)
       .selectExpr("doc_id", "ws", "gs",
-        "array_distinct(ws) AS dw", "array_distinct(gs) AS dg")
-      .selectExpr("doc_id", "ws", "gs", "dw", "dg",
-        "array_max(transform(dw, w -> size(filter(ws, x -> x = w)))) AS top_word_count",
-        "array_max(transform(dg, q -> size(filter(gs, x -> x = q)))) AS tbc")
+        s"${runLen("ws")} AS wtop", s"${runLen("gs")} AS gtop")
       .selectExpr("doc_id",
         "size(ws) AS n_words",
-        "size(dw) AS n_distinct_words",
-        "top_word_count",
-        "array_min(filter(dw, w -> size(filter(ws, x -> x = w)) = top_word_count)) AS top_word",
+        "wtop.runs AS n_distinct_words",
+        "wtop.best AS top_word_count",
+        "wtop.bw AS top_word",
         "size(gs) AS n_bigrams",
-        "size(dg) AS n_distinct_bigrams",
-        "coalesce(tbc, 0) AS top_bigram_count")
+        "gtop.runs AS n_distinct_bigrams",
+        "gtop.best AS top_bigram_count")
       .orderBy(col("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -22,6 +22,50 @@ class ScalePathSpec extends SparkSpec {
     }
   }
 
+  // The sketch's contract is a RANK guarantee (error <= 1/accuracy of
+  // the rank, and it returns a member element), not a value guarantee
+  // — exact percentile() interpolates, so comparing values directly
+  // punishes small strata for discreteness. The executable form of
+  // SURVEY §4's claim: the approx value's empirical rank must sit
+  // within 5 points of the target quantile.
+  private def rankOf(values: Seq[Double], a: Double): Double =
+    values.count(_ <= a).toDouble / values.size
+
+  test("metrics_latency_pctile: approx scale path holds the 5-point rank guarantee") {
+    val groups = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).toSeq).toMap
+    val approx = operators.Audit.latencyPctileApprox(spark, sfDir).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val vs = groups(r.getAs[String]("event_type"))
+      Seq(0.50 -> r.getAs[Double]("p50"), 0.95 -> r.getAs[Double]("p95"),
+        0.99 -> r.getAs[Double]("p99")).foreach { case (q, a) =>
+        val rk = rankOf(vs, a)
+        assert(math.abs(rk - q) <= 0.05 + 1.0 / vs.size,
+          s"${r.get(0)} q=$q: approx=$a has rank $rk")
+      }
+    }
+  }
+
+  test("corpus_stats: approx scale path holds the 5-point rank guarantee") {
+    val groups = Tables.documents(spark, sfDir)
+      .select(col("source"), col("lang"), col("n_chars")).collect()
+      .groupBy(r => (r.getString(0), r.getString(1)))
+      .view.mapValues(_.map(_.getLong(2).toDouble).toSeq).toMap
+    val approx = operators.Pipeline.corpusStatsApprox(spark, sfDir).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val vs = groups((r.getAs[String]("source"), r.getAs[String]("lang")))
+      Seq(0.50 -> r.getAs[Long]("p50_chars").toDouble,
+        0.95 -> r.getAs[Long]("p95_chars").toDouble).foreach { case (q, a) =>
+        val rk = rankOf(vs, a)
+        assert(math.abs(rk - q) <= 0.05 + 1.0 / vs.size,
+          s"${r.get(0)}/${r.get(1)} q=$q: approx=$a has rank $rk")
+      }
+    }
+  }
+
   test("approx_count_distinct tracks exact distinct within 5%") {
     val r = Tables.events(spark, sfDir)
       .agg(countDistinct(col("user_id")).as("exact"),
