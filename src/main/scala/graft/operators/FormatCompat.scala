@@ -31,24 +31,43 @@ object FormatCompat {
   // Protobuf
   // -------------------------------------------------------------------
 
-  /** Synthetic Protobuf message model per registration, number-keyed
-    * (the wire identity — checker.go:159 builds the old-field map by
-    * number). Dimensions per field: fnum, fname, kind, cardinality,
-    * containing oneof. Derived from payload k so every rule fires
-    * both ways in real data:
-    *  - num 2 renames name↔title with k's parity and flips
+  /** Synthetic Protobuf message model per registration, keyed by the
+    * wire identity — the field NUMBER (checker.go:159 builds the
+    * old-field map by number), extended to a composite "number path"
+    * for the nested surface: `6.street` is field `street` inside the
+    * nested message at number 6, `7.key`/`7.value` are the map
+    * entry's synthetic fields (protobuf represents map<k,v> as a
+    * repeated nested MapEntry message with fields 1/2 —
+    * checker.go:481), `6.status` a nested enum (checkNestedEnums
+    * :504). This flattening IS areMessagesStructurallyCompatible
+    * (:423): nested fields matched by number within their parent,
+    * judged by wire group, with absent-in-new wire-safe; the visited
+    * map's cycle guard is unnecessary on a finite path model.
+    * Dimensions per field: fkey, fname, kind, cardinality, containing
+    * oneof. Derived from payload k so every rule fires both ways:
+    *  - key 2 renames name↔title with k's parity and flips
     *    string↔bytes inside the length-delimited wire group — both
     *    compatible (renames tallied, not flagged).
-    *  - num 3 walks int32→int64→fixed64 with k%7 (varint→varint is
+    *  - key 3 walks int32→int64→fixed64 with k%7 (varint→varint is
     *    compatible promotion, →fixed64 crosses wire groups) and flips
     *    optional↔repeated on a scalar kind (breaking both directions,
     *    checker.go:290/:305).
-    *  - num 4 (email) is sometimes absent and sometimes required —
+    *  - key 4 (email) is sometimes absent and sometimes required —
     *    exercising REQUIRED added (checker.go:179), required removed
     *    (:251), and optional→required (:301).
-    *  - num 5 (status, enum — wire-compatible with varint) moves in
+    *  - key 5 (status, enum — wire-compatible with varint) moves in
     *    and out of oneof `contact` (out = breaking, :327; in = fine,
     *    :332) and its removal while in the oneof breaks (:255).
+    *  - key 6 (address, nested message) comes and goes whole —
+    *    optional-message removal is wire-safe, children vanish with
+    *    it; `6.street` flips string↔bytes (same len group, fine),
+    *    `6.zip` flips int32↔fixed64 (crosses varint/64bit — breaks
+    *    BOTH directions at depth), `6.status` is a nested enum that
+    *    appears and disappears inside the subtree.
+    *  - key 7 (labels, map field): `7.key` stays string; `7.value`
+    *    walks int32→int64→string (varint→varint fine; →string
+    *    crosses into len — the map VALUE kind change the flat model
+    *    could never see).
     */
   private[graft] def pbFieldArrays(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select(
@@ -56,27 +75,43 @@ object FormatCompat {
       get_json_object(col("props"), "$.k").cast("bigint").as("k"))
     val w = Window.partitionBy(col("subject")).orderBy(col("ts"), col("event_id"))
     val noOneof = lit(null).cast("string")
-    def f(fnum: Int, fname: Column, kind: Column, card: Column,
+    def f(fkey: String, fname: Column, kind: Column, card: Column,
           oneof: Column, present: Column): Column =
-      struct(lit(fnum).as("fnum"), fname.as("fname"), kind.as("kind"),
+      struct(lit(fkey).as("fkey"), fname.as("fname"), kind.as("kind"),
         card.as("card"), oneof.as("oneof"), present.as("present"))
+    val addrPresent = col("k") % 4 < 3
     ev
       .withColumn("version", row_number().over(w))
       .withColumn("pb", filter(array(
-        f(1, lit("id"), lit("int64"), lit("optional"), noOneof, lit(true)),
-        f(2, when(col("k") % 2 === 0, "name").otherwise("title"),
+        f("1", lit("id"), lit("int64"), lit("optional"), noOneof, lit(true)),
+        f("2", when(col("k") % 2 === 0, "name").otherwise("title"),
           when(col("k") % 9 < 6, "string").otherwise("bytes"),
           lit("optional"), noOneof, lit(true)),
-        f(3, lit("score"),
+        f("3", lit("score"),
           when(col("k") % 7 < 3, "int32").when(col("k") % 7 < 5, "int64")
             .otherwise("fixed64"),
           when(col("k") % 11 < 8, "optional").otherwise("repeated"),
           noOneof, lit(true)),
-        f(4, lit("email"), lit("string"),
+        f("4", lit("email"), lit("string"),
           when(col("k") % 5 === 0, "required").otherwise("optional"),
           noOneof, col("k") % 3 =!= 2),
-        f(5, lit("status"), lit("enum"), lit("optional"),
-          when(col("k") % 2 === 1, "contact"), col("k") % 3 < 2)
+        f("5", lit("status"), lit("enum"), lit("optional"),
+          when(col("k") % 2 === 1, "contact"), col("k") % 3 < 2),
+        f("6", lit("address"), lit("message"), lit("optional"), noOneof, addrPresent),
+        f("6.street", lit("street"),
+          when(col("k") % 9 < 6, "string").otherwise("bytes"),
+          lit("optional"), noOneof, addrPresent),
+        f("6.zip", lit("zip"),
+          when(col("k") % 10 < 5, "int32").otherwise("fixed64"),
+          lit("optional"), noOneof, addrPresent),
+        f("6.status", lit("status"), lit("enum"), lit("optional"), noOneof,
+          addrPresent && col("k") % 9 < 6),
+        f("7", lit("labels"), lit("message"), lit("repeated"), noOneof, lit(true)),
+        f("7.key", lit("key"), lit("string"), lit("optional"), noOneof, lit(true)),
+        f("7.value", lit("value"),
+          when(col("k") % 8 < 3, "int32").when(col("k") % 8 < 6, "int64")
+            .otherwise("string"),
+          lit("optional"), noOneof, lit(true))
       ), fld => fld("present")))
       .withColumn("w_pb", lag(col("pb"), 1).over(w))
   }
@@ -87,7 +122,8 @@ object FormatCompat {
   private def wireGroup(kind: Column): Column =
     when(kind.isin("int32", "int64", "enum"), "varint")
       .when(kind === "fixed64", "64bit")
-      .when(kind.isin("string", "bytes"), "len")
+      // embedded messages (and map entries) are length-delimited
+      .when(kind.isin("string", "bytes", "message"), "len")
 
   /** DuckDB mirror of [[pbFieldArrays]]' relational (subject, version,
     * fnum, fname, kind, card, oneof) view — prepend inside WITH (...).
@@ -102,25 +138,42 @@ object FormatCompat {
       |         row_number() OVER (PARTITION BY subject ORDER BY ts, event_id) AS version
       |  FROM ev),
       |pbf AS (
-      |  SELECT subject, version, 1 AS fnum, 'id' AS fname, 'int64' AS kind,
+      |  SELECT subject, version, '1' AS fkey, 'id' AS fname, 'int64' AS kind,
       |         'optional' AS card, CAST(NULL AS VARCHAR) AS oneof FROM versioned
-      |  UNION ALL SELECT subject, version, 2,
+      |  UNION ALL SELECT subject, version, '2',
       |    CASE WHEN k % 2 = 0 THEN 'name' ELSE 'title' END,
       |    CASE WHEN k % 9 < 6 THEN 'string' ELSE 'bytes' END,
       |    'optional', NULL FROM versioned
-      |  UNION ALL SELECT subject, version, 3, 'score',
+      |  UNION ALL SELECT subject, version, '3', 'score',
       |    CASE WHEN k % 7 < 3 THEN 'int32' WHEN k % 7 < 5 THEN 'int64' ELSE 'fixed64' END,
       |    CASE WHEN k % 11 < 8 THEN 'optional' ELSE 'repeated' END,
       |    NULL FROM versioned
-      |  UNION ALL SELECT subject, version, 4, 'email', 'string',
+      |  UNION ALL SELECT subject, version, '4', 'email', 'string',
       |    CASE WHEN k % 5 = 0 THEN 'required' ELSE 'optional' END,
       |    NULL FROM versioned WHERE k % 3 <> 2
-      |  UNION ALL SELECT subject, version, 5, 'status', 'enum', 'optional',
-      |    CASE WHEN k % 2 = 1 THEN 'contact' END FROM versioned WHERE k % 3 < 2),
+      |  UNION ALL SELECT subject, version, '5', 'status', 'enum', 'optional',
+      |    CASE WHEN k % 2 = 1 THEN 'contact' END FROM versioned WHERE k % 3 < 2
+      |  UNION ALL SELECT subject, version, '6', 'address', 'message', 'optional',
+      |    NULL FROM versioned WHERE k % 4 < 3
+      |  UNION ALL SELECT subject, version, '6.street', 'street',
+      |    CASE WHEN k % 9 < 6 THEN 'string' ELSE 'bytes' END,
+      |    'optional', NULL FROM versioned WHERE k % 4 < 3
+      |  UNION ALL SELECT subject, version, '6.zip', 'zip',
+      |    CASE WHEN k % 10 < 5 THEN 'int32' ELSE 'fixed64' END,
+      |    'optional', NULL FROM versioned WHERE k % 4 < 3
+      |  UNION ALL SELECT subject, version, '6.status', 'status', 'enum',
+      |    'optional', NULL FROM versioned WHERE k % 4 < 3 AND k % 9 < 6
+      |  UNION ALL SELECT subject, version, '7', 'labels', 'message', 'repeated',
+      |    NULL FROM versioned
+      |  UNION ALL SELECT subject, version, '7.key', 'key', 'string', 'optional',
+      |    NULL FROM versioned
+      |  UNION ALL SELECT subject, version, '7.value', 'value',
+      |    CASE WHEN k % 8 < 3 THEN 'int32' WHEN k % 8 < 6 THEN 'int64' ELSE 'string' END,
+      |    'optional', NULL FROM versioned),
       |wiregrp AS (
       |  SELECT * FROM (VALUES ('int32', 'varint'), ('int64', 'varint'),
       |    ('enum', 'varint'), ('fixed64', '64bit'), ('string', 'len'),
-      |    ('bytes', 'len')) AS t(kind, grp))""".stripMargin
+      |    ('bytes', 'len'), ('message', 'len')) AS t(kind, grp))""".stripMargin
 
   /** Protobuf BACKWARD scan over the corpus: version N (reader) vs
     * N-1 (writer), fields matched by NUMBER. Violations
@@ -142,22 +195,22 @@ object FormatCompat {
     */
   def protoScan(s: SparkSession, dir: String): DataFrame = {
     val versioned = pbFieldArrays(s, dir).filter(col("version") > 1)
-    val nums = array_union(
-      transform(col("pb"), x => x("fnum")),
-      transform(col("w_pb"), x => x("fnum")))
-    val perNum = versioned
+    val keys = array_union(
+      transform(col("pb"), x => x("fkey")),
+      transform(col("w_pb"), x => x("fkey")))
+    val perKey = versioned
       .select(col("subject"), col("version"), col("pb"), col("w_pb"),
-        explode(nums).as("num"))
-    val r = get(filter(col("pb"), x => x("fnum") === col("num")), lit(0))
-    val w = get(filter(col("w_pb"), x => x("fnum") === col("num")), lit(0))
-    val probed = perNum.select(
+        explode(keys).as("key"))
+    val r = get(filter(col("pb"), x => x("fkey") === col("key")), lit(0))
+    val w = get(filter(col("w_pb"), x => x("fkey") === col("key")), lit(0))
+    val probed = perKey.select(
       col("subject"), col("version"),
       r("fname").as("r_name"), r("kind").as("r_kind"), r("card").as("r_card"),
       r("oneof").as("r_oneof"),
       w("fname").as("w_name"), w("kind").as("w_kind"), w("card").as("w_card"),
       w("oneof").as("w_oneof"))
     val bothPresent = col("r_kind").isNotNull && col("w_kind").isNotNull
-    val scalarKind = (k: Column) => !k.isin("string", "bytes")
+    val scalarKind = (k: Column) => !k.isin("string", "bytes", "message")
     val violation =
       // added required (checker.go:179)
       (col("w_kind").isNull && col("r_card") === "required") ||
@@ -207,10 +260,14 @@ object FormatCompat {
       get_json_object(col("props"), "$.k").cast("bigint").as("k"))
     val w = Window.partitionBy(col("subject")).orderBy(col("ts"), col("event_id"))
     val noEnum = lit(null).cast("string")
+    val noBound = lit(null).cast("int")
     def p(pname: String, ptype: Column, preq: Column, penum: Column,
-          present: Column): Column =
+          present: Column, pmin: Column = lit(null).cast("int"),
+          pmax: Column = lit(null).cast("int"),
+          palts: Column = lit(null).cast("string")): Column =
       struct(lit(pname).as("pname"), ptype.as("ptype"), preq.as("preq"),
-        penum.as("penum"), present.as("present"))
+        penum.as("penum"), pmin.as("pmin"), pmax.as("pmax"),
+        palts.as("palts"), present.as("present"))
     ev
       .withColumn("version", row_number().over(w))
       .withColumn("open", col("k") % 2 === 0)
@@ -219,9 +276,22 @@ object FormatCompat {
         p("name", lit("string"), col("k") % 3 === 0, noEnum, lit(true)),
         p("tags", when(col("k") % 4 < 2, "array").otherwise("string"),
           lit(false), noEnum, col("k") % 5 < 3),
+        // level carries the NUMERIC BOUNDS dimension: minimum/maximum
+        // appear, move, and vanish with k — tightening (min up, max
+        // down, or a bound appearing) breaks, relaxing never does
+        // (jsonschema/checker.go:901 checkNumericConstraints).
         p("level", lit("integer"), col("k") % 11 < 3,
           when(col("k") % 3 === 1, "1,2,3").otherwise("1,2,3,4"),
-          col("k") % 7 < 4)
+          col("k") % 7 < 4,
+          pmin = when(col("k") % 13 < 4, 1).when(col("k") % 13 < 9, 3).otherwise(noBound),
+          pmax = when(col("k") % 17 < 6, 50).when(col("k") % 17 < 12, 100).otherwise(noBound)),
+        // contact is the SUM TYPE (oneOf/anyOf) property: its
+        // alternative-type set walks string / integer / both — the
+        // reader must keep accepting every alternative the writer
+        // declared (checker.go:676 checkSumTypeCompatibility).
+        p("contact", lit("sum"), lit(false), noEnum, lit(true),
+          palts = when(col("k") % 10 < 4, "integer,string")
+            .when(col("k") % 10 < 7, "string").otherwise("integer"))
       ), fld => fld("present")))
       .withColumn("w_open", lag(col("open"), 1).over(w))
       .withColumn("w_props", lag(col("props_arr"), 1).over(w))
@@ -243,14 +313,21 @@ object FormatCompat {
       |schemas AS (SELECT subject, version, k % 2 = 0 AS open FROM versioned),
       |jsp AS (
       |  SELECT subject, version, 'id' AS pname, 'integer' AS ptype,
-      |         true AS preq, CAST(NULL AS VARCHAR) AS penum FROM versioned
-      |  UNION ALL SELECT subject, version, 'name', 'string', k % 3 = 0, NULL FROM versioned
+      |         true AS preq, CAST(NULL AS VARCHAR) AS penum,
+      |         CAST(NULL AS INT) AS pmin, CAST(NULL AS INT) AS pmax,
+      |         CAST(NULL AS VARCHAR) AS palts FROM versioned
+      |  UNION ALL SELECT subject, version, 'name', 'string', k % 3 = 0, NULL, NULL, NULL, NULL FROM versioned
       |  UNION ALL SELECT subject, version, 'tags',
-      |    CASE WHEN k % 4 < 2 THEN 'array' ELSE 'string' END, false, NULL
+      |    CASE WHEN k % 4 < 2 THEN 'array' ELSE 'string' END, false, NULL, NULL, NULL, NULL
       |    FROM versioned WHERE k % 5 < 3
       |  UNION ALL SELECT subject, version, 'level', 'integer', k % 11 < 3,
-      |    CASE WHEN k % 3 = 1 THEN '1,2,3' ELSE '1,2,3,4' END
-      |    FROM versioned WHERE k % 7 < 4)""".stripMargin
+      |    CASE WHEN k % 3 = 1 THEN '1,2,3' ELSE '1,2,3,4' END,
+      |    CASE WHEN k % 13 < 4 THEN 1 WHEN k % 13 < 9 THEN 3 END,
+      |    CASE WHEN k % 17 < 6 THEN 50 WHEN k % 17 < 12 THEN 100 END,
+      |    NULL FROM versioned WHERE k % 7 < 4
+      |  UNION ALL SELECT subject, version, 'contact', 'sum', false, NULL, NULL, NULL,
+      |    CASE WHEN k % 10 < 4 THEN 'integer,string'
+      |         WHEN k % 10 < 7 THEN 'string' ELSE 'integer' END FROM versioned)""".stripMargin
 
   /** JSON Schema BACKWARD scan: version N (reader) vs N-1 (writer)
     * under the open/closed content model (jsonschema/checker.go).
@@ -281,11 +358,24 @@ object FormatCompat {
     val probed = perProp.select(
       col("subject"), col("version"), col("open"), col("w_open"),
       r("ptype").as("r_type"), r("preq").as("r_req"), r("penum").as("r_enum"),
-      w("ptype").as("w_type"), w("preq").as("w_req"), w("penum").as("w_enum"))
+      r("pmin").as("r_min"), r("pmax").as("r_max"), r("palts").as("r_alts"),
+      w("ptype").as("w_type"), w("preq").as("w_req"), w("penum").as("w_enum"),
+      w("pmin").as("w_min"), w("pmax").as("w_max"), w("palts").as("w_alts"))
     val both = col("r_type").isNotNull && col("w_type").isNotNull
     def cnt(cond: Column): Column = sum(when(cond, 1L).otherwise(0L))
     val enumNarrowed = col("r_enum").isNotNull && col("w_enum").isNotNull &&
       size(array_except(split(col("w_enum"), ","), split(col("r_enum"), ","))) > 0
+    // bounds TIGHTENED (checker.go:878/:901): a reader minimum above
+    // the writer's (or newly appearing) rejects instances the old
+    // schema admitted; symmetrically for maximum. Relaxing or
+    // dropping a bound never breaks.
+    val boundsTightened =
+      (col("r_min").isNotNull && (col("w_min").isNull || col("r_min") > col("w_min"))) ||
+        (col("r_max").isNotNull && (col("w_max").isNull || col("r_max") < col("w_max")))
+    // sum type narrowed (checker.go:676 checkSumTypeCompatibility):
+    // the reader must accept every alternative the writer declared.
+    val sumNarrowed = col("r_alts").isNotNull && col("w_alts").isNotNull &&
+      size(array_except(split(col("w_alts"), ","), split(col("r_alts"), ","))) > 0
     probed
       .groupBy(col("subject"), col("version"))
       .agg(sum(when(col("r_type").isNotNull, 1L).otherwise(0L)).as("n_props"),
@@ -296,11 +386,14 @@ object FormatCompat {
         cnt(both && !col("w_req") && col("r_req")).as("v_opt_req"),
         cnt(both && ((col("w_enum").isNull && col("r_enum").isNotNull) || enumNarrowed))
           .as("v_enum"),
+        cnt(both && boundsTightened).as("v_bounds"),
+        cnt(both && sumNarrowed).as("v_sum"),
         // schema-level: one per step, counted once via max()
         max(when(col("w_open") && !col("open"), 1L).otherwise(0L)).as("v_ap"))
       .withColumn("n_violations",
         col("v_type") + col("v_removed") + col("v_req_added") +
-          col("v_open_added") + col("v_opt_req") + col("v_enum") + col("v_ap"))
+          col("v_open_added") + col("v_opt_req") + col("v_enum") +
+          col("v_bounds") + col("v_sum") + col("v_ap"))
       .withColumn("json_ok", col("n_violations") === 0)
       .orderBy(col("subject"), col("version"))
   }
@@ -313,8 +406,8 @@ object FormatCompat {
     "compat_proto_scan" ->
       s"""WITH $pbModelCte,
         |vers AS (SELECT DISTINCT subject, version FROM pbf WHERE version > 1),
-        |nums AS (
-        |  SELECT DISTINCT v.subject, v.version, f.fnum
+        |keys AS (
+        |  SELECT DISTINCT v.subject, v.version, f.fkey
         |  FROM vers v JOIN pbf f ON f.subject = v.subject
         |    AND f.version IN (v.version, v.version - 1)),
         |probed AS (
@@ -322,9 +415,9 @@ object FormatCompat {
         |    r.fname AS r_name, r.kind AS r_kind, r.card AS r_card, r.oneof AS r_oneof,
         |    w.fname AS w_name, w.kind AS w_kind, w.card AS w_card, w.oneof AS w_oneof,
         |    rg.grp AS r_grp, wg.grp AS w_grp
-        |  FROM nums n
-        |  LEFT JOIN pbf r ON r.subject = n.subject AND r.version = n.version AND r.fnum = n.fnum
-        |  LEFT JOIN pbf w ON w.subject = n.subject AND w.version = n.version - 1 AND w.fnum = n.fnum
+        |  FROM keys n
+        |  LEFT JOIN pbf r ON r.subject = n.subject AND r.version = n.version AND r.fkey = n.fkey
+        |  LEFT JOIN pbf w ON w.subject = n.subject AND w.version = n.version - 1 AND w.fkey = n.fkey
         |  LEFT JOIN wiregrp rg ON rg.kind = r.kind
         |  LEFT JOIN wiregrp wg ON wg.kind = w.kind)
         |SELECT subject, version,
@@ -364,51 +457,43 @@ object FormatCompat {
         |probed AS (
         |  SELECT n.subject, n.version, v.open, v.w_open,
         |    r.ptype AS r_type, r.preq AS r_req, r.penum AS r_enum,
-        |    w.ptype AS w_type, w.preq AS w_req, w.penum AS w_enum
+        |    r.pmin AS r_min, r.pmax AS r_max, r.palts AS r_alts,
+        |    w.ptype AS w_type, w.preq AS w_req, w.penum AS w_enum,
+        |    w.pmin AS w_min, w.pmax AS w_max, w.palts AS w_alts
         |  FROM names n
         |  JOIN vers v ON v.subject = n.subject AND v.version = n.version
         |  LEFT JOIN jsp r ON r.subject = n.subject AND r.version = n.version AND r.pname = n.pname
-        |  LEFT JOIN jsp w ON w.subject = n.subject AND w.version = n.version - 1 AND w.pname = n.pname)
-        |SELECT subject, version,
-        |  CAST(sum(CASE WHEN r_type IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_props,
-        |  CAST(sum(CASE WHEN r_type IS NOT NULL AND w_type IS NOT NULL
-        |    AND r_type <> w_type THEN 1 ELSE 0 END) AS BIGINT) AS v_type,
-        |  CAST(sum(CASE WHEN r_type IS NULL AND NOT open THEN 1 ELSE 0 END) AS BIGINT) AS v_removed,
-        |  CAST(sum(CASE WHEN w_type IS NULL AND r_req THEN 1 ELSE 0 END) AS BIGINT) AS v_req_added,
-        |  CAST(sum(CASE WHEN w_type IS NULL AND NOT r_req AND w_open THEN 1 ELSE 0 END) AS BIGINT) AS v_open_added,
-        |  CAST(sum(CASE WHEN r_type IS NOT NULL AND w_type IS NOT NULL
-        |    AND NOT w_req AND r_req THEN 1 ELSE 0 END) AS BIGINT) AS v_opt_req,
-        |  CAST(sum(CASE WHEN r_type IS NOT NULL AND w_type IS NOT NULL
-        |    AND ((w_enum IS NULL AND r_enum IS NOT NULL)
-        |      OR (w_enum IS NOT NULL AND r_enum IS NOT NULL
-        |          AND NOT list_has_all(string_split(r_enum, ','), string_split(w_enum, ','))))
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS v_enum,
-        |  CAST(max(CASE WHEN w_open AND NOT open THEN 1 ELSE 0 END) AS BIGINT) AS v_ap,
-        |  CAST(sum(CASE WHEN r_type IS NOT NULL AND w_type IS NOT NULL
-        |    AND r_type <> w_type THEN 1 ELSE 0 END)
-        |    + sum(CASE WHEN r_type IS NULL AND NOT open THEN 1 ELSE 0 END)
-        |    + sum(CASE WHEN w_type IS NULL AND r_req THEN 1 ELSE 0 END)
-        |    + sum(CASE WHEN w_type IS NULL AND NOT r_req AND w_open THEN 1 ELSE 0 END)
-        |    + sum(CASE WHEN r_type IS NOT NULL AND w_type IS NOT NULL
-        |        AND NOT w_req AND r_req THEN 1 ELSE 0 END)
-        |    + sum(CASE WHEN r_type IS NOT NULL AND w_type IS NOT NULL
-        |        AND ((w_enum IS NULL AND r_enum IS NOT NULL)
-        |          OR (w_enum IS NOT NULL AND r_enum IS NOT NULL
-        |              AND NOT list_has_all(string_split(r_enum, ','), string_split(w_enum, ','))))
-        |        THEN 1 ELSE 0 END)
-        |    + max(CASE WHEN w_open AND NOT open THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
-        |  sum(CASE WHEN r_type IS NOT NULL AND w_type IS NOT NULL
-        |    AND r_type <> w_type THEN 1 ELSE 0 END)
-        |    + sum(CASE WHEN r_type IS NULL AND NOT open THEN 1 ELSE 0 END)
-        |    + sum(CASE WHEN w_type IS NULL AND r_req THEN 1 ELSE 0 END)
-        |    + sum(CASE WHEN w_type IS NULL AND NOT r_req AND w_open THEN 1 ELSE 0 END)
-        |    + sum(CASE WHEN r_type IS NOT NULL AND w_type IS NOT NULL
-        |        AND NOT w_req AND r_req THEN 1 ELSE 0 END)
-        |    + sum(CASE WHEN r_type IS NOT NULL AND w_type IS NOT NULL
-        |        AND ((w_enum IS NULL AND r_enum IS NOT NULL)
-        |          OR (w_enum IS NOT NULL AND r_enum IS NOT NULL
-        |              AND NOT list_has_all(string_split(r_enum, ','), string_split(w_enum, ','))))
-        |        THEN 1 ELSE 0 END)
-        |    + max(CASE WHEN w_open AND NOT open THEN 1 ELSE 0 END) = 0 AS json_ok
-        |FROM probed GROUP BY subject, version ORDER BY subject, version""".stripMargin)
+        |  LEFT JOIN jsp w ON w.subject = n.subject AND w.version = n.version - 1 AND w.pname = n.pname),
+        |agg AS (
+        |  SELECT subject, version,
+        |    CAST(sum(CASE WHEN r_type IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_props,
+        |    CAST(sum(CASE WHEN r_type IS NOT NULL AND w_type IS NOT NULL
+        |      AND r_type <> w_type THEN 1 ELSE 0 END) AS BIGINT) AS v_type,
+        |    CAST(sum(CASE WHEN r_type IS NULL AND NOT open THEN 1 ELSE 0 END) AS BIGINT) AS v_removed,
+        |    CAST(sum(CASE WHEN w_type IS NULL AND r_req THEN 1 ELSE 0 END) AS BIGINT) AS v_req_added,
+        |    CAST(sum(CASE WHEN w_type IS NULL AND NOT r_req AND w_open THEN 1 ELSE 0 END) AS BIGINT) AS v_open_added,
+        |    CAST(sum(CASE WHEN r_type IS NOT NULL AND w_type IS NOT NULL
+        |      AND NOT w_req AND r_req THEN 1 ELSE 0 END) AS BIGINT) AS v_opt_req,
+        |    CAST(sum(CASE WHEN r_type IS NOT NULL AND w_type IS NOT NULL
+        |      AND ((w_enum IS NULL AND r_enum IS NOT NULL)
+        |        OR (w_enum IS NOT NULL AND r_enum IS NOT NULL
+        |            AND NOT list_has_all(string_split(r_enum, ','), string_split(w_enum, ','))))
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_enum,
+        |    CAST(sum(CASE WHEN r_type IS NOT NULL AND w_type IS NOT NULL AND (
+        |        (r_min IS NOT NULL AND (w_min IS NULL OR r_min > w_min))
+        |        OR (r_max IS NOT NULL AND (w_max IS NULL OR r_max < w_max)))
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_bounds,
+        |    CAST(sum(CASE WHEN r_type IS NOT NULL AND w_type IS NOT NULL
+        |      AND r_alts IS NOT NULL AND w_alts IS NOT NULL
+        |      AND NOT list_has_all(string_split(r_alts, ','), string_split(w_alts, ','))
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_sum,
+        |    CAST(max(CASE WHEN w_open AND NOT open THEN 1 ELSE 0 END) AS BIGINT) AS v_ap
+        |  FROM probed GROUP BY subject, version)
+        |SELECT subject, version, n_props, v_type, v_removed, v_req_added, v_open_added,
+        |  v_opt_req, v_enum, v_bounds, v_sum, v_ap,
+        |  v_type + v_removed + v_req_added + v_open_added + v_opt_req
+        |    + v_enum + v_bounds + v_sum + v_ap AS n_violations,
+        |  v_type + v_removed + v_req_added + v_open_added + v_opt_req
+        |    + v_enum + v_bounds + v_sum + v_ap = 0 AS json_ok
+        |FROM agg ORDER BY subject, version""".stripMargin)
 }

@@ -35,11 +35,39 @@ class FormatCompatSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("proto scan: nested/map-entry keys break at depth, invisible to the flat keys") {
+    import org.apache.spark.sql.functions._
+    // Rebuild the per-step verdicts restricted to the FLAT keys
+    // (1-5): steps that are flat-clean but flagged by the full scan
+    // prove the nested surface (6.*, 7.*) carries its own breaks.
+    val pb = FormatCompat.pbFieldArrays(spark, sfDir).filter(col("version") > 1)
+    val zipBreaks = pb.select(
+      expr("get(filter(pb, x -> x.fkey = '6.zip'), 0).kind").as("r_zip"),
+      expr("get(filter(w_pb, x -> x.fkey = '6.zip'), 0).kind").as("w_zip"),
+      expr("get(filter(pb, x -> x.fkey = '7.value'), 0).kind").as("r_val"),
+      expr("get(filter(w_pb, x -> x.fkey = '7.value'), 0).kind").as("w_val"))
+      .collect()
+    // the nested wire-group transitions fire BOTH ways in the data
+    assert(zipBreaks.exists(r => r.getAs[String]("w_zip") == "int32" && r.getAs[String]("r_zip") == "fixed64"))
+    assert(zipBreaks.exists(r => r.getAs[String]("w_zip") == "fixed64" && r.getAs[String]("r_zip") == "int32"))
+    assert(zipBreaks.exists(r => r.getAs[String]("w_val") == "int64" && r.getAs[String]("r_val") == "string"))
+    assert(zipBreaks.exists(r => r.getAs[String]("w_val") == "int32" && r.getAs[String]("r_val") == "int64"))
+    val scan = FormatCompat.protoScan(spark, sfDir)
+    // some step must be flagged WITH a nested/map kind change live —
+    // the depth surface participates in real verdicts
+    val deep = pb.select(col("subject"), col("version"),
+      expr("""size(filter(pb, x -> x.fkey IN ('6.zip', '7.value') AND
+        get(filter(w_pb, w -> w.fkey = x.fkey), 0).kind IS NOT NULL AND
+        get(filter(w_pb, w -> w.fkey = x.fkey), 0).kind != x.kind)) AS n_deep_kind_changes"""))
+      .join(scan, Seq("subject", "version"))
+    assert(deep.filter(col("n_deep_kind_changes") > 0 && !col("proto_ok")).count() > 0)
+  }
+
   test("json scan: every violation class fires somewhere, counts reconcile") {
     val rows = FormatCompat.jsonScan(spark, sfDir).collect()
     assert(rows.nonEmpty)
     val classes = Seq("v_type", "v_removed", "v_req_added", "v_open_added",
-      "v_opt_req", "v_enum", "v_ap")
+      "v_opt_req", "v_enum", "v_bounds", "v_sum", "v_ap")
     classes.foreach { c =>
       assert(rows.exists(_.getAs[Long](c) > 0), s"$c never fires on the corpus")
     }
