@@ -82,7 +82,7 @@ object FormatCompat {
     val addrPresent = col("k") % 4 < 3
     ev
       .withColumn("version", row_number().over(w))
-      .withColumn("pb", filter(array(
+      .withColumn("pb_all", array(
         f("1", lit("id"), lit("int64"), lit("optional"), noOneof, lit(true)),
         f("2", when(col("k") % 2 === 0, "name").otherwise("title"),
           when(col("k") % 9 < 6, "string").otherwise("bytes"),
@@ -112,9 +112,14 @@ object FormatCompat {
           when(col("k") % 8 < 3, "int32").when(col("k") % 8 < 6, "int64")
             .otherwise("string"),
           lit("optional"), noOneof, lit(true))
-      ), fld => fld("present")))
-      .withColumn("w_pb", lag(col("pb"), 1).over(w))
+      ))
+      .withColumn("w_all", lag(col("pb_all"), 1).over(w))
+      // present-only views for set-shaped consumers (specs); the scan
+      // itself pairs slots positionally on the unfiltered arrays
+      .withColumn("pb", filter(col("pb_all"), fld => fld("present")))
+      .withColumn("w_pb", filter(col("w_all"), fld => fld("present")))
   }
+
 
   /** Wire-format group per kind (checker.go:361 compatibleGroups;
     * enum rides varint per :393). Model kinds only.
@@ -195,20 +200,26 @@ object FormatCompat {
     */
   def protoScan(s: SparkSession, dir: String): DataFrame = {
     val versioned = pbFieldArrays(s, dir).filter(col("version") > 1)
-    val keys = array_union(
-      transform(col("pb"), x => x("fkey")),
-      transform(col("w_pb"), x => x("fkey")))
+    // Positional slot pairing (same shape as the Avro scans): both
+    // versions share the fixed 12-slot layout, so the reader↔writer
+    // key match is element_at by the posexploded index — codegen'd —
+    // instead of two filter-by-fkey HOF probes per key. Absence is
+    // the slot's present flag, surfaced as NULL kind (what the
+    // rules' IS NULL arms already consume).
     val perKey = versioned
-      .select(col("subject"), col("version"), col("pb"), col("w_pb"),
-        explode(keys).as("key"))
-    val r = get(filter(col("pb"), x => x("fkey") === col("key")), lit(0))
-    val w = get(filter(col("w_pb"), x => x("fkey") === col("key")), lit(0))
+      .select(col("subject"), col("version"), col("w_all"),
+        posexplode(col("pb_all")).as(Seq("pos", "rf")))
+      .withColumn("wfp", element_at(col("w_all"), col("pos") + 1))
+      .where(col("rf.present") || col("wfp.present"))
+    def side(f: Column): Seq[Column] = Seq(
+      when(f("present"), f("fname")), when(f("present"), f("kind")),
+      when(f("present"), f("card")), when(f("present"), f("oneof")))
+    val Seq(rn, rk, rc, ro) = side(col("rf"))
+    val Seq(wn, wk, wc, wo) = side(col("wfp"))
     val probed = perKey.select(
       col("subject"), col("version"),
-      r("fname").as("r_name"), r("kind").as("r_kind"), r("card").as("r_card"),
-      r("oneof").as("r_oneof"),
-      w("fname").as("w_name"), w("kind").as("w_kind"), w("card").as("w_card"),
-      w("oneof").as("w_oneof"))
+      rn.as("r_name"), rk.as("r_kind"), rc.as("r_card"), ro.as("r_oneof"),
+      wn.as("w_name"), wk.as("w_kind"), wc.as("w_card"), wo.as("w_oneof"))
     val bothPresent = col("r_kind").isNotNull && col("w_kind").isNotNull
     val scalarKind = (k: Column) => !k.isin("string", "bytes", "message")
     val violation =
@@ -271,7 +282,7 @@ object FormatCompat {
     ev
       .withColumn("version", row_number().over(w))
       .withColumn("open", col("k") % 2 === 0)
-      .withColumn("props_arr", filter(array(
+      .withColumn("props_all", array(
         p("id", lit("integer"), lit(true), noEnum, lit(true)),
         p("name", lit("string"), col("k") % 3 === 0, noEnum, lit(true)),
         p("tags", when(col("k") % 4 < 2, "array").otherwise("string"),
@@ -292,10 +303,14 @@ object FormatCompat {
         p("contact", lit("sum"), lit(false), noEnum, lit(true),
           palts = when(col("k") % 10 < 4, "integer,string")
             .when(col("k") % 10 < 7, "string").otherwise("integer"))
-      ), fld => fld("present")))
+      ))
       .withColumn("w_open", lag(col("open"), 1).over(w))
-      .withColumn("w_props", lag(col("props_arr"), 1).over(w))
+      .withColumn("w_all", lag(col("props_all"), 1).over(w))
+      // present-only views for set-shaped consumers (specs)
+      .withColumn("props_arr", filter(col("props_all"), fld => fld("present")))
+      .withColumn("w_props", filter(col("w_all"), fld => fld("present")))
   }
+
 
   /** DuckDB mirror of [[jsFieldArrays]] — (subject, version, open)
     * schema rows + (subject, version, pname, ptype, preq, penum)
@@ -347,20 +362,24 @@ object FormatCompat {
     */
   def jsonScan(s: SparkSession, dir: String): DataFrame = {
     val versioned = jsFieldArrays(s, dir).filter(col("version") > 1)
-    val names = array_union(
-      transform(col("props_arr"), x => x("pname")),
-      transform(col("w_props"), x => x("pname")))
+    // Positional slot pairing — see [[protoScan]]'s note.
     val perProp = versioned
       .select(col("subject"), col("version"), col("open"), col("w_open"),
-        col("props_arr"), col("w_props"), explode(names).as("pname"))
-    val r = get(filter(col("props_arr"), x => x("pname") === col("pname")), lit(0))
-    val w = get(filter(col("w_props"), x => x("pname") === col("pname")), lit(0))
+        col("w_all"), posexplode(col("props_all")).as(Seq("pos", "rp")))
+      .withColumn("wp", element_at(col("w_all"), col("pos") + 1))
+      .where(col("rp.present") || col("wp.present"))
+    def side(f: Column): Seq[Column] = Seq(
+      when(f("present"), f("ptype")), when(f("present"), f("preq")),
+      when(f("present"), f("penum")), when(f("present"), f("pmin")),
+      when(f("present"), f("pmax")), when(f("present"), f("palts")))
+    val Seq(rt, rq, re, rmin, rmax, ra) = side(col("rp"))
+    val Seq(wt, wq, we, wmin, wmax, wa) = side(col("wp"))
     val probed = perProp.select(
       col("subject"), col("version"), col("open"), col("w_open"),
-      r("ptype").as("r_type"), r("preq").as("r_req"), r("penum").as("r_enum"),
-      r("pmin").as("r_min"), r("pmax").as("r_max"), r("palts").as("r_alts"),
-      w("ptype").as("w_type"), w("preq").as("w_req"), w("penum").as("w_enum"),
-      w("pmin").as("w_min"), w("pmax").as("w_max"), w("palts").as("w_alts"))
+      rt.as("r_type"), rq.as("r_req"), re.as("r_enum"),
+      rmin.as("r_min"), rmax.as("r_max"), ra.as("r_alts"),
+      wt.as("w_type"), wq.as("w_req"), we.as("w_enum"),
+      wmin.as("w_min"), wmax.as("w_max"), wa.as("w_alts"))
     val both = col("r_type").isNotNull && col("w_type").isNotNull
     def cnt(cond: Column): Column = sum(when(cond, 1L).otherwise(0L))
     val enumNarrowed = col("r_enum").isNotNull && col("w_enum").isNotNull &&
