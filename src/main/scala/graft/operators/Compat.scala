@@ -39,7 +39,18 @@ object Compat {
     */
   private val typeBits: Seq[(String, Int)] = Seq(
     "int" -> 1, "bigint" -> 2, "float" -> 4, "double" -> 8,
-    "string" -> 16, "bytes" -> 32, "enum" -> 64, "null" -> 128)
+    "string" -> 16, "bytes" -> 32, "enum" -> 64, "null" -> 128,
+    // Avro fixed, one bit PER SIZE (checkFixed avro/checker.go:280:
+    // size mismatch breaks, symmetrically, no promotion) — distinct
+    // type bits make the size rule fall out of the mask algebra with
+    // no extra code. The model's name is constant, so the :280 name
+    // rule has no data to fire on (cited, not modeled).
+    "fixed8" -> 256, "fixed16" -> 512)
+
+  /** OR of every type bit — the complement space for the transitive
+    * scans' cannot-decode accounting.
+    */
+  private val allTypeBits: Int = typeBits.map(_._2).reduce(_ | _)
 
   /** Bitmask of a field's branch set. Bits are disjoint so + ≡ |. */
   private[operators] def maskOf(ftype: Column, funion: Column): Column = {
@@ -178,7 +189,13 @@ object Compat {
     (19, "numeric promotion int to double", Backward,
       st(("ratio", DoubleType, true)), Seq(st(("ratio", IntegerType, true)))),
     (20, "numeric narrowing double to float", Backward,
-      st(("ratio", FloatType, true)), Seq(st(("ratio", DoubleType, true)))))
+      st(("ratio", FloatType, true)), Seq(st(("ratio", DoubleType, true)))),
+    (21, "fixed size mismatch", Backward,
+      StructType(Seq(mf("token", BinaryType, nullable = true, union = Seq("fixed8")))),
+      Seq(StructType(Seq(mf("token", BinaryType, nullable = true, union = Seq("fixed16")))))),
+    (22, "fixed same size", Backward,
+      StructType(Seq(mf("token", BinaryType, nullable = true, union = Seq("fixed16")))),
+      Seq(StructType(Seq(mf("token", BinaryType, nullable = true, union = Seq("fixed16")))))))
 
   def checkBattery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -291,7 +308,10 @@ object Compat {
           nullStr, nullStr,
           when(col("k") % lit(6) === 4 || col("k") % lit(6) === 5, "null,string")
             .when(col("k") % lit(6) === 2, "bigint,null,string")
-            .when(col("k") % lit(6) === 3, "bigint,string"))
+            .when(col("k") % lit(6) === 3, "bigint,string")),
+        f("token", when(col("k") % lit(23) < 12, "fixed8").otherwise("fixed16"),
+          lit(true), lit(true),
+          when(col("k") % lit(23) < 12, 256).otherwise(512))
       ))
       .withColumn("w_all", lag(col("flds_all"), 1).over(w))
       // present-only views for consumers that think in field SETS
@@ -303,7 +323,7 @@ object Compat {
   }
 
   /** Number of slots in the positional field-model array. */
-  private val nSlots = 8
+  private val nSlots = 9
 
   /** DuckDB mirror of [[fieldArrays]]' relational (subject, version,
     * fname, ftype, fnull, fdefault, fsyms) view — prepend inside
@@ -341,7 +361,10 @@ object Compat {
       |    true, NULL, NULL,
       |    CASE WHEN k % 6 IN (4, 5) THEN 'null,string'
       |         WHEN k % 6 = 2 THEN 'bigint,null,string'
-      |         WHEN k % 6 = 3 THEN 'bigint,string' END FROM versioned)""".stripMargin
+      |         WHEN k % 6 = 3 THEN 'bigint,string' END FROM versioned
+      |  UNION ALL SELECT subject, version, 'token',
+      |    CASE WHEN k % 23 < 12 THEN 'fixed8' ELSE 'fixed16' END,
+      |    true, NULL, NULL, NULL FROM versioned)""".stripMargin
 
   /** Per-reader-field rows for version N vs N-1 with each Avro rule's
     * individual verdict as a flag column — the shared core of
@@ -528,20 +551,20 @@ object Compat {
     // (list_has_all, pairwise) — parity proves this O(V)
     // specialization equals it on the vocabulary.
     val histBits = col("bm")
-      .bitwiseOR(when(col("fnull"), lit(256)).otherwise(lit(0)))
-      .bitwiseOR(when(col("fsyms") === "A,B,C", lit(512)).otherwise(lit(0)))
+      .bitwiseOR(when(col("fnull"), lit(1024)).otherwise(lit(0)))
+      .bitwiseOR(when(col("fsyms") === "A,B,C", lit(2048)).otherwise(lit(0)))
     val enriched = fieldsDf
       .withColumn("c_present", count(lit(1)).over(w))
       .withColumn("hist", coalesce(bit_or(histBits).over(w), lit(0)))
     val typeBad =
-      col("hist").bitwiseAND(lit(255)).bitwiseAND(col("am")) =!=
-        col("hist").bitwiseAND(lit(255))
+      col("hist").bitwiseAND(lit(allTypeBits)).bitwiseAND(col("am")) =!=
+        col("hist").bitwiseAND(lit(allTypeBits))
     val bad =
       (!col("fnull") && col("fdefault").isNull && col("c_present") < col("version") - 1) ||
         typeBad ||
-        (!col("fnull") && col("hist").bitwiseAND(lit(256)) =!= 0) ||
+        (!col("fnull") && col("hist").bitwiseAND(lit(1024)) =!= 0) ||
         (col("ftype") === "enum" && col("fdefault").isNull &&
-          col("fsyms") === "A,B" && col("hist").bitwiseAND(lit(512)) =!= 0)
+          col("fsyms") === "A,B" && col("hist").bitwiseAND(lit(2048)) =!= 0)
     enriched.filter(col("version") > 1)
       .groupBy(col("subject"), col("version"))
       .agg(count(lit(1)).as("n_fields"),
@@ -619,20 +642,20 @@ object Compat {
     // required reader, a narrow defaultless enum reader) — every one
     // of them was only ever consumed as `count > 0`.
     val histBits =
-      when(present, (lit(255) - col("am"))
-        .bitwiseOR(when(!col("fnull") && col("fdefault").isNull, lit(256)).otherwise(lit(0)))
-        .bitwiseOR(when(!col("fnull"), lit(512)).otherwise(lit(0))))
+      when(present, (lit(allTypeBits) - col("am"))
+        .bitwiseOR(when(!col("fnull") && col("fdefault").isNull, lit(1024)).otherwise(lit(0)))
+        .bitwiseOR(when(!col("fnull"), lit(2048)).otherwise(lit(0))))
         .otherwise(lit(0))
-        .bitwiseOR(when(col("fsyms") === "A,B" && col("fdefault").isNull, lit(1024))
+        .bitwiseOR(when(col("fsyms") === "A,B" && col("fdefault").isNull, lit(4096))
           .otherwise(lit(0)))
     val enriched = probed
       .withColumn("hist", coalesce(bit_or(histBits).over(w), lit(0)))
-    val typeBad = col("bm").bitwiseAND(col("hist")).bitwiseAND(lit(255)) =!= 0
+    val typeBad = col("bm").bitwiseAND(col("hist")).bitwiseAND(lit(allTypeBits)) =!= 0
     val bad =
-      (!present && col("hist").bitwiseAND(lit(256)) =!= 0) ||
+      (!present && col("hist").bitwiseAND(lit(1024)) =!= 0) ||
         (present && typeBad) ||
-        (present && col("fnull") && col("hist").bitwiseAND(lit(512)) =!= 0) ||
-        (col("fsyms") === "A,B,C" && col("hist").bitwiseAND(lit(1024)) =!= 0)
+        (present && col("fnull") && col("hist").bitwiseAND(lit(2048)) =!= 0) ||
+        (col("fsyms") === "A,B,C" && col("hist").bitwiseAND(lit(4096)) =!= 0)
     enriched.filter(col("version") > 1)
       .groupBy(col("subject"), col("version"))
       .agg(sum(when(present, 1L).otherwise(0L)).as("n_fields"),
@@ -984,7 +1007,9 @@ object Compat {
         |  (17, 'union branch added', 'BACKWARD', true, CAST(0 AS BIGINT)),
         |  (18, 'writer int promotes into reader union long branch', 'BACKWARD', true, CAST(0 AS BIGINT)),
         |  (19, 'numeric promotion int to double', 'BACKWARD', true, CAST(0 AS BIGINT)),
-        |  (20, 'numeric narrowing double to float', 'BACKWARD', false, CAST(1 AS BIGINT))
+        |  (20, 'numeric narrowing double to float', 'BACKWARD', false, CAST(1 AS BIGINT)),
+        |  (21, 'fixed size mismatch', 'BACKWARD', false, CAST(1 AS BIGINT)),
+        |  (22, 'fixed same size', 'BACKWARD', true, CAST(0 AS BIGINT))
         |) AS t(case_id, description, mode, compatible, n_messages)
         |ORDER BY case_id""".stripMargin,
     "compat_scan" ->

@@ -275,10 +275,13 @@ object FormatCompat {
     def p(pname: String, ptype: Column, preq: Column, penum: Column,
           present: Column, pmin: Column = lit(null).cast("int"),
           pmax: Column = lit(null).cast("int"),
-          palts: Column = lit(null).cast("string")): Column =
+          palts: Column = lit(null).cast("string"),
+          pdep: Column = lit(null).cast("string"),
+          ptuple: Column = lit(null).cast("string")): Column =
       struct(lit(pname).as("pname"), ptype.as("ptype"), preq.as("preq"),
         penum.as("penum"), pmin.as("pmin"), pmax.as("pmax"),
-        palts.as("palts"), present.as("present"))
+        palts.as("palts"), pdep.as("pdep"), ptuple.as("ptuple"),
+        present.as("present"))
     ev
       .withColumn("version", row_number().over(w))
       .withColumn("open", col("k") % 2 === 0)
@@ -302,7 +305,23 @@ object FormatCompat {
         // declared (checker.go:676 checkSumTypeCompatibility).
         p("contact", lit("sum"), lit(false), noEnum, lit(true),
           palts = when(col("k") % 10 < 4, "integer,string")
-            .when(col("k") % 10 < 7, "string").otherwise("integer"))
+            .when(col("k") % 10 < 7, "string").otherwise("integer"),
+          // dependentRequired (checker.go:1043, Draft-2020): the set
+          // of properties contact's presence requires — adding the
+          // keyword or changing its name set breaks (old instances
+          // may lack the newly-required names); dropping the keyword
+          // wholesale relaxes and never breaks.
+          pdep = when(col("k") % 19 < 6, lit(null).cast("string"))
+            .when(col("k") % 19 < 12, "name").otherwise("level,name")),
+        // coords carries the TUPLE ITEMS dimension (checker.go:433,
+        // prefixItems): per-position types; a common-position type
+        // change breaks, EXTENDING the tuple constrains a previously
+        // free position (breaks, no additionalItems schema here),
+        // shortening relaxes.
+        p("coords", lit("array"), lit(false), noEnum, lit(true),
+          ptuple = when(col("k") % 21 < 7, "integer,integer")
+            .when(col("k") % 21 < 14, "integer,integer,integer")
+            .otherwise("number,integer"))
       ))
       .withColumn("w_open", lag(col("open"), 1).over(w))
       .withColumn("w_all", lag(col("props_all"), 1).over(w))
@@ -330,19 +349,26 @@ object FormatCompat {
       |  SELECT subject, version, 'id' AS pname, 'integer' AS ptype,
       |         true AS preq, CAST(NULL AS VARCHAR) AS penum,
       |         CAST(NULL AS INT) AS pmin, CAST(NULL AS INT) AS pmax,
-      |         CAST(NULL AS VARCHAR) AS palts FROM versioned
-      |  UNION ALL SELECT subject, version, 'name', 'string', k % 3 = 0, NULL, NULL, NULL, NULL FROM versioned
+      |         CAST(NULL AS VARCHAR) AS palts, CAST(NULL AS VARCHAR) AS pdep,
+      |         CAST(NULL AS VARCHAR) AS ptuple FROM versioned
+      |  UNION ALL SELECT subject, version, 'name', 'string', k % 3 = 0, NULL, NULL, NULL, NULL, NULL, NULL FROM versioned
       |  UNION ALL SELECT subject, version, 'tags',
-      |    CASE WHEN k % 4 < 2 THEN 'array' ELSE 'string' END, false, NULL, NULL, NULL, NULL
+      |    CASE WHEN k % 4 < 2 THEN 'array' ELSE 'string' END, false, NULL, NULL, NULL, NULL, NULL, NULL
       |    FROM versioned WHERE k % 5 < 3
       |  UNION ALL SELECT subject, version, 'level', 'integer', k % 11 < 3,
       |    CASE WHEN k % 3 = 1 THEN '1,2,3' ELSE '1,2,3,4' END,
       |    CASE WHEN k % 13 < 4 THEN 1 WHEN k % 13 < 9 THEN 3 END,
       |    CASE WHEN k % 17 < 6 THEN 50 WHEN k % 17 < 12 THEN 100 END,
-      |    NULL FROM versioned WHERE k % 7 < 4
+      |    NULL, NULL, NULL FROM versioned WHERE k % 7 < 4
       |  UNION ALL SELECT subject, version, 'contact', 'sum', false, NULL, NULL, NULL,
       |    CASE WHEN k % 10 < 4 THEN 'integer,string'
-      |         WHEN k % 10 < 7 THEN 'string' ELSE 'integer' END FROM versioned)""".stripMargin
+      |         WHEN k % 10 < 7 THEN 'string' ELSE 'integer' END,
+      |    CASE WHEN k % 19 < 6 THEN NULL WHEN k % 19 < 12 THEN 'name' ELSE 'level,name' END,
+      |    NULL FROM versioned
+      |  UNION ALL SELECT subject, version, 'coords', 'array', false, NULL, NULL, NULL, NULL, NULL,
+      |    CASE WHEN k % 21 < 7 THEN 'integer,integer'
+      |         WHEN k % 21 < 14 THEN 'integer,integer,integer'
+      |         ELSE 'number,integer' END FROM versioned)""".stripMargin
 
   /** JSON Schema BACKWARD scan: version N (reader) vs N-1 (writer)
     * under the open/closed content model (jsonschema/checker.go).
@@ -371,15 +397,18 @@ object FormatCompat {
     def side(f: Column): Seq[Column] = Seq(
       when(f("present"), f("ptype")), when(f("present"), f("preq")),
       when(f("present"), f("penum")), when(f("present"), f("pmin")),
-      when(f("present"), f("pmax")), when(f("present"), f("palts")))
-    val Seq(rt, rq, re, rmin, rmax, ra) = side(col("rp"))
-    val Seq(wt, wq, we, wmin, wmax, wa) = side(col("wp"))
+      when(f("present"), f("pmax")), when(f("present"), f("palts")),
+      when(f("present"), f("pdep")), when(f("present"), f("ptuple")))
+    val Seq(rt, rq, re, rmin, rmax, ra, rd, rtu) = side(col("rp"))
+    val Seq(wt, wq, we, wmin, wmax, wa, wd, wtu) = side(col("wp"))
     val probed = perProp.select(
       col("subject"), col("version"), col("open"), col("w_open"),
       rt.as("r_type"), rq.as("r_req"), re.as("r_enum"),
       rmin.as("r_min"), rmax.as("r_max"), ra.as("r_alts"),
+      rd.as("r_dep"), rtu.as("r_tuple"),
       wt.as("w_type"), wq.as("w_req"), we.as("w_enum"),
-      wmin.as("w_min"), wmax.as("w_max"), wa.as("w_alts"))
+      wmin.as("w_min"), wmax.as("w_max"), wa.as("w_alts"),
+      wd.as("w_dep"), wtu.as("w_tuple"))
     val both = col("r_type").isNotNull && col("w_type").isNotNull
     def cnt(cond: Column): Column = sum(when(cond, 1L).otherwise(0L))
     val enumNarrowed = col("r_enum").isNotNull && col("w_enum").isNotNull &&
@@ -395,6 +424,23 @@ object FormatCompat {
     // the reader must accept every alternative the writer declared.
     val sumNarrowed = col("r_alts").isNotNull && col("w_alts").isNotNull &&
       size(array_except(split(col("w_alts"), ","), split(col("r_alts"), ","))) > 0
+    // dependentRequired (checker.go:1043): keyword added, or the
+    // entry's name set changed (either direction of the set diff is
+    // "changed") — only dropping the keyword wholesale is relaxing.
+    val depBroken =
+      (col("r_dep").isNotNull && col("w_dep").isNull) ||
+        (col("r_dep").isNotNull && col("w_dep").isNotNull && col("r_dep") =!= col("w_dep"))
+    // tuple items (checker.go:433): a common-position type change, or
+    // the tuple EXTENDING (a previously unconstrained position is now
+    // constrained; no additionalItems schema in the model) — a
+    // shorter reader tuple only relaxes.
+    val rTup = split(col("r_tuple"), ",")
+    val wTup = split(col("w_tuple"), ",")
+    val commonPosChanged = exists(
+      zip_with(rTup, wTup, (a, b) => a.isNotNull && b.isNotNull && a =!= b),
+      x => x)
+    val tupleBroken = col("r_tuple").isNotNull && col("w_tuple").isNotNull &&
+      (commonPosChanged || size(rTup) > size(wTup))
     probed
       .groupBy(col("subject"), col("version"))
       .agg(sum(when(col("r_type").isNotNull, 1L).otherwise(0L)).as("n_props"),
@@ -407,12 +453,15 @@ object FormatCompat {
           .as("v_enum"),
         cnt(both && boundsTightened).as("v_bounds"),
         cnt(both && sumNarrowed).as("v_sum"),
+        cnt(both && depBroken).as("v_dep"),
+        cnt(both && tupleBroken).as("v_tuple"),
         // schema-level: one per step, counted once via max()
         max(when(col("w_open") && !col("open"), 1L).otherwise(0L)).as("v_ap"))
       .withColumn("n_violations",
         col("v_type") + col("v_removed") + col("v_req_added") +
           col("v_open_added") + col("v_opt_req") + col("v_enum") +
-          col("v_bounds") + col("v_sum") + col("v_ap"))
+          col("v_bounds") + col("v_sum") + col("v_dep") + col("v_tuple") +
+          col("v_ap"))
       .withColumn("json_ok", col("n_violations") === 0)
       .orderBy(col("subject"), col("version"))
   }
@@ -477,8 +526,10 @@ object FormatCompat {
         |  SELECT n.subject, n.version, v.open, v.w_open,
         |    r.ptype AS r_type, r.preq AS r_req, r.penum AS r_enum,
         |    r.pmin AS r_min, r.pmax AS r_max, r.palts AS r_alts,
+        |    r.pdep AS r_dep, r.ptuple AS r_tuple,
         |    w.ptype AS w_type, w.preq AS w_req, w.penum AS w_enum,
-        |    w.pmin AS w_min, w.pmax AS w_max, w.palts AS w_alts
+        |    w.pmin AS w_min, w.pmax AS w_max, w.palts AS w_alts,
+        |    w.pdep AS w_dep, w.ptuple AS w_tuple
         |  FROM names n
         |  JOIN vers v ON v.subject = n.subject AND v.version = n.version
         |  LEFT JOIN jsp r ON r.subject = n.subject AND r.version = n.version AND r.pname = n.pname
@@ -506,13 +557,24 @@ object FormatCompat {
         |      AND r_alts IS NOT NULL AND w_alts IS NOT NULL
         |      AND NOT list_has_all(string_split(r_alts, ','), string_split(w_alts, ','))
         |      THEN 1 ELSE 0 END) AS BIGINT) AS v_sum,
+        |    CAST(sum(CASE WHEN r_type IS NOT NULL AND w_type IS NOT NULL AND (
+        |        (r_dep IS NOT NULL AND w_dep IS NULL)
+        |        OR (r_dep IS NOT NULL AND w_dep IS NOT NULL AND r_dep <> w_dep))
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_dep,
+        |    CAST(sum(CASE WHEN r_type IS NOT NULL AND w_type IS NOT NULL
+        |      AND r_tuple IS NOT NULL AND w_tuple IS NOT NULL AND (
+        |        string_split(r_tuple, ',')[1] <> string_split(w_tuple, ',')[1]
+        |        OR string_split(r_tuple, ',')[2] <> string_split(w_tuple, ',')[2]
+        |        OR string_split(r_tuple, ',')[3] <> string_split(w_tuple, ',')[3]
+        |        OR len(string_split(r_tuple, ',')) > len(string_split(w_tuple, ',')))
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_tuple,
         |    CAST(max(CASE WHEN w_open AND NOT open THEN 1 ELSE 0 END) AS BIGINT) AS v_ap
         |  FROM probed GROUP BY subject, version)
         |SELECT subject, version, n_props, v_type, v_removed, v_req_added, v_open_added,
-        |  v_opt_req, v_enum, v_bounds, v_sum, v_ap,
+        |  v_opt_req, v_enum, v_bounds, v_sum, v_dep, v_tuple, v_ap,
         |  v_type + v_removed + v_req_added + v_open_added + v_opt_req
-        |    + v_enum + v_bounds + v_sum + v_ap AS n_violations,
+        |    + v_enum + v_bounds + v_sum + v_dep + v_tuple + v_ap AS n_violations,
         |  v_type + v_removed + v_req_added + v_open_added + v_opt_req
-        |    + v_enum + v_bounds + v_sum + v_ap = 0 AS json_ok
+        |    + v_enum + v_bounds + v_sum + v_dep + v_tuple + v_ap = 0 AS json_ok
         |FROM agg ORDER BY subject, version""".stripMargin)
 }

@@ -127,7 +127,7 @@ object Intelligence {
     * slower per extra model dimension.)
     */
   def diffFields(s: SparkSession, dir: String): DataFrame = {
-    val nSlots = 8
+    val nSlots = 9
     def r(i: Int) = col("flds_all")(i)
     def wf(i: Int) = col("w_all")(i)
     def cnt(cond: Int => org.apache.spark.sql.Column) =

@@ -162,6 +162,8 @@ object EventStream {
       if (k % 6 == 4 || k % 6 == 5) Some("null,string")
       else if (k % 6 == 2) Some("bigint,null,string")
       else if (k % 6 == 3) Some("bigint,string") else None)
+    b += FieldDef("token", if (k % 23 < 12) "fixed8" else "fixed16",
+      fnull = true, None, None)
     b.result()
   }
 

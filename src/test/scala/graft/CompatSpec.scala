@@ -89,7 +89,13 @@ class CompatSpec extends SparkSpec {
           else Array("null", "string"))
         StructField("ref", StringType, nullable = true, b.build())
       }
-    StructType(base ++ status ++ Seq(ratio, payload, ref))
+    val token = {
+      val b = new MetadataBuilder()
+      b.putStringArray("unionBranches",
+        if (k % 23 < 12) Array("fixed8") else Array("fixed16"))
+      StructField("token", BinaryType, nullable = true, b.build())
+    }
+    StructType(base ++ status ++ Seq(ratio, payload, ref, token))
   }
 
   /** Per-subject ordered k-sequences for a handful of subjects. */
@@ -140,12 +146,13 @@ class CompatSpec extends SparkSpec {
 
   test("battery query matches hand-traced verdicts") {
     val rows = operators.Compat.checkBattery(spark, sfDir).collect()
-    assert(rows.length == 20)
+    assert(rows.length == 22)
     val verdicts = rows.map(r => r.getAs[Int]("case_id") -> r.getAs[Boolean]("compatible")).toMap
     assert(verdicts == Map(1 -> true, 2 -> false, 3 -> true, 4 -> false, 5 -> true,
       6 -> false, 7 -> true, 8 -> false, 9 -> false, 10 -> true,
       11 -> true, 12 -> false, 13 -> true, 14 -> true, 15 -> false,
-      16 -> false, 17 -> true, 18 -> true, 19 -> true, 20 -> false))
+      16 -> false, 17 -> true, 18 -> true, 19 -> true, 20 -> false,
+      21 -> false, 22 -> true))
   }
 
   test("compat_union: transitions fire in every shape, verdicts flip both ways") {

@@ -91,7 +91,7 @@ class IntelligenceSpec extends SparkSpec {
     rows.foreach { r =>
       val nf = r.getAs[Long]("n_fields"); val nr = r.getAs[Long]("n_required")
       val nt = r.getAs[Long]("n_types")
-      assert(nf >= 6 && nf <= 8)
+      assert(nf >= 7 && nf <= 9)
       assert(nr <= nf && nt <= nf)
       val expected = math.floor((nf + 0.5 * nt + 0.25 * nr) * 100 + 0.5) / 100.0
       assert(math.abs(r.getAs[Double]("complexity") - expected) < 1e-9)
@@ -106,7 +106,7 @@ class IntelligenceSpec extends SparkSpec {
       // change type; only name changes nullability — adds/removes
       // bounded by 2 (both presence-varying fields in one step)
       assert(r.getAs[Long]("n_added") <= 2 && r.getAs[Long]("n_removed") <= 2)
-      assert(r.getAs[Long]("n_type_changed") <= 4 && r.getAs[Long]("n_null_changed") <= 1)
+      assert(r.getAs[Long]("n_type_changed") <= 5 && r.getAs[Long]("n_null_changed") <= 1)
       assert(r.getAs[Int]("version") > 1)
     }
     // diffs exist in both directions somewhere in the corpus
@@ -148,8 +148,8 @@ class IntelligenceSpec extends SparkSpec {
     assert(m.keySet == Set("n_subjects", "total_versions", "multi_version_subjects", "ubiquitous_fields"))
     assert(m("multi_version_subjects") <= m("n_subjects"))
     assert(m("total_versions") >= m("n_subjects"))
-    // id/name/score/ratio/payload/ref are always present; email/status only sometimes
-    assert(m("ubiquitous_fields") == 6)
+    // id/name/score/ratio/payload/ref/token are always present; email/status only sometimes
+    assert(m("ubiquitous_fields") == 7)
     assert(m("total_versions") == Tables.events(spark, sfDir).count())
   }
 

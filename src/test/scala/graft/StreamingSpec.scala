@@ -103,32 +103,33 @@ class StreamingSpec extends SparkSpec {
       stream.addData(RegEvt(7L, ts(0), 1L, 1L))
       q.processAllAvailable()
       assert(spark.table("compat_gate_stream").count() == 0)
-      // batch 2: k=13 — same field shape (score int, status enum
-      // defaultless A,B,C, name required) → v2 compatible. The writer
-      // fields come from STATE carried across the batch boundary.
-      stream.addData(RegEvt(7L, ts(10), 2L, 13L))
+      // batch 2: k=11 — score widens int→bigint (promotion), status
+      // disappears (removal never breaks BACKWARD), ref's [null,
+      // string] union reads the writer's scalar string, token stays
+      // fixed8 → v2 compatible. The writer fields come from STATE
+      // carried across the batch boundary.
+      stream.addData(RegEvt(7L, ts(10), 2L, 11L))
       q.processAllAvailable()
       val afterV2 = spark.table("compat_gate_stream").as[CompatOut].collect()
       assert(afterV2.length == 1)
       assert(afterV2.head.version == 2 && afterV2.head.compatible)
-      // batch 3: k=14 — name goes nullable (a nullable reader of a
-      // required writer is fine), score widens int->bigint (the
-      // promotable direction), status disappears (field removal
-      // never breaks BACKWARD), ratio stays float, and ref evolves
-      // scalar string -> union [bigint,null,string] (checkReaderUnion:
-      // the writer scalar lands in a branch) -> v3 compatible.
-      stream.addData(RegEvt(7L, ts(20), 3L, 14L))
+      // batch 3: k=2 — name goes nullable (a nullable reader of a
+      // required writer is fine), payload reads the writer's bytes
+      // via the symmetric string<->bytes promotion, and ref WIDENS
+      // [null,string] -> [bigint,null,string] (checkUnion: every
+      // writer branch still readable) -> v3 compatible.
+      stream.addData(RegEvt(7L, ts(20), 3L, 2L))
       q.processAllAvailable()
       // batch 4: k=5 — name turns REQUIRED while v3's writer had it
       // nullable (required-reads-nullable), score narrows bigint->int
       // (only int->bigint is promotable), and ref narrows its union
       // [bigint,null,string] -> [null,string] (the bigint branch is
-      // unreadable): three violations.
+      // unreadable): three violations. token stays fixed8 throughout.
       stream.addData(RegEvt(7L, ts(30), 4L, 5L))
       q.processAllAvailable()
       val out = spark.table("compat_gate_stream").as[CompatOut].collect().sortBy(_.version)
       assert(out.map(_.version).toSeq == Seq(2, 3, 4))
-      assert(out(1).compatible, "v3: nullable-reader + promotion + removal + T->[null,T] are all legal")
+      assert(out(1).compatible, "v3: nullable-reader + string<->bytes + union widening are all legal")
       assert(!out(2).compatible && out(2).n_violations == 3L,
         "v4: required-reads-nullable + bigint->int narrowing + union narrowing must all fire")
     } finally q.stop()
