@@ -86,6 +86,16 @@ object SchemaCompat {
     if (f.metadata.contains("enumSymbols")) Some(f.metadata.getStringArray("enumSymbols"))
     else None
 
+  /** Alias dimension (avro/checker.go:112-:125): metadata key
+    * `"aliases"` lists alternate names this field answers to — the
+    * reader resolves a writer field by the reader field's name OR any
+    * of its aliases, and writer-side aliases expose the writer field
+    * under those names too.
+    */
+  def aliases(f: StructField): Seq[String] =
+    if (f.metadata.contains("aliases")) f.metadata.getStringArray("aliases").toSeq
+    else Nil
+
   /** Union dimension: metadata key `"unionBranches"` marks a field as
     * an Avro union with the given primitive branch-type names —
     * Spark's StructType has no union type, so branches ride on
@@ -123,10 +133,14 @@ object SchemaCompat {
     * resolvable from the writer, be nullable, or carry a default.
     */
   private def canRead(reader: StructType, writer: StructType, path: String): Result = {
-    val writerFields = writer.fields.map(f => f.name -> f).toMap
+    // Writer fields indexed by name AND by each of their aliases
+    // (checker.go:112); the reader probes with its name and its own
+    // aliases (:125 findWriterField).
+    val writerFields = writer.fields.flatMap(f =>
+      (f.name +: aliases(f)).map(_ -> f)).toMap
     reader.fields.foldLeft(Compatible) { (acc, rf) =>
       val fieldPath = if (path.isEmpty) rf.name else s"$path.${rf.name}"
-      writerFields.get(rf.name) match {
+      (rf.name +: aliases(rf)).flatMap(writerFields.get).headOption match {
         case None if rf.nullable || hasDefault(rf) => acc
         case None =>
           acc.merge(incompatible(s"${pathOrRoot(path)}: reader field '${rf.name}' is required, defaultless, and missing from writer"))

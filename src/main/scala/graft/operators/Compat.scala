@@ -63,11 +63,11 @@ object Compat {
   /** Scala-side twins of the mask algebra, for candidate schemas
     * whose branch sets are compile-time constants.
     */
-  private[operators] def maskInt(ftype: String, funion: Option[String]): Int = {
+  private[graft] def maskInt(ftype: String, funion: Option[String]): Int = {
     val bits = typeBits.toMap
     funion.map(_.split(',').map(bits).sum).getOrElse(bits(ftype))
   }
-  private[operators] def acceptsMaskInt(m: Int): Int = {
+  private[graft] def acceptsMaskInt(m: Int): Int = {
     var a = m
     if ((m & 2) != 0) a |= 1
     if ((m & 4) != 0) a |= 3
@@ -128,11 +128,12 @@ object Compat {
     */
   private def mf(name: String, dt: DataType, nullable: Boolean,
                  default: Option[String] = None, syms: Seq[String] = Nil,
-                 union: Seq[String] = Nil): StructField = {
+                 union: Seq[String] = Nil, alias: Seq[String] = Nil): StructField = {
     val b = new MetadataBuilder()
     default.foreach(b.putString("default", _))
     if (syms.nonEmpty) b.putStringArray("enumSymbols", syms.toArray)
     if (union.nonEmpty) b.putStringArray("unionBranches", union.toArray)
+    if (alias.nonEmpty) b.putStringArray("aliases", alias.toArray)
     StructField(name, dt, nullable, b.build())
   }
 
@@ -195,7 +196,13 @@ object Compat {
       Seq(StructType(Seq(mf("token", BinaryType, nullable = true, union = Seq("fixed16")))))),
     (22, "fixed same size", Backward,
       StructType(Seq(mf("token", BinaryType, nullable = true, union = Seq("fixed16")))),
-      Seq(StructType(Seq(mf("token", BinaryType, nullable = true, union = Seq("fixed16")))))))
+      Seq(StructType(Seq(mf("token", BinaryType, nullable = true, union = Seq("fixed16")))))),
+    (23, "rename rescued by reader alias", Backward,
+      StructType(Seq(mf("nickname", StringType, nullable = false, alias = Seq("nick")))),
+      Seq(st(("nick", StringType, false)))),
+    (24, "rename without alias breaks", Backward,
+      StructType(Seq(StructField("nickname", StringType, nullable = false))),
+      Seq(st(("nick", StringType, false)))))
 
   def checkBattery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1009,7 +1016,9 @@ object Compat {
         |  (19, 'numeric promotion int to double', 'BACKWARD', true, CAST(0 AS BIGINT)),
         |  (20, 'numeric narrowing double to float', 'BACKWARD', false, CAST(1 AS BIGINT)),
         |  (21, 'fixed size mismatch', 'BACKWARD', false, CAST(1 AS BIGINT)),
-        |  (22, 'fixed same size', 'BACKWARD', true, CAST(0 AS BIGINT))
+        |  (22, 'fixed same size', 'BACKWARD', true, CAST(0 AS BIGINT)),
+        |  (23, 'rename rescued by reader alias', 'BACKWARD', true, CAST(0 AS BIGINT)),
+        |  (24, 'rename without alias breaks', 'BACKWARD', false, CAST(1 AS BIGINT))
         |) AS t(case_id, description, mode, compatible, n_messages)
         |ORDER BY case_id""".stripMargin,
     "compat_scan" ->

@@ -285,6 +285,9 @@ object FormatCompat {
     ev
       .withColumn("version", row_number().over(w))
       .withColumn("open", col("k") % 2 === 0)
+      // the $defs/addr definition this schema version declares —
+      // referenced properties resolve against it
+      .withColumn("defaddr", when(col("k") % 25 < 13, "string").otherwise("object"))
       .withColumn("props_all", array(
         p("id", lit("integer"), lit(true), noEnum, lit(true)),
         p("name", lit("string"), col("k") % 3 === 0, noEnum, lit(true)),
@@ -321,9 +324,17 @@ object FormatCompat {
         p("coords", lit("array"), lit(false), noEnum, lit(true),
           ptuple = when(col("k") % 21 < 7, "integer,integer")
             .when(col("k") % 21 < 14, "integer,integer,integer")
-            .otherwise("number,integer"))
+            .otherwise("number,integer")),
+        // home exercises $REF RESOLUTION (checker.go:155-:224
+        // resolveAllRefs): its type is either inline or a $ref to the
+        // addr definition — the scan compares RESOLVED types, so a
+        // ref⇄inline swap with the same resolved shape is invisible
+        // while a definition change under an unchanged $ref breaks.
+        p("home", when(col("k") % 15 < 5, "string").otherwise("ref:addr"),
+          lit(false), noEnum, lit(true))
       ))
       .withColumn("w_open", lag(col("open"), 1).over(w))
+      .withColumn("w_defaddr", lag(col("defaddr"), 1).over(w))
       .withColumn("w_all", lag(col("props_all"), 1).over(w))
       // present-only views for set-shaped consumers (specs)
       .withColumn("props_arr", filter(col("props_all"), fld => fld("present")))
@@ -344,7 +355,8 @@ object FormatCompat {
       |  SELECT subject, k,
       |         row_number() OVER (PARTITION BY subject ORDER BY ts, event_id) AS version
       |  FROM ev),
-      |schemas AS (SELECT subject, version, k % 2 = 0 AS open FROM versioned),
+      |schemas AS (SELECT subject, version, k % 2 = 0 AS open,
+      |  CASE WHEN k % 25 < 13 THEN 'string' ELSE 'object' END AS defaddr FROM versioned),
       |jsp AS (
       |  SELECT subject, version, 'id' AS pname, 'integer' AS ptype,
       |         true AS preq, CAST(NULL AS VARCHAR) AS penum,
@@ -368,7 +380,10 @@ object FormatCompat {
       |  UNION ALL SELECT subject, version, 'coords', 'array', false, NULL, NULL, NULL, NULL, NULL,
       |    CASE WHEN k % 21 < 7 THEN 'integer,integer'
       |         WHEN k % 21 < 14 THEN 'integer,integer,integer'
-      |         ELSE 'number,integer' END FROM versioned)""".stripMargin
+      |         ELSE 'number,integer' END FROM versioned
+      |  UNION ALL SELECT subject, version, 'home',
+      |    CASE WHEN k % 15 < 5 THEN 'string' ELSE 'ref:addr' END,
+      |    false, NULL, NULL, NULL, NULL, NULL, NULL FROM versioned)""".stripMargin
 
   /** JSON Schema BACKWARD scan: version N (reader) vs N-1 (writer)
     * under the open/closed content model (jsonschema/checker.go).
@@ -391,6 +406,7 @@ object FormatCompat {
     // Positional slot pairing — see [[protoScan]]'s note.
     val perProp = versioned
       .select(col("subject"), col("version"), col("open"), col("w_open"),
+        col("defaddr"), col("w_defaddr"),
         col("w_all"), posexplode(col("props_all")).as(Seq("pos", "rp")))
       .withColumn("wp", element_at(col("w_all"), col("pos") + 1))
       .where(col("rp.present") || col("wp.present"))
@@ -403,6 +419,7 @@ object FormatCompat {
     val Seq(wt, wq, we, wmin, wmax, wa, wd, wtu) = side(col("wp"))
     val probed = perProp.select(
       col("subject"), col("version"), col("open"), col("w_open"),
+      col("defaddr"), col("w_defaddr"),
       rt.as("r_type"), rq.as("r_req"), re.as("r_enum"),
       rmin.as("r_min"), rmax.as("r_max"), ra.as("r_alts"),
       rd.as("r_dep"), rtu.as("r_tuple"),
@@ -411,6 +428,12 @@ object FormatCompat {
       wd.as("w_dep"), wtu.as("w_tuple"))
     val both = col("r_type").isNotNull && col("w_type").isNotNull
     def cnt(cond: Column): Column = sum(when(cond, 1L).otherwise(0L))
+    // $ref resolution (checker.go:155 resolveAllRefs): replace a
+    // reference with its definition's content before comparing.
+    def resolved(t: Column, defaddr: Column): Column =
+      when(t === "ref:addr", defaddr).otherwise(t)
+    val rResolved = resolved(col("r_type"), col("defaddr"))
+    val wResolved = resolved(col("w_type"), col("w_defaddr"))
     val enumNarrowed = col("r_enum").isNotNull && col("w_enum").isNotNull &&
       size(array_except(split(col("w_enum"), ","), split(col("r_enum"), ","))) > 0
     // bounds TIGHTENED (checker.go:878/:901): a reader minimum above
@@ -444,7 +467,7 @@ object FormatCompat {
     probed
       .groupBy(col("subject"), col("version"))
       .agg(sum(when(col("r_type").isNotNull, 1L).otherwise(0L)).as("n_props"),
-        cnt(both && col("r_type") =!= col("w_type")).as("v_type"),
+        cnt(both && rResolved =!= wResolved).as("v_type"),
         cnt(col("r_type").isNull && !col("open")).as("v_removed"),
         cnt(col("w_type").isNull && col("r_req")).as("v_req_added"),
         cnt(col("w_type").isNull && !col("r_req") && col("w_open")).as("v_open_added"),
@@ -515,7 +538,8 @@ object FormatCompat {
         |FROM probed GROUP BY subject, version ORDER BY subject, version""".stripMargin,
     "compat_json_scan" ->
       s"""WITH $jsModelCte,
-        |vers AS (SELECT s.subject, s.version, s.open, ws.open AS w_open
+        |vers AS (SELECT s.subject, s.version, s.open, ws.open AS w_open,
+        |    s.defaddr, ws.defaddr AS w_defaddr
         |  FROM schemas s JOIN schemas ws
         |    ON ws.subject = s.subject AND ws.version = s.version - 1),
         |names AS (
@@ -523,7 +547,7 @@ object FormatCompat {
         |  FROM vers v JOIN jsp f ON f.subject = v.subject
         |    AND f.version IN (v.version, v.version - 1)),
         |probed AS (
-        |  SELECT n.subject, n.version, v.open, v.w_open,
+        |  SELECT n.subject, n.version, v.open, v.w_open, v.defaddr, v.w_defaddr,
         |    r.ptype AS r_type, r.preq AS r_req, r.penum AS r_enum,
         |    r.pmin AS r_min, r.pmax AS r_max, r.palts AS r_alts,
         |    r.pdep AS r_dep, r.ptuple AS r_tuple,
@@ -538,7 +562,9 @@ object FormatCompat {
         |  SELECT subject, version,
         |    CAST(sum(CASE WHEN r_type IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_props,
         |    CAST(sum(CASE WHEN r_type IS NOT NULL AND w_type IS NOT NULL
-        |      AND r_type <> w_type THEN 1 ELSE 0 END) AS BIGINT) AS v_type,
+        |      AND (CASE WHEN r_type = 'ref:addr' THEN defaddr ELSE r_type END)
+        |       <> (CASE WHEN w_type = 'ref:addr' THEN w_defaddr ELSE w_type END)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_type,
         |    CAST(sum(CASE WHEN r_type IS NULL AND NOT open THEN 1 ELSE 0 END) AS BIGINT) AS v_removed,
         |    CAST(sum(CASE WHEN w_type IS NULL AND r_req THEN 1 ELSE 0 END) AS BIGINT) AS v_req_added,
         |    CAST(sum(CASE WHEN w_type IS NULL AND NOT r_req AND w_open THEN 1 ELSE 0 END) AS BIGINT) AS v_open_added,

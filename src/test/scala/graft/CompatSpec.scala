@@ -146,13 +146,13 @@ class CompatSpec extends SparkSpec {
 
   test("battery query matches hand-traced verdicts") {
     val rows = operators.Compat.checkBattery(spark, sfDir).collect()
-    assert(rows.length == 22)
+    assert(rows.length == 24)
     val verdicts = rows.map(r => r.getAs[Int]("case_id") -> r.getAs[Boolean]("compatible")).toMap
     assert(verdicts == Map(1 -> true, 2 -> false, 3 -> true, 4 -> false, 5 -> true,
       6 -> false, 7 -> true, 8 -> false, 9 -> false, 10 -> true,
       11 -> true, 12 -> false, 13 -> true, 14 -> true, 15 -> false,
       16 -> false, 17 -> true, 18 -> true, 19 -> true, 20 -> false,
-      21 -> false, 22 -> true))
+      21 -> false, 22 -> true, 23 -> true, 24 -> false))
   }
 
   test("compat_union: transitions fire in every shape, verdicts flip both ways") {
@@ -181,6 +181,55 @@ class CompatSpec extends SparkSpec {
     val nestedOnly = nested.collect { case (k, ok) if !ok && flat.getOrElse(k, true) => k }
     assert(nestedOnly.nonEmpty,
       "some version step must break ONLY at a nested path (invisible to the flat scans)")
+  }
+
+  test("mask algebra == brute-force branch-set semantics on all pairs (property)") {
+    // The scans' entire type resolution is integer bitmask algebra
+    // (maskInt/acceptsMaskInt and their Column twins). Pin it against
+    // the definitional form: every writer branch must be readable by
+    // some reader branch under the promotion matrix — enumerated over
+    // ALL pairs of non-empty branch sets drawn from realistic union
+    // shapes plus every scalar.
+    val vocab = Seq("int", "bigint", "float", "double", "string", "bytes",
+      "enum", "null", "fixed8", "fixed16")
+    val promo = Map(
+      "bigint" -> Set("bigint", "int"),
+      "float" -> Set("float", "bigint", "int"),
+      "double" -> Set("double", "float", "bigint", "int"),
+      "string" -> Set("string", "bytes"),
+      "bytes" -> Set("bytes", "string"))
+    def accepts(b: String): Set[String] = promo.getOrElse(b, Set(b))
+    val shapes: Seq[Seq[String]] =
+      vocab.map(Seq(_)) ++ Seq(
+        Seq("null", "string"), Seq("bigint", "null", "string"),
+        Seq("bigint", "string"), Seq("null", "int"), Seq("float", "string"),
+        Seq("null", "double", "bytes"), Seq("fixed8", "null"))
+    var checked = 0
+    for (r <- shapes; w <- shapes) {
+      val expectBreak = !w.forall(wb => r.exists(rb => accepts(rb)(wb)))
+      val rm = operators.Compat.maskInt(r.head, if (r.size > 1) Some(r.mkString(",")) else None)
+      val wm = operators.Compat.maskInt(w.head, if (w.size > 1) Some(w.mkString(",")) else None)
+      val maskBreak = (wm & operators.Compat.acceptsMaskInt(rm)) != wm
+      assert(maskBreak == expectBreak, s"reader=$r writer=$w")
+      checked += 1
+    }
+    assert(checked == shapes.size * shapes.size)
+  }
+
+  test("aliases: a rename is rescued by reader OR writer aliases, and only then") {
+    def af(name: String, alias: String*): StructField = {
+      val b = new MetadataBuilder()
+      if (alias.nonEmpty) b.putStringArray("aliases", alias.toArray)
+      StructField(name, StringType, nullable = false, b.build())
+    }
+    val writerOld = StructType(Seq(af("nick")))
+    // reader alias probes the writer map (findWriterField :125)
+    assert(SchemaCompat.check(Backward, StructType(Seq(af("nickname", "nick"))), Seq(writerOld)).isCompatible)
+    // writer alias exposes the field under the new name (:112)
+    assert(SchemaCompat.check(Backward, StructType(Seq(af("nickname"))),
+      Seq(StructType(Seq(af("nick", "nickname"))))).isCompatible)
+    // no alias: the rename is an add+remove, reader required+defaultless breaks
+    assert(!SchemaCompat.check(Backward, StructType(Seq(af("nickname"))), Seq(writerOld)).isCompatible)
   }
 
   test("union resolution: the three checker cases via metadata branch sets") {

