@@ -277,11 +277,12 @@ object FormatCompat {
           pmax: Column = lit(null).cast("int"),
           palts: Column = lit(null).cast("string"),
           pdep: Column = lit(null).cast("string"),
-          ptuple: Column = lit(null).cast("string")): Column =
+          ptuple: Column = lit(null).cast("string"),
+          pall: Column = lit(null).cast("string")): Column =
       struct(lit(pname).as("pname"), ptype.as("ptype"), preq.as("preq"),
         penum.as("penum"), pmin.as("pmin"), pmax.as("pmax"),
         palts.as("palts"), pdep.as("pdep"), ptuple.as("ptuple"),
-        present.as("present"))
+        pall.as("pall"), present.as("present"))
     ev
       .withColumn("version", row_number().over(w))
       .withColumn("open", col("k") % 2 === 0)
@@ -325,6 +326,14 @@ object FormatCompat {
           ptuple = when(col("k") % 21 < 7, "integer,integer")
             .when(col("k") % 21 < 14, "integer,integer,integer")
             .otherwise("number,integer")),
+        // badge carries the ALLOF (product type) dimension
+        // (checker.go:752 checkAllOfCompatibility): its allOf
+        // constraint-tag set grows and shrinks — a reader introducing
+        // a tag the writer lacked adds a constraint old instances may
+        // violate (breaking); dropping allOf only relaxes.
+        p("badge", lit("string"), lit(false), noEnum, lit(true),
+          pall = when(col("k") % 14 < 5, lit(null).cast("string"))
+            .when(col("k") % 14 < 10, "minL5").otherwise("minL5,patA")),
         // home exercises $REF RESOLUTION (checker.go:155-:224
         // resolveAllRefs): its type is either inline or a $ref to the
         // addr definition — the scan compares RESOLVED types, so a
@@ -362,28 +371,30 @@ object FormatCompat {
       |         true AS preq, CAST(NULL AS VARCHAR) AS penum,
       |         CAST(NULL AS INT) AS pmin, CAST(NULL AS INT) AS pmax,
       |         CAST(NULL AS VARCHAR) AS palts, CAST(NULL AS VARCHAR) AS pdep,
-      |         CAST(NULL AS VARCHAR) AS ptuple FROM versioned
-      |  UNION ALL SELECT subject, version, 'name', 'string', k % 3 = 0, NULL, NULL, NULL, NULL, NULL, NULL FROM versioned
+      |         CAST(NULL AS VARCHAR) AS ptuple, CAST(NULL AS VARCHAR) AS pall FROM versioned
+      |  UNION ALL SELECT subject, version, 'name', 'string', k % 3 = 0, NULL, NULL, NULL, NULL, NULL, NULL, NULL FROM versioned
       |  UNION ALL SELECT subject, version, 'tags',
-      |    CASE WHEN k % 4 < 2 THEN 'array' ELSE 'string' END, false, NULL, NULL, NULL, NULL, NULL, NULL
+      |    CASE WHEN k % 4 < 2 THEN 'array' ELSE 'string' END, false, NULL, NULL, NULL, NULL, NULL, NULL, NULL
       |    FROM versioned WHERE k % 5 < 3
       |  UNION ALL SELECT subject, version, 'level', 'integer', k % 11 < 3,
       |    CASE WHEN k % 3 = 1 THEN '1,2,3' ELSE '1,2,3,4' END,
       |    CASE WHEN k % 13 < 4 THEN 1 WHEN k % 13 < 9 THEN 3 END,
       |    CASE WHEN k % 17 < 6 THEN 50 WHEN k % 17 < 12 THEN 100 END,
-      |    NULL, NULL, NULL FROM versioned WHERE k % 7 < 4
+      |    NULL, NULL, NULL, NULL FROM versioned WHERE k % 7 < 4
       |  UNION ALL SELECT subject, version, 'contact', 'sum', false, NULL, NULL, NULL,
       |    CASE WHEN k % 10 < 4 THEN 'integer,string'
       |         WHEN k % 10 < 7 THEN 'string' ELSE 'integer' END,
       |    CASE WHEN k % 19 < 6 THEN NULL WHEN k % 19 < 12 THEN 'name' ELSE 'level,name' END,
-      |    NULL FROM versioned
+      |    NULL, NULL FROM versioned
       |  UNION ALL SELECT subject, version, 'coords', 'array', false, NULL, NULL, NULL, NULL, NULL,
       |    CASE WHEN k % 21 < 7 THEN 'integer,integer'
       |         WHEN k % 21 < 14 THEN 'integer,integer,integer'
-      |         ELSE 'number,integer' END FROM versioned
+      |         ELSE 'number,integer' END, NULL FROM versioned
+      |  UNION ALL SELECT subject, version, 'badge', 'string', false, NULL, NULL, NULL, NULL, NULL, NULL,
+      |    CASE WHEN k % 14 < 5 THEN NULL WHEN k % 14 < 10 THEN 'minL5' ELSE 'minL5,patA' END FROM versioned
       |  UNION ALL SELECT subject, version, 'home',
       |    CASE WHEN k % 15 < 5 THEN 'string' ELSE 'ref:addr' END,
-      |    false, NULL, NULL, NULL, NULL, NULL, NULL FROM versioned)""".stripMargin
+      |    false, NULL, NULL, NULL, NULL, NULL, NULL, NULL FROM versioned)""".stripMargin
 
   /** JSON Schema BACKWARD scan: version N (reader) vs N-1 (writer)
     * under the open/closed content model (jsonschema/checker.go).
@@ -414,18 +425,19 @@ object FormatCompat {
       when(f("present"), f("ptype")), when(f("present"), f("preq")),
       when(f("present"), f("penum")), when(f("present"), f("pmin")),
       when(f("present"), f("pmax")), when(f("present"), f("palts")),
-      when(f("present"), f("pdep")), when(f("present"), f("ptuple")))
-    val Seq(rt, rq, re, rmin, rmax, ra, rd, rtu) = side(col("rp"))
-    val Seq(wt, wq, we, wmin, wmax, wa, wd, wtu) = side(col("wp"))
+      when(f("present"), f("pdep")), when(f("present"), f("ptuple")),
+      when(f("present"), f("pall")))
+    val Seq(rt, rq, re, rmin, rmax, ra, rd, rtu, ral) = side(col("rp"))
+    val Seq(wt, wq, we, wmin, wmax, wa, wd, wtu, wal) = side(col("wp"))
     val probed = perProp.select(
       col("subject"), col("version"), col("open"), col("w_open"),
       col("defaddr"), col("w_defaddr"),
       rt.as("r_type"), rq.as("r_req"), re.as("r_enum"),
       rmin.as("r_min"), rmax.as("r_max"), ra.as("r_alts"),
-      rd.as("r_dep"), rtu.as("r_tuple"),
+      rd.as("r_dep"), rtu.as("r_tuple"), ral.as("r_all"),
       wt.as("w_type"), wq.as("w_req"), we.as("w_enum"),
       wmin.as("w_min"), wmax.as("w_max"), wa.as("w_alts"),
-      wd.as("w_dep"), wtu.as("w_tuple"))
+      wd.as("w_dep"), wtu.as("w_tuple"), wal.as("w_all"))
     val both = col("r_type").isNotNull && col("w_type").isNotNull
     def cnt(cond: Column): Column = sum(when(cond, 1L).otherwise(0L))
     // $ref resolution (checker.go:155 resolveAllRefs): replace a
@@ -464,6 +476,12 @@ object FormatCompat {
       x => x)
     val tupleBroken = col("r_tuple").isNotNull && col("w_tuple").isNotNull &&
       (commonPosChanged || size(rTup) > size(wTup))
+    // allOf product type (checker.go:752): a reader allOf tag the
+    // writer lacked is a NEW constraint old instances may violate;
+    // dropping allOf (or tags) only relaxes.
+    val allBroken = col("r_all").isNotNull &&
+      (col("w_all").isNull ||
+        size(array_except(split(col("r_all"), ","), split(col("w_all"), ","))) > 0)
     probed
       .groupBy(col("subject"), col("version"))
       .agg(sum(when(col("r_type").isNotNull, 1L).otherwise(0L)).as("n_props"),
@@ -478,13 +496,14 @@ object FormatCompat {
         cnt(both && sumNarrowed).as("v_sum"),
         cnt(both && depBroken).as("v_dep"),
         cnt(both && tupleBroken).as("v_tuple"),
+        cnt(both && allBroken).as("v_all"),
         // schema-level: one per step, counted once via max()
         max(when(col("w_open") && !col("open"), 1L).otherwise(0L)).as("v_ap"))
       .withColumn("n_violations",
         col("v_type") + col("v_removed") + col("v_req_added") +
           col("v_open_added") + col("v_opt_req") + col("v_enum") +
           col("v_bounds") + col("v_sum") + col("v_dep") + col("v_tuple") +
-          col("v_ap"))
+          col("v_all") + col("v_ap"))
       .withColumn("json_ok", col("n_violations") === 0)
       .orderBy(col("subject"), col("version"))
   }
@@ -550,10 +569,10 @@ object FormatCompat {
         |  SELECT n.subject, n.version, v.open, v.w_open, v.defaddr, v.w_defaddr,
         |    r.ptype AS r_type, r.preq AS r_req, r.penum AS r_enum,
         |    r.pmin AS r_min, r.pmax AS r_max, r.palts AS r_alts,
-        |    r.pdep AS r_dep, r.ptuple AS r_tuple,
+        |    r.pdep AS r_dep, r.ptuple AS r_tuple, r.pall AS r_all,
         |    w.ptype AS w_type, w.preq AS w_req, w.penum AS w_enum,
         |    w.pmin AS w_min, w.pmax AS w_max, w.palts AS w_alts,
-        |    w.pdep AS w_dep, w.ptuple AS w_tuple
+        |    w.pdep AS w_dep, w.ptuple AS w_tuple, w.pall AS w_all
         |  FROM names n
         |  JOIN vers v ON v.subject = n.subject AND v.version = n.version
         |  LEFT JOIN jsp r ON r.subject = n.subject AND r.version = n.version AND r.pname = n.pname
@@ -594,13 +613,17 @@ object FormatCompat {
         |        OR string_split(r_tuple, ',')[3] <> string_split(w_tuple, ',')[3]
         |        OR len(string_split(r_tuple, ',')) > len(string_split(w_tuple, ',')))
         |      THEN 1 ELSE 0 END) AS BIGINT) AS v_tuple,
+        |    CAST(sum(CASE WHEN r_type IS NOT NULL AND w_type IS NOT NULL
+        |      AND r_all IS NOT NULL AND (w_all IS NULL
+        |        OR NOT list_has_all(string_split(w_all, ','), string_split(r_all, ',')))
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_all,
         |    CAST(max(CASE WHEN w_open AND NOT open THEN 1 ELSE 0 END) AS BIGINT) AS v_ap
         |  FROM probed GROUP BY subject, version)
         |SELECT subject, version, n_props, v_type, v_removed, v_req_added, v_open_added,
-        |  v_opt_req, v_enum, v_bounds, v_sum, v_dep, v_tuple, v_ap,
+        |  v_opt_req, v_enum, v_bounds, v_sum, v_dep, v_tuple, v_all, v_ap,
         |  v_type + v_removed + v_req_added + v_open_added + v_opt_req
-        |    + v_enum + v_bounds + v_sum + v_dep + v_tuple + v_ap AS n_violations,
+        |    + v_enum + v_bounds + v_sum + v_dep + v_tuple + v_all + v_ap AS n_violations,
         |  v_type + v_removed + v_req_added + v_open_added + v_opt_req
-        |    + v_enum + v_bounds + v_sum + v_dep + v_tuple + v_ap = 0 AS json_ok
+        |    + v_enum + v_bounds + v_sum + v_dep + v_tuple + v_all + v_ap = 0 AS json_ok
         |FROM agg ORDER BY subject, version""".stripMargin)
 }

@@ -95,7 +95,7 @@ class FormatCompatSpec extends SparkSpec {
     val rows = FormatCompat.jsonScan(spark, sfDir).collect()
     assert(rows.nonEmpty)
     val classes = Seq("v_type", "v_removed", "v_req_added", "v_open_added",
-      "v_opt_req", "v_enum", "v_bounds", "v_sum", "v_dep", "v_tuple", "v_ap")
+      "v_opt_req", "v_enum", "v_bounds", "v_sum", "v_dep", "v_tuple", "v_all", "v_ap")
     classes.foreach { c =>
       assert(rows.exists(_.getAs[Long](c) > 0), s"$c never fires on the corpus")
     }
