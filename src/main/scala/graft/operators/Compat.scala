@@ -281,10 +281,12 @@ object Compat {
     // never touches an array or a string at probe time.
     def f(name: String, ftype: Column, fnull: Column, present: Column,
           fmask: Column, fdefault: Column = nullStr, fsyms: Column = nullStr,
-          funion: Column = nullStr): Column =
-      struct(lit(name).as("fname"), ftype.as("ftype"), fnull.as("fnull"),
-        fdefault.as("fdefault"), fsyms.as("fsyms"), funion.as("funion"),
-        fmask.as("fmask"), present.as("present"))
+          funion: Column = nullStr, fname: Column = null,
+          falias: Column = nullStr): Column =
+      struct(Option(fname).getOrElse(lit(name)).as("fname"), ftype.as("ftype"),
+        fnull.as("fnull"), fdefault.as("fdefault"), fsyms.as("fsyms"),
+        funion.as("funion"), fmask.as("fmask"), falias.as("falias"),
+        present.as("present"))
     ev
       .withColumn("version", row_number().over(w))
       .withColumn("flds_all", array(
@@ -318,7 +320,17 @@ object Compat {
             .when(col("k") % lit(6) === 3, "bigint,string")),
         f("token", when(col("k") % lit(23) < 12, "fixed8").otherwise("fixed16"),
           lit(true), lit(true),
-          when(col("k") % lit(23) < 12, 256).otherwise(512))
+          when(col("k") % lit(23) < 12, 256).otherwise(512)),
+        // the ALIAS slot (avro/checker.go:112-:125): its NAME flips
+        // nick↔nickname with k, and it sometimes declares the other
+        // name as an alias — a rename is rescued iff either side
+        // does. Required and defaultless so an unrescued rename hits
+        // the missing-reader-field rule. Type constant: alias
+        // matching and type resolution stay orthogonal in the model.
+        f("nick", lit("string"), lit(false), lit(true), lit(16),
+          fname = when(col("k") % lit(29) < 15, "nick").otherwise("nickname"),
+          falias = when(col("k") % lit(31) < 16,
+            when(col("k") % lit(29) < 15, "nickname").otherwise("nick")))
       ))
       .withColumn("w_all", lag(col("flds_all"), 1).over(w))
       // present-only views for consumers that think in field SETS
@@ -330,7 +342,7 @@ object Compat {
   }
 
   /** Number of slots in the positional field-model array. */
-  private val nSlots = 9
+  private val nSlots = 10
 
   /** DuckDB mirror of [[fieldArrays]]' relational (subject, version,
     * fname, ftype, fnull, fdefault, fsyms) view — prepend inside
@@ -345,33 +357,41 @@ object Compat {
       |  SELECT subject, k,
       |         row_number() OVER (PARTITION BY subject ORDER BY ts, event_id) AS version
       |  FROM ev),
-      |fields AS (
+      |fields0 AS (
       |  SELECT subject, version, 'id' AS fname, 'bigint' AS ftype, false AS fnull,
       |         CAST(NULL AS VARCHAR) AS fdefault, CAST(NULL AS VARCHAR) AS fsyms,
-      |         CAST(NULL AS VARCHAR) AS funion FROM versioned
-      |  UNION ALL SELECT subject, version, 'name', 'string', k % 2 = 0, NULL, NULL, NULL FROM versioned
-      |  UNION ALL SELECT subject, version, 'email', 'string', true, NULL, NULL, NULL FROM versioned WHERE k % 3 = 0
+      |         CAST(NULL AS VARCHAR) AS funion, CAST(NULL AS VARCHAR) AS falias FROM versioned
+      |  UNION ALL SELECT subject, version, 'name', 'string', k % 2 = 0, NULL, NULL, NULL, NULL FROM versioned
+      |  UNION ALL SELECT subject, version, 'email', 'string', true, NULL, NULL, NULL, NULL FROM versioned WHERE k % 3 = 0
       |  UNION ALL SELECT subject, version, 'score',
-      |    CASE WHEN k % 4 < 2 THEN 'int' ELSE 'bigint' END, false, NULL, NULL, NULL FROM versioned
+      |    CASE WHEN k % 4 < 2 THEN 'int' ELSE 'bigint' END, false, NULL, NULL, NULL, NULL FROM versioned
       |  UNION ALL SELECT subject, version, 'status', 'enum', false,
       |    CASE WHEN k % 5 < 3 THEN 'A' END,
-      |    CASE WHEN k % 2 = 0 THEN 'A,B' ELSE 'A,B,C' END, NULL FROM versioned WHERE k % 3 < 2
+      |    CASE WHEN k % 2 = 0 THEN 'A,B' ELSE 'A,B,C' END, NULL, NULL FROM versioned WHERE k % 3 < 2
       |  UNION ALL SELECT subject, version, 'ratio',
       |    CASE WHEN k % 9 < 2 THEN 'int' WHEN k % 9 < 4 THEN 'bigint'
       |         WHEN k % 9 < 6 THEN 'float' ELSE 'double' END,
-      |    true, NULL, NULL, NULL FROM versioned
+      |    true, NULL, NULL, NULL, NULL FROM versioned
       |  UNION ALL SELECT subject, version, 'payload',
       |    CASE WHEN k % 13 < 7 THEN 'string' ELSE 'bytes' END,
-      |    true, NULL, NULL, NULL FROM versioned
+      |    true, NULL, NULL, NULL, NULL FROM versioned
       |  UNION ALL SELECT subject, version, 'ref',
       |    CASE WHEN k % 6 = 0 THEN 'int' WHEN k % 6 = 1 THEN 'string' ELSE 'union' END,
       |    true, NULL, NULL,
       |    CASE WHEN k % 6 IN (4, 5) THEN 'null,string'
       |         WHEN k % 6 = 2 THEN 'bigint,null,string'
-      |         WHEN k % 6 = 3 THEN 'bigint,string' END FROM versioned
+      |         WHEN k % 6 = 3 THEN 'bigint,string' END, NULL FROM versioned
       |  UNION ALL SELECT subject, version, 'token',
       |    CASE WHEN k % 23 < 12 THEN 'fixed8' ELSE 'fixed16' END,
-      |    true, NULL, NULL, NULL FROM versioned)""".stripMargin
+      |    true, NULL, NULL, NULL, NULL FROM versioned
+      |  UNION ALL SELECT subject, version,
+      |    CASE WHEN k % 29 < 15 THEN 'nick' ELSE 'nickname' END,
+      |    'string', false, NULL, NULL, NULL,
+      |    CASE WHEN k % 31 < 16 THEN
+      |      CASE WHEN k % 29 < 15 THEN 'nickname' ELSE 'nick' END END FROM versioned),
+      |fields AS (
+      |  SELECT *, CASE WHEN fname IN ('nick', 'nickname') THEN 'nick' ELSE fname END AS fid
+      |  FROM fields0)""".stripMargin
 
   /** Per-reader-field rows for version N vs N-1 with each Avro rule's
     * individual verdict as a flag column — the shared core of
@@ -402,7 +422,14 @@ object Compat {
       .withColumn("wf", element_at(col("w_all"), col("pos") + 1))
     val r = col("fld")
     val wf = col("wf")
-    val wPresent = wf("present")
+    // alias-aware resolution (avro/checker.go:112-:125): the slot
+    // pair matches when the names agree OR either side's alias
+    // covers the other's name (eqNullSafe — a NULL alias is "no
+    // alias", not unknown). For every fixed-name slot this reduces
+    // to plain presence.
+    val wPresent = wf("present") &&
+      (wf("fname") === r("fname") ||
+        r("falias") <=> wf("fname") || wf("falias") <=> r("fname"))
     val vType = wPresent &&
       wf("fmask").bitwiseAND(acceptsMaskOf(r("fmask"))) =!= wf("fmask")
     perField.select(col("subject"), col("version"), col("fld.fname").as("fname"),
@@ -489,7 +516,10 @@ object Compat {
       .withColumn("wf", element_at(col("flds_all"), col("pos") + 1))
     val r = col("rfld")
     val wf = col("wf")
-    val wPresent = wf("present")
+    // same alias-aware resolution as the backward scan (symmetric)
+    val wPresent = wf("present") &&
+      (wf("fname") === r("fname") ||
+        r("falias") <=> wf("fname") || wf("falias") <=> r("fname"))
     val violation =
       (!wPresent && !r("fnull") && r("fdefault").isNull) ||
         (wPresent &&
@@ -525,21 +555,26 @@ object Compat {
     */
   def compatTransitive(s: SparkSession, dir: String): DataFrame = {
     val fieldsDf = fieldArrays(s, dir)
-      .select(col("subject"), col("version"), explode(col("flds_all")).as("fld"))
+      .select(col("subject"), col("version"),
+        posexplode(col("flds_all")).as(Seq("pos", "fld")))
       .where(col("fld.present"))
-      .select(col("subject"), col("version"), col("fld.fname").as("fname"),
+      .select(col("subject"), col("version"), col("pos"),
+        col("fld.fname").as("fname"),
         col("fld.ftype").as("ftype"), col("fld.fnull").as("fnull"),
         col("fld.fdefault").as("fdefault"), col("fld.fsyms").as("fsyms"),
-        col("fld.fmask").as("bm"))
+        col("fld.falias").as("falias"), col("fld.fmask").as("bm"))
       // branch mask (this row as WRITER, baked into the model) and
       // promotion-closure accept mask (this row as READER) — pure
       // integer ops from here on
       .withColumn("am", acceptsMaskOf(col("bm")))
     // version is strictly increasing and distinct within each
-    // (subject, fname) partition, so this ROWS frame is identical to
+    // (subject, slot) partition, so this ROWS frame is identical to
     // RANGE(unboundedPreceding, -1) — but runs as a plain running
-    // accumulator instead of per-row range-bound seeks.
-    val w = Window.partitionBy(col("subject"), col("fname")).orderBy(col("version"))
+    // accumulator instead of per-row range-bound seeks. The SLOT is
+    // the field's identity (names can flip within it — the alias
+    // dimension), exactly the canonical key the pairwise oracle
+    // derives as fid.
+    val w = Window.partitionBy(col("subject"), col("pos")).orderBy(col("version"))
       .rowsBetween(Window.unboundedPreceding, -1)
     def cnt(cond: Column): Column =
       coalesce(sum(when(cond, 1L).otherwise(0L)).over(w), lit(0L))
@@ -557,21 +592,35 @@ object Compat {
     // oracle states the rule with REAL subset semantics
     // (list_has_all, pairwise) — parity proves this O(V)
     // specialization equals it on the vocabulary.
+    // alias accounting (checker.go:112-:125): a reader resolves an
+    // earlier version's field iff names agree or EITHER side aliases
+    // the other name. With the model's two-name vocabulary, the only
+    // unreachable history is "other-named AND alias-less" — one
+    // existence bit per name.
     val histBits = col("bm")
       .bitwiseOR(when(col("fnull"), lit(1024)).otherwise(lit(0)))
       .bitwiseOR(when(col("fsyms") === "A,B,C", lit(2048)).otherwise(lit(0)))
+      .bitwiseOR(when(col("fname") === "nick" && col("falias").isNull, lit(8192)).otherwise(lit(0)))
+      .bitwiseOR(when(col("fname") === "nickname" && col("falias").isNull, lit(16384)).otherwise(lit(0)))
     val enriched = fieldsDf
       .withColumn("c_present", count(lit(1)).over(w))
       .withColumn("hist", coalesce(bit_or(histBits).over(w), lit(0)))
     val typeBad =
       col("hist").bitwiseAND(lit(allTypeBits)).bitwiseAND(col("am")) =!=
         col("hist").bitwiseAND(lit(allTypeBits))
+    val otherNameBit =
+      when(col("fname") === "nick", lit(16384))
+        .when(col("fname") === "nickname", lit(8192)).otherwise(lit(0))
     val bad =
       (!col("fnull") && col("fdefault").isNull && col("c_present") < col("version") - 1) ||
         typeBad ||
         (!col("fnull") && col("hist").bitwiseAND(lit(1024)) =!= 0) ||
         (col("ftype") === "enum" && col("fdefault").isNull &&
-          col("fsyms") === "A,B" && col("hist").bitwiseAND(lit(2048)) =!= 0)
+          col("fsyms") === "A,B" && col("hist").bitwiseAND(lit(2048)) =!= 0) ||
+        // an unrescued rename: this reader is alias-less and some
+        // earlier version carried the other name without an alias
+        (!col("fnull") && col("fdefault").isNull && col("falias").isNull &&
+          col("hist").bitwiseAND(otherNameBit) =!= 0)
     enriched.filter(col("version") > 1)
       .groupBy(col("subject"), col("version"))
       .agg(count(lit(1)).as("n_fields"),
@@ -624,21 +673,23 @@ object Compat {
         when(p, f("fnull")).as("fnull"),
         when(p, f("fdefault")).as("fdefault"),
         when(p, f("fsyms")).as("fsyms"),
+        when(p, f("falias")).as("falias"),
         when(p, f("fmask")).as("bm"))
     }: _*)
     val probed = base
-      .select(col("subject"), col("version"), explode(slots).as("s"))
-      .select(col("subject"), col("version"), col("s.fname").as("fname"),
+      .select(col("subject"), col("version"), posexplode(slots).as(Seq("pos", "s")))
+      .select(col("subject"), col("version"), col("pos"), col("s.fname").as("fname"),
         col("s.ftype").as("ftype"), col("s.fnull").as("fnull"),
         col("s.fdefault").as("fdefault"), col("s.fsyms").as("fsyms"),
-        col("s.bm").as("bm"))
+        col("s.falias").as("falias"), col("s.bm").as("bm"))
       // this version's branch mask (WRITER role, baked into the
       // model) and accept-closure mask (READER role for later
       // versions' writer probes)
       .withColumn("am", acceptsMaskOf(col("bm")))
-    // grid rows are one-per-version per (subject, fname) — ROWS ≡
-    // RANGE here, same as [[compatTransitive]]'s frame.
-    val w = Window.partitionBy(col("subject"), col("fname")).orderBy(col("version"))
+    // grid rows are one-per-version per (subject, slot) — ROWS ≡
+    // RANGE here, same as [[compatTransitive]]'s frame; the slot is
+    // the field identity (names flip within it under aliases).
+    val w = Window.partitionBy(col("subject"), col("pos")).orderBy(col("version"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val present = col("ftype").isNotNull
     // Forward accounting in ONE bit_or running aggregate: bits 0-7
@@ -651,18 +702,31 @@ object Compat {
     val histBits =
       when(present, (lit(allTypeBits) - col("am"))
         .bitwiseOR(when(!col("fnull") && col("fdefault").isNull, lit(1024)).otherwise(lit(0)))
-        .bitwiseOR(when(!col("fnull"), lit(2048)).otherwise(lit(0))))
+        .bitwiseOR(when(!col("fnull"), lit(2048)).otherwise(lit(0)))
+        // alias accounting, reader role: an earlier required
+        // defaultless reader that writer N can only reach by alias
+        .bitwiseOR(when(col("fname") === "nick" && col("falias").isNull &&
+          !col("fnull") && col("fdefault").isNull, lit(8192)).otherwise(lit(0)))
+        .bitwiseOR(when(col("fname") === "nickname" && col("falias").isNull &&
+          !col("fnull") && col("fdefault").isNull, lit(16384)).otherwise(lit(0))))
         .otherwise(lit(0))
         .bitwiseOR(when(col("fsyms") === "A,B" && col("fdefault").isNull, lit(4096))
           .otherwise(lit(0)))
     val enriched = probed
       .withColumn("hist", coalesce(bit_or(histBits).over(w), lit(0)))
     val typeBad = col("bm").bitwiseAND(col("hist")).bitwiseAND(lit(allTypeBits)) =!= 0
+    val otherNameBit =
+      when(col("fname") === "nick", lit(16384))
+        .when(col("fname") === "nickname", lit(8192)).otherwise(lit(0))
     val bad =
       (!present && col("hist").bitwiseAND(lit(1024)) =!= 0) ||
         (present && typeBad) ||
         (present && col("fnull") && col("hist").bitwiseAND(lit(2048)) =!= 0) ||
-        (col("fsyms") === "A,B,C" && col("hist").bitwiseAND(lit(4096)) =!= 0)
+        (col("fsyms") === "A,B,C" && col("hist").bitwiseAND(lit(4096)) =!= 0) ||
+        // writer N is alias-less under a rename, stranding an
+        // earlier required defaultless other-named reader
+        (present && col("falias").isNull &&
+          col("hist").bitwiseAND(otherNameBit) =!= 0)
     enriched.filter(col("version") > 1)
       .groupBy(col("subject"), col("version"))
       .agg(sum(when(present, 1L).otherwise(0L)).as("n_fields"),
@@ -949,11 +1013,11 @@ object Compat {
                             rn: String = "fnull", rd: String = "fdefault",
                             rs: String = "fsyms", wt: String = "w_ftype",
                             wn: String = "w_fnull", ws: String = "w_fsyms",
-                            wu: String = "w_funion"): String =
-    s"""($wt IS NULL AND NOT $rn AND $rd IS NULL)
-       |      OR ($wt IS NOT NULL AND ${sqlTypeBreak(rt, ru, wt, wu)})
-       |      OR ($wt IS NOT NULL AND NOT $rn AND $wn)
-       |      OR ($rt = 'enum' AND $wt = 'enum' AND $rd IS NULL
+                            wu: String = "w_funion", m: String = "TRUE"): String =
+    s"""(($wt IS NULL OR NOT $m) AND NOT $rn AND $rd IS NULL)
+       |      OR ($wt IS NOT NULL AND $m AND ${sqlTypeBreak(rt, ru, wt, wu)})
+       |      OR ($wt IS NOT NULL AND $m AND NOT $rn AND $wn)
+       |      OR ($rt = 'enum' AND $wt = 'enum' AND $m AND $rd IS NULL
        |          AND NOT list_has_all(string_split($rs, ','), string_split($ws, ',')))""".stripMargin
 
   /** Forward = the same rules with the N-1 version's columns playing
@@ -961,7 +1025,15 @@ object Compat {
     */
   private def fwdViolation(): String =
     backViolation(rt = "rtype", ru = "r_union", rn = "rnull", rd = "r_default",
-      rs = "r_syms", wt = "w_type", wn = "w_null", ws = "w_syms", wu = "w_union")
+      rs = "r_syms", wt = "w_type", wn = "w_null", ws = "w_syms", wu = "w_union",
+      m = "matched")
+
+  /** Alias-aware pair resolution for the oracles (checker.go:112): a
+    * reader/writer pair joined on fid matches iff names agree or
+    * either alias covers the other's name.
+    */
+  private def sqlMatched(rn: String, ra: String, wn: String, wa: String): String =
+    s"($rn = $wn OR coalesce($ra = $wn, false) OR coalesce($wa = $rn, false))"
 
   private val baseOracleSql: Map[String, String] = Map(
     "compat_union" ->
@@ -1026,14 +1098,15 @@ object Compat {
         |joined AS (
         |  SELECT r.subject, r.version, r.ftype, r.fnull, r.fdefault, r.fsyms, r.funion,
         |         w.ftype AS w_ftype, w.fnull AS w_fnull, w.fsyms AS w_fsyms,
-        |         w.funion AS w_funion
+        |         w.funion AS w_funion,
+        |         ${sqlMatched("r.fname", "r.falias", "w.fname", "w.falias")} AS matched
         |  FROM fields r LEFT JOIN fields w
-        |    ON r.subject = w.subject AND w.version = r.version - 1 AND r.fname = w.fname
+        |    ON r.subject = w.subject AND w.version = r.version - 1 AND r.fid = w.fid
         |  WHERE r.version > 1)
         |SELECT subject, version, n_fields, n_violations, n_violations = 0 AS compatible
         |FROM (
         |  SELECT subject, version, count(*) AS n_fields,
-        |    CAST(sum(CASE WHEN ${backViolation()}
+        |    CAST(sum(CASE WHEN ${backViolation(m = "matched")}
         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
         |  FROM joined GROUP BY subject, version)
         |ORDER BY subject, version""".stripMargin,
@@ -1042,34 +1115,35 @@ object Compat {
         |joined AS (
         |  SELECT r.subject, r.version, r.fname, r.ftype, r.fnull, r.fdefault, r.fsyms, r.funion,
         |         w.ftype AS w_ftype, w.fnull AS w_fnull, w.fsyms AS w_fsyms,
-        |         w.funion AS w_funion
+        |         w.funion AS w_funion,
+        |         ${sqlMatched("r.fname", "r.falias", "w.fname", "w.falias")} AS matched
         |  FROM fields r LEFT JOIN fields w
-        |    ON r.subject = w.subject AND w.version = r.version - 1 AND r.fname = w.fname
+        |    ON r.subject = w.subject AND w.version = r.version - 1 AND r.fid = w.fid
         |  WHERE r.version > 1)
         |SELECT subject, version, fname, violation, suggestion FROM (
         |  SELECT subject, version, fname, 'missing_default' AS violation,
         |    'Add a default value to the new field so old data can be read with the new schema.' AS suggestion
-        |  FROM joined WHERE w_ftype IS NULL AND NOT fnull AND fdefault IS NULL
+        |  FROM joined WHERE (w_ftype IS NULL OR NOT matched) AND NOT fnull AND fdefault IS NULL
         |  UNION ALL
         |  SELECT subject, version, fname, 'type_narrowed',
         |    'This reverses a legal promotion; keep the wider type (or widen the union) instead of narrowing.'
-        |  FROM joined WHERE w_ftype IS NOT NULL
+        |  FROM joined WHERE w_ftype IS NOT NULL AND matched
         |    AND ${sqlTypeBreak("ftype", "funion", "w_ftype", "w_funion")}
         |    AND NOT ${sqlTypeBreak("w_ftype", "w_funion", "ftype", "funion")}
         |  UNION ALL
         |  SELECT subject, version, fname, 'type_change',
         |    'Use type promotion (e.g., int to long) or add a new field with the desired type.'
-        |  FROM joined WHERE w_ftype IS NOT NULL
+        |  FROM joined WHERE w_ftype IS NOT NULL AND matched
         |    AND ${sqlTypeBreak("ftype", "funion", "w_ftype", "w_funion")}
         |    AND ${sqlTypeBreak("w_ftype", "w_funion", "ftype", "funion")}
         |  UNION ALL
         |  SELECT subject, version, fname, 'required_reads_nullable',
         |    'Keep the field nullable or add a default before tightening it.'
-        |  FROM joined WHERE w_ftype IS NOT NULL AND NOT fnull AND w_fnull
+        |  FROM joined WHERE w_ftype IS NOT NULL AND matched AND NOT fnull AND w_fnull
         |  UNION ALL
         |  SELECT subject, version, fname, 'enum_symbols',
         |    'Only add new enum symbols; do not remove or rename existing ones.'
-        |  FROM joined WHERE ftype = 'enum' AND w_ftype = 'enum' AND fdefault IS NULL
+        |  FROM joined WHERE ftype = 'enum' AND w_ftype = 'enum' AND matched AND fdefault IS NULL
         |    AND NOT list_has_all(string_split(fsyms, ','), string_split(w_fsyms, ','))
         |) t ORDER BY subject, version, fname, violation""".stripMargin,
     "compat_forward_scan" ->
@@ -1079,11 +1153,12 @@ object Compat {
         |  SELECT r.subject, r.version + 1 AS version, r.ftype AS rtype, r.fnull AS rnull,
         |         r.fdefault AS r_default, r.fsyms AS r_syms, r.funion AS r_union,
         |         w.ftype AS w_type, w.fnull AS w_null, w.fsyms AS w_syms,
-        |         w.funion AS w_union
+        |         w.funion AS w_union,
+        |         ${sqlMatched("r.fname", "r.falias", "w.fname", "w.falias")} AS matched
         |  FROM fields r
         |  JOIN maxv ON maxv.subject = r.subject AND r.version < maxv.mv
         |  LEFT JOIN fields w ON w.subject = r.subject
-        |    AND w.version = r.version + 1 AND w.fname = r.fname)
+        |    AND w.version = r.version + 1 AND w.fid = r.fid)
         |SELECT subject, version, count(*) AS n_reader_fields,
         |  CAST(sum(CASE WHEN ${fwdViolation()}
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
@@ -1097,14 +1172,15 @@ object Compat {
         |  SELECT rf.subject, rf.version AS rv, rf.fname, rf.ftype, rf.fnull,
         |         rf.fdefault, rf.fsyms, rf.funion,
         |         wf.ftype AS w_ftype, wf.fnull AS w_fnull, wf.fsyms AS w_fsyms,
-        |         wf.funion AS w_funion
+        |         wf.funion AS w_funion,
+        |         ${sqlMatched("rf.fname", "rf.falias", "wf.fname", "wf.falias")} AS matched
         |  FROM fields rf
         |  JOIN versions wv ON wv.subject = rf.subject AND wv.version < rf.version
         |  LEFT JOIN fields wf ON wf.subject = rf.subject
-        |    AND wf.version = wv.version AND wf.fname = rf.fname),
+        |    AND wf.version = wv.version AND wf.fid = rf.fid),
         |badf AS (
         |  SELECT subject, rv AS version, fname,
-        |    max(CASE WHEN ${backViolation()}
+        |    max(CASE WHEN ${backViolation(m = "matched")}
         |      THEN 1 ELSE 0 END) AS bad
         |  FROM pairs GROUP BY subject, rv, fname)
         |SELECT subject, version, count(*) AS n_fields,
@@ -1113,32 +1189,33 @@ object Compat {
     "compat_ftransitive" ->
       s"""WITH $fieldModelCte,
         |versions AS (SELECT DISTINCT subject, version FROM fields),
-        |vocabv AS (SELECT DISTINCT subject, fname FROM fields),
+        |vocabv AS (SELECT DISTINCT subject, fid FROM fields),
         |grid AS (
-        |  SELECT v.subject, v.version, vc.fname
+        |  SELECT v.subject, v.version, vc.fid
         |  FROM versions v JOIN vocabv vc ON vc.subject = v.subject
         |  WHERE v.version > 1),
         |wf AS (
-        |  SELECT g.subject, g.version, g.fname,
+        |  SELECT g.subject, g.version, g.fid, w.fname, w.falias,
         |         w.ftype, w.fnull, w.fdefault, w.fsyms, w.funion
         |  FROM grid g LEFT JOIN fields w ON w.subject = g.subject
-        |    AND w.version = g.version AND w.fname = g.fname),
+        |    AND w.version = g.version AND w.fid = g.fid),
         |pairs AS (
-        |  SELECT wf.subject, wf.version, wf.fname,
+        |  SELECT wf.subject, wf.version, wf.fid,
         |         wf.ftype AS w_ftype, wf.fnull AS w_fnull, wf.fsyms AS w_fsyms,
         |         wf.funion AS w_funion,
         |         r.ftype AS r_ftype, r.fnull AS r_fnull,
-        |         r.fdefault AS r_fdefault, r.fsyms AS r_fsyms, r.funion AS r_funion
+        |         r.fdefault AS r_fdefault, r.fsyms AS r_fsyms, r.funion AS r_funion,
+        |         ${sqlMatched("r.fname", "r.falias", "wf.fname", "wf.falias")} AS matched
         |  FROM wf LEFT JOIN fields r ON r.subject = wf.subject
-        |    AND r.fname = wf.fname AND r.version < wf.version),
+        |    AND r.fid = wf.fid AND r.version < wf.version),
         |badf AS (
-        |  SELECT subject, version, fname,
+        |  SELECT subject, version, fid,
         |    max(CASE WHEN w_ftype IS NOT NULL THEN 1 ELSE 0 END) AS wpresent,
         |    max(CASE WHEN r_ftype IS NOT NULL AND (
         |        ${backViolation(rt = "r_ftype", ru = "r_funion", rn = "r_fnull",
-                   rd = "r_fdefault", rs = "r_fsyms")})
+                   rd = "r_fdefault", rs = "r_fsyms", m = "matched")})
         |      THEN 1 ELSE 0 END) AS bad
-        |  FROM pairs GROUP BY subject, version, fname)
+        |  FROM pairs GROUP BY subject, version, fid)
         |SELECT subject, version,
         |  CAST(sum(wpresent) AS BIGINT) AS n_fields,
         |  CAST(sum(bad) AS BIGINT) AS n_bad_fields,

@@ -127,19 +127,23 @@ object Intelligence {
     * slower per extra model dimension.)
     */
   def diffFields(s: SparkSession, dir: String): DataFrame = {
-    val nSlots = 9
+    val nSlots = 10
     def r(i: Int) = col("flds_all")(i)
     def wf(i: Int) = col("w_all")(i)
     def cnt(cond: Int => org.apache.spark.sql.Column) =
       (0 until nSlots).map(i => when(cond(i), 1L).otherwise(0L)).reduce(_ + _)
+    // The diff is NAME-based (computeFieldDiffs has no alias
+    // resolution): a renamed slot counts as one removal + one
+    // addition, so presence comparisons also require name equality.
+    def sameName(i: Int) = r(i)("fname") === wf(i)("fname")
     Compat.fieldArrays(s, dir)
       .filter(col("version") > 1)
       .select(col("subject"), col("version"),
-        cnt(i => r(i)("present") && !wf(i)("present")).as("n_added"),
-        cnt(i => wf(i)("present") && !r(i)("present")).as("n_removed"),
-        cnt(i => r(i)("present") && wf(i)("present") &&
+        cnt(i => r(i)("present") && !(wf(i)("present") && sameName(i))).as("n_added"),
+        cnt(i => wf(i)("present") && !(r(i)("present") && sameName(i))).as("n_removed"),
+        cnt(i => r(i)("present") && wf(i)("present") && sameName(i) &&
           r(i)("ftype") =!= wf(i)("ftype")).as("n_type_changed"),
-        cnt(i => r(i)("present") && wf(i)("present") &&
+        cnt(i => r(i)("present") && wf(i)("present") && sameName(i) &&
           r(i)("fnull") =!= wf(i)("fnull")).as("n_null_changed"))
       .orderBy(col("subject"), col("version"))
   }

@@ -133,7 +133,8 @@ object EventStream {
 
   final case class RegEvt(subject: Long, ts: java.sql.Timestamp, event_id: Long, k: Long)
   final case class FieldDef(fname: String, ftype: String, fnull: Boolean,
-    fdefault: Option[String], fsyms: Option[String], funion: Option[String] = None)
+    fdefault: Option[String], fsyms: Option[String], funion: Option[String] = None,
+    falias: Option[String] = None)
   final case class CompatState(version: Int, fields: Seq[FieldDef])
   final case class CompatOut(subject: Long, version: Int, n_fields: Long,
     n_violations: Long, compatible: Boolean)
@@ -164,6 +165,9 @@ object EventStream {
       else if (k % 6 == 3) Some("bigint,string") else None)
     b += FieldDef("token", if (k % 23 < 12) "fixed8" else "fixed16",
       fnull = true, None, None)
+    b += FieldDef(if (k % 29 < 15) "nick" else "nickname", "string",
+      fnull = false, None, None,
+      falias = if (k % 31 < 16) Some(if (k % 29 < 15) "nickname" else "nick") else None)
     b.result()
   }
 
@@ -189,7 +193,9 @@ object EventStream {
     */
   def backwardViolations(reader: Seq[FieldDef], writer: Seq[FieldDef]): Long =
     reader.count { r =>
-      writer.find(_.fname == r.fname) match {
+      // name-or-alias resolution in both directions (checker.go:112)
+      writer.find(w => w.fname == r.fname ||
+        r.falias.contains(w.fname) || w.falias.contains(r.fname)) match {
         case None => !r.fnull && r.fdefault.isEmpty
         case Some(w) =>
           val accepts = branches(r).flatMap(b => nameAccepts.getOrElse(b, Set(b))).toSet

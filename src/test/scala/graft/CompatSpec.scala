@@ -95,7 +95,14 @@ class CompatSpec extends SparkSpec {
         if (k % 23 < 12) Array("fixed8") else Array("fixed16"))
       StructField("token", BinaryType, nullable = true, b.build())
     }
-    StructType(base ++ status ++ Seq(ratio, payload, ref, token))
+    val nick = {
+      val b = new MetadataBuilder()
+      if (k % 31 < 16)
+        b.putStringArray("aliases", Array(if (k % 29 < 15) "nickname" else "nick"))
+      StructField(if (k % 29 < 15) "nick" else "nickname", StringType,
+        nullable = false, b.build())
+    }
+    StructType(base ++ status ++ Seq(ratio, payload, ref, token, nick))
   }
 
   /** Per-subject ordered k-sequences for a handful of subjects. */
@@ -214,6 +221,38 @@ class CompatSpec extends SparkSpec {
       checked += 1
     }
     assert(checked == shapes.size * shapes.size)
+  }
+
+  test("alias dimension is live on the corpus: renames break only when unrescued") {
+    import org.apache.spark.sql.functions._
+    val steps = Tables.events(spark, sfDir)
+      .select(col("user_id").as("subject"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .withColumn("version", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("subject"))
+          .orderBy(col("ts"), col("event_id"))))
+      .withColumn("w_k", lag(col("k"), 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("subject"))
+          .orderBy(col("ts"), col("event_id"))))
+      .filter(col("version") > 1)
+      .collect().map(r => (r.getAs[Long]("subject"), r.getAs[Int]("version"),
+        r.getAs[Long]("k"), r.getAs[Long]("w_k")))
+    def name(k: Long) = if (k % 29 < 15) "nick" else "nickname"
+    def hasAlias(k: Long) = k % 31 < 16
+    val renamed = steps.filter { case (_, _, k, wk) => name(k) != name(wk) }
+    val rescued = renamed.filter { case (_, _, k, wk) => hasAlias(k) || hasAlias(wk) }
+    val unrescued = renamed.filterNot { case (_, _, k, wk) => hasAlias(k) || hasAlias(wk) }
+    assert(rescued.nonEmpty && unrescued.nonEmpty, "both rename kinds must occur")
+    // every unrescued rename surfaces as a missing_default diagnosis
+    // on the slot's new name; no rescued rename does
+    val flagged = operators.Compat.compatExplain(spark, sfDir)
+      .filter(col("fname").isin("nick", "nickname") && col("violation") === "missing_default")
+      .select("subject", "version").collect()
+      .map(r => (r.getAs[Long]("subject"), r.getAs[Int]("version"))).toSet
+    unrescued.foreach { case (s, v, _, _) =>
+      assert(flagged((s, v)), s"unrescued rename at ($s, $v) not flagged") }
+    rescued.foreach { case (s, v, _, _) =>
+      assert(!flagged((s, v)), s"rescued rename at ($s, $v) wrongly flagged") }
   }
 
   test("aliases: a rename is rescued by reader OR writer aliases, and only then") {

@@ -5,8 +5,13 @@ import org.apache.spark.sql.functions._
 
 class IntelligenceSpec extends SparkSpec {
 
+  // The 10-dimension field model makes identical latest schemas rare:
+  // at sf0.001's 50 subjects no two collide, so the similarity specs
+  // run against sf0.01 (still subjects-sized work).
+  private val similarDir = "/root/testdata/sf0.01"
+
   test("similar schemas: pairs are symmetric-deduped with exact-match jaccard") {
-    val rows = Intelligence.similarSchemas(spark, sfDir).collect()
+    val rows = Intelligence.similarSchemas(spark, similarDir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getAs[Long]("sub_a") < r.getAs[Long]("sub_b"), "pair not canonical-ordered")
@@ -18,7 +23,7 @@ class IntelligenceSpec extends SparkSpec {
   test("similar-schema relation is transitive at threshold 1.0") {
     // identical-set similarity is an equivalence relation: a~b and
     // b~c must imply a~c (catches a broken pair-count denominator)
-    val pairs = Intelligence.similarSchemas(spark, sfDir)
+    val pairs = Intelligence.similarSchemas(spark, similarDir)
       .select("sub_a", "sub_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val related = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
@@ -31,20 +36,21 @@ class IntelligenceSpec extends SparkSpec {
   }
 
   test("df-cap guard: capped signatures leave pair generation, report accounts for them") {
-    val base = Intelligence.similarSchemas(spark, sfDir).count()
-    val baseReport = Intelligence.similarDropReport(spark, sfDir).head()
+    val base = Intelligence.similarSchemas(spark, similarDir).count()
+    assert(base > 0)
+    val baseReport = Intelligence.similarDropReport(spark, similarDir).head()
     assert(baseReport.getAs[Long]("n_dropped_signatures") == 0,
       "default cap must not bite on the test corpus")
     try {
       // cap 1: every signature shared by 2+ subjects is excluded, and
       // threshold-1.0 pairs need ALL signatures shared — none survive
       spark.conf.set("graft.similar.dfCap", "1")
-      assert(Intelligence.similarSchemas(spark, sfDir).count() == 0)
-      val r = Intelligence.similarDropReport(spark, sfDir).head()
+      assert(Intelligence.similarSchemas(spark, similarDir).count() == 0)
+      val r = Intelligence.similarDropReport(spark, similarDir).head()
       assert(r.getAs[Long]("n_dropped_signatures") > 0)
       assert(r.getAs[Long]("n_dropped_postings") > r.getAs[Long]("n_dropped_signatures"))
     } finally spark.conf.unset("graft.similar.dfCap")
-    assert(Intelligence.similarSchemas(spark, sfDir).count() == base)
+    assert(Intelligence.similarSchemas(spark, similarDir).count() == base)
   }
 
   test("find-by-type: every subject's latest has bigint id; only id/score/ratio qualify") {
@@ -70,8 +76,10 @@ class IntelligenceSpec extends SparkSpec {
     assert(byRule("widen_int_to_long") == Set("score", "ratio"))
     // only status is an enum
     assert(byRule("add_enum_default") == Set("status"))
-    // some latest step dropped a presence-varying field
-    assert(byRule.get("deprecate_before_remove").exists(_.subsetOf(Set("email", "status"))))
+    // some latest step dropped a presence-varying field (or renamed
+    // the alias slot - a name-level removal)
+    assert(byRule.get("deprecate_before_remove").exists(
+      _.subsetOf(Set("email", "status", "nick", "nickname"))))
     assert(byRule("deprecate_before_remove").nonEmpty)
   }
 
@@ -91,7 +99,7 @@ class IntelligenceSpec extends SparkSpec {
     rows.foreach { r =>
       val nf = r.getAs[Long]("n_fields"); val nr = r.getAs[Long]("n_required")
       val nt = r.getAs[Long]("n_types")
-      assert(nf >= 7 && nf <= 9)
+      assert(nf >= 8 && nf <= 10)
       assert(nr <= nf && nt <= nf)
       val expected = math.floor((nf + 0.5 * nt + 0.25 * nr) * 100 + 0.5) / 100.0
       assert(math.abs(r.getAs[Double]("complexity") - expected) < 1e-9)
@@ -105,7 +113,7 @@ class IntelligenceSpec extends SparkSpec {
       // email and status appear/disappear; score/ratio/payload/ref
       // change type; only name changes nullability — adds/removes
       // bounded by 2 (both presence-varying fields in one step)
-      assert(r.getAs[Long]("n_added") <= 2 && r.getAs[Long]("n_removed") <= 2)
+      assert(r.getAs[Long]("n_added") <= 3 && r.getAs[Long]("n_removed") <= 3)
       assert(r.getAs[Long]("n_type_changed") <= 5 && r.getAs[Long]("n_null_changed") <= 1)
       assert(r.getAs[Int]("version") > 1)
     }
@@ -148,7 +156,9 @@ class IntelligenceSpec extends SparkSpec {
     assert(m.keySet == Set("n_subjects", "total_versions", "multi_version_subjects", "ubiquitous_fields"))
     assert(m("multi_version_subjects") <= m("n_subjects"))
     assert(m("total_versions") >= m("n_subjects"))
-    // id/name/score/ratio/payload/ref/token are always present; email/status only sometimes
+    // id/name/score/ratio/payload/ref/token are always present;
+    // email/status only sometimes; the alias slot's two NAMES each
+    // cover only part of the subjects
     assert(m("ubiquitous_fields") == 7)
     assert(m("total_versions") == Tables.events(spark, sfDir).count())
   }
