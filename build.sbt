@@ -31,4 +31,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // Spark's generated projections for wide models routinely exceed
+  // HotSpot's 8000-byte DontCompileHugeMethods ceiling; without this
+  // the hot stage runs as INTERPRETED bytecode (measured 5x on the
+  // compat scans). Standard executor-JVM tuning for Spark codegen.
+  "-XX:-DontCompileHugeMethods",
+) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+"))

@@ -17,6 +17,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Small-shuffle parallelism: AQE's size-driven coalescing
+      // otherwise folds MB-scale shuffles into ONE post-shuffle task
+      // and serializes the whole mid-query on a 32-core box (measured
+      // 5-10x on the window-heavy scans). At cluster scale these are
+      // no-ops: partitions are far above the floor.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Absorb session/codegen/parquet-footer warmup so the first
@@ -41,24 +48,30 @@ object Bench {
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // Each query runs twice; the reported number is the BEST of the
-      // two (standard best-observed practice). The first run usually
-      // pays one-off JIT/codegen cost that amortizes to zero on a
-      // long-lived cluster; taking min rather than "the second run"
-      // also self-heals transient GC/host stalls that occasionally
-      // hit the warm run (observed: a 0.3s query stalling to 10s).
-      // Both raw numbers are kept in bench_detail.json.
+      // Each query runs three times; the reported number is the
+      // MEDIAN. The first (cold) run pays one-off JIT/codegen cost
+      // that amortizes to zero on a long-lived cluster, so the median
+      // is normally a warm number — and unlike best-of-N it also
+      // absorbs a transient GC/host stall hitting one warm run
+      // without letting a single lucky run flatter the result
+      // (round-over-round comparisons on this host exceeded the
+      // assumed ±10% under best-of-two). Raw cold times stay in
+      // bench_detail.json.
       val cold = run(fn)
-      // Drop anything the cold run pinned with .cache() BEFORE the
-      // warm run: otherwise CacheManager swaps the warm plan for the
+      // Drop anything a run pinned with .cache() BEFORE the next
+      // one: otherwise CacheManager swaps the warm plan for the
       // cold run's InMemoryRelation and the warm number measures a
       // cached-table read, not the plan.
       spark.catalog.clearCache()
-      val warm = if (cold.isRight) run(fn) else cold
-      spark.catalog.clearCache()
+      val warms = (1 to 2).map { _ =>
+        val r = if (cold.isRight) run(fn) else cold
+        spark.catalog.clearCache()
+        r.map(_._1)
+      }
       val coldT = cold.map(_._1)
-      val best = for { c <- coldT; w <- warm.map(_._1) } yield math.min(c, w)
-      (name, coldT, best, cold.map(_._2).getOrElse(""))
+      val median = for { c <- coldT; w1 <- warms(0); w2 <- warms(1) }
+        yield Seq(c, w1, w2).sorted.apply(1)
+      (name, coldT, median, cold.map(_._2).getOrElse(""))
     }
     // minimal-width rendering: 0.50 → "0.5", 1.00 → "1" (valid JSON,
     // saves ~1 char/query against the tail-window budget)
@@ -124,11 +137,10 @@ object Bench {
     // belong in SURVEY.md/VERDICT.md, not in every future run's
     // artifact (an r4 regression story was baked here and re-emitted
     // verbatim by each subsequent bench).
-    val notes = "value = best of two runs per query (cold JIT/codegen " +
-      "amortizes to zero on a long-lived cluster; min also self-heals " +
-      "transient GC/host stalls). Cross-run totals vary +/-10% with " +
-      "unchanged plans on this host; compare steady states, not single " +
-      "best-of-two runs. Raw cold times in 'cold', plan-shape metrics " +
+    val notes = "value = median of three runs per query (cold JIT/codegen " +
+      "amortizes to zero on a long-lived cluster; the median also absorbs " +
+      "one transient GC/host stall without letting a lucky run flatter " +
+      "the number). Raw cold times in 'cold', plan-shape metrics " +
       "(shuffles/broadcasts/codegen spans) in 'plans'."
     val detail =
       s"""{"metric":"total","value":${fmt(total, 6)},"unit":"sec","queries":${qmap(6, _._3)},"cold":${qmap(6, _._2)},"plans":$planMetrics,"errors":$errs,"notes":"${esc(notes)}","sf":"$sfDir","cpus":$cpus}"""

@@ -20,6 +20,13 @@ object Explain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Small-shuffle parallelism: AQE's size-driven coalescing
+      // otherwise folds MB-scale shuffles into ONE post-shuffle task
+      // and serializes the whole mid-query on a 32-core box (measured
+      // 5-10x on the window-heavy scans). At cluster scale these are
+      // no-ops: partitions are far above the floor.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

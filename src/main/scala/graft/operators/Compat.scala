@@ -20,22 +20,20 @@ object Compat {
   // Avro type-resolution core: promotion matrix + union branch sets
   // -------------------------------------------------------------------
 
-  /** A field's branch set: the union's branches, or the scalar type as
-    * a singleton — the normalization that lets ONE predicate cover
-    * checkUnion (avro/checker.go:224), checkReaderUnion (:247),
-    * checkWriterUnion (:263) and plain scalar resolution (:54 + :297):
-    * in every case the rule is "every writer branch must be readable
-    * by some reader branch".
-    */
-  private[operators] def branchesOf(ftype: Column, funion: Column): Column =
-    coalesce(split(funion, ","), array(ftype))
-
-  /** Branch sets as BITMASKS. Array higher-order functions are
-    * interpreted per element and fall out of whole-stage codegen; on
-    * the full-corpus scans that cost ~3× (sf0.1 compat_gate 29.9s
-    * array-HOF vs 9-10s masked). With one bit per primitive type the
-    * whole resolution algebra is integer ops: set membership = AND,
-    * set union across versions = a single bit_or window aggregate.
+  /** Branch-set normalization (the union's branches, or the scalar
+    * type as a singleton) lets ONE predicate cover checkUnion
+    * (avro/checker.go:224), checkReaderUnion (:247), checkWriterUnion
+    * (:263) and plain scalar resolution (:54 + :297): in every case
+    * the rule is "every writer branch must be readable by some reader
+    * branch". The branch sets live as BITMASKS: array higher-order
+    * functions are interpreted per element and fall out of
+    * whole-stage codegen; on the full-corpus scans that cost ~3×
+    * (sf0.1 compat_gate 29.9s array-HOF vs 9-10s masked). With one
+    * bit per primitive type the whole resolution algebra is integer
+    * ops: set membership = AND, set union across versions = a single
+    * bit_or window aggregate. The oracles spell the same algebra over
+    * real branch lists ([[sqlBranches]]/[[sqlAccepts]]/
+    * [[sqlTypeBreak]]) — parity proves the two formulations equal.
     */
   private val typeBits: Seq[(String, Int)] = Seq(
     "int" -> 1, "bigint" -> 2, "float" -> 4, "double" -> 8,
@@ -51,14 +49,6 @@ object Compat {
     * scans' cannot-decode accounting.
     */
   private val allTypeBits: Int = typeBits.map(_._2).reduce(_ | _)
-
-  /** Bitmask of a field's branch set. Bits are disjoint so + ≡ |. */
-  private[operators] def maskOf(ftype: Column, funion: Column): Column = {
-    val br = branchesOf(ftype, funion)
-    typeBits.map { case (t, bit) =>
-      when(array_contains(br, t), lit(bit)).otherwise(lit(0))
-    }.reduce(_ + _)
-  }
 
   /** Scala-side twins of the mask algebra, for candidate schemas
     * whose branch sets are compile-time constants.
@@ -81,30 +71,29 @@ object Compat {
     * over a branch mask: int→long/float/double, long→float/double,
     * float→double, string↔bytes (`bigint` is the model's spelling of
     * Avro long). Each reader branch contributes the writer types it
-    * can decode.
+    * can decode. Branch-free closed form: the numeric ladder
+    * int<long<float<double occupies bits 0-3 in promotion order, so
+    * "every type below my highest branch" is the right-shift smear
+    * n|n>>1|n>>2|n>>3; string(16)↔bytes(32) promote symmetrically, so
+    * either bit turns both on. Branchless matters: the transitive
+    * scans inline this per slot, and CASE WHEN chains there pushed
+    * the generated method past HotSpot's 8000-byte JIT ceiling —
+    * the whole stage ran as interpreted bytecode (measured 5x).
     */
-  private[operators] def acceptsMaskOf(mask: Column): Column =
+  private[graft] def acceptsMaskOf(mask: Column): Column = {
+    val num = mask.bitwiseAND(lit(15))
+    val st = mask.bitwiseAND(lit(48))
     mask
-      .bitwiseOR(when(mask.bitwiseAND(lit(2)) =!= 0, lit(1)).otherwise(lit(0)))
-      .bitwiseOR(when(mask.bitwiseAND(lit(4)) =!= 0, lit(3)).otherwise(lit(0)))
-      .bitwiseOR(when(mask.bitwiseAND(lit(8)) =!= 0, lit(7)).otherwise(lit(0)))
-      .bitwiseOR(when(mask.bitwiseAND(lit(16)) =!= 0, lit(32)).otherwise(lit(0)))
-      .bitwiseOR(when(mask.bitwiseAND(lit(32)) =!= 0, lit(16)).otherwise(lit(0)))
-
-  /** TRUE iff some writer branch is unreadable by every reader branch
-    * — the single type-resolution verdict (union rules + promotion
-    * matrix in one membership test): writer ⊄ accepts(reader),
-    * spelled NOT-free as (w AND acc) ≠ w. Callers guard writer
-    * presence.
-    */
-  private[operators] def typeBreak(rtype: Column, runion: Column,
-                                   wtype: Column, wunion: Column): Column = {
-    val acc = acceptsMaskOf(maskOf(rtype, runion))
-    val wm = maskOf(wtype, wunion)
-    wm.bitwiseAND(acc) =!= wm
+      .bitwiseOR(shiftright(num, 1)).bitwiseOR(shiftright(num, 2))
+      .bitwiseOR(shiftright(num, 3))
+      .bitwiseOR(shiftleft(st, 1).bitwiseOR(shiftright(st, 1)).bitwiseAND(lit(48)))
   }
 
-  /** DuckDB spellings of the same three helpers. */
+  /** DuckDB spellings of the mask algebra over real branch lists
+    * (the oracle side; the Spark side uses model-baked fmask ints +
+    * [[acceptsMaskOf]] — "some writer branch is unreadable by every
+    * reader branch" spelled NOT-free as (w AND acc) ≠ w).
+    */
   private[operators] def sqlBranches(t: String, u: String): String =
     s"coalesce(string_split($u, ','), [$t])"
   private[operators] def sqlAccepts(t: String, u: String): String =
@@ -269,7 +258,7 @@ object Compat {
     * promotion-into-a-union-branch (int writer vs bigint branch) all
     * fire both ways in real data.
     */
-  private[operators] def fieldArrays(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def fieldArrays(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select(
       col("user_id").as("subject"), col("ts"), col("event_id"),
       get_json_object(col("props"), "$.k").cast("bigint").as("k"))
@@ -335,14 +324,21 @@ object Compat {
       .withColumn("w_all", lag(col("flds_all"), 1).over(w))
       // present-only views for consumers that think in field SETS
       // (diffs, latest-version tools); the scans use the positional
-      // 8-slot arrays directly — element_at is codegen'd, a
+      // nSlots-wide arrays directly — element_at is codegen'd, a
       // filter-by-fname probe is an interpreted HOF.
       .withColumn("flds", filter(col("flds_all"), fld => fld("present")))
       .withColumn("w_flds", filter(col("w_all"), fld => fld("present")))
   }
 
-  /** Number of slots in the positional field-model array. */
-  private val nSlots = 10
+  /** Number of slots in the positional field-model array. Must match
+    * the `flds_all` array literal in [[fieldArrays]]; the named
+    * constants below pin the slots whose INDEX is load-bearing
+    * (anything reading `flds_all(i)` positionally). A spec asserts
+    * slot names against these ([[graft.CompatSpec]]).
+    */
+  private[graft] val nSlots = 10
+  private[graft] val refSlot = 7
+  private[graft] val nickSlot = 9
 
   /** DuckDB mirror of [[fieldArrays]]' relational (subject, version,
     * fname, ftype, fnull, fdefault, fsyms) view — prepend inside
@@ -402,7 +398,7 @@ object Compat {
     * writer breaks ONLY when required AND defaultless — a default
     * rescues it; (:182) an enum writer symbol unknown to the reader
     * breaks unless the reader declares an enum default; type
-    * resolution is [[typeBreak]] — the union rules (:224/:247/:263)
+    * resolution is the branch-mask membership test — the union rules (:224/:247/:263)
     * and the full promotion matrix (:304) as one branch-set
     * membership test. `v_type_narrowed` sub-classifies a type break
     * whose REVERSE direction would resolve (pure narrowing — the
@@ -411,7 +407,7 @@ object Compat {
   private def backwardFieldChecks(s: SparkSession, dir: String): DataFrame = {
     val versioned = fieldArrays(s, dir).filter(col("version") > 1)
     // Positional pairing: slot i of version N vs slot i of N-1 —
-    // both arrays share the fixed 8-slot layout, so the reader↔writer
+    // both arrays share the fixed nSlots-wide layout, so the reader↔writer
     // field match is element_at by the posexploded index (codegen'd),
     // not a filter-by-fname HOF probe, and each flag is evaluated
     // once per surviving exploded row, not once per slot per row.
@@ -553,80 +549,143 @@ object Compat {
     * pairwise (readers × earlier versions) — parity proves the
     * rewrite.
     */
+  // ---------------------------------------------------------------
+  // Shared packed-int plumbing for the transitive scans. The r5 form
+  // posexploded the slot grid (10× the rows) and windowed it by
+  // (subject, pos) with the slot STRUCTS — including four string
+  // columns — riding through a second shuffle+sort; at bench scale
+  // AQE correctly coalesces these small shuffles to one task, so all
+  // of it ran single-threaded (measured: 7.5→15.5s when r5 widened
+  // the structs). Unexploded, the same algebra is [[nSlots]] bit_or
+  // window expressions over ONE subject window on int arrays — a
+  // tenth of the rows, no strings past the scan, no second shuffle,
+  // no final groupBy (each row already IS a (subject, version)).
+  //
+  // The rule set itself compiles to a TEST-MASK algebra, evaluated
+  // per slot at model-build time so the windowed stage is three
+  // integer ops per slot (JIT-friendly — giant CASE WHEN towers here
+  // previously blew HotSpot's huge-method limit and ran interpreted):
+  //   hb : the bits this version contributes to the running history
+  //        (branch mask + existence facts; one bit marks ABSENCE,
+  //        which subsumes the former presence-count window), and
+  //   tm : the bits of accumulated history that would break THIS
+  //        version (reader role for BACKWARD_TRANSITIVE, writer role
+  //        for FORWARD_TRANSITIVE).
+  // Violation classes live on disjoint bits, so "some earlier
+  // version breaks this one under some rule" is exactly
+  //   (bit_or(hb) over earlier versions) & tm ≠ 0.
+  // ---------------------------------------------------------------
+
+  private def bitIf(c: Column, bit: Int): Column =
+    when(c, lit(bit)).otherwise(lit(0))
+
+  /** Bit i set iff slot i is present — bit_count of it is the
+    * version's field count.
+    */
+  private def presentBits: Column =
+    (0 until nSlots).map(i =>
+      bitIf(col("flds_all")(i)("present"), 1 << i)).reduce(_ + _)
+
+  /** BACKWARD_TRANSITIVE over the corpus (modes.go; checker.go:39
+    * iterates ALL earlier versions, not just N-1). The naive
+    * formulation pairs every reader version with every earlier
+    * writer — O(V²) per subject, the shape that dies on long
+    * histories. Re-expressed as O(V) running aggregates per
+    * (subject, slot): a reader field is incompatible with SOME
+    * earlier writer iff
+    *   - it is required/defaultless and was absent from at least one
+    *     earlier version (presence count < version-1), or
+    *   - some earlier occurrence carried a branch outside this
+    *     reader's promotion-closure accept mask (one bit_or of the
+    *     earlier branch masks — "(OR of history) ⊄ accepts"), or
+    *   - it is required but some earlier writer declared it nullable,
+    *     the vocabulary/alias existence bits riding in the SAME
+    *     bit_or (enum: vocabularies are nested, so "earlier writer
+    *     carries a symbol this reader lacks" is "reader narrow,
+    *     history wide"; alias, checker.go:112-:125: the only
+    *     unreachable history under the two-name model is
+    *     "other-named AND alias-less" — one existence bit per name.
+    *     The oracle states both rules pairwise with real subset /
+    *     name semantics — parity proves the specializations).
+    * All [[nSlots]] slots ride ONE subject window as int arrays; the
+    * per-slot history is [[nSlots]] bit_or window expressions over
+    * the same spec (one sort), the verdict a row-local bit test, and
+    * the output needs no groupBy — a row is already one (subject,
+    * version). The oracle states the same semantics pairwise —
+    * parity proves the rewrite.
+    */
   def compatTransitive(s: SparkSession, dir: String): DataFrame = {
-    val fieldsDf = fieldArrays(s, dir)
-      .select(col("subject"), col("version"),
-        posexplode(col("flds_all")).as(Seq("pos", "fld")))
-      .where(col("fld.present"))
-      .select(col("subject"), col("version"), col("pos"),
-        col("fld.fname").as("fname"),
-        col("fld.ftype").as("ftype"), col("fld.fnull").as("fnull"),
-        col("fld.fdefault").as("fdefault"), col("fld.fsyms").as("fsyms"),
-        col("fld.falias").as("falias"), col("fld.fmask").as("bm"))
-      // branch mask (this row as WRITER, baked into the model) and
-      // promotion-closure accept mask (this row as READER) — pure
-      // integer ops from here on
-      .withColumn("am", acceptsMaskOf(col("bm")))
-    // version is strictly increasing and distinct within each
-    // (subject, slot) partition, so this ROWS frame is identical to
-    // RANGE(unboundedPreceding, -1) — but runs as a plain running
-    // accumulator instead of per-row range-bound seeks. The SLOT is
-    // the field's identity (names can flip within it — the alias
-    // dimension), exactly the canonical key the pairwise oracle
-    // derives as fid.
-    val w = Window.partitionBy(col("subject"), col("pos")).orderBy(col("version"))
+    // hb: this version's contribution to the history mask when it
+    // plays the WRITER role for later readers — branch bits plus the
+    // was-nullable / wide-vocabulary / other-name-alias-less
+    // existence bits; an ABSENT slot contributes only the absence
+    // bit (the old presence-count window restated: "presence count <
+    // version-1" ⟺ "some earlier version lacked the slot").
+    def hb(i: Int): Column = {
+      val f = col("flds_all")(i)
+      when(f("present"),
+        f("fmask")
+          .bitwiseOR(bitIf(f("fnull"), 1024))
+          .bitwiseOR(bitIf(f("fsyms") === "A,B,C", 2048))
+          .bitwiseOR(bitIf(f("fname") === "nick" && f("falias").isNull, 8192))
+          .bitwiseOR(bitIf(f("fname") === "nickname" && f("falias").isNull, 16384)))
+        .otherwise(lit(32768))
+    }
+    // tm, READER role: which history bits break this version's slot.
+    //  - some earlier branch outside my promotion closure (the
+    //    complement of my accept mask within the type-bit space);
+    //  - required: an earlier nullable occurrence (1024) — and if
+    //    also defaultless, an earlier absence (32768);
+    //  - defaultless narrow enum: an earlier wide vocabulary (2048);
+    //  - required+defaultless+alias-less: an earlier alias-less
+    //    occurrence of the OTHER name (8192/16384 crossed).
+    def tm(i: Int): Column = {
+      val f = col("flds_all")(i)
+      val reqNoDef = !f("fnull") && f("fdefault").isNull
+      when(f("present"),
+        (lit(allTypeBits) - acceptsMaskOf(f("fmask")))
+          .bitwiseOR(bitIf(!f("fnull"), 1024))
+          .bitwiseOR(bitIf(f("ftype") === "enum" && f("fdefault").isNull &&
+            f("fsyms") === "A,B", 2048))
+          .bitwiseOR(bitIf(reqNoDef, 32768))
+          .bitwiseOR(bitIf(f("fname") === "nick" && f("falias").isNull && reqNoDef, 16384))
+          .bitwiseOR(bitIf(f("fname") === "nickname" && f("falias").isNull && reqNoDef, 8192)))
+        .otherwise(lit(0))
+    }
+    transitiveVerdict(s, dir, hb, tm, "transitive_ok")
+  }
+
+  /** Shared verdict frame for the two transitive scans: one subject
+    * window, [[nSlots]] bit_or running aggregates over the hb ints,
+    * then the row-local (hist & tm) ≠ 0 per-slot test summed into
+    * (n_fields, n_bad_fields, ok).
+    */
+  private def transitiveVerdict(s: SparkSession, dir: String,
+                                hb: Int => Column, tm: Int => Column,
+                                okName: String): DataFrame = {
+    val base = fieldArrays(s, dir).select(col("subject"), col("version"),
+      presentBits.as("pbits"),
+      array((0 until nSlots).map(hb): _*).as("hb"),
+      array((0 until nSlots).map(tm): _*).as("tm"))
+    // version is strictly increasing and distinct within the subject
+    // partition, so this ROWS frame is identical to
+    // RANGE(unboundedPreceding, -1) — a plain running accumulator.
+    val w = Window.partitionBy(col("subject")).orderBy(col("version"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    def cnt(cond: Column): Column =
-      coalesce(sum(when(cond, 1L).otherwise(0L)).over(w), lit(0L))
-    // Generic type accounting: "some earlier writer had a branch this
-    // reader cannot decode" = (OR of all earlier branch masks) ⊄ this
-    // reader's accept mask. The nullability and enum-width facts are
-    // also pure existence tests, so they ride as extra bits in the
-    // SAME bit_or running aggregate — one window aggregate plus one
-    // presence count for the whole rule set, where the pairwise
-    // statement (the oracle's) is O(V²) per subject.
-    // Enum symbol accounting: the model's symbol vocabularies are
-    // nested ({A,B} ⊂ {A,B,C}), so "some earlier writer carries a
-    // symbol this reader lacks" collapses to "reader holds the
-    // smaller set and an earlier version held the larger". The
-    // oracle states the rule with REAL subset semantics
-    // (list_has_all, pairwise) — parity proves this O(V)
-    // specialization equals it on the vocabulary.
-    // alias accounting (checker.go:112-:125): a reader resolves an
-    // earlier version's field iff names agree or EITHER side aliases
-    // the other name. With the model's two-name vocabulary, the only
-    // unreachable history is "other-named AND alias-less" — one
-    // existence bit per name.
-    val histBits = col("bm")
-      .bitwiseOR(when(col("fnull"), lit(1024)).otherwise(lit(0)))
-      .bitwiseOR(when(col("fsyms") === "A,B,C", lit(2048)).otherwise(lit(0)))
-      .bitwiseOR(when(col("fname") === "nick" && col("falias").isNull, lit(8192)).otherwise(lit(0)))
-      .bitwiseOR(when(col("fname") === "nickname" && col("falias").isNull, lit(16384)).otherwise(lit(0)))
-    val enriched = fieldsDf
-      .withColumn("c_present", count(lit(1)).over(w))
-      .withColumn("hist", coalesce(bit_or(histBits).over(w), lit(0)))
-    val typeBad =
-      col("hist").bitwiseAND(lit(allTypeBits)).bitwiseAND(col("am")) =!=
-        col("hist").bitwiseAND(lit(allTypeBits))
-    val otherNameBit =
-      when(col("fname") === "nick", lit(16384))
-        .when(col("fname") === "nickname", lit(8192)).otherwise(lit(0))
-    val bad =
-      (!col("fnull") && col("fdefault").isNull && col("c_present") < col("version") - 1) ||
-        typeBad ||
-        (!col("fnull") && col("hist").bitwiseAND(lit(1024)) =!= 0) ||
-        (col("ftype") === "enum" && col("fdefault").isNull &&
-          col("fsyms") === "A,B" && col("hist").bitwiseAND(lit(2048)) =!= 0) ||
-        // an unrescued rename: this reader is alias-less and some
-        // earlier version carried the other name without an alias
-        (!col("fnull") && col("fdefault").isNull && col("falias").isNull &&
-          col("hist").bitwiseAND(otherNameBit) =!= 0)
-    enriched.filter(col("version") > 1)
-      .groupBy(col("subject"), col("version"))
-      .agg(count(lit(1)).as("n_fields"),
-        sum(when(bad, 1L).otherwise(0L)).as("n_bad_fields"))
-      .withColumn("transitive_ok", col("n_bad_fields") === 0)
-      .orderBy(col("subject"), col("version"))
+    val windowed = base
+      .withColumn("hist", array((0 until nSlots).map(i =>
+        coalesce(bit_or(col("hb")(i)).over(w), lit(0))): _*))
+      .filter(col("version") > 1)
+    // No trailing global orderBy: range partitioning SAMPLES its
+    // child by re-executing it, doubling the whole plan's cost for a
+    // cosmetic output order the hash-compared oracle never needs —
+    // and a global sort of a 100 TB verdict report is pure waste.
+    windowed.select(col("subject"), col("version"),
+      bit_count(col("pbits")).cast("long").as("n_fields"),
+      (0 until nSlots).map(i =>
+        when(col("hist")(i).bitwiseAND(col("tm")(i)) =!= 0, 1L).otherwise(0L))
+        .reduce(_ + _).as("n_bad_fields"))
+      .withColumn(okName, col("n_bad_fields") === 0)
   }
 
   /** FORWARD_TRANSITIVE over the corpus (modes.go:23 — ALL earlier
@@ -658,81 +717,48 @@ object Compat {
     * the rewrite.
     */
   def compatFTransitive(s: SparkSession, dir: String): DataFrame = {
-    val base = fieldArrays(s, dir)
-    // The (version × field-vocabulary) grid, positionally: every
-    // version contributes all 8 slots, absence encoded as NULL ftype
-    // (what the probe produced before). Slots never present for a
-    // subject contribute nothing to any aggregate (no earlier
-    // presence, no bad flags), so no per-subject vocabulary rollup —
-    // and its broadcast join — is needed at all.
-    val slots = array((0 until nSlots).map { i =>
+    // hb, READER role this time (forward: earlier versions READ what
+    // version N writes): bits 0-9 accumulate the type bits this
+    // reader CANNOT decode (the complement of its accept mask —
+    // a later writer breaks iff one of its branches intersects); the
+    // higher bits record the existence facts the writer-side rules
+    // test — a required defaultless reader (1024), a required reader
+    // (2048), a narrow defaultless enum reader (4096), an alias-less
+    // required defaultless reader under either name (8192/16384).
+    // Slots never present for a subject contribute nothing, so no
+    // per-subject vocabulary rollup — and its broadcast join — is
+    // needed at all.
+    def hb(i: Int): Column = {
       val f = col("flds_all")(i)
-      val p = f("present")
-      struct(f("fname").as("fname"),
-        when(p, f("ftype")).as("ftype"),
-        when(p, f("fnull")).as("fnull"),
-        when(p, f("fdefault")).as("fdefault"),
-        when(p, f("fsyms")).as("fsyms"),
-        when(p, f("falias")).as("falias"),
-        when(p, f("fmask")).as("bm"))
-    }: _*)
-    val probed = base
-      .select(col("subject"), col("version"), posexplode(slots).as(Seq("pos", "s")))
-      .select(col("subject"), col("version"), col("pos"), col("s.fname").as("fname"),
-        col("s.ftype").as("ftype"), col("s.fnull").as("fnull"),
-        col("s.fdefault").as("fdefault"), col("s.fsyms").as("fsyms"),
-        col("s.falias").as("falias"), col("s.bm").as("bm"))
-      // this version's branch mask (WRITER role, baked into the
-      // model) and accept-closure mask (READER role for later
-      // versions' writer probes)
-      .withColumn("am", acceptsMaskOf(col("bm")))
-    // grid rows are one-per-version per (subject, slot) — ROWS ≡
-    // RANGE here, same as [[compatTransitive]]'s frame; the slot is
-    // the field identity (names flip within it under aliases).
-    val w = Window.partitionBy(col("subject"), col("pos")).orderBy(col("version"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val present = col("ftype").isNotNull
-    // Forward accounting in ONE bit_or running aggregate: bits 0-7
-    // accumulate the type bits earlier PRESENT readers CANNOT decode
-    // (the complement of each accept mask — writer N breaks iff one
-    // of its branches intersects); bits 8-10 record the existence
-    // facts the other rules test (a required defaultless reader, a
-    // required reader, a narrow defaultless enum reader) — every one
-    // of them was only ever consumed as `count > 0`.
-    val histBits =
-      when(present, (lit(allTypeBits) - col("am"))
-        .bitwiseOR(when(!col("fnull") && col("fdefault").isNull, lit(1024)).otherwise(lit(0)))
-        .bitwiseOR(when(!col("fnull"), lit(2048)).otherwise(lit(0)))
-        // alias accounting, reader role: an earlier required
-        // defaultless reader that writer N can only reach by alias
-        .bitwiseOR(when(col("fname") === "nick" && col("falias").isNull &&
-          !col("fnull") && col("fdefault").isNull, lit(8192)).otherwise(lit(0)))
-        .bitwiseOR(when(col("fname") === "nickname" && col("falias").isNull &&
-          !col("fnull") && col("fdefault").isNull, lit(16384)).otherwise(lit(0))))
+      val reqNoDef = !f("fnull") && f("fdefault").isNull
+      when(f("present"),
+        (lit(allTypeBits) - acceptsMaskOf(f("fmask")))
+          .bitwiseOR(bitIf(reqNoDef, 1024))
+          .bitwiseOR(bitIf(!f("fnull"), 2048))
+          .bitwiseOR(bitIf(f("fsyms") === "A,B" && f("fdefault").isNull, 4096))
+          .bitwiseOR(bitIf(f("fname") === "nick" && f("falias").isNull && reqNoDef, 8192))
+          .bitwiseOR(bitIf(f("fname") === "nickname" && f("falias").isNull && reqNoDef, 16384)))
         .otherwise(lit(0))
-        .bitwiseOR(when(col("fsyms") === "A,B" && col("fdefault").isNull, lit(4096))
-          .otherwise(lit(0)))
-    val enriched = probed
-      .withColumn("hist", coalesce(bit_or(histBits).over(w), lit(0)))
-    val typeBad = col("bm").bitwiseAND(col("hist")).bitwiseAND(lit(allTypeBits)) =!= 0
-    val otherNameBit =
-      when(col("fname") === "nick", lit(16384))
-        .when(col("fname") === "nickname", lit(8192)).otherwise(lit(0))
-    val bad =
-      (!present && col("hist").bitwiseAND(lit(1024)) =!= 0) ||
-        (present && typeBad) ||
-        (present && col("fnull") && col("hist").bitwiseAND(lit(2048)) =!= 0) ||
-        (col("fsyms") === "A,B,C" && col("hist").bitwiseAND(lit(4096)) =!= 0) ||
-        // writer N is alias-less under a rename, stranding an
-        // earlier required defaultless other-named reader
-        (present && col("falias").isNull &&
-          col("hist").bitwiseAND(otherNameBit) =!= 0)
-    enriched.filter(col("version") > 1)
-      .groupBy(col("subject"), col("version"))
-      .agg(sum(when(present, 1L).otherwise(0L)).as("n_fields"),
-        sum(when(bad, 1L).otherwise(0L)).as("n_bad_fields"))
-      .withColumn("ftransitive_ok", col("n_bad_fields") === 0)
-      .orderBy(col("subject"), col("version"))
+    }
+    // tm, WRITER role: version N's slot breaks some earlier reader
+    // iff its branch bits hit a type some reader can't decode, it
+    // went nullable under a required reader (2048), its vocabulary
+    // widened past a narrow defaultless reader (4096), it is
+    // alias-less under a rename that strands the other name's
+    // required defaultless reader (crossed 8192/16384) — or the slot
+    // is ABSENT from N while some required defaultless reader still
+    // expects it (1024).
+    def tm(i: Int): Column = {
+      val f = col("flds_all")(i)
+      when(f("present"),
+        f("fmask")
+          .bitwiseOR(bitIf(f("fnull"), 2048))
+          .bitwiseOR(bitIf(f("fsyms") === "A,B,C", 4096))
+          .bitwiseOR(bitIf(f("fname") === "nick" && f("falias").isNull, 16384))
+          .bitwiseOR(bitIf(f("fname") === "nickname" && f("falias").isNull, 8192)))
+        .otherwise(lit(1024))
+    }
+    transitiveVerdict(s, dir, hb, tm, "ftransitive_ok")
   }
 
   /** The RegisterSchema admission gate (registry.go CheckCompatibility
@@ -810,7 +836,7 @@ object Compat {
       .select(col("subject"), col("flds"))
     // One candidate reader field vs the writer array: the same four
     // avro/checker.go rules as [[backwardFieldChecks]], as a scalar —
-    // type resolution via the shared [[typeBreak]] (promotion matrix
+    // type resolution via the shared mask algebra (promotion matrix
     // + union branch sets).
     def viol(fname: String, ftype: String, fnull: Boolean,
              fdefault: Option[String], fsyms: Option[String],

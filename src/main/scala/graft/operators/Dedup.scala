@@ -73,7 +73,11 @@ object Dedup {
   }
 
   private[operators] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val mh = minhashSignatures(s, dir).cache()
+    // localCheckpoint (not cache): the signatures are reused by the
+    // band self-join and both per-side lookups, but the blocks are
+    // ContextCleaner-collected with the DataFrame instead of pinning
+    // memory across repeated invocations in a long-lived session.
+    val mh = minhashSignatures(s, dir).localCheckpoint()
     minhashCandidates(mh)
       .join(mh.selectExpr("doc_id AS doc_a", "m AS ma"), "doc_a")
       .join(mh.selectExpr("doc_id AS doc_b", "m AS mb"), "doc_b")
@@ -189,7 +193,11 @@ object Dedup {
       .selectExpr("doc_id",
         """array_sort(array_distinct(transform(sequence(1, size(ts) - 2),
           |  i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1), ' ', element_at(ts, i + 2))))) AS sh""".stripMargin)
-    val mh = minhashSignatures(s, dir).cache()
+    // localCheckpoint (not cache): the signatures are reused by the
+    // band self-join and both per-side lookups, but the blocks are
+    // ContextCleaner-collected with the DataFrame instead of pinning
+    // memory across repeated invocations in a long-lived session.
+    val mh = minhashSignatures(s, dir).localCheckpoint()
     val scored = minhashCandidates(mh)
       .join(sh.selectExpr("doc_id AS doc_a", "sh AS sha"), "doc_a")
       .join(sh.selectExpr("doc_id AS doc_b", "sh AS shb"), "doc_b")

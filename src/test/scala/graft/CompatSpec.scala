@@ -425,4 +425,93 @@ class CompatSpec extends SparkSpec {
       assert(r.getAs[Boolean]("compatible") == (r.getAs[Long]("n_violations") == 0L))
     }
   }
+
+  test("positional model: load-bearing slot indexes pin their field names") {
+    import org.apache.spark.sql.functions.col
+    val row = operators.Compat.fieldArrays(spark, sfDir)
+      .select(col("flds_all")).head()
+    val slots = row.getSeq[org.apache.spark.sql.Row](0)
+    assert(slots.length == operators.Compat.nSlots,
+      "nSlots must match the flds_all array literal")
+    assert(slots(operators.Compat.refSlot).getAs[String]("fname") == "ref",
+      s"refSlot=${operators.Compat.refSlot} must be the union-walking ref field")
+    assert(Set("nick", "nickname")
+      .contains(slots(operators.Compat.nickSlot).getAs[String]("fname")),
+      s"nickSlot=${operators.Compat.nickSlot} must be the alias-walking field")
+    // every other slot's name is fixed: positional pairing depends on it
+    val fixed = Seq("id", "name", "email", "score", "status", "ratio", "payload", "ref", "token")
+    fixed.zipWithIndex.foreach { case (n, i) =>
+      assert(slots(i).getAs[String]("fname") == n, s"slot $i must be $n")
+    }
+  }
+
+  test("transitive scans equal a generic pairwise evaluation of the Avro rules") {
+    // The O(V) bit_or formulations specialize some rules to this
+    // model (nested enum vocabularies, the two-name alias space).
+    // Cross-check both scans against a literal readers-x-earlier-
+    // writers pairwise evaluation using REAL set/name semantics, so
+    // a model change that breaks a specialization fails loudly here
+    // rather than only at oracle-parity time.
+    import org.apache.spark.sql.functions._
+    val fields = operators.Compat.fieldArrays(spark, sfDir)
+      .select(col("subject"), col("version"),
+        posexplode(col("flds_all")).as(Seq("pos", "f")))
+      .select(col("subject"), col("version"), col("pos"),
+        col("f.fname").as("fname"), col("f.ftype").as("ftype"),
+        col("f.fnull").as("fnull"), col("f.fdefault").as("fdefault"),
+        col("f.fsyms").as("fsyms"), col("f.fmask").as("fmask"),
+        col("f.falias").as("falias"), col("f.present").as("present"))
+      .localCheckpoint()
+    def pairViol(r: String => org.apache.spark.sql.Column,
+                 w: String => org.apache.spark.sql.Column) = {
+      val matched = w("present") &&
+        (w("fname") === r("fname") ||
+          r("falias") <=> w("fname") || w("falias") <=> r("fname"))
+      val typeBreak = w("fmask")
+        .bitwiseAND(operators.Compat.acceptsMaskOf(r("fmask"))) =!= w("fmask")
+      (!matched && !r("fnull") && r("fdefault").isNull) ||
+        (matched && typeBreak) ||
+        (matched && !r("fnull") && w("fnull")) ||
+        (r("ftype") === "enum" && matched && w("ftype") === "enum" &&
+          r("fdefault").isNull &&
+          size(array_except(split(w("fsyms"), ","), split(r("fsyms"), ","))) > 0)
+    }
+    val rdr = fields.filter(col("present")).toDF(fields.columns.map("r_" + _): _*)
+    val wtr = fields.toDF(fields.columns.map("w_" + _): _*)
+    // BACKWARD_TRANSITIVE pairwise: reader at version V vs every earlier writer
+    val backPairs = rdr.join(wtr,
+      col("r_subject") === col("w_subject") && col("r_pos") === col("w_pos") &&
+        col("w_version") < col("r_version"))
+      .withColumn("viol", pairViol(n => col("r_" + n), n => col("w_" + n)))
+    val backExpected = backPairs
+      .groupBy(col("r_subject").as("subject"), col("r_version").as("version"), col("r_pos"))
+      .agg(max(when(col("viol"), 1L).otherwise(0L)).as("slot_bad"))
+      .groupBy("subject", "version")
+      .agg(sum("slot_bad").as("exp_bad"))
+    val bt = operators.Compat.compatTransitive(spark, sfDir)
+    val btCmp = bt.join(backExpected, Seq("subject", "version"), "left")
+      .withColumn("exp", coalesce(col("exp_bad"), lit(0L)))
+    assert(btCmp.filter(col("n_bad_fields") =!= col("exp")).count() == 0,
+      "compat_transitive must equal the pairwise evaluation")
+    // FORWARD_TRANSITIVE pairwise: writer at version V vs every earlier reader
+    val wtrN = fields.toDF(fields.columns.map("w_" + _): _*)
+    val rdrE = fields.filter(col("present")).toDF(fields.columns.map("r_" + _): _*)
+    val fwdPairs = wtrN.join(rdrE,
+      col("w_subject") === col("r_subject") && col("w_pos") === col("r_pos") &&
+        col("r_version") < col("w_version"))
+      .withColumn("viol", pairViol(n => col("r_" + n), n => col("w_" + n)))
+    val fwdExpected = fwdPairs
+      .groupBy(col("w_subject").as("subject"), col("w_version").as("version"), col("w_pos"))
+      .agg(max(when(col("viol"), 1L).otherwise(0L)).as("slot_bad"))
+      .groupBy("subject", "version")
+      .agg(sum("slot_bad").as("exp_bad"))
+    val ft = operators.Compat.compatFTransitive(spark, sfDir)
+    val ftCmp = ft.join(fwdExpected, Seq("subject", "version"), "left")
+      .withColumn("exp", coalesce(col("exp_bad"), lit(0L)))
+    assert(ftCmp.filter(col("n_bad_fields") =!= col("exp")).count() == 0,
+      "compat_ftransitive must equal the pairwise evaluation")
+    // the cross-check bites: violations exist on this corpus
+    assert(bt.filter(col("n_bad_fields") > 0).count() > 0)
+    assert(ft.filter(col("n_bad_fields") > 0).count() > 0)
+  }
 }
