@@ -266,34 +266,99 @@ object FormatCompat {
     * REQUIRED property (checker.go:342).
     */
   private[graft] def jsFieldArrays(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir).select(
+    val ev0 = Tables.events(s, dir).select(
       col("user_id").as("subject"), col("ts"), col("event_id"),
       get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+    // EXTERNAL $ref resolution (checker.go:133-:155
+    // buildExternalRefMap): a property may reference another
+    // SUBJECT's registered definition via the references table — the
+    // registry resolves it against that subject's registry state at
+    // registration time. Subjects pair by xor(subject, 1); each
+    // registration resolves its partner's latest exported `addr`
+    // definition as of its own ts. Stated as ONE as-of pass: the
+    // definition stream (keyed by its own subject) unions with the
+    // lookup stream (keyed by the PARTNER subject), a running
+    // last-non-null over (ts, side, event_id) — defs sort before
+    // lookups at equal ts — carries the partner definition forward,
+    // and the lookup rows exit with their `xaddr` attached. No
+    // self-join, no per-pair shuffle: one exchange keyed by the
+    // referenced subject, the shape that survives a registry of any
+    // size.
+    val xdef = when(col("k") % 25 < 13, "string").otherwise("object")
+    val ev = {
+      val defsSide = ev0.select(col("subject").as("xkey"), col("ts"),
+        col("event_id"), lit("d").as("side"), xdef.as("xdef"),
+        lit(null).cast("bigint").as("rsubject"), lit(null).cast("bigint").as("k"))
+      val lookupSide = ev0.select(col("subject").bitwiseXOR(lit(1)).as("xkey"),
+        col("ts"), col("event_id"), lit("q").as("side"),
+        lit(null).cast("string").as("xdef"),
+        col("subject").as("rsubject"), col("k"))
+      val wx = Window.partitionBy(col("xkey"))
+        .orderBy(col("ts"), col("side"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      defsSide.unionByName(lookupSide)
+        .withColumn("xaddr", last(col("xdef"), ignoreNulls = true).over(wx))
+        .where(col("side") === "q")
+        .select(col("rsubject").as("subject"), col("ts"), col("event_id"),
+          col("k"), col("xaddr"))
+    }
     val w = Window.partitionBy(col("subject")).orderBy(col("ts"), col("event_id"))
     val noEnum = lit(null).cast("string")
     val noBound = lit(null).cast("int")
+    val noStr = lit(null).cast("string")
     def p(pname: String, ptype: Column, preq: Column, penum: Column,
           present: Column, pmin: Column = lit(null).cast("int"),
           pmax: Column = lit(null).cast("int"),
           palts: Column = lit(null).cast("string"),
           pdep: Column = lit(null).cast("string"),
           ptuple: Column = lit(null).cast("string"),
-          pall: Column = lit(null).cast("string")): Column =
+          pall: Column = lit(null).cast("string"),
+          ppat: Column = lit(null).cast("string"),
+          pmul: Column = lit(null).cast("int"),
+          pminit: Column = lit(null).cast("int"),
+          pmaxit: Column = lit(null).cast("int"),
+          puniq: Column = lit(false),
+          pconst: Column = lit(null).cast("string"),
+          pdsch: Column = lit(null).cast("string")): Column =
       struct(lit(pname).as("pname"), ptype.as("ptype"), preq.as("preq"),
         penum.as("penum"), pmin.as("pmin"), pmax.as("pmax"),
         palts.as("palts"), pdep.as("pdep"), ptuple.as("ptuple"),
-        pall.as("pall"), present.as("present"))
+        pall.as("pall"), ppat.as("ppat"), pmul.as("pmul"),
+        pminit.as("pminit"), pmaxit.as("pmaxit"), puniq.as("puniq"),
+        pconst.as("pconst"), pdsch.as("pdsch"), present.as("present"))
     ev
       .withColumn("version", row_number().over(w))
       .withColumn("open", col("k") % 2 === 0)
+      // schema-level object-size constraints (checker.go:934
+      // checkObjectSizeConstraints): minProperties rising (or
+      // appearing) and maxProperties falling (or appearing) reject
+      // instances the old schema admitted.
+      .withColumn("minp",
+        when(col("k") % 43 < 15, noBound).when(col("k") % 43 < 30, 1).otherwise(3))
+      .withColumn("maxp",
+        when(col("k") % 47 < 16, noBound).when(col("k") % 47 < 32, 20).otherwise(10))
       // the $defs/addr definition this schema version declares —
       // referenced properties resolve against it
       .withColumn("defaddr", when(col("k") % 25 < 13, "string").otherwise("object"))
       .withColumn("props_all", array(
         p("id", lit("integer"), lit(true), noEnum, lit(true)),
-        p("name", lit("string"), col("k") % 3 === 0, noEnum, lit(true)),
+        // name carries the string PATTERN constraint (checker.go:885
+        // checkStringConstraints): adding a pattern, or changing one,
+        // rejects strings the old schema admitted; dropping it only
+        // relaxes.
+        p("name", lit("string"), col("k") % 3 === 0, noEnum, lit(true),
+          ppat = when(col("k") % 23 < 8, noStr)
+            .when(col("k") % 23 < 16, "^[a-z]+$").otherwise("^[a-zA-Z ]+$")),
+        // tags carries the ARRAY constraints (checker.go:427
+        // minItems/maxItems tightening; :117/:279 uniqueItems
+        // false→true): each rejects arrays the old schema admitted.
         p("tags", when(col("k") % 4 < 2, "array").otherwise("string"),
-          lit(false), noEnum, col("k") % 5 < 3),
+          lit(false), noEnum, col("k") % 5 < 3,
+          pminit = when(col("k") % 29 < 9, noBound)
+            .when(col("k") % 29 < 19, 1).otherwise(3),
+          pmaxit = when(col("k") % 31 < 10, noBound)
+            .when(col("k") % 31 < 20, 10).otherwise(5),
+          puniq = col("k") % 37 >= 18),
         // level carries the NUMERIC BOUNDS dimension: minimum/maximum
         // appear, move, and vanish with k — tightening (min up, max
         // down, or a bound appearing) breaks, relaxing never does
@@ -302,7 +367,13 @@ object FormatCompat {
           when(col("k") % 3 === 1, "1,2,3").otherwise("1,2,3,4"),
           col("k") % 7 < 4,
           pmin = when(col("k") % 13 < 4, 1).when(col("k") % 13 < 9, 3).otherwise(noBound),
-          pmax = when(col("k") % 17 < 6, 50).when(col("k") % 17 < 12, 100).otherwise(noBound)),
+          pmax = when(col("k") % 17 < 6, 50).when(col("k") % 17 < 12, 100).otherwise(noBound),
+          // multipleOf (checker.go:912): the reader's divisor must
+          // divide the writer's — every multiple of 4 is a multiple
+          // of 2, so 4→2 relaxes while 2→4 (or 4→3, or adding one)
+          // rejects previously valid instances.
+          pmul = when(col("k") % 27 < 7, noBound)
+            .when(col("k") % 27 < 15, 2).when(col("k") % 27 < 22, 4).otherwise(3)),
         // contact is the SUM TYPE (oneOf/anyOf) property: its
         // alternative-type set walks string / integer / both — the
         // reader must keep accepting every alternative the writer
@@ -316,7 +387,15 @@ object FormatCompat {
           // may lack the newly-required names); dropping the keyword
           // wholesale relaxes and never breaks.
           pdep = when(col("k") % 19 < 6, lit(null).cast("string"))
-            .when(col("k") % 19 < 12, "name").otherwise("level,name")),
+            .when(col("k") % 19 < 12, "name").otherwise("level,name"),
+          // dependentSchemas (checker.go:987), the schema-valued
+          // sibling of dependentRequired: contact's presence imposes
+          // a SCHEMA on another property. Adding the keyword or
+          // changing the imposed schema breaks (old instances
+          // validated against nothing / the old schema); dropping it
+          // wholesale relaxes.
+          pdsch = when(col("k") % 39 < 13, lit(null).cast("string"))
+            .when(col("k") % 39 < 26, "level:integer").otherwise("level:string")),
         // coords carries the TUPLE ITEMS dimension (checker.go:433,
         // prefixItems): per-position types; a common-position type
         // change breaks, EXTENDING the tuple constrains a previously
@@ -333,17 +412,33 @@ object FormatCompat {
         // violate (breaking); dropping allOf only relaxes.
         p("badge", lit("string"), lit(false), noEnum, lit(true),
           pall = when(col("k") % 14 < 5, lit(null).cast("string"))
-            .when(col("k") % 14 < 10, "minL5").otherwise("minL5,patA")),
+            .when(col("k") % 14 < 10, "minL5").otherwise("minL5,patA"),
+          // const (checker.go:575): pinning a value (or changing the
+          // pin) rejects every other previously valid value; removing
+          // the pin relaxes.
+          pconst = when(col("k") % 33 < 13, noStr)
+            .when(col("k") % 33 < 23, "gold").otherwise("silver")),
         // home exercises $REF RESOLUTION (checker.go:155-:224
         // resolveAllRefs): its type is either inline or a $ref to the
         // addr definition — the scan compares RESOLVED types, so a
         // ref⇄inline swap with the same resolved shape is invisible
         // while a definition change under an unchanged $ref breaks.
         p("home", when(col("k") % 15 < 5, "string").otherwise("ref:addr"),
+          lit(false), noEnum, lit(true)),
+        // org exercises the EXTERNAL $ref (checker.go:133-:155): its
+        // type is either inline or a reference to the PARTNER
+        // subject's registered `addr` definition (the `xaddr`
+        // resolution above) — the scan compares RESOLVED types, so a
+        // partner definition change under an unchanged ref breaks
+        // while an equal ref⇄inline swap stays invisible.
+        p("org", when(col("k") % 35 < 12, "string").otherwise("xref:org"),
           lit(false), noEnum, lit(true))
       ))
       .withColumn("w_open", lag(col("open"), 1).over(w))
       .withColumn("w_defaddr", lag(col("defaddr"), 1).over(w))
+      .withColumn("w_xaddr", lag(col("xaddr"), 1).over(w))
+      .withColumn("w_minp", lag(col("minp"), 1).over(w))
+      .withColumn("w_maxp", lag(col("maxp"), 1).over(w))
       .withColumn("w_all", lag(col("props_all"), 1).over(w))
       // present-only views for set-shaped consumers (specs)
       .withColumn("props_arr", filter(col("props_all"), fld => fld("present")))
@@ -361,40 +456,70 @@ object FormatCompat {
       |         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       |  FROM events),
       |versioned AS (
-      |  SELECT subject, k,
+      |  SELECT subject, ts, event_id, k,
       |         row_number() OVER (PARTITION BY subject ORDER BY ts, event_id) AS version
       |  FROM ev),
-      |schemas AS (SELECT subject, version, k % 2 = 0 AS open,
-      |  CASE WHEN k % 25 < 13 THEN 'string' ELSE 'object' END AS defaddr FROM versioned),
+      |schemas AS (SELECT v.subject, v.version, v.k % 2 = 0 AS open,
+      |  CASE WHEN v.k % 25 < 13 THEN 'string' ELSE 'object' END AS defaddr,
+      |  CASE WHEN v.k % 43 < 15 THEN NULL WHEN v.k % 43 < 30 THEN 1 ELSE 3 END AS minp,
+      |  CASE WHEN v.k % 47 < 16 THEN NULL WHEN v.k % 47 < 32 THEN 20 ELSE 10 END AS maxp,
+      |  (SELECT CASE WHEN d.k % 25 < 13 THEN 'string' ELSE 'object' END
+      |   FROM versioned d
+      |   WHERE d.subject = xor(v.subject, CAST(1 AS BIGINT)) AND d.ts <= v.ts
+      |   ORDER BY d.ts DESC, d.event_id DESC LIMIT 1) AS xaddr
+      |  FROM versioned v),
       |jsp AS (
       |  SELECT subject, version, 'id' AS pname, 'integer' AS ptype,
       |         true AS preq, CAST(NULL AS VARCHAR) AS penum,
       |         CAST(NULL AS INT) AS pmin, CAST(NULL AS INT) AS pmax,
       |         CAST(NULL AS VARCHAR) AS palts, CAST(NULL AS VARCHAR) AS pdep,
-      |         CAST(NULL AS VARCHAR) AS ptuple, CAST(NULL AS VARCHAR) AS pall FROM versioned
-      |  UNION ALL SELECT subject, version, 'name', 'string', k % 3 = 0, NULL, NULL, NULL, NULL, NULL, NULL, NULL FROM versioned
+      |         CAST(NULL AS VARCHAR) AS ptuple, CAST(NULL AS VARCHAR) AS pall,
+      |         CAST(NULL AS VARCHAR) AS ppat, CAST(NULL AS INT) AS pmul,
+      |         CAST(NULL AS INT) AS pminit, CAST(NULL AS INT) AS pmaxit,
+      |         false AS puniq, CAST(NULL AS VARCHAR) AS pconst,
+      |         CAST(NULL AS VARCHAR) AS pdsch FROM versioned
+      |  UNION ALL SELECT subject, version, 'name', 'string', k % 3 = 0, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+      |    CASE WHEN k % 23 < 8 THEN NULL WHEN k % 23 < 16 THEN '^[a-z]+$' ELSE '^[a-zA-Z ]+$' END,
+      |    NULL, NULL, NULL, false, NULL, NULL FROM versioned
       |  UNION ALL SELECT subject, version, 'tags',
-      |    CASE WHEN k % 4 < 2 THEN 'array' ELSE 'string' END, false, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+      |    CASE WHEN k % 4 < 2 THEN 'array' ELSE 'string' END, false, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+      |    NULL, NULL,
+      |    CASE WHEN k % 29 < 9 THEN NULL WHEN k % 29 < 19 THEN 1 ELSE 3 END,
+      |    CASE WHEN k % 31 < 10 THEN NULL WHEN k % 31 < 20 THEN 10 ELSE 5 END,
+      |    k % 37 >= 18, NULL, NULL
       |    FROM versioned WHERE k % 5 < 3
       |  UNION ALL SELECT subject, version, 'level', 'integer', k % 11 < 3,
       |    CASE WHEN k % 3 = 1 THEN '1,2,3' ELSE '1,2,3,4' END,
       |    CASE WHEN k % 13 < 4 THEN 1 WHEN k % 13 < 9 THEN 3 END,
       |    CASE WHEN k % 17 < 6 THEN 50 WHEN k % 17 < 12 THEN 100 END,
-      |    NULL, NULL, NULL, NULL FROM versioned WHERE k % 7 < 4
+      |    NULL, NULL, NULL, NULL, NULL,
+      |    CASE WHEN k % 27 < 7 THEN NULL WHEN k % 27 < 15 THEN 2 WHEN k % 27 < 22 THEN 4 ELSE 3 END,
+      |    NULL, NULL, false, NULL, NULL FROM versioned WHERE k % 7 < 4
       |  UNION ALL SELECT subject, version, 'contact', 'sum', false, NULL, NULL, NULL,
       |    CASE WHEN k % 10 < 4 THEN 'integer,string'
       |         WHEN k % 10 < 7 THEN 'string' ELSE 'integer' END,
       |    CASE WHEN k % 19 < 6 THEN NULL WHEN k % 19 < 12 THEN 'name' ELSE 'level,name' END,
-      |    NULL, NULL FROM versioned
+      |    NULL, NULL, NULL, NULL, NULL, NULL, false, NULL,
+      |    CASE WHEN k % 39 < 13 THEN NULL WHEN k % 39 < 26 THEN 'level:integer' ELSE 'level:string' END
+      |    FROM versioned
       |  UNION ALL SELECT subject, version, 'coords', 'array', false, NULL, NULL, NULL, NULL, NULL,
       |    CASE WHEN k % 21 < 7 THEN 'integer,integer'
       |         WHEN k % 21 < 14 THEN 'integer,integer,integer'
-      |         ELSE 'number,integer' END, NULL FROM versioned
+      |         ELSE 'number,integer' END, NULL,
+      |    NULL, NULL, NULL, NULL, false, NULL, NULL FROM versioned
       |  UNION ALL SELECT subject, version, 'badge', 'string', false, NULL, NULL, NULL, NULL, NULL, NULL,
-      |    CASE WHEN k % 14 < 5 THEN NULL WHEN k % 14 < 10 THEN 'minL5' ELSE 'minL5,patA' END FROM versioned
+      |    CASE WHEN k % 14 < 5 THEN NULL WHEN k % 14 < 10 THEN 'minL5' ELSE 'minL5,patA' END,
+      |    NULL, NULL, NULL, NULL, false,
+      |    CASE WHEN k % 33 < 13 THEN NULL WHEN k % 33 < 23 THEN 'gold' ELSE 'silver' END,
+      |    NULL FROM versioned
       |  UNION ALL SELECT subject, version, 'home',
       |    CASE WHEN k % 15 < 5 THEN 'string' ELSE 'ref:addr' END,
-      |    false, NULL, NULL, NULL, NULL, NULL, NULL, NULL FROM versioned)""".stripMargin
+      |    false, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+      |    NULL, NULL, NULL, NULL, false, NULL, NULL FROM versioned
+      |  UNION ALL SELECT subject, version, 'org',
+      |    CASE WHEN k % 35 < 12 THEN 'string' ELSE 'xref:org' END,
+      |    false, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+      |    NULL, NULL, NULL, NULL, false, NULL, NULL FROM versioned)""".stripMargin
 
   /** JSON Schema BACKWARD scan: version N (reader) vs N-1 (writer)
     * under the open/closed content model (jsonschema/checker.go).
@@ -408,16 +533,27 @@ object FormatCompat {
     *  - v_opt_req: optional→required (:362)
     *  - v_enum: enum constraint added (:538) or a writer enum value
     *    dropped by the reader (:564)
-    *  - v_ap: additionalProperties flipped allowed→forbidden (:611)
+    *  - v_bounds/v_sum/v_dep/v_tuple/v_all: numeric bounds (:901),
+    *    sum types (:676), dependentRequired (:1043), tuple items
+    *    (:433), allOf (:752)
+    *  - v_pattern/v_multiple/v_items/v_unique/v_const/v_dsch: string
+    *    pattern (:885), multipleOf (:912), minItems/maxItems (:427),
+    *    uniqueItems (:117/:279), const (:575), dependentSchemas
+    *    (:987)
+    *  - v_ap: additionalProperties flipped allowed→forbidden (:611);
+    *    v_propcount: min/maxProperties tightened (:934) — both
+    *    schema-level, counted once per step
     * Same one-window shape as every other scan; all checks are
-    * row-local array probes.
+    * row-local array probes, and the external-$ref resolution is the
+    * one extra as-of pass described at [[jsFieldArrays]].
     */
   def jsonScan(s: SparkSession, dir: String): DataFrame = {
     val versioned = jsFieldArrays(s, dir).filter(col("version") > 1)
     // Positional slot pairing — see [[protoScan]]'s note.
     val perProp = versioned
       .select(col("subject"), col("version"), col("open"), col("w_open"),
-        col("defaddr"), col("w_defaddr"),
+        col("defaddr"), col("w_defaddr"), col("xaddr"), col("w_xaddr"),
+        col("minp"), col("maxp"), col("w_minp"), col("w_maxp"),
         col("w_all"), posexplode(col("props_all")).as(Seq("pos", "rp")))
       .withColumn("wp", element_at(col("w_all"), col("pos") + 1))
       .where(col("rp.present") || col("wp.present"))
@@ -426,26 +562,42 @@ object FormatCompat {
       when(f("present"), f("penum")), when(f("present"), f("pmin")),
       when(f("present"), f("pmax")), when(f("present"), f("palts")),
       when(f("present"), f("pdep")), when(f("present"), f("ptuple")),
-      when(f("present"), f("pall")))
-    val Seq(rt, rq, re, rmin, rmax, ra, rd, rtu, ral) = side(col("rp"))
-    val Seq(wt, wq, we, wmin, wmax, wa, wd, wtu, wal) = side(col("wp"))
+      when(f("present"), f("pall")), when(f("present"), f("ppat")),
+      when(f("present"), f("pmul")), when(f("present"), f("pminit")),
+      when(f("present"), f("pmaxit")), when(f("present"), f("puniq")),
+      when(f("present"), f("pconst")), when(f("present"), f("pdsch")))
+    val Seq(rt, rq, re, rmin, rmax, ra, rd, rtu, ral,
+      rpat, rmul, rmi, rma, run, rco, rds) = side(col("rp"))
+    val Seq(wt, wq, we, wmin, wmax, wa, wd, wtu, wal,
+      wpat, wmul, wmi, wma, wun, wco, wds) = side(col("wp"))
     val probed = perProp.select(
       col("subject"), col("version"), col("open"), col("w_open"),
-      col("defaddr"), col("w_defaddr"),
+      col("defaddr"), col("w_defaddr"), col("xaddr"), col("w_xaddr"),
+      col("minp"), col("maxp"), col("w_minp"), col("w_maxp"),
       rt.as("r_type"), rq.as("r_req"), re.as("r_enum"),
       rmin.as("r_min"), rmax.as("r_max"), ra.as("r_alts"),
       rd.as("r_dep"), rtu.as("r_tuple"), ral.as("r_all"),
+      rpat.as("r_pat"), rmul.as("r_mul"), rmi.as("r_minit"),
+      rma.as("r_maxit"), run.as("r_uniq"), rco.as("r_const"), rds.as("r_dsch"),
       wt.as("w_type"), wq.as("w_req"), we.as("w_enum"),
       wmin.as("w_min"), wmax.as("w_max"), wa.as("w_alts"),
-      wd.as("w_dep"), wtu.as("w_tuple"), wal.as("w_all"))
+      wd.as("w_dep"), wtu.as("w_tuple"), wal.as("w_all"),
+      wpat.as("w_pat"), wmul.as("w_mul"), wmi.as("w_minit"),
+      wma.as("w_maxit"), wun.as("w_uniq"), wco.as("w_const"), wds.as("w_dsch"))
     val both = col("r_type").isNotNull && col("w_type").isNotNull
     def cnt(cond: Column): Column = sum(when(cond, 1L).otherwise(0L))
     // $ref resolution (checker.go:155 resolveAllRefs): replace a
-    // reference with its definition's content before comparing.
-    def resolved(t: Column, defaddr: Column): Column =
-      when(t === "ref:addr", defaddr).otherwise(t)
-    val rResolved = resolved(col("r_type"), col("defaddr"))
-    val wResolved = resolved(col("w_type"), col("w_defaddr"))
+    // reference with its definition's content before comparing —
+    // same-document $defs (ref:addr) and cross-subject references
+    // (xref:org, resolved through the references table as-of each
+    // version's registration; a ref whose target subject has no
+    // registration yet resolves to a distinguished 'unresolved').
+    def resolved(t: Column, defaddr: Column, xaddr: Column): Column =
+      when(t === "ref:addr", defaddr)
+        .when(t === "xref:org", coalesce(xaddr, lit("unresolved")))
+        .otherwise(t)
+    val rResolved = resolved(col("r_type"), col("defaddr"), col("xaddr"))
+    val wResolved = resolved(col("w_type"), col("w_defaddr"), col("w_xaddr"))
     val enumNarrowed = col("r_enum").isNotNull && col("w_enum").isNotNull &&
       size(array_except(split(col("w_enum"), ","), split(col("r_enum"), ","))) > 0
     // bounds TIGHTENED (checker.go:878/:901): a reader minimum above
@@ -482,6 +634,37 @@ object FormatCompat {
     val allBroken = col("r_all").isNotNull &&
       (col("w_all").isNull ||
         size(array_except(split(col("r_all"), ","), split(col("w_all"), ","))) > 0)
+    // pattern (checker.go:885): added or changed rejects previously
+    // valid strings; dropped relaxes.
+    val patBroken = col("r_pat").isNotNull &&
+      (col("w_pat").isNull || col("r_pat") =!= col("w_pat"))
+    // multipleOf (checker.go:912): compatible iff the reader divisor
+    // divides the writer's (every multiple of w stays a multiple of
+    // r); added, coarsened, or incommensurate breaks.
+    val mulBroken = col("r_mul").isNotNull &&
+      (col("w_mul").isNull || col("w_mul") % col("r_mul") =!= 0)
+    // minItems/maxItems (checker.go:427): tightening either bound
+    // rejects previously valid arrays.
+    val itemsBroken =
+      (col("r_minit").isNotNull &&
+        (col("w_minit").isNull || col("r_minit") > col("w_minit"))) ||
+        (col("r_maxit").isNotNull &&
+          (col("w_maxit").isNull || col("r_maxit") < col("w_maxit")))
+    // uniqueItems (checker.go:117/:279): false→true rejects arrays
+    // with duplicates the old schema admitted.
+    val uniqBroken = col("r_uniq") && !col("w_uniq")
+    // const (checker.go:575): pinned or re-pinned value.
+    val constBroken = col("r_const").isNotNull &&
+      (col("w_const").isNull || col("r_const") =!= col("w_const"))
+    // dependentSchemas (checker.go:987): keyword added or the imposed
+    // schema changed; dropping it relaxes.
+    val dschBroken = col("r_dsch").isNotNull &&
+      (col("w_dsch").isNull || col("r_dsch") =!= col("w_dsch"))
+    // min/maxProperties (checker.go:934, schema level): tightening
+    // either object-size bound.
+    val propCountBroken =
+      (col("minp").isNotNull && (col("w_minp").isNull || col("minp") > col("w_minp"))) ||
+        (col("maxp").isNotNull && (col("w_maxp").isNull || col("maxp") < col("w_maxp")))
     probed
       .groupBy(col("subject"), col("version"))
       .agg(sum(when(col("r_type").isNotNull, 1L).otherwise(0L)).as("n_props"),
@@ -497,13 +680,22 @@ object FormatCompat {
         cnt(both && depBroken).as("v_dep"),
         cnt(both && tupleBroken).as("v_tuple"),
         cnt(both && allBroken).as("v_all"),
+        cnt(both && patBroken).as("v_pattern"),
+        cnt(both && mulBroken).as("v_multiple"),
+        cnt(both && itemsBroken).as("v_items"),
+        cnt(both && uniqBroken).as("v_unique"),
+        cnt(both && constBroken).as("v_const"),
+        cnt(both && dschBroken).as("v_dsch"),
         // schema-level: one per step, counted once via max()
-        max(when(col("w_open") && !col("open"), 1L).otherwise(0L)).as("v_ap"))
+        max(when(col("w_open") && !col("open"), 1L).otherwise(0L)).as("v_ap"),
+        max(when(propCountBroken, 1L).otherwise(0L)).as("v_propcount"))
       .withColumn("n_violations",
         col("v_type") + col("v_removed") + col("v_req_added") +
           col("v_open_added") + col("v_opt_req") + col("v_enum") +
           col("v_bounds") + col("v_sum") + col("v_dep") + col("v_tuple") +
-          col("v_all") + col("v_ap"))
+          col("v_all") + col("v_pattern") + col("v_multiple") + col("v_items") +
+          col("v_unique") + col("v_const") + col("v_dsch") +
+          col("v_ap") + col("v_propcount"))
       .withColumn("json_ok", col("n_violations") === 0)
       .orderBy(col("subject"), col("version"))
   }
@@ -558,7 +750,8 @@ object FormatCompat {
     "compat_json_scan" ->
       s"""WITH $jsModelCte,
         |vers AS (SELECT s.subject, s.version, s.open, ws.open AS w_open,
-        |    s.defaddr, ws.defaddr AS w_defaddr
+        |    s.defaddr, ws.defaddr AS w_defaddr, s.xaddr, ws.xaddr AS w_xaddr,
+        |    s.minp, s.maxp, ws.minp AS w_minp, ws.maxp AS w_maxp
         |  FROM schemas s JOIN schemas ws
         |    ON ws.subject = s.subject AND ws.version = s.version - 1),
         |names AS (
@@ -567,12 +760,19 @@ object FormatCompat {
         |    AND f.version IN (v.version, v.version - 1)),
         |probed AS (
         |  SELECT n.subject, n.version, v.open, v.w_open, v.defaddr, v.w_defaddr,
+        |    v.xaddr, v.w_xaddr, v.minp, v.maxp, v.w_minp, v.w_maxp,
         |    r.ptype AS r_type, r.preq AS r_req, r.penum AS r_enum,
         |    r.pmin AS r_min, r.pmax AS r_max, r.palts AS r_alts,
         |    r.pdep AS r_dep, r.ptuple AS r_tuple, r.pall AS r_all,
+        |    r.ppat AS r_pat, r.pmul AS r_mul, r.pminit AS r_minit,
+        |    r.pmaxit AS r_maxit, r.puniq AS r_uniq, r.pconst AS r_const,
+        |    r.pdsch AS r_dsch,
         |    w.ptype AS w_type, w.preq AS w_req, w.penum AS w_enum,
         |    w.pmin AS w_min, w.pmax AS w_max, w.palts AS w_alts,
-        |    w.pdep AS w_dep, w.ptuple AS w_tuple, w.pall AS w_all
+        |    w.pdep AS w_dep, w.ptuple AS w_tuple, w.pall AS w_all,
+        |    w.ppat AS w_pat, w.pmul AS w_mul, w.pminit AS w_minit,
+        |    w.pmaxit AS w_maxit, w.puniq AS w_uniq, w.pconst AS w_const,
+        |    w.pdsch AS w_dsch
         |  FROM names n
         |  JOIN vers v ON v.subject = n.subject AND v.version = n.version
         |  LEFT JOIN jsp r ON r.subject = n.subject AND r.version = n.version AND r.pname = n.pname
@@ -581,8 +781,12 @@ object FormatCompat {
         |  SELECT subject, version,
         |    CAST(sum(CASE WHEN r_type IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_props,
         |    CAST(sum(CASE WHEN r_type IS NOT NULL AND w_type IS NOT NULL
-        |      AND (CASE WHEN r_type = 'ref:addr' THEN defaddr ELSE r_type END)
-        |       <> (CASE WHEN w_type = 'ref:addr' THEN w_defaddr ELSE w_type END)
+        |      AND (CASE WHEN r_type = 'ref:addr' THEN defaddr
+        |           WHEN r_type = 'xref:org' THEN coalesce(xaddr, 'unresolved')
+        |           ELSE r_type END)
+        |       <> (CASE WHEN w_type = 'ref:addr' THEN w_defaddr
+        |           WHEN w_type = 'xref:org' THEN coalesce(w_xaddr, 'unresolved')
+        |           ELSE w_type END)
         |      THEN 1 ELSE 0 END) AS BIGINT) AS v_type,
         |    CAST(sum(CASE WHEN r_type IS NULL AND NOT open THEN 1 ELSE 0 END) AS BIGINT) AS v_removed,
         |    CAST(sum(CASE WHEN w_type IS NULL AND r_req THEN 1 ELSE 0 END) AS BIGINT) AS v_req_added,
@@ -617,13 +821,40 @@ object FormatCompat {
         |      AND r_all IS NOT NULL AND (w_all IS NULL
         |        OR NOT list_has_all(string_split(w_all, ','), string_split(r_all, ',')))
         |      THEN 1 ELSE 0 END) AS BIGINT) AS v_all,
-        |    CAST(max(CASE WHEN w_open AND NOT open THEN 1 ELSE 0 END) AS BIGINT) AS v_ap
+        |    CAST(sum(CASE WHEN r_type IS NOT NULL AND w_type IS NOT NULL
+        |      AND r_pat IS NOT NULL AND (w_pat IS NULL OR r_pat <> w_pat)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_pattern,
+        |    CAST(sum(CASE WHEN r_type IS NOT NULL AND w_type IS NOT NULL
+        |      AND r_mul IS NOT NULL AND (w_mul IS NULL OR w_mul % r_mul <> 0)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_multiple,
+        |    CAST(sum(CASE WHEN r_type IS NOT NULL AND w_type IS NOT NULL AND (
+        |        (r_minit IS NOT NULL AND (w_minit IS NULL OR r_minit > w_minit))
+        |        OR (r_maxit IS NOT NULL AND (w_maxit IS NULL OR r_maxit < w_maxit)))
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_items,
+        |    CAST(sum(CASE WHEN r_type IS NOT NULL AND w_type IS NOT NULL
+        |      AND r_uniq AND NOT w_uniq THEN 1 ELSE 0 END) AS BIGINT) AS v_unique,
+        |    CAST(sum(CASE WHEN r_type IS NOT NULL AND w_type IS NOT NULL
+        |      AND r_const IS NOT NULL AND (w_const IS NULL OR r_const <> w_const)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_const,
+        |    CAST(sum(CASE WHEN r_type IS NOT NULL AND w_type IS NOT NULL
+        |      AND r_dsch IS NOT NULL AND (w_dsch IS NULL OR r_dsch <> w_dsch)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_dsch,
+        |    CAST(max(CASE WHEN w_open AND NOT open THEN 1 ELSE 0 END) AS BIGINT) AS v_ap,
+        |    CAST(max(CASE WHEN
+        |        (minp IS NOT NULL AND (w_minp IS NULL OR minp > w_minp))
+        |        OR (maxp IS NOT NULL AND (w_maxp IS NULL OR maxp < w_maxp))
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_propcount
         |  FROM probed GROUP BY subject, version)
         |SELECT subject, version, n_props, v_type, v_removed, v_req_added, v_open_added,
-        |  v_opt_req, v_enum, v_bounds, v_sum, v_dep, v_tuple, v_all, v_ap,
+        |  v_opt_req, v_enum, v_bounds, v_sum, v_dep, v_tuple, v_all,
+        |  v_pattern, v_multiple, v_items, v_unique, v_const, v_dsch, v_ap, v_propcount,
         |  v_type + v_removed + v_req_added + v_open_added + v_opt_req
-        |    + v_enum + v_bounds + v_sum + v_dep + v_tuple + v_all + v_ap AS n_violations,
+        |    + v_enum + v_bounds + v_sum + v_dep + v_tuple + v_all
+        |    + v_pattern + v_multiple + v_items + v_unique + v_const + v_dsch
+        |    + v_ap + v_propcount AS n_violations,
         |  v_type + v_removed + v_req_added + v_open_added + v_opt_req
-        |    + v_enum + v_bounds + v_sum + v_dep + v_tuple + v_all + v_ap = 0 AS json_ok
+        |    + v_enum + v_bounds + v_sum + v_dep + v_tuple + v_all
+        |    + v_pattern + v_multiple + v_items + v_unique + v_const + v_dsch
+        |    + v_ap + v_propcount = 0 AS json_ok
         |FROM agg ORDER BY subject, version""".stripMargin)
 }

@@ -95,7 +95,9 @@ class FormatCompatSpec extends SparkSpec {
     val rows = FormatCompat.jsonScan(spark, sfDir).collect()
     assert(rows.nonEmpty)
     val classes = Seq("v_type", "v_removed", "v_req_added", "v_open_added",
-      "v_opt_req", "v_enum", "v_bounds", "v_sum", "v_dep", "v_tuple", "v_all", "v_ap")
+      "v_opt_req", "v_enum", "v_bounds", "v_sum", "v_dep", "v_tuple", "v_all",
+      "v_pattern", "v_multiple", "v_items", "v_unique", "v_const", "v_dsch",
+      "v_ap", "v_propcount")
     classes.foreach { c =>
       assert(rows.exists(_.getAs[Long](c) > 0), s"$c never fires on the corpus")
     }
@@ -107,6 +109,35 @@ class FormatCompatSpec extends SparkSpec {
     // both verdicts are data-driven
     assert(rows.exists(_.getAs[Boolean]("json_ok")))
     assert(rows.exists(!_.getAs[Boolean]("json_ok")))
+  }
+
+  test("json scan: external $ref resolves against the partner subject's registry state") {
+    // checker.go:133-:155 buildExternalRefMap: `org` references the
+    // xor-partner subject's addr definition. An equal ref⇄inline swap
+    // must stay invisible to v_type; a partner definition change
+    // under an unchanged xref must break.
+    val base = FormatCompat.jsFieldArrays(spark, sfDir).filter(col("version") > 1)
+      .select(col("subject"), col("version"),
+        expr("get(filter(props_all, p -> p.pname = 'org'), 0).ptype").as("r_org"),
+        expr("get(filter(w_all, p -> p.pname = 'org'), 0).ptype").as("w_org"),
+        col("xaddr"), col("w_xaddr"))
+      .withColumn("r_res", when(col("r_org") === "xref:org",
+        coalesce(col("xaddr"), lit("unresolved"))).otherwise(col("r_org")))
+      .withColumn("w_res", when(col("w_org") === "xref:org",
+        coalesce(col("w_xaddr"), lit("unresolved"))).otherwise(col("w_org")))
+    val swaps = base.filter(col("r_org") =!= col("w_org") && col("r_res") === col("w_res"))
+    val defChanges = base.filter(col("r_org") === "xref:org" && col("w_org") === "xref:org" &&
+      coalesce(col("xaddr"), lit("?")) =!= coalesce(col("w_xaddr"), lit("?")))
+    assert(swaps.count() > 0, "xref⇄inline swaps with equal resolution must occur")
+    assert(defChanges.count() > 0,
+      "partner definition changes under an unchanged xref must occur")
+    val scan = FormatCompat.jsonScan(spark, sfDir)
+      .select(col("subject"), col("version"), col("v_type"))
+    val joined = base.join(scan, Seq("subject", "version"))
+    assert(joined.filter(col("r_org") === "xref:org" && col("w_org") === "xref:org" &&
+      coalesce(col("xaddr"), lit("?")) =!= coalesce(col("w_xaddr"), lit("?")) &&
+      col("v_type") === 0).count() == 0,
+      "a partner def change under an unchanged xref must be counted in v_type")
   }
 
   test("json scan: open reader absorbs removals, closed reader flags them") {
