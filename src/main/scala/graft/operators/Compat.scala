@@ -258,7 +258,20 @@ object Compat {
     * promotion-into-a-union-branch (int writer vs bigint branch) all
     * fire both ways in real data.
     */
-  private[graft] def fieldArrays(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def fieldArrays(s: SparkSession, dir: String): DataFrame =
+    fieldArrays(s, dir, slim = false)
+
+  /** `slim = true` builds the SAME field model but projects only the
+    * struct members the latest-version intelligence consumers read
+    * (fname/ftype/fnull/fdefault/fsyms/present) and skips the lag
+    * window entirely — no w_all/w_flds. Catalyst prunes unused
+    * TOP-LEVEL columns, but members of an array-of-struct built
+    * behind a higher-order filter + explode are constructed whether
+    * read or not, so the pruning has to happen at model build.
+    * Consumers that diff versions (the scans, reg_diff_fields,
+    * evolution_suggest) need the full model.
+    */
+  private[graft] def fieldArrays(s: SparkSession, dir: String, slim: Boolean): DataFrame = {
     val ev = Tables.events(s, dir).select(
       col("user_id").as("subject"), col("ts"), col("event_id"),
       get_json_object(col("props"), "$.k").cast("bigint").as("k"))
@@ -272,11 +285,16 @@ object Compat {
           fmask: Column, fdefault: Column = nullStr, fsyms: Column = nullStr,
           funion: Column = nullStr, fname: Column = null,
           falias: Column = nullStr): Column =
-      struct(Option(fname).getOrElse(lit(name)).as("fname"), ftype.as("ftype"),
+      if (slim)
+        struct(Option(fname).getOrElse(lit(name)).as("fname"), ftype.as("ftype"),
+          fnull.as("fnull"), fdefault.as("fdefault"), fsyms.as("fsyms"),
+          present.as("present"))
+      else
+        struct(Option(fname).getOrElse(lit(name)).as("fname"), ftype.as("ftype"),
         fnull.as("fnull"), fdefault.as("fdefault"), fsyms.as("fsyms"),
         funion.as("funion"), fmask.as("fmask"), falias.as("falias"),
         present.as("present"))
-    ev
+    val base = ev
       .withColumn("version", row_number().over(w))
       .withColumn("flds_all", array(
         f("id", lit("bigint"), lit(false), lit(true), lit(2)),
@@ -321,12 +339,14 @@ object Compat {
           falias = when(col("k") % lit(31) < 16,
             when(col("k") % lit(29) < 15, "nickname").otherwise("nick")))
       ))
-      .withColumn("w_all", lag(col("flds_all"), 1).over(w))
-      // present-only views for consumers that think in field SETS
-      // (diffs, latest-version tools); the scans use the positional
-      // nSlots-wide arrays directly — element_at is codegen'd, a
-      // filter-by-fname probe is an interpreted HOF.
       .withColumn("flds", filter(col("flds_all"), fld => fld("present")))
+    // present-only views for consumers that think in field SETS
+    // (diffs, latest-version tools); the scans use the positional
+    // nSlots-wide arrays directly — element_at is codegen'd, a
+    // filter-by-fname probe is an interpreted HOF.
+    if (slim) base
+    else base
+      .withColumn("w_all", lag(col("flds_all"), 1).over(w))
       .withColumn("w_flds", filter(col("w_all"), fld => fld("present")))
   }
 
