@@ -114,10 +114,68 @@ object FormatCompat {
           lit("optional"), noOneof, lit(true))
       ))
       .withColumn("w_all", lag(col("pb_all"), 1).over(w))
+      // writer payload for the FILE-level surface ([[topSurface]]):
+      // message/enum/service presence and method signatures derive
+      // row-locally from k, so the previous version's whole surface
+      // is one extra lag on the SAME window — no second shuffle.
+      .withColumn("w_k", lag(col("k"), 1).over(w))
       // present-only views for set-shaped consumers (specs); the scan
       // itself pairs slots positionally on the unfiltered arrays
       .withColumn("pb", filter(col("pb_all"), fld => fld("present")))
       .withColumn("w_pb", filter(col("w_all"), fld => fld("present")))
+  }
+
+  /** FILE-level Protobuf surface (one .proto = many top-level
+    * entities — protobuf/checker.go checkMessages :126-:154,
+    * checkEnums :526-:546 / checkEnumCompatibility :549-:576,
+    * checkServices :578-:600 / checkServiceCompatibility :602-:640),
+    * derived deterministically from the payload `k` so every rule
+    * fires both ways between consecutive versions:
+    *  - messages `User` (always), `Order` (k%6<4), `Audit` (k%17<9):
+    *    removal is flagged (:151), addition is fine (:144).
+    *  - enum `Color` (k%5<4) with values RED (always) and BLUE/AZUL
+    *    (k%3<2, name by k's parity): enum REMOVAL, VALUE removal, and
+    *    value RENAME at the same number are all wire-compatible and
+    *    deliberately NOT violations (:545, :563, :573 — enums ride
+    *    varint; Confluent allows value removal). Tallied in
+    *    `n_enum_relaxed` so the leniency is observable data, not an
+    *    untested branch.
+    *  - service `Api` (k%7<6) with methods `Get` (k%11<9; input
+    *    GetReq/GetReqV2 by k%13, output GetResp/GetRespV2 by k%19,
+    *    server-streaming by k%23) and `Put` (k%29<20;
+    *    client-streaming by k%31): service removal (:598), method
+    *    removal (:638), input/output type change (:612/:616), and
+    *    streaming-mode change (:620/:624) each break; every change is
+    *    one message in the reference, so each is counted separately.
+    * All tallies are row-local expressions of (k, w_k) — the file
+    * surface adds zero shuffles and zero joins to the scan.
+    */
+  private def topSurface(k: Column, wk: Column): Map[String, Column] = {
+    def b(c: Column): Column = when(c, 1L).otherwise(0L)
+    def order(c: Column) = c % 6 < 4
+    def audit(c: Column) = c % 17 < 9
+    def enumC(c: Column) = c % 5 < 4
+    def blue(c: Column) = enumC(c) && c % 3 < 2
+    def svc(c: Column) = c % 7 < 6
+    def mGet(c: Column) = svc(c) && c % 11 < 9
+    def mPut(c: Column) = svc(c) && c % 29 < 20
+    val bothSvc = svc(k) && svc(wk)
+    val bothGet = mGet(k) && mGet(wk)
+    val bothPut = mPut(k) && mPut(wk)
+    Map(
+      "n_msg_removed" -> (b(order(wk) && !order(k)) + b(audit(wk) && !audit(k))),
+      "n_svc_removed" -> b(svc(wk) && !svc(k)),
+      "n_method_removed" ->
+        (b(bothSvc && mGet(wk) && !mGet(k)) + b(bothSvc && mPut(wk) && !mPut(k))),
+      "n_method_changed" ->
+        (b(bothGet && (k % 13 < 7) =!= (wk % 13 < 7)) +   // input type
+          b(bothGet && (k % 19 < 10) =!= (wk % 19 < 10)) + // output type
+          b(bothGet && (k % 23 < 12) =!= (wk % 23 < 12)) + // server streaming
+          b(bothPut && (k % 31 < 16) =!= (wk % 31 < 16))), // client streaming
+      "n_enum_relaxed" ->
+        (b(enumC(wk) && !enumC(k)) +                        // enum type removed
+          b(enumC(k) && enumC(wk) && blue(wk) && !blue(k)) + // value removed
+          b(blue(k) && blue(wk) && (k % 2) =!= (wk % 2))))   // value renamed
   }
 
 
@@ -197,9 +255,19 @@ object FormatCompat {
     * matching, since the name-keyed Avro model would flag them.
     * Row-local past the one lag() window: each step explodes the
     * union of its two versions' field numbers and probes both arrays.
+    *
+    * The scan also carries the FILE-level verdict ([[topSurface]]):
+    * message removal, service/method removal, method signature and
+    * streaming-mode changes each break (n_msg_removed, n_svc_removed,
+    * n_method_removed, n_method_changed join the verdict), while enum
+    * type/value removal and value renames are tallied in
+    * n_enum_relaxed but never break — the reference's deliberate
+    * wire-format leniency (checker.go:545/:563/:573).
     */
   def protoScan(s: SparkSession, dir: String): DataFrame = {
+    val tops = topSurface(col("k"), col("w_k"))
     val versioned = pbFieldArrays(s, dir).filter(col("version") > 1)
+      .withColumns(tops)
     // Positional slot pairing (same shape as the Avro scans): both
     // versions share the fixed 12-slot layout, so the reader↔writer
     // key match is element_at by the posexploded index — codegen'd —
@@ -207,8 +275,9 @@ object FormatCompat {
     // the slot's present flag, surfaced as NULL kind (what the
     // rules' IS NULL arms already consume).
     val perKey = versioned
-      .select(col("subject"), col("version"), col("w_all"),
-        posexplode(col("pb_all")).as(Seq("pos", "rf")))
+      .select((Seq(col("subject"), col("version"), col("w_all")) ++
+        tops.keys.toSeq.sorted.map(col) :+
+        posexplode(col("pb_all")).as(Seq("pos", "rf"))): _*)
       .withColumn("wfp", element_at(col("w_all"), col("pos") + 1))
       .where(col("rf.present") || col("wfp.present"))
     def side(f: Column): Seq[Column] = Seq(
@@ -216,10 +285,11 @@ object FormatCompat {
       when(f("present"), f("card")), when(f("present"), f("oneof")))
     val Seq(rn, rk, rc, ro) = side(col("rf"))
     val Seq(wn, wk, wc, wo) = side(col("wfp"))
-    val probed = perKey.select(
+    val probed = perKey.select((Seq(
       col("subject"), col("version"),
       rn.as("r_name"), rk.as("r_kind"), rc.as("r_card"), ro.as("r_oneof"),
-      wn.as("w_name"), wk.as("w_kind"), wc.as("w_card"), wo.as("w_oneof"))
+      wn.as("w_name"), wk.as("w_kind"), wc.as("w_card"), wo.as("w_oneof")) ++
+      tops.keys.toSeq.sorted.map(col)): _*)
     val bothPresent = col("r_kind").isNotNull && col("w_kind").isNotNull
     val scalarKind = (k: Column) => !k.isin("string", "bytes", "message")
     val violation =
@@ -244,10 +314,15 @@ object FormatCompat {
     probed
       .groupBy(col("subject"), col("version"))
       .agg(sum(when(col("r_kind").isNotNull, 1L).otherwise(0L)).as("n_fields"),
-        sum(when(bothPresent && col("r_name") =!= col("w_name"), 1L)
+        (Seq(sum(when(bothPresent && col("r_name") =!= col("w_name"), 1L)
           .otherwise(0L)).as("n_renames"),
-        sum(when(violation, 1L).otherwise(0L)).as("n_violations"))
-      .withColumn("proto_ok", col("n_violations") === 0)
+          sum(when(violation, 1L).otherwise(0L)).as("n_violations")) ++
+          // file-level tallies are constant per (subject, version) —
+          // max() just re-surfaces them through the aggregate
+          tops.keys.toSeq.sorted.map(n => max(col(n)).as(n))): _*)
+      .withColumn("proto_ok", col("n_violations") + col("n_msg_removed") +
+        col("n_svc_removed") + col("n_method_removed") +
+        col("n_method_changed") === 0)
       .orderBy(col("subject"), col("version"))
   }
 
@@ -721,32 +796,54 @@ object FormatCompat {
         |  LEFT JOIN pbf r ON r.subject = n.subject AND r.version = n.version AND r.fkey = n.fkey
         |  LEFT JOIN pbf w ON w.subject = n.subject AND w.version = n.version - 1 AND w.fkey = n.fkey
         |  LEFT JOIN wiregrp rg ON rg.kind = r.kind
-        |  LEFT JOIN wiregrp wg ON wg.kind = w.kind)
-        |SELECT subject, version,
-        |  CAST(sum(CASE WHEN r_kind IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_fields,
-        |  CAST(sum(CASE WHEN r_kind IS NOT NULL AND w_kind IS NOT NULL
-        |    AND r_name <> w_name THEN 1 ELSE 0 END) AS BIGINT) AS n_renames,
-        |  CAST(sum(CASE WHEN
-        |    (w_kind IS NULL AND r_card = 'required')
-        |    OR (r_kind IS NULL AND (w_card = 'required' OR w_oneof IS NOT NULL))
-        |    OR (r_kind IS NOT NULL AND w_kind IS NOT NULL AND (
-        |      r_grp <> w_grp
-        |      OR (r_card = 'required' AND w_card <> 'required')
-        |      OR (w_card = 'optional' AND r_card = 'repeated' AND w_kind NOT IN ('string', 'bytes'))
-        |      OR (w_card = 'repeated' AND r_card <> 'repeated' AND r_kind NOT IN ('string', 'bytes'))
-        |      OR (w_oneof IS NOT NULL AND r_oneof IS NULL)))
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
-        |  sum(CASE WHEN
-        |    (w_kind IS NULL AND r_card = 'required')
-        |    OR (r_kind IS NULL AND (w_card = 'required' OR w_oneof IS NOT NULL))
-        |    OR (r_kind IS NOT NULL AND w_kind IS NOT NULL AND (
-        |      r_grp <> w_grp
-        |      OR (r_card = 'required' AND w_card <> 'required')
-        |      OR (w_card = 'optional' AND r_card = 'repeated' AND w_kind NOT IN ('string', 'bytes'))
-        |      OR (w_card = 'repeated' AND r_card <> 'repeated' AND r_kind NOT IN ('string', 'bytes'))
-        |      OR (w_oneof IS NOT NULL AND r_oneof IS NULL)))
-        |    THEN 1 ELSE 0 END) = 0 AS proto_ok
-        |FROM probed GROUP BY subject, version ORDER BY subject, version""".stripMargin,
+        |  LEFT JOIN wiregrp wg ON wg.kind = w.kind),
+        |agg AS (
+        |  SELECT subject, version,
+        |    CAST(sum(CASE WHEN r_kind IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_fields,
+        |    CAST(sum(CASE WHEN r_kind IS NOT NULL AND w_kind IS NOT NULL
+        |      AND r_name <> w_name THEN 1 ELSE 0 END) AS BIGINT) AS n_renames,
+        |    CAST(sum(CASE WHEN
+        |      (w_kind IS NULL AND r_card = 'required')
+        |      OR (r_kind IS NULL AND (w_card = 'required' OR w_oneof IS NOT NULL))
+        |      OR (r_kind IS NOT NULL AND w_kind IS NOT NULL AND (
+        |        r_grp <> w_grp
+        |        OR (r_card = 'required' AND w_card <> 'required')
+        |        OR (w_card = 'optional' AND r_card = 'repeated' AND w_kind NOT IN ('string', 'bytes'))
+        |        OR (w_card = 'repeated' AND r_card <> 'repeated' AND r_kind NOT IN ('string', 'bytes'))
+        |        OR (w_oneof IS NOT NULL AND r_oneof IS NULL)))
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        |  FROM probed GROUP BY subject, version),
+        |topw AS (
+        |  SELECT subject, version, k,
+        |         lag(k) OVER (PARTITION BY subject ORDER BY version) AS wk
+        |  FROM versioned),
+        |topt AS (
+        |  SELECT subject, version,
+        |    CAST((CASE WHEN wk % 6 < 4 AND k % 6 >= 4 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN wk % 17 < 9 AND k % 17 >= 9 THEN 1 ELSE 0 END) AS BIGINT) AS n_msg_removed,
+        |    CAST(CASE WHEN wk % 7 < 6 AND k % 7 >= 6 THEN 1 ELSE 0 END AS BIGINT) AS n_svc_removed,
+        |    CAST((CASE WHEN k % 7 < 6 AND wk % 7 < 6 AND wk % 11 < 9 AND k % 11 >= 9 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN k % 7 < 6 AND wk % 7 < 6 AND wk % 29 < 20 AND k % 29 >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_method_removed,
+        |    CAST((CASE WHEN k % 7 < 6 AND wk % 7 < 6 AND k % 11 < 9 AND wk % 11 < 9
+        |            AND (k % 13 < 7) <> (wk % 13 < 7) THEN 1 ELSE 0 END)
+        |       + (CASE WHEN k % 7 < 6 AND wk % 7 < 6 AND k % 11 < 9 AND wk % 11 < 9
+        |            AND (k % 19 < 10) <> (wk % 19 < 10) THEN 1 ELSE 0 END)
+        |       + (CASE WHEN k % 7 < 6 AND wk % 7 < 6 AND k % 11 < 9 AND wk % 11 < 9
+        |            AND (k % 23 < 12) <> (wk % 23 < 12) THEN 1 ELSE 0 END)
+        |       + (CASE WHEN k % 7 < 6 AND wk % 7 < 6 AND k % 29 < 20 AND wk % 29 < 20
+        |            AND (k % 31 < 16) <> (wk % 31 < 16) THEN 1 ELSE 0 END) AS BIGINT) AS n_method_changed,
+        |    CAST((CASE WHEN wk % 5 < 4 AND k % 5 >= 4 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN k % 5 < 4 AND wk % 5 < 4 AND wk % 3 < 2 AND k % 3 >= 2 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN k % 5 < 4 AND k % 3 < 2 AND wk % 5 < 4 AND wk % 3 < 2
+        |            AND (k % 2) <> (wk % 2) THEN 1 ELSE 0 END) AS BIGINT) AS n_enum_relaxed
+        |  FROM topw WHERE version > 1)
+        |SELECT a.subject, a.version, a.n_fields, a.n_renames, a.n_violations,
+        |  t.n_enum_relaxed, t.n_method_changed, t.n_method_removed,
+        |  t.n_msg_removed, t.n_svc_removed,
+        |  a.n_violations + t.n_msg_removed + t.n_svc_removed
+        |    + t.n_method_removed + t.n_method_changed = 0 AS proto_ok
+        |FROM agg a JOIN topt t ON t.subject = a.subject AND t.version = a.version
+        |ORDER BY a.subject, a.version""".stripMargin,
     "compat_json_scan" ->
       s"""WITH $jsModelCte,
         |vers AS (SELECT s.subject, s.version, s.open, ws.open AS w_open,

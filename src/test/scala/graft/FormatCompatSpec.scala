@@ -17,9 +17,29 @@ class FormatCompatSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Boolean]("proto_ok")))
     assert(rows.exists(!_.getAs[Boolean]("proto_ok")))
     rows.foreach { r =>
-      assert(r.getAs[Boolean]("proto_ok") == (r.getAs[Long]("n_violations") == 0L))
+      assert(r.getAs[Boolean]("proto_ok") == (r.getAs[Long]("n_violations") +
+        r.getAs[Long]("n_msg_removed") + r.getAs[Long]("n_svc_removed") +
+        r.getAs[Long]("n_method_removed") + r.getAs[Long]("n_method_changed") == 0L))
       assert(r.getAs[Long]("n_fields") >= 3L, "id/name-or-title/score are always present")
     }
+  }
+
+  test("proto scan: file-level surface — message/service/method rules break, enum rules stay lenient") {
+    val rows = FormatCompat.protoScan(spark, sfDir).collect()
+    // every file-level rule fires somewhere in the corpus
+    for (c <- Seq("n_msg_removed", "n_svc_removed", "n_method_removed",
+        "n_method_changed", "n_enum_relaxed"))
+      assert(rows.exists(_.getAs[Long](c) > 0), s"expected $c > 0 somewhere")
+    // a file-level break alone (no field violations) flips the verdict —
+    // checkMessages/checkServices report independently of field rules
+    assert(rows.exists(r => r.getAs[Long]("n_violations") == 0L &&
+      r.getAs[Long]("n_msg_removed") + r.getAs[Long]("n_svc_removed") +
+        r.getAs[Long]("n_method_removed") + r.getAs[Long]("n_method_changed") > 0L &&
+      !r.getAs[Boolean]("proto_ok")), "file-level break must flip proto_ok on its own")
+    // enum type/value removal and value renames are wire-compatible
+    // (checker.go:545/:563/:573): relaxations co-exist with a green verdict
+    assert(rows.exists(r => r.getAs[Long]("n_enum_relaxed") > 0L &&
+      r.getAs[Boolean]("proto_ok")), "enum relaxations must not break compat")
   }
 
   test("proto scan: field count matches the model's presence predicates") {
