@@ -105,6 +105,25 @@ object SchemaCompat {
     if (f.metadata.contains("unionBranches")) Some(f.metadata.getStringArray("unionBranches"))
     else None
 
+  /** Named-type dimension (Avro record/enum/fixed carry a FULL NAME
+    * that resolution matches on): metadata keys `"typeKind"` (one of
+    * record/enum/fixed), `"typeName"`, and `"typeAliases"` (type-level
+    * aliases — records only per the reference). Name-matching rules
+    * (avro/checker.go):
+    *  - record (:106 via recordNamesMatch :145-:165): names match if
+    *    equal, OR the reader's name is one of the writer's aliases,
+    *    OR the writer's name is one of the reader's aliases. On
+    *    mismatch the record check returns WITHOUT descending into
+    *    fields — the whole subtree is unresolvable.
+    *  - enum (:186-:189): strict full-name equality, no alias rescue.
+    *  - fixed (:284-:287): strict full-name equality, no alias rescue.
+    */
+  def namedType(f: StructField): Option[(String, String, Seq[String])] =
+    if (f.metadata.contains("typeKind") && f.metadata.contains("typeName"))
+      Some((f.metadata.getString("typeKind"), f.metadata.getString("typeName"),
+        if (f.metadata.contains("typeAliases")) f.metadata.getStringArray("typeAliases").toSeq else Nil))
+    else None
+
   /** Primitive branch-name of a Spark type ("bigint" is the model's
     * spelling of Avro long, BinaryType of bytes).
     */
@@ -144,6 +163,12 @@ object SchemaCompat {
         case None if rf.nullable || hasDefault(rf) => acc
         case None =>
           acc.merge(incompatible(s"${pathOrRoot(path)}: reader field '${rf.name}' is required, defaultless, and missing from writer"))
+        case Some(wf) if namedTypeMismatch(rf, wf).isDefined =>
+          // Named-type name mismatch (record/enum/fixed): like
+          // checkRecord (:106-:110), the check stops here — a
+          // subtree whose type name can't resolve is not descended
+          // into, so no further field-level messages pile on.
+          acc.merge(namedTypeMismatch(rf, wf).get)
         case Some(wf) =>
           // Union resolution (avro/checker.go:224 checkUnion, :247
           // checkReaderUnion, :263 checkWriterUnion): with branch
@@ -177,6 +202,23 @@ object SchemaCompat {
       }
     }
   }
+
+  /** Named-type name rule for a matched reader/writer field pair —
+    * Some(violation) when both sides declare a named type and the
+    * names fail to resolve under the kind's rule (record: cross-side
+    * alias rescue; enum/fixed: strict equality).
+    */
+  private def namedTypeMismatch(rf: StructField, wf: StructField): Option[Result] =
+    (namedType(rf), namedType(wf)) match {
+      case (Some((rk, rn, ra)), Some((_, wn, wa))) =>
+        val matches = rk match {
+          case "record" => rn == wn || wa.contains(rn) || ra.contains(wn)
+          case _ => rn == wn
+        }
+        if (matches) scala.None
+        else Some(incompatible(s"${rf.name}: $rk name mismatch: reader has $rn, writer has $wn"))
+      case _ => scala.None
+    }
 
   private def canReadType(reader: DataType, writer: DataType, path: String): Result =
     (reader, writer) match {

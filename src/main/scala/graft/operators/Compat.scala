@@ -117,12 +117,18 @@ object Compat {
     */
   private def mf(name: String, dt: DataType, nullable: Boolean,
                  default: Option[String] = None, syms: Seq[String] = Nil,
-                 union: Seq[String] = Nil, alias: Seq[String] = Nil): StructField = {
+                 union: Seq[String] = Nil, alias: Seq[String] = Nil,
+                 named: Option[(String, String, Seq[String])] = None): StructField = {
     val b = new MetadataBuilder()
     default.foreach(b.putString("default", _))
     if (syms.nonEmpty) b.putStringArray("enumSymbols", syms.toArray)
     if (union.nonEmpty) b.putStringArray("unionBranches", union.toArray)
     if (alias.nonEmpty) b.putStringArray("aliases", alias.toArray)
+    named.foreach { case (kind, tname, taliases) =>
+      b.putString("typeKind", kind)
+      b.putString("typeName", tname)
+      if (taliases.nonEmpty) b.putStringArray("typeAliases", taliases.toArray)
+    }
     StructField(name, dt, nullable, b.build())
   }
 
@@ -191,7 +197,57 @@ object Compat {
       Seq(st(("nick", StringType, false)))),
     (24, "rename without alias breaks", Backward,
       StructType(Seq(StructField("nickname", StringType, nullable = false))),
-      Seq(st(("nick", StringType, false)))))
+      Seq(st(("nick", StringType, false)))),
+    // Named-type NAME rules (avro/checker.go:105-:110 record via
+    // recordNamesMatch :145-:165; enum :186-:189 strict; fixed
+    // :284-:287 strict) — the type-level half of the alias spec.
+    (25, "record type-name mismatch breaks without aliases", Backward,
+      StructType(Seq(mf("meta", st(("score", DoubleType, true)), nullable = true,
+        named = Some(("record", "com.ex.MetaV2", Nil))))),
+      Seq(StructType(Seq(mf("meta", st(("score", DoubleType, true)), nullable = true,
+        named = Some(("record", "com.ex.Meta", Nil))))))),
+    (26, "record type-name rescued by reader alias", Backward,
+      StructType(Seq(mf("meta", st(("score", DoubleType, true)), nullable = true,
+        named = Some(("record", "com.ex.MetaV2", Seq("com.ex.Meta")))))),
+      Seq(StructType(Seq(mf("meta", st(("score", DoubleType, true)), nullable = true,
+        named = Some(("record", "com.ex.Meta", Nil))))))),
+    (27, "record type-name rescued by writer alias", Backward,
+      StructType(Seq(mf("meta", st(("score", DoubleType, true)), nullable = true,
+        named = Some(("record", "com.ex.MetaV2", Nil))))),
+      Seq(StructType(Seq(mf("meta", st(("score", DoubleType, true)), nullable = true,
+        named = Some(("record", "com.ex.Meta", Seq("com.ex.MetaV2")))))))),
+    (28, "record name mismatch does not descend into fields", Backward,
+      StructType(Seq(mf("meta", st(("score", FloatType, false)), nullable = true,
+        named = Some(("record", "com.ex.MetaV2", Nil))))),
+      // the narrowing double->float inside would add a second message
+      // if the checker descended; the reference stops at the name
+      Seq(StructType(Seq(mf("meta", st(("score", DoubleType, true)), nullable = true,
+        named = Some(("record", "com.ex.Meta", Nil))))))),
+    (29, "enum type-name mismatch breaks even with aliases", Backward,
+      StructType(Seq(mf("status", StringType, nullable = false, syms = Seq("A", "B"),
+        named = Some(("enum", "com.ex.State", Seq("com.ex.Status")))))),
+      Seq(StructType(Seq(mf("status", StringType, nullable = false, syms = Seq("A", "B"),
+        named = Some(("enum", "com.ex.Status", Nil))))))),
+    (30, "fixed type-name mismatch breaks at equal size", Backward,
+      StructType(Seq(mf("token", BinaryType, nullable = true, union = Seq("fixed8"),
+        named = Some(("fixed", "com.ex.Digest8", Nil))))),
+      Seq(StructType(Seq(mf("token", BinaryType, nullable = true, union = Seq("fixed8"),
+        named = Some(("fixed", "com.ex.Hash8", Nil))))))),
+    (31, "matching named types pass all three kinds", Backward,
+      StructType(Seq(
+        mf("meta", st(("score", DoubleType, true)), nullable = true,
+          named = Some(("record", "com.ex.Meta", Nil))),
+        mf("status", StringType, nullable = false, syms = Seq("A", "B", "C"),
+          named = Some(("enum", "com.ex.Status", Nil))),
+        mf("token", BinaryType, nullable = true, union = Seq("fixed8"),
+          named = Some(("fixed", "com.ex.Hash8", Nil))))),
+      Seq(StructType(Seq(
+        mf("meta", st(("score", DoubleType, true)), nullable = true,
+          named = Some(("record", "com.ex.Meta", Nil))),
+        mf("status", StringType, nullable = false, syms = Seq("A", "B"),
+          named = Some(("enum", "com.ex.Status", Nil))),
+        mf("token", BinaryType, nullable = true, union = Seq("fixed8"),
+          named = Some(("fixed", "com.ex.Hash8", Nil))))))))
 
   def checkBattery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1033,7 +1089,46 @@ object Compat {
       .orderBy(col("subject"), col("version"))
   }
 
+  /** Named-type NAME scan over the corpus: each version carries three
+    * named types whose FULL NAMES evolve with the payload, checked
+    * reader (version N) vs writer (N-1) under the per-kind rules
+    * (avro/checker.go):
+    *  - `profile` RECORD: name Profile↔ProfileV2 with k%21, and each
+    *    side declares the other name as a TYPE-level alias when
+    *    k%37<19 — a rename is rescued iff either side does
+    *    (recordNamesMatch :145-:165, both directions).
+    *  - `status` ENUM: name Status↔State with k%15 — strict equality,
+    *    no alias rescue (:186-:189).
+    *  - `token` FIXED: name Hash8↔Digest8 with k%27 — strict (:284).
+    * All three names and the rescue predicate are functions of (k,
+    * lag k): one subject window, zero joins, verdict row-local.
+    * n_rescued counts record renames the alias spec saved — proof the
+    * rescue path executes on data, not just in the battery.
+    */
+  def namedScan(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("subject")).orderBy(col("ts"), col("event_id"))
+    val k = col("k")
+    val wk = col("w_k")
+    def b(c: Column): Column = when(c, 1L).otherwise(0L)
+    val recRenamed = (k % 21 < 11) =!= (wk % 21 < 11)
+    val rescued = (k % 37 < 19) || (wk % 37 < 19)
+    Tables.events(s, dir)
+      .select(col("user_id").as("subject"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("w_k", lag(col("k"), 1).over(w))
+      .filter(col("version") > 1)
+      .select(col("subject"), col("version"),
+        (b(recRenamed && !rescued) +
+          b((k % 15 < 8) =!= (wk % 15 < 8)) +
+          b((k % 27 < 14) =!= (wk % 27 < 14))).as("n_name_break"),
+        b(recRenamed && rescued).as("n_rescued"))
+      .withColumn("named_ok", col("n_name_break") === 0)
+      .orderBy(col("subject"), col("version"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "compat_named" -> namedScan,
     "compat_union" -> unionScan,
     "compat_nested" -> nestedScan,
     "compat_check" -> checkBattery,
@@ -1082,6 +1177,30 @@ object Compat {
     s"($rn = $wn OR coalesce($ra = $wn, false) OR coalesce($wa = $rn, false))"
 
   private val baseOracleSql: Map[String, String] = Map(
+    "compat_named" ->
+      """WITH ev AS (
+        |  SELECT user_id AS subject, ts, event_id,
+        |         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events),
+        |versioned AS (
+        |  SELECT subject, k,
+        |         row_number() OVER (PARTITION BY subject ORDER BY ts, event_id) AS version,
+        |         lag(k) OVER (PARTITION BY subject ORDER BY ts, event_id) AS wk
+        |  FROM ev)
+        |SELECT subject, version,
+        |  CAST((CASE WHEN (k % 21 < 11) <> (wk % 21 < 11)
+        |          AND NOT (k % 37 < 19 OR wk % 37 < 19) THEN 1 ELSE 0 END)
+        |     + (CASE WHEN (k % 15 < 8) <> (wk % 15 < 8) THEN 1 ELSE 0 END)
+        |     + (CASE WHEN (k % 27 < 14) <> (wk % 27 < 14) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_name_break,
+        |  CAST(CASE WHEN (k % 21 < 11) <> (wk % 21 < 11)
+        |        AND (k % 37 < 19 OR wk % 37 < 19) THEN 1 ELSE 0 END AS BIGINT) AS n_rescued,
+        |  ((CASE WHEN (k % 21 < 11) <> (wk % 21 < 11)
+        |      AND NOT (k % 37 < 19 OR wk % 37 < 19) THEN 1 ELSE 0 END)
+        |   + (CASE WHEN (k % 15 < 8) <> (wk % 15 < 8) THEN 1 ELSE 0 END)
+        |   + (CASE WHEN (k % 27 < 14) <> (wk % 27 < 14) THEN 1 ELSE 0 END)) = 0 AS named_ok
+        |FROM versioned WHERE version > 1
+        |ORDER BY subject, version""".stripMargin,
     "compat_union" ->
       s"""WITH $fieldModelCte,
         |r AS (SELECT subject, version, ftype, funion FROM fields WHERE fname = 'ref')
@@ -1136,7 +1255,14 @@ object Compat {
         |  (21, 'fixed size mismatch', 'BACKWARD', false, CAST(1 AS BIGINT)),
         |  (22, 'fixed same size', 'BACKWARD', true, CAST(0 AS BIGINT)),
         |  (23, 'rename rescued by reader alias', 'BACKWARD', true, CAST(0 AS BIGINT)),
-        |  (24, 'rename without alias breaks', 'BACKWARD', false, CAST(1 AS BIGINT))
+        |  (24, 'rename without alias breaks', 'BACKWARD', false, CAST(1 AS BIGINT)),
+        |  (25, 'record type-name mismatch breaks without aliases', 'BACKWARD', false, CAST(1 AS BIGINT)),
+        |  (26, 'record type-name rescued by reader alias', 'BACKWARD', true, CAST(0 AS BIGINT)),
+        |  (27, 'record type-name rescued by writer alias', 'BACKWARD', true, CAST(0 AS BIGINT)),
+        |  (28, 'record name mismatch does not descend into fields', 'BACKWARD', false, CAST(1 AS BIGINT)),
+        |  (29, 'enum type-name mismatch breaks even with aliases', 'BACKWARD', false, CAST(1 AS BIGINT)),
+        |  (30, 'fixed type-name mismatch breaks at equal size', 'BACKWARD', false, CAST(1 AS BIGINT)),
+        |  (31, 'matching named types pass all three kinds', 'BACKWARD', true, CAST(0 AS BIGINT))
         |) AS t(case_id, description, mode, compatible, n_messages)
         |ORDER BY case_id""".stripMargin,
     "compat_scan" ->

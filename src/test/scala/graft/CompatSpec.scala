@@ -153,13 +153,35 @@ class CompatSpec extends SparkSpec {
 
   test("battery query matches hand-traced verdicts") {
     val rows = operators.Compat.checkBattery(spark, sfDir).collect()
-    assert(rows.length == 24)
+    assert(rows.length == 31)
     val verdicts = rows.map(r => r.getAs[Int]("case_id") -> r.getAs[Boolean]("compatible")).toMap
     assert(verdicts == Map(1 -> true, 2 -> false, 3 -> true, 4 -> false, 5 -> true,
       6 -> false, 7 -> true, 8 -> false, 9 -> false, 10 -> true,
       11 -> true, 12 -> false, 13 -> true, 14 -> true, 15 -> false,
       16 -> false, 17 -> true, 18 -> true, 19 -> true, 20 -> false,
-      21 -> false, 22 -> true, 23 -> true, 24 -> false))
+      21 -> false, 22 -> true, 23 -> true, 24 -> false,
+      25 -> false, 26 -> true, 27 -> true, 28 -> false, 29 -> false,
+      30 -> false, 31 -> true))
+    // case 28: the name mismatch must be the ONLY message — the
+    // checker stops at the unresolvable name and never reaches the
+    // double->float narrowing inside (checkRecord :106-:110)
+    val c28 = rows.find(_.getAs[Int]("case_id") == 28).get
+    assert(c28.getAs[Long]("n_messages") == 1L)
+  }
+
+  test("compat_named: name rules flip both ways; record aliases rescue, enum/fixed never do") {
+    val rows = operators.Compat.namedScan(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // verdicts are data-driven both ways
+    assert(rows.exists(_.getAs[Boolean]("named_ok")))
+    assert(rows.exists(!_.getAs[Boolean]("named_ok")))
+    // record renames do get rescued by type-level aliases on data,
+    // and a rescued step with no other break stays compatible
+    assert(rows.exists(_.getAs[Long]("n_rescued") > 0))
+    assert(rows.exists(r => r.getAs[Long]("n_rescued") > 0 && r.getAs[Boolean]("named_ok")),
+      "an alias-rescued record rename alone must not break")
+    // unrescued breaks reach 3 (record+enum+fixed can all flip at once)
+    assert(rows.exists(_.getAs[Long]("n_name_break") >= 2))
   }
 
   test("compat_union: transitions fire in every shape, verdicts flip both ways") {
