@@ -314,20 +314,37 @@ object Compat {
     * promotion-into-a-union-branch (int writer vs bigint branch) all
     * fire both ways in real data.
     */
+  private[graft] val allMembers: Seq[String] = Seq(
+    "fname", "ftype", "fnull", "fdefault", "fsyms", "funion", "fmask",
+    "falias", "present")
+
   private[graft] def fieldArrays(s: SparkSession, dir: String): DataFrame =
-    fieldArrays(s, dir, slim = false)
+    fieldArrays(s, dir, allMembers, withLag = true)
 
   /** `slim = true` builds the SAME field model but projects only the
     * struct members the latest-version intelligence consumers read
     * (fname/ftype/fnull/fdefault/fsyms/present) and skips the lag
-    * window entirely — no w_all/w_flds. Catalyst prunes unused
-    * TOP-LEVEL columns, but members of an array-of-struct built
-    * behind a higher-order filter + explode are constructed whether
-    * read or not, so the pruning has to happen at model build.
-    * Consumers that diff versions (the scans, reg_diff_fields,
-    * evolution_suggest) need the full model.
+    * window entirely — no w_all/w_flds.
     */
-  private[graft] def fieldArrays(s: SparkSession, dir: String, slim: Boolean): DataFrame = {
+  private[graft] def fieldArrays(s: SparkSession, dir: String, slim: Boolean): DataFrame =
+    if (slim)
+      fieldArrays(s, dir,
+        Seq("fname", "ftype", "fnull", "fdefault", "fsyms", "present"),
+        withLag = false)
+    else fieldArrays(s, dir)
+
+  /** Member-pruned model build: only the listed struct members are
+    * constructed, and the lag window (w_all/w_flds) is built only
+    * when asked for. Catalyst prunes unused TOP-LEVEL columns, but
+    * members of an array-of-struct built behind a higher-order
+    * filter + explode are constructed whether read or not, so the
+    * pruning has to happen at model build. `present` is always
+    * included (the set views filter on it). The positional scans use
+    * the full model — their test-mask algebra reads every member.
+    */
+  private[graft] def fieldArrays(s: SparkSession, dir: String,
+                                 members: Seq[String], withLag: Boolean): DataFrame = {
+    val keep = members.toSet + "present"
     val ev = Tables.events(s, dir).select(
       col("user_id").as("subject"), col("ts"), col("event_id"),
       get_json_object(col("props"), "$.k").cast("bigint").as("k"))
@@ -340,16 +357,14 @@ object Compat {
     def f(name: String, ftype: Column, fnull: Column, present: Column,
           fmask: Column, fdefault: Column = nullStr, fsyms: Column = nullStr,
           funion: Column = nullStr, fname: Column = null,
-          falias: Column = nullStr): Column =
-      if (slim)
-        struct(Option(fname).getOrElse(lit(name)).as("fname"), ftype.as("ftype"),
-          fnull.as("fnull"), fdefault.as("fdefault"), fsyms.as("fsyms"),
-          present.as("present"))
-      else
-        struct(Option(fname).getOrElse(lit(name)).as("fname"), ftype.as("ftype"),
-        fnull.as("fnull"), fdefault.as("fdefault"), fsyms.as("fsyms"),
-        funion.as("funion"), fmask.as("fmask"), falias.as("falias"),
-        present.as("present"))
+          falias: Column = nullStr): Column = {
+      val all: Seq[(String, Column)] = Seq(
+        "fname" -> Option(fname).getOrElse(lit(name)),
+        "ftype" -> ftype, "fnull" -> fnull, "fdefault" -> fdefault,
+        "fsyms" -> fsyms, "funion" -> funion, "fmask" -> fmask,
+        "falias" -> falias, "present" -> present)
+      struct(all.collect { case (n, c) if keep(n) => c.as(n) }: _*)
+    }
     val base = ev
       .withColumn("version", row_number().over(w))
       .withColumn("flds_all", array(
@@ -400,7 +415,7 @@ object Compat {
     // (diffs, latest-version tools); the scans use the positional
     // nSlots-wide arrays directly — element_at is codegen'd, a
     // filter-by-fname probe is an interpreted HOF.
-    if (slim) base
+    if (!withLag) base
     else base
       .withColumn("w_all", lag(col("flds_all"), 1).over(w))
       .withColumn("w_flds", filter(col("w_all"), fld => fld("present")))
