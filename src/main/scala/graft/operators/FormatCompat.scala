@@ -415,6 +415,16 @@ object FormatCompat {
       // the $defs/addr definition this schema version declares —
       // referenced properties resolve against it
       .withColumn("defaddr", when(col("k") % 25 < 13, "string").otherwise("object"))
+      // root-level `not` constraint (checker.go:944 checkNotSchema):
+      // encoded as <type-char><key-count> — s1 = {"type":"string"},
+      // s2 = the same plus one more keyword, i1 = {"type":"integer"}.
+      // Adding `not` breaks; a not-TYPE change breaks; same type but
+      // FEWER keys (a broader not-schema rejects more) breaks;
+      // dropping or narrowing only relaxes.
+      .withColumn("jnot",
+        when(col("k") % 41 < 14, lit(null).cast("string"))
+          .when(col("k") % 41 < 24, "s1")
+          .when(col("k") % 41 < 33, "s2").otherwise("i1"))
       .withColumn("props_all", array(
         p("id", lit("integer"), lit(true), noEnum, lit(true)),
         // name carries the string PATTERN constraint (checker.go:885
@@ -514,6 +524,7 @@ object FormatCompat {
       .withColumn("w_xaddr", lag(col("xaddr"), 1).over(w))
       .withColumn("w_minp", lag(col("minp"), 1).over(w))
       .withColumn("w_maxp", lag(col("maxp"), 1).over(w))
+      .withColumn("w_jnot", lag(col("jnot"), 1).over(w))
       .withColumn("w_all", lag(col("props_all"), 1).over(w))
       // present-only views for set-shaped consumers (specs)
       .withColumn("props_arr", filter(col("props_all"), fld => fld("present")))
@@ -536,6 +547,8 @@ object FormatCompat {
       |  FROM ev),
       |schemas AS (SELECT v.subject, v.version, v.k % 2 = 0 AS open,
       |  CASE WHEN v.k % 25 < 13 THEN 'string' ELSE 'object' END AS defaddr,
+      |  CASE WHEN v.k % 41 < 14 THEN NULL WHEN v.k % 41 < 24 THEN 's1'
+      |       WHEN v.k % 41 < 33 THEN 's2' ELSE 'i1' END AS jnot,
       |  CASE WHEN v.k % 43 < 15 THEN NULL WHEN v.k % 43 < 30 THEN 1 ELSE 3 END AS minp,
       |  CASE WHEN v.k % 47 < 16 THEN NULL WHEN v.k % 47 < 32 THEN 20 ELSE 10 END AS maxp,
       |  (SELECT CASE WHEN d.k % 25 < 13 THEN 'string' ELSE 'object' END
@@ -616,7 +629,9 @@ object FormatCompat {
     *    uniqueItems (:117/:279), const (:575), dependentSchemas
     *    (:987)
     *  - v_ap: additionalProperties flipped allowed→forbidden (:611);
-    *    v_propcount: min/maxProperties tightened (:934) — both
+    *    v_propcount: min/maxProperties tightened (:934); v_not: root
+    *    `not` constraint added, type-changed, or broadened (:944
+    *    checkNotSchema — dropping or narrowing relaxes) — all
     *    schema-level, counted once per step
     * Same one-window shape as every other scan; all checks are
     * row-local array probes, and the external-$ref resolution is the
@@ -629,6 +644,7 @@ object FormatCompat {
       .select(col("subject"), col("version"), col("open"), col("w_open"),
         col("defaddr"), col("w_defaddr"), col("xaddr"), col("w_xaddr"),
         col("minp"), col("maxp"), col("w_minp"), col("w_maxp"),
+        col("jnot"), col("w_jnot"),
         col("w_all"), posexplode(col("props_all")).as(Seq("pos", "rp")))
       .withColumn("wp", element_at(col("w_all"), col("pos") + 1))
       .where(col("rp.present") || col("wp.present"))
@@ -649,6 +665,7 @@ object FormatCompat {
       col("subject"), col("version"), col("open"), col("w_open"),
       col("defaddr"), col("w_defaddr"), col("xaddr"), col("w_xaddr"),
       col("minp"), col("maxp"), col("w_minp"), col("w_maxp"),
+      col("jnot"), col("w_jnot"),
       rt.as("r_type"), rq.as("r_req"), re.as("r_enum"),
       rmin.as("r_min"), rmax.as("r_max"), ra.as("r_alts"),
       rd.as("r_dep"), rtu.as("r_tuple"), ral.as("r_all"),
@@ -735,6 +752,14 @@ object FormatCompat {
     // schema changed; dropping it relaxes.
     val dschBroken = col("r_dsch").isNotNull &&
       (col("w_dsch").isNull || col("r_dsch") =!= col("w_dsch"))
+    // `not` (checker.go:944, root level): added breaks; type change
+    // breaks (:968 — no promotions between the model's string and
+    // integer not-types); same type but fewer keywords = a BROADER
+    // negated schema, which rejects more (:977); dropped relaxes.
+    val notBroken = col("jnot").isNotNull &&
+      (col("w_jnot").isNull ||
+        substring(col("jnot"), 1, 1) =!= substring(col("w_jnot"), 1, 1) ||
+        substring(col("jnot"), 2, 1) < substring(col("w_jnot"), 2, 1))
     // min/maxProperties (checker.go:934, schema level): tightening
     // either object-size bound.
     val propCountBroken =
@@ -763,14 +788,15 @@ object FormatCompat {
         cnt(both && dschBroken).as("v_dsch"),
         // schema-level: one per step, counted once via max()
         max(when(col("w_open") && !col("open"), 1L).otherwise(0L)).as("v_ap"),
-        max(when(propCountBroken, 1L).otherwise(0L)).as("v_propcount"))
+        max(when(propCountBroken, 1L).otherwise(0L)).as("v_propcount"),
+        max(when(notBroken, 1L).otherwise(0L)).as("v_not"))
       .withColumn("n_violations",
         col("v_type") + col("v_removed") + col("v_req_added") +
           col("v_open_added") + col("v_opt_req") + col("v_enum") +
           col("v_bounds") + col("v_sum") + col("v_dep") + col("v_tuple") +
           col("v_all") + col("v_pattern") + col("v_multiple") + col("v_items") +
           col("v_unique") + col("v_const") + col("v_dsch") +
-          col("v_ap") + col("v_propcount"))
+          col("v_ap") + col("v_propcount") + col("v_not"))
       .withColumn("json_ok", col("n_violations") === 0)
       .orderBy(col("subject"), col("version"))
   }
@@ -848,7 +874,8 @@ object FormatCompat {
       s"""WITH $jsModelCte,
         |vers AS (SELECT s.subject, s.version, s.open, ws.open AS w_open,
         |    s.defaddr, ws.defaddr AS w_defaddr, s.xaddr, ws.xaddr AS w_xaddr,
-        |    s.minp, s.maxp, ws.minp AS w_minp, ws.maxp AS w_maxp
+        |    s.minp, s.maxp, ws.minp AS w_minp, ws.maxp AS w_maxp,
+        |    s.jnot, ws.jnot AS w_jnot
         |  FROM schemas s JOIN schemas ws
         |    ON ws.subject = s.subject AND ws.version = s.version - 1),
         |names AS (
@@ -858,6 +885,7 @@ object FormatCompat {
         |probed AS (
         |  SELECT n.subject, n.version, v.open, v.w_open, v.defaddr, v.w_defaddr,
         |    v.xaddr, v.w_xaddr, v.minp, v.maxp, v.w_minp, v.w_maxp,
+        |    v.jnot, v.w_jnot,
         |    r.ptype AS r_type, r.preq AS r_req, r.penum AS r_enum,
         |    r.pmin AS r_min, r.pmax AS r_max, r.palts AS r_alts,
         |    r.pdep AS r_dep, r.ptuple AS r_tuple, r.pall AS r_all,
@@ -940,18 +968,22 @@ object FormatCompat {
         |    CAST(max(CASE WHEN
         |        (minp IS NOT NULL AND (w_minp IS NULL OR minp > w_minp))
         |        OR (maxp IS NOT NULL AND (w_maxp IS NULL OR maxp < w_maxp))
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_propcount
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_propcount,
+        |    CAST(max(CASE WHEN jnot IS NOT NULL AND (w_jnot IS NULL
+        |        OR substr(jnot, 1, 1) <> substr(w_jnot, 1, 1)
+        |        OR substr(jnot, 2, 1) < substr(w_jnot, 2, 1))
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_not
         |  FROM probed GROUP BY subject, version)
         |SELECT subject, version, n_props, v_type, v_removed, v_req_added, v_open_added,
         |  v_opt_req, v_enum, v_bounds, v_sum, v_dep, v_tuple, v_all,
-        |  v_pattern, v_multiple, v_items, v_unique, v_const, v_dsch, v_ap, v_propcount,
+        |  v_pattern, v_multiple, v_items, v_unique, v_const, v_dsch, v_ap, v_propcount, v_not,
         |  v_type + v_removed + v_req_added + v_open_added + v_opt_req
         |    + v_enum + v_bounds + v_sum + v_dep + v_tuple + v_all
         |    + v_pattern + v_multiple + v_items + v_unique + v_const + v_dsch
-        |    + v_ap + v_propcount AS n_violations,
+        |    + v_ap + v_propcount + v_not AS n_violations,
         |  v_type + v_removed + v_req_added + v_open_added + v_opt_req
         |    + v_enum + v_bounds + v_sum + v_dep + v_tuple + v_all
         |    + v_pattern + v_multiple + v_items + v_unique + v_const + v_dsch
-        |    + v_ap + v_propcount = 0 AS json_ok
+        |    + v_ap + v_propcount + v_not = 0 AS json_ok
         |FROM agg ORDER BY subject, version""".stripMargin)
 }

@@ -117,7 +117,7 @@ class FormatCompatSpec extends SparkSpec {
     val classes = Seq("v_type", "v_removed", "v_req_added", "v_open_added",
       "v_opt_req", "v_enum", "v_bounds", "v_sum", "v_dep", "v_tuple", "v_all",
       "v_pattern", "v_multiple", "v_items", "v_unique", "v_const", "v_dsch",
-      "v_ap", "v_propcount")
+      "v_ap", "v_propcount", "v_not")
     classes.foreach { c =>
       assert(rows.exists(_.getAs[Long](c) > 0), s"$c never fires on the corpus")
     }
@@ -129,6 +129,33 @@ class FormatCompatSpec extends SparkSpec {
     // both verdicts are data-driven
     assert(rows.exists(_.getAs[Boolean]("json_ok")))
     assert(rows.exists(!_.getAs[Boolean]("json_ok")))
+  }
+
+  test("json scan: root `not` constraint — added/type-changed/broadened break, narrowed relaxes") {
+    import org.apache.spark.sql.functions.col
+    val scan = FormatCompat.jsonScan(spark, sfDir).collect()
+    assert(scan.exists(_.getAs[Long]("v_not") > 0), "v_not must fire somewhere")
+    assert(scan.exists(_.getAs[Long]("v_not") == 0), "v_not must not fire everywhere")
+    // cross-check the scan against the model row by row: v_not fires
+    // exactly on added / type-changed / broadened (fewer keywords)
+    // steps, and a NARROWING step (reader adds a keyword to the same
+    // not-type, e.g. s1 -> s2) never fires
+    val m = FormatCompat.jsFieldArrays(spark, sfDir)
+      .filter(col("version") > 1)
+      .select(col("subject"), col("version"), col("jnot"), col("w_jnot"))
+      .collect().map(r => (r.getAs[Long]("subject"), r.getAs[Int]("version")) ->
+        (Option(r.getAs[String]("jnot")), Option(r.getAs[String]("w_jnot")))).toMap
+    scan.foreach { r =>
+      val key = (r.getAs[Long]("subject"), r.getAs[Int]("version"))
+      val (jn, wn) = m(key)
+      val expected = (jn, wn) match {
+        case (Some(j), None) => 1L                        // added
+        case (Some(j), Some(w)) if j(0) != w(0) => 1L     // type changed
+        case (Some(j), Some(w)) if j(1) < w(1) => 1L      // broadened
+        case _ => 0L
+      }
+      assert(r.getAs[Long]("v_not") == expected, s"$key: $jn vs $wn")
+    }
   }
 
   test("json scan: external $ref resolves against the partner subject's registry state") {
