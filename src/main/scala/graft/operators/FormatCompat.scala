@@ -394,13 +394,15 @@ object FormatCompat {
           pmaxit: Column = lit(null).cast("int"),
           puniq: Column = lit(false),
           pconst: Column = lit(null).cast("string"),
-          pdsch: Column = lit(null).cast("string")): Column =
+          pdsch: Column = lit(null).cast("string"),
+          pitems: Column = lit(null).cast("string")): Column =
       struct(lit(pname).as("pname"), ptype.as("ptype"), preq.as("preq"),
         penum.as("penum"), pmin.as("pmin"), pmax.as("pmax"),
         palts.as("palts"), pdep.as("pdep"), ptuple.as("ptuple"),
         pall.as("pall"), ppat.as("ppat"), pmul.as("pmul"),
         pminit.as("pminit"), pmaxit.as("pmaxit"), puniq.as("puniq"),
-        pconst.as("pconst"), pdsch.as("pdsch"), present.as("present"))
+        pconst.as("pconst"), pdsch.as("pdsch"), pitems.as("pitems"),
+        present.as("present"))
     ev
       .withColumn("version", row_number().over(w))
       .withColumn("open", col("k") % 2 === 0)
@@ -489,7 +491,16 @@ object FormatCompat {
         p("coords", lit("array"), lit(false), noEnum, lit(true),
           ptuple = when(col("k") % 21 < 7, "integer,integer")
             .when(col("k") % 21 < 14, "integer,integer,integer")
-            .otherwise("number,integer")),
+            .otherwise("number,integer"),
+          // items CONTENT MODEL beyond prefixItems (checker.go:1172
+          // checkAdditionalItems, :1193 checkItemsBoolean): open
+          // (items:true/absent), a schema ('int'/'str'), or closed
+          // (items:false). Closing an open-or-schema model breaks;
+          // schema→different-schema recurses into a type break;
+          // opening or dropping only relaxes.
+          pitems = when(col("k") % 53 < 18, "open")
+            .when(col("k") % 53 < 30, "int")
+            .when(col("k") % 53 < 41, "str").otherwise("closed")),
         // badge carries the ALLOF (product type) dimension
         // (checker.go:752 checkAllOfCompatibility): its allOf
         // constraint-tag set grows and shrinks — a reader introducing
@@ -565,16 +576,17 @@ object FormatCompat {
       |         CAST(NULL AS VARCHAR) AS ppat, CAST(NULL AS INT) AS pmul,
       |         CAST(NULL AS INT) AS pminit, CAST(NULL AS INT) AS pmaxit,
       |         false AS puniq, CAST(NULL AS VARCHAR) AS pconst,
-      |         CAST(NULL AS VARCHAR) AS pdsch FROM versioned
+      |         CAST(NULL AS VARCHAR) AS pdsch,
+      |         CAST(NULL AS VARCHAR) AS pitems FROM versioned
       |  UNION ALL SELECT subject, version, 'name', 'string', k % 3 = 0, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
       |    CASE WHEN k % 23 < 8 THEN NULL WHEN k % 23 < 16 THEN '^[a-z]+$' ELSE '^[a-zA-Z ]+$' END,
-      |    NULL, NULL, NULL, false, NULL, NULL FROM versioned
+      |    NULL, NULL, NULL, false, NULL, NULL, NULL FROM versioned
       |  UNION ALL SELECT subject, version, 'tags',
       |    CASE WHEN k % 4 < 2 THEN 'array' ELSE 'string' END, false, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
       |    NULL, NULL,
       |    CASE WHEN k % 29 < 9 THEN NULL WHEN k % 29 < 19 THEN 1 ELSE 3 END,
       |    CASE WHEN k % 31 < 10 THEN NULL WHEN k % 31 < 20 THEN 10 ELSE 5 END,
-      |    k % 37 >= 18, NULL, NULL
+      |    k % 37 >= 18, NULL, NULL, NULL
       |    FROM versioned WHERE k % 5 < 3
       |  UNION ALL SELECT subject, version, 'level', 'integer', k % 11 < 3,
       |    CASE WHEN k % 3 = 1 THEN '1,2,3' ELSE '1,2,3,4' END,
@@ -582,32 +594,34 @@ object FormatCompat {
       |    CASE WHEN k % 17 < 6 THEN 50 WHEN k % 17 < 12 THEN 100 END,
       |    NULL, NULL, NULL, NULL, NULL,
       |    CASE WHEN k % 27 < 7 THEN NULL WHEN k % 27 < 15 THEN 2 WHEN k % 27 < 22 THEN 4 ELSE 3 END,
-      |    NULL, NULL, false, NULL, NULL FROM versioned WHERE k % 7 < 4
+      |    NULL, NULL, false, NULL, NULL, NULL FROM versioned WHERE k % 7 < 4
       |  UNION ALL SELECT subject, version, 'contact', 'sum', false, NULL, NULL, NULL,
       |    CASE WHEN k % 10 < 4 THEN 'integer,string'
       |         WHEN k % 10 < 7 THEN 'string' ELSE 'integer' END,
       |    CASE WHEN k % 19 < 6 THEN NULL WHEN k % 19 < 12 THEN 'name' ELSE 'level,name' END,
       |    NULL, NULL, NULL, NULL, NULL, NULL, false, NULL,
-      |    CASE WHEN k % 39 < 13 THEN NULL WHEN k % 39 < 26 THEN 'level:integer' ELSE 'level:string' END
-      |    FROM versioned
+      |    CASE WHEN k % 39 < 13 THEN NULL WHEN k % 39 < 26 THEN 'level:integer' ELSE 'level:string' END,
+      |    NULL FROM versioned
       |  UNION ALL SELECT subject, version, 'coords', 'array', false, NULL, NULL, NULL, NULL, NULL,
       |    CASE WHEN k % 21 < 7 THEN 'integer,integer'
       |         WHEN k % 21 < 14 THEN 'integer,integer,integer'
       |         ELSE 'number,integer' END, NULL,
-      |    NULL, NULL, NULL, NULL, false, NULL, NULL FROM versioned
+      |    NULL, NULL, NULL, NULL, false, NULL, NULL,
+      |    CASE WHEN k % 53 < 18 THEN 'open' WHEN k % 53 < 30 THEN 'int'
+      |         WHEN k % 53 < 41 THEN 'str' ELSE 'closed' END FROM versioned
       |  UNION ALL SELECT subject, version, 'badge', 'string', false, NULL, NULL, NULL, NULL, NULL, NULL,
       |    CASE WHEN k % 14 < 5 THEN NULL WHEN k % 14 < 10 THEN 'minL5' ELSE 'minL5,patA' END,
       |    NULL, NULL, NULL, NULL, false,
       |    CASE WHEN k % 33 < 13 THEN NULL WHEN k % 33 < 23 THEN 'gold' ELSE 'silver' END,
-      |    NULL FROM versioned
+      |    NULL, NULL FROM versioned
       |  UNION ALL SELECT subject, version, 'home',
       |    CASE WHEN k % 15 < 5 THEN 'string' ELSE 'ref:addr' END,
       |    false, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
-      |    NULL, NULL, NULL, NULL, false, NULL, NULL FROM versioned
+      |    NULL, NULL, NULL, NULL, false, NULL, NULL, NULL FROM versioned
       |  UNION ALL SELECT subject, version, 'org',
       |    CASE WHEN k % 35 < 12 THEN 'string' ELSE 'xref:org' END,
       |    false, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
-      |    NULL, NULL, NULL, NULL, false, NULL, NULL FROM versioned)""".stripMargin
+      |    NULL, NULL, NULL, NULL, false, NULL, NULL, NULL FROM versioned)""".stripMargin
 
   /** JSON Schema BACKWARD scan: version N (reader) vs N-1 (writer)
     * under the open/closed content model (jsonschema/checker.go).
@@ -628,6 +642,10 @@ object FormatCompat {
     *    pattern (:885), multipleOf (:912), minItems/maxItems (:427),
     *    uniqueItems (:117/:279), const (:575), dependentSchemas
     *    (:987)
+    *  - v_itemsb: the items content model beyond prefixItems closing
+    *    (items:true/absent/schema → false, :1172 checkAdditionalItems
+    *    / :1193 checkItemsBoolean) or a schema-valued items changing
+    *    type (recursed type break); opening or dropping relaxes
     *  - v_ap: additionalProperties flipped allowed→forbidden (:611);
     *    v_propcount: min/maxProperties tightened (:934); v_not: root
     *    `not` constraint added, type-changed, or broadened (:944
@@ -656,11 +674,12 @@ object FormatCompat {
       when(f("present"), f("pall")), when(f("present"), f("ppat")),
       when(f("present"), f("pmul")), when(f("present"), f("pminit")),
       when(f("present"), f("pmaxit")), when(f("present"), f("puniq")),
-      when(f("present"), f("pconst")), when(f("present"), f("pdsch")))
+      when(f("present"), f("pconst")), when(f("present"), f("pdsch")),
+      when(f("present"), f("pitems")))
     val Seq(rt, rq, re, rmin, rmax, ra, rd, rtu, ral,
-      rpat, rmul, rmi, rma, run, rco, rds) = side(col("rp"))
+      rpat, rmul, rmi, rma, run, rco, rds, rit) = side(col("rp"))
     val Seq(wt, wq, we, wmin, wmax, wa, wd, wtu, wal,
-      wpat, wmul, wmi, wma, wun, wco, wds) = side(col("wp"))
+      wpat, wmul, wmi, wma, wun, wco, wds, wit) = side(col("wp"))
     val probed = perProp.select(
       col("subject"), col("version"), col("open"), col("w_open"),
       col("defaddr"), col("w_defaddr"), col("xaddr"), col("w_xaddr"),
@@ -671,11 +690,13 @@ object FormatCompat {
       rd.as("r_dep"), rtu.as("r_tuple"), ral.as("r_all"),
       rpat.as("r_pat"), rmul.as("r_mul"), rmi.as("r_minit"),
       rma.as("r_maxit"), run.as("r_uniq"), rco.as("r_const"), rds.as("r_dsch"),
+      rit.as("r_items"),
       wt.as("w_type"), wq.as("w_req"), we.as("w_enum"),
       wmin.as("w_min"), wmax.as("w_max"), wa.as("w_alts"),
       wd.as("w_dep"), wtu.as("w_tuple"), wal.as("w_all"),
       wpat.as("w_pat"), wmul.as("w_mul"), wmi.as("w_minit"),
-      wma.as("w_maxit"), wun.as("w_uniq"), wco.as("w_const"), wds.as("w_dsch"))
+      wma.as("w_maxit"), wun.as("w_uniq"), wco.as("w_const"), wds.as("w_dsch"),
+      wit.as("w_items"))
     val both = col("r_type").isNotNull && col("w_type").isNotNull
     def cnt(cond: Column): Column = sum(when(cond, 1L).otherwise(0L))
     // $ref resolution (checker.go:155 resolveAllRefs): replace a
@@ -752,6 +773,14 @@ object FormatCompat {
     // schema changed; dropping it relaxes.
     val dschBroken = col("r_dsch").isNotNull &&
       (col("w_dsch").isNull || col("r_dsch") =!= col("w_dsch"))
+    // items content model beyond prefixItems (checker.go:1172/:1193):
+    // closing an open-or-schema model breaks; a schema changing to a
+    // DIFFERENT schema recurses into a type break; opening/dropping
+    // relaxes.
+    val itemsModelBroken =
+      (col("r_items") === "closed" && col("w_items") =!= "closed") ||
+        (col("r_items").isin("int", "str") && col("w_items").isin("int", "str") &&
+          col("r_items") =!= col("w_items"))
     // `not` (checker.go:944, root level): added breaks; type change
     // breaks (:968 — no promotions between the model's string and
     // integer not-types); same type but fewer keywords = a BROADER
@@ -786,6 +815,7 @@ object FormatCompat {
         cnt(both && uniqBroken).as("v_unique"),
         cnt(both && constBroken).as("v_const"),
         cnt(both && dschBroken).as("v_dsch"),
+        cnt(both && itemsModelBroken).as("v_itemsb"),
         // schema-level: one per step, counted once via max()
         max(when(col("w_open") && !col("open"), 1L).otherwise(0L)).as("v_ap"),
         max(when(propCountBroken, 1L).otherwise(0L)).as("v_propcount"),
@@ -795,7 +825,7 @@ object FormatCompat {
           col("v_open_added") + col("v_opt_req") + col("v_enum") +
           col("v_bounds") + col("v_sum") + col("v_dep") + col("v_tuple") +
           col("v_all") + col("v_pattern") + col("v_multiple") + col("v_items") +
-          col("v_unique") + col("v_const") + col("v_dsch") +
+          col("v_unique") + col("v_const") + col("v_dsch") + col("v_itemsb") +
           col("v_ap") + col("v_propcount") + col("v_not"))
       .withColumn("json_ok", col("n_violations") === 0)
       .orderBy(col("subject"), col("version"))
@@ -891,13 +921,13 @@ object FormatCompat {
         |    r.pdep AS r_dep, r.ptuple AS r_tuple, r.pall AS r_all,
         |    r.ppat AS r_pat, r.pmul AS r_mul, r.pminit AS r_minit,
         |    r.pmaxit AS r_maxit, r.puniq AS r_uniq, r.pconst AS r_const,
-        |    r.pdsch AS r_dsch,
+        |    r.pdsch AS r_dsch, r.pitems AS r_items,
         |    w.ptype AS w_type, w.preq AS w_req, w.penum AS w_enum,
         |    w.pmin AS w_min, w.pmax AS w_max, w.palts AS w_alts,
         |    w.pdep AS w_dep, w.ptuple AS w_tuple, w.pall AS w_all,
         |    w.ppat AS w_pat, w.pmul AS w_mul, w.pminit AS w_minit,
         |    w.pmaxit AS w_maxit, w.puniq AS w_uniq, w.pconst AS w_const,
-        |    w.pdsch AS w_dsch
+        |    w.pdsch AS w_dsch, w.pitems AS w_items
         |  FROM names n
         |  JOIN vers v ON v.subject = n.subject AND v.version = n.version
         |  LEFT JOIN jsp r ON r.subject = n.subject AND r.version = n.version AND r.pname = n.pname
@@ -964,6 +994,11 @@ object FormatCompat {
         |    CAST(sum(CASE WHEN r_type IS NOT NULL AND w_type IS NOT NULL
         |      AND r_dsch IS NOT NULL AND (w_dsch IS NULL OR r_dsch <> w_dsch)
         |      THEN 1 ELSE 0 END) AS BIGINT) AS v_dsch,
+        |    CAST(sum(CASE WHEN r_type IS NOT NULL AND w_type IS NOT NULL AND (
+        |        (r_items = 'closed' AND w_items <> 'closed')
+        |        OR (r_items IN ('int', 'str') AND w_items IN ('int', 'str')
+        |            AND r_items <> w_items))
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_itemsb,
         |    CAST(max(CASE WHEN w_open AND NOT open THEN 1 ELSE 0 END) AS BIGINT) AS v_ap,
         |    CAST(max(CASE WHEN
         |        (minp IS NOT NULL AND (w_minp IS NULL OR minp > w_minp))
@@ -976,14 +1011,15 @@ object FormatCompat {
         |  FROM probed GROUP BY subject, version)
         |SELECT subject, version, n_props, v_type, v_removed, v_req_added, v_open_added,
         |  v_opt_req, v_enum, v_bounds, v_sum, v_dep, v_tuple, v_all,
-        |  v_pattern, v_multiple, v_items, v_unique, v_const, v_dsch, v_ap, v_propcount, v_not,
+        |  v_pattern, v_multiple, v_items, v_unique, v_const, v_dsch, v_itemsb,
+        |  v_ap, v_propcount, v_not,
         |  v_type + v_removed + v_req_added + v_open_added + v_opt_req
         |    + v_enum + v_bounds + v_sum + v_dep + v_tuple + v_all
         |    + v_pattern + v_multiple + v_items + v_unique + v_const + v_dsch
-        |    + v_ap + v_propcount + v_not AS n_violations,
+        |    + v_itemsb + v_ap + v_propcount + v_not AS n_violations,
         |  v_type + v_removed + v_req_added + v_open_added + v_opt_req
         |    + v_enum + v_bounds + v_sum + v_dep + v_tuple + v_all
         |    + v_pattern + v_multiple + v_items + v_unique + v_const + v_dsch
-        |    + v_ap + v_propcount + v_not = 0 AS json_ok
+        |    + v_itemsb + v_ap + v_propcount + v_not = 0 AS json_ok
         |FROM agg ORDER BY subject, version""".stripMargin)
 }

@@ -117,7 +117,7 @@ class FormatCompatSpec extends SparkSpec {
     val classes = Seq("v_type", "v_removed", "v_req_added", "v_open_added",
       "v_opt_req", "v_enum", "v_bounds", "v_sum", "v_dep", "v_tuple", "v_all",
       "v_pattern", "v_multiple", "v_items", "v_unique", "v_const", "v_dsch",
-      "v_ap", "v_propcount", "v_not")
+      "v_itemsb", "v_ap", "v_propcount", "v_not")
     classes.foreach { c =>
       assert(rows.exists(_.getAs[Long](c) > 0), s"$c never fires on the corpus")
     }
