@@ -86,6 +86,27 @@ object Registry {
       .orderBy(col("c_custkey"))
   }
 
+  /** ResolveAlias (registry_helpers.go:28 via GetSubjectConfigFull):
+    * a subject whose per-subject config carries an alias resolves to
+    * the alias TARGET; everything else resolves to itself.
+    * Resolution is SINGLE-LEVEL by spec — even when the target has
+    * an alias of its own, the resolver does NOT chain (the model's
+    * alias targets are `subject+3`, so a %3==0 subject's target is
+    * itself aliased — the output proves no chaining happened).
+    * Row-local over the distinct-subjects dimension: one partial-agg
+    * distinct, zero joins (the alias config derives from the key).
+    */
+  def resolveAlias(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id").as("subject_id")).distinct()
+      .select(
+        concat(lit("sub_"), col("subject_id")).as("subject"),
+        when(col("subject_id") % 3 === 0,
+          concat(lit("sub_"), col("subject_id") + 3))
+          .otherwise(concat(lit("sub_"), col("subject_id"))).as("resolved"),
+        (col("subject_id") % 3 === 0).as("aliased"))
+      .orderBy(col("subject"))
+
   /** LookupSchema by content (registry.go:553): canonical id per
     * content hash — md5 groupBy, min id wins (first registration).
     * The payload is canonicalized BEFORE hashing (internal/schema/
@@ -943,10 +964,18 @@ object Registry {
     "reg_import_dedupe" -> importDedupe,
     "reg_contexts" -> contexts,
     "reg_resolve_subject" -> resolveSubject,
+    "reg_resolve_alias" -> resolveAlias,
     "reg_rules_validate" -> rulesValidate,
     "reg_export_filtered" -> exportFiltered)
 
   val oracleSql: Map[String, String] = Map(
+    "reg_resolve_alias" ->
+      """WITH subs AS (SELECT DISTINCT user_id AS subject_id FROM events)
+        |SELECT 'sub_' || subject_id AS subject,
+        |  CASE WHEN subject_id % 3 = 0 THEN 'sub_' || (subject_id + 3)
+        |       ELSE 'sub_' || subject_id END AS resolved,
+        |  subject_id % 3 = 0 AS aliased
+        |FROM subs ORDER BY subject""".stripMargin,
     "reg_context_norm" ->
       """WITH src AS (SELECT DISTINCT source FROM documents),
         |cand AS (

@@ -270,4 +270,29 @@ class RegistrySpec extends SparkSpec {
       assert(subjects.sameElements(subjects.sorted), "subjects list is canonical-sorted")
     }
   }
+
+  test("resolve alias: aliased subjects map to their target, single-level (no chaining)") {
+    val rows = operators.Registry.resolveAlias(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sub = r.getAs[String]("subject")
+      val id = sub.stripPrefix("sub_").toLong
+      val expected = if (id % 3 == 0) s"sub_${id + 3}" else sub
+      assert(r.getAs[String]("resolved") == expected)
+      assert(r.getAs[Boolean]("aliased") == (id % 3 == 0))
+    }
+    // single-level proof: a subject whose TARGET is itself aliased
+    // (both id and id+3 are %3==0) still resolves to the direct
+    // target, never the target's target
+    val chained = rows.filter { r =>
+      val id = r.getAs[String]("subject").stripPrefix("sub_").toLong
+      id % 3 == 0
+    }
+    assert(chained.nonEmpty)
+    chained.foreach { r =>
+      val id = r.getAs[String]("subject").stripPrefix("sub_").toLong
+      assert(r.getAs[String]("resolved") == s"sub_${id + 3}",
+        "resolution must not chain through the target's own alias")
+    }
+  }
 }
