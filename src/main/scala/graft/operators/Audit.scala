@@ -184,7 +184,12 @@ object Audit {
     * event row, so both engines normalize identical inputs. Row-local
     * until the tiny endpoint-class aggregation.
     */
-  def metricsPathNorm(s: SparkSession, dir: String): DataFrame = {
+  /** Synthesized request stream with normalized endpoint classes —
+    * the shared input of [[metricsPathNorm]] and
+    * [[metricsConfluentMap]]. One row per event with (method, path,
+    * endpoint); entirely row-local.
+    */
+  private def normalizedRequests(s: SparkSession, dir: String): DataFrame = {
     val et = col("event_type")
     val uid = col("user_id").cast("string")
     val path = when(col("k") % lit(6) === 0,
@@ -212,14 +217,60 @@ object Audit {
     Tables.events(s, dir)
       .select(col("event_type"), col("user_id"),
         get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      // k%7, not k%4: the path class is k%6, and a shared factor of 2
+      // would lock method and path to equal parity — 7 is coprime with
+      // 6, so every (method, path-class) combination occurs.
+      .withColumn("method",
+        when(col("k") % lit(7) < 2, "GET").when(col("k") % lit(7) < 4, "POST")
+          .when(col("k") % lit(7) < 6, "PUT").otherwise("DELETE"))
       .withColumn("path", path)
       .withColumn("inner", inner)
       .withColumn("endpoint",
         when(col("path").startsWith("/contexts/"), concat(lit("/contexts/{context}"), norm))
           .otherwise(norm))
+  }
+
+  def metricsPathNorm(s: SparkSession, dir: String): DataFrame =
+    normalizedRequests(s, dir)
       .groupBy(col("endpoint"))
       .agg(count(lit(1)).as("n_requests"))
       .orderBy(col("endpoint"))
+
+  /** Confluent @PerformanceMetric endpoint mapping (metrics.go:636
+    * confluentEndpoint): (HTTP method, normalized path) → Confluent's
+    * endpoint vocabulary, "" (reported here as 'none') for requests
+    * with no Confluent equivalent — the context prefix is stripped
+    * first (:640). The method dimension makes the mapping genuinely
+    * two-keyed: the same normalized path maps to register / list /
+    * get-schema / delete under different verbs, and unmapped
+    * (method, path) combinations land in the 'none' class rather
+    * than vanishing. Row-local per event + one endpoint-vocabulary
+    * aggregation.
+    */
+  def metricsConfluentMap(s: SparkSession, dir: String): DataFrame = {
+    val p = regexp_replace(col("endpoint"), "^/contexts/\\{context\\}", "")
+    val m = col("method")
+    val ep =
+      when(m === "GET" && p === "/schemas/ids/{id}", "schemas.ids.get-schema")
+        .when(m === "POST" && p === "/subjects/{subject}", "subjects.get-schema")
+        .when(m === "DELETE" && p === "/subjects/{subject}", "subjects.delete-subject")
+        .when(m === "POST" && p === "/subjects/{subject}/versions", "subjects.versions.register")
+        .when(m === "GET" && p === "/subjects/{subject}/versions", "subjects.versions.list")
+        .when(m === "GET" && p === "/subjects/{subject}/versions/{version}",
+          "subjects.versions.get-schema")
+        .when(m === "DELETE" && p === "/subjects/{subject}/versions/{version}",
+          "subjects.versions.deleteSchemaVersion-schema")
+        .when(m === "POST" && p.startsWith("/compatibility/"),
+          "compatibility.subjects.versions.verify")
+        .when(m === "GET" && p === "/mode/{subject}", "mode.get-subject")
+        .when(m === "PUT" && p === "/mode/{subject}", "mode.update-subject")
+        .when(m === "DELETE" && p === "/mode/{subject}", "mode.delete-subject")
+        .otherwise("none")
+    normalizedRequests(s, dir)
+      .withColumn("confluent_endpoint", ep)
+      .groupBy(col("confluent_endpoint"))
+      .agg(count(lit(1)).as("n_requests"))
+      .orderBy(col("confluent_endpoint"))
   }
 
   /** Metric-stream outlier detection (the alerting query behind the
@@ -324,6 +375,7 @@ object Audit {
     "metrics_outliers" -> metricsOutliers,
     "audit_funnel" -> funnel,
     "metrics_path_norm" -> metricsPathNorm,
+    "metrics_confluent_map" -> metricsConfluentMap,
     "audit_top_actors_salted" -> topActorsSalted,
     "audit_counts_daily" -> countsDaily,
     "audit_cef" -> cefRender,
@@ -404,6 +456,53 @@ object Audit {
         |             ELSE 3 END AS severity
         |      FROM events)
         |WHERE severity >= 5 ORDER BY event_id""".stripMargin,
+    "metrics_confluent_map" ->
+      """WITH req AS (
+        |  SELECT
+        |    CASE WHEN k % 7 < 2 THEN 'GET' WHEN k % 7 < 4 THEN 'POST'
+        |         WHEN k % 7 < 6 THEN 'PUT' ELSE 'DELETE' END AS method,
+        |    CASE k % 6
+        |    WHEN 0 THEN '/subjects/' || event_type || '/versions/' || user_id
+        |    WHEN 1 THEN '/subjects/' || event_type || '/versions'
+        |    WHEN 2 THEN '/subjects/' || event_type
+        |    WHEN 3 THEN '/schemas/ids/' || user_id
+        |    WHEN 4 THEN '/contexts/ctx' || (user_id % 5) || '/subjects/' || event_type || '/versions/' || k
+        |    ELSE '/mode/' || event_type END AS path
+        |  FROM (SELECT event_type, user_id,
+        |          TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)),
+        |stripped AS (
+        |  SELECT method, path,
+        |    CASE WHEN path LIKE '/contexts/%'
+        |         THEN regexp_replace(path, '^/contexts/[^/]*', '') ELSE path END AS ipath
+        |  FROM req),
+        |normed AS (
+        |  SELECT method,
+        |    CASE WHEN ipath LIKE '/subjects/%' AND ipath LIKE '%/versions/%' THEN '/subjects/{subject}/versions/{version}'
+        |         WHEN ipath LIKE '/subjects/%' AND ipath LIKE '%/versions' THEN '/subjects/{subject}/versions'
+        |         WHEN ipath LIKE '/subjects/%' THEN '/subjects/{subject}'
+        |         WHEN ipath LIKE '/schemas/ids/%' THEN '/schemas/ids/{id}'
+        |         WHEN ipath LIKE '/config/%' THEN '/config/{subject}'
+        |         WHEN ipath LIKE '/mode/%' THEN '/mode/{subject}'
+        |         WHEN ipath LIKE '/compatibility/subjects/%' THEN '/compatibility/subjects/{subject}/versions/{version}'
+        |         ELSE ipath END AS p
+        |  FROM stripped),
+        |mapped AS (
+        |  SELECT CASE
+        |    WHEN method = 'GET' AND p = '/schemas/ids/{id}' THEN 'schemas.ids.get-schema'
+        |    WHEN method = 'POST' AND p = '/subjects/{subject}' THEN 'subjects.get-schema'
+        |    WHEN method = 'DELETE' AND p = '/subjects/{subject}' THEN 'subjects.delete-subject'
+        |    WHEN method = 'POST' AND p = '/subjects/{subject}/versions' THEN 'subjects.versions.register'
+        |    WHEN method = 'GET' AND p = '/subjects/{subject}/versions' THEN 'subjects.versions.list'
+        |    WHEN method = 'GET' AND p = '/subjects/{subject}/versions/{version}' THEN 'subjects.versions.get-schema'
+        |    WHEN method = 'DELETE' AND p = '/subjects/{subject}/versions/{version}' THEN 'subjects.versions.deleteSchemaVersion-schema'
+        |    WHEN method = 'POST' AND p LIKE '/compatibility/%' THEN 'compatibility.subjects.versions.verify'
+        |    WHEN method = 'GET' AND p = '/mode/{subject}' THEN 'mode.get-subject'
+        |    WHEN method = 'PUT' AND p = '/mode/{subject}' THEN 'mode.update-subject'
+        |    WHEN method = 'DELETE' AND p = '/mode/{subject}' THEN 'mode.delete-subject'
+        |    ELSE 'none' END AS confluent_endpoint
+        |  FROM normed)
+        |SELECT confluent_endpoint, count(*) AS n_requests
+        |FROM mapped GROUP BY 1 ORDER BY confluent_endpoint""".stripMargin,
     "metrics_path_norm" ->
       """WITH req AS (
         |  SELECT CASE k % 6

@@ -128,4 +128,19 @@ class AuditSpec extends SparkSpec {
     assert(cums.zip(cums.tail).forall { case (a, b) => b >= a })
     assert(cums.last == Tables.events(spark, sfDir).count())
   }
+
+  test("confluent endpoint map: method x path keys the mapping, unmapped requests land in 'none'") {
+    val rows = operators.Audit.metricsConfluentMap(spark, sfDir).collect()
+      .map(r => r.getAs[String]("confluent_endpoint") -> r.getAs[Long]("n_requests")).toMap
+    // several real endpoint classes materialize from the corpus
+    assert(rows.keySet.count(_ != "none") >= 5, s"got ${rows.keySet}")
+    // the same normalized path maps differently per verb
+    assert(rows.contains("subjects.versions.register") || rows.contains("subjects.versions.list"))
+    // requests with no Confluent equivalent are counted, not dropped
+    assert(rows.getOrElse("none", 0L) > 0)
+    // totals reconcile with the path-norm view (same request stream)
+    val pathTotal = operators.Audit.metricsPathNorm(spark, sfDir).collect()
+      .map(_.getAs[Long]("n_requests")).sum
+    assert(rows.values.sum == pathTotal)
+  }
 }
