@@ -311,6 +311,55 @@ object Native {
     }
   }
 
+  /** JSON Schema canonical form (reference internal/schema/jsonschema/
+    * parser.go:112 CanonicalString / :177 canonicalize / :182
+    * canonicalizeValue): object keys sorted alphabetically, compact
+    * separators, arrays in order, and Go-`encoding/json` number
+    * rendering — a float64 that holds an integral value prints as an
+    * integer (`%d`), otherwise `%g` (shortest form). Boolean root
+    * schemas are preserved raw-trimmed (parser.go:113-:117 — the
+    * `isBooleanSchema` branch keeps `true`/`false` as-is so their
+    * fingerprints stay distinct from `{}`). Invalid JSON falls back
+    * to the trimmed input, mirroring [[avroPcf]]'s convention.
+    *
+    * FIDELITY SCOPE (same caveat as [[avroPcf]]): Go's %g and HTML
+    * escaping are mirrored for the corpus's value shapes (simple
+    * decimals, identifier-ish strings); Jackson would render 1e21 or
+    * `<` differently.
+    */
+  def jsonCanon(json: UTF8String): UTF8String = {
+    import com.fasterxml.jackson.databind.JsonNode
+    def num(n: JsonNode): String = {
+      val d = n.asDouble()
+      if (!d.isInfinite && d == d.toLong.toDouble) d.toLong.toString
+      else {
+        val s = java.lang.Double.toString(d)
+        if (s.endsWith(".0")) s.dropRight(2) else s
+      }
+    }
+    def canon(n: JsonNode): String =
+      if (n.isNull) "null"
+      else if (n.isBoolean) { if (n.asBoolean) "true" else "false" }
+      else if (n.isTextual) jsonMapper.writeValueAsString(n.asText)
+      else if (n.isNumber) num(n)
+      else if (n.isArray) (0 until n.size()).map(i => canon(n.get(i))).mkString("[", ",", "]")
+      else {
+        val keys = scala.collection.mutable.ArrayBuffer.empty[String]
+        val it = n.fieldNames()
+        while (it.hasNext) keys += it.next()
+        keys.sorted
+          .map(k => jsonMapper.writeValueAsString(k) + ":" + canon(n.get(k)))
+          .mkString("{", ",", "}")
+      }
+    try {
+      val root = jsonMapper.readTree(json.toString)
+      if (root == null || root.isBoolean) UTF8String.fromString(json.toString.trim)
+      else UTF8String.fromString(canon(root))
+    } catch {
+      case _: Exception => UTF8String.fromString(json.toString.trim)
+    }
+  }
+
   /** Register the functions on a session (idempotent). */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -320,6 +369,7 @@ object Native {
     registry.createOrReplaceTempFunction("graft_cosine", exprs => CosineExpr(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("graft_json_paths", exprs => JsonPathsExpr(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("graft_avro_pcf", exprs => AvroPcfExpr(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("graft_json_canon", exprs => JsonCanonExpr(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("graft_topk",
       exprs => TopKAgg(exprs(0), exprs(1), exprs(2)), "built-in")
   }
@@ -390,6 +440,21 @@ case class AvroPcfExpr(child: Expression) extends UnaryExpression with ExpectsIn
   override protected def withNewChildInternal(newChild: Expression): AvroPcfExpr =
     copy(child = newChild)
   override def prettyName: String = "graft_avro_pcf"
+}
+
+/** `graft_json_canon(string) -> string`: canonical JSON rendering of a
+  * JSON Schema document (jsonschema/parser.go:177 canonicalize).
+  */
+case class JsonCanonExpr(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    Native.jsonCanon(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Native.jsonCanon($c)")
+  override protected def withNewChildInternal(newChild: Expression): JsonCanonExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_json_canon"
 }
 
 /** `graft_json_paths(string) -> array<struct<path string, jtype string>>`:

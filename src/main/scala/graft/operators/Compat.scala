@@ -983,7 +983,6 @@ object Compat {
     * the shared window shuffle — no explode at all.
     */
   def unionScan(s: SparkSession, dir: String): DataFrame = {
-    val refSlot = 7
     val v = fieldArrays(s, dir).filter(col("version") > 1)
     val r = col("flds_all")(refSlot)
     val wf = col("w_all")(refSlot)

@@ -251,8 +251,56 @@ object Dedup {
           .as("recall"))
   }
 
+  /** Winnowing-fingerprint near-dup candidates (the MOSS/Schleimer
+    * et al. copy-detection shape, and the containment-oriented
+    * complement to MinHash's global-Jaccard view): each doc keeps its
+    * 8 lexicographically smallest distinct word-4-gram md5s (the same
+    * selection [[graft.operators.TextAnalysis.fingerprint]] digests),
+    * an inverted fingerprint index joins docs sharing a fingerprint,
+    * and pairs sharing ≥2 estimate containment as
+    * n_shared / min(|fp_a|, |fp_b|).
+    *
+    * Scale design: the postings table is ≤ 8 rows per doc (never the
+    * full gram set); the only pair-generating shuffle is keyed by
+    * fingerprint hash (uniform md5); and fingerprints shared by more
+    * than `graft.winnow.dfCap` docs (corpus boilerplate — df² pair
+    * blowup) are dropped from pairing, the [[Intelligence]] dfCap
+    * guard applied to grams. The two joins share one fh-keyed
+    * exchange.
+    */
+  def winnow(s: SparkSession, dir: String): DataFrame = {
+    val dfCap = s.conf.get("graft.winnow.dfCap", "50").toInt
+    val fps = Tables.spread(Tables.documents(s, dir))
+      .selectExpr("doc_id", "split(text, ' ') AS ts")
+      .where("size(ts) >= 4")
+      .selectExpr("doc_id",
+        """slice(array_sort(array_distinct(transform(sequence(1, size(ts) - 3),
+          |  i -> md5(concat(element_at(ts, i), ' ', element_at(ts, i + 1), ' ',
+          |                  element_at(ts, i + 2), ' ', element_at(ts, i + 3)))))),
+          |  1, 8) AS fps""".stripMargin)
+    val post = fps.select(col("doc_id"), size(col("fps")).as("n_fp"),
+      explode(col("fps")).as("fh"))
+    val keep = post.groupBy(col("fh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select(col("fh"))
+    val kept = post.join(keep, Seq("fh"))
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.fh") === col("b.fh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        min(least(col("a.n_fp"), col("b.n_fp"))).as("k_min"))
+      .filter(col("n_shared") >= 2)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        (floor(col("n_shared") / col("k_min").cast("double") * 10000 + 0.5) / lit(10000.0))
+          .as("containment_est"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_recall" -> minhashRecall,
+    "dedup_winnow" -> winnow,
     "dedup_exact" -> exact,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhash,
@@ -284,6 +332,28 @@ object Dedup {
       |  WHERE est_jaccard >= 0.5)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_winnow" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct([md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])
+        |               for i in range(1, len(ts) - 2)]))[1:8] AS fps
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t
+        |  WHERE len(ts) >= 4),
+        |post AS (
+        |  SELECT doc_id, len(fps) AS n_fp, unnest(fps) AS fh FROM h),
+        |keep AS (
+        |  SELECT fh FROM post GROUP BY fh HAVING count(*) <= 50),
+        |kept AS (
+        |  SELECT post.* FROM post JOIN keep USING (fh))
+        |SELECT doc_a, doc_b, n_shared,
+        |  floor(n_shared / CAST(k_min AS DOUBLE) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS containment_est
+        |FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared,
+        |         min(least(a.n_fp, b.n_fp)) AS k_min
+        |  FROM kept a JOIN kept b ON a.fh = b.fh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2) t
+        |WHERE n_shared >= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_exact" ->
       """SELECT h.doc_id, h.content_hash, c.canonical_id, h.doc_id = c.canonical_id AS is_canonical
         |FROM (SELECT doc_id, md5(text) AS content_hash FROM documents) h

@@ -201,6 +201,74 @@ object Registry {
         col("is_primitive"), col("with_default"))
   }
 
+  /** JSON Schema canonical fingerprint (internal/schema/jsonschema/
+    * parser.go:112 CanonicalString / :121 Fingerprint / :177
+    * canonicalize) — the JSON sibling of [[canonicalFp]]. The corpus
+    * synthesizes each logical JSON Schema in four formatting variants
+    * (key orders, whitespace, and a float-typed `5.0` spelling of an
+    * integral bound), plus raw boolean root schemas in two whitespace
+    * spellings; `graft_json_canon` (sorted keys, compact separators,
+    * Go number rendering, boolean-root passthrough) must collapse
+    * each group to ONE sha-256 fingerprint. The oracle constructs the
+    * expected canonical string directly from the generation
+    * parameters, so hash parity proves the canonicalizer byte-exact.
+    *
+    * Shape: text synthesis + canonicalization are row-local;
+    * distinct() before canonicalizing bounds the Jackson work by the
+    * logical-schema dimension exactly as [[canonicalFp]]; one
+    * partial-agg groupBy on the parameter key.
+    */
+  def jsonFp(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Native.register(s)
+    val ev = Tables.events(s, dir).select(
+      get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .filter(col("k").isNotNull)
+    val boolRoot = col("k") % 13 === 0
+    val title = concat(lit("S"), (col("k") % 5).cast("string"))
+    val hasB = col("k") % 3 === 0
+    val minv = (col("k") % 7).cast("string")
+    val hasMult = col("k") % 11 < 4
+    // Property bodies in the three textual spellings the variants use.
+    val aCompact = lit("""{"type":"string","maxLength":5}""")
+    val aSpaced = lit("""{ "type" : "string" , "maxLength" : 5 }""")
+    val aFloat = lit("""{"maxLength":5.0,"type":"string"}""")
+    val bCompact = when(hasB, concat(lit(""","b":{"type":"integer","minimum":"""), minv,
+      when(hasMult, lit(""","multipleOf":0.5""")).otherwise(lit("")), lit("}"))).otherwise(lit(""))
+    val bSpaced = when(hasB, concat(lit(""" , "b" : { "type" : "integer" , "minimum" : """), minv,
+      when(hasMult, lit(""" , "multipleOf" : 0.5""")).otherwise(lit("")), lit(" }"))).otherwise(lit(""))
+    val bSorted = when(hasB, concat(lit(""","b":{"minimum":"""), minv,
+      when(hasMult, lit(""","multipleOf":0.5""")).otherwise(lit("")),
+      lit(""","type":"integer"}"""))).otherwise(lit(""))
+    val text = when(boolRoot, when(col("k") % 2 === 0, lit("true")).otherwise(lit("  true ")))
+      .when(col("k") % 4 === 0,
+        concat(lit("""{"type":"object","title":""""), title,
+          lit("""","properties":{"a":"""), aCompact, bCompact,
+          lit("""},"required":["a"],"additionalProperties":false}""")))
+      .when(col("k") % 4 === 1,
+        concat(lit("""{ "type" : "object" , "title" : """"), title,
+          lit("""" , "properties" : { "a" : """), aSpaced, bSpaced,
+          lit(""" } , "required" : [ "a" ] , "additionalProperties" : false }""")))
+      .when(col("k") % 4 === 2,
+        concat(lit("""{"additionalProperties":false,"properties":{"a":"""), aFloat, bSorted,
+          lit("""},"required":["a"],"title":""""), title, lit("""","type":"object"}""")))
+      .otherwise(
+        concat(lit("""{"required":["a"],"type":"object","properties":{"a":"""), aCompact, bCompact,
+          lit("""},"title":""""), title, lit("""","additionalProperties":false}""")))
+    ev.select(boolRoot.as("bool_root"),
+        when(boolRoot, lit(null).cast("string")).otherwise(title).as("title"),
+        when(boolRoot, lit(null).cast("boolean")).otherwise(hasB).as("has_b"),
+        when(boolRoot || !hasB, lit(null).cast("string")).otherwise(minv).as("minv"),
+        when(boolRoot || !hasB, lit(null).cast("boolean")).otherwise(hasMult).as("has_mult"),
+        text.as("text"))
+      .distinct()
+      .withColumn("fp", sha2(expr("graft_json_canon(text)"), 256))
+      .groupBy(col("bool_root"), col("title"), col("has_b"), col("minv"), col("has_mult"))
+      .agg(count(lit(1)).as("n_texts"),
+        countDistinct(col("fp")).as("n_fps"),
+        min(col("fp")).as("fp"))
+      .orderBy(col("bool_root"), col("title"), col("has_b"), col("minv"), col("has_mult"))
+  }
+
   def lookupByHash(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(md5(trim(regexp_replace(col("text"), "\\s+", " "))).as("content_hash"),
@@ -959,6 +1027,7 @@ object Registry {
     "reg_config_fallback" -> configFallback,
     "reg_lookup_by_hash" -> lookupByHash,
     "reg_canonical_fp" -> canonicalFp,
+    "reg_json_fp" -> jsonFp,
     "reg_referenced_by" -> referencedBy,
     "reg_soft_delete" -> softDelete,
     "reg_import_dedupe" -> importDedupe,
@@ -1084,6 +1153,52 @@ object Registry {
         |FROM hashed h JOIN subj s ON h.content_hash = s.content_hash
         |GROUP BY h.content_hash
         |ORDER BY canonical_id""".stripMargin,
+    "reg_json_fp" ->
+      """WITH ev AS (
+        |  SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events),
+        |base AS (
+        |  SELECT k, k % 13 = 0 AS broot, 'S' || (k % 5) AS gt, k % 3 = 0 AS gb,
+        |         CAST(k % 7 AS VARCHAR) AS gm, k % 11 < 4 AS gx, k % 4 AS v
+        |  FROM ev WHERE k IS NOT NULL),
+        |parts AS (
+        |  SELECT *,
+        |    CASE WHEN gb THEN ',"b":{"type":"integer","minimum":' || gm ||
+        |        CASE WHEN gx THEN ',"multipleOf":0.5' ELSE '' END || '}' ELSE '' END AS bc,
+        |    CASE WHEN gb THEN ' , "b" : { "type" : "integer" , "minimum" : ' || gm ||
+        |        CASE WHEN gx THEN ' , "multipleOf" : 0.5' ELSE '' END || ' }' ELSE '' END AS bs,
+        |    CASE WHEN gb THEN ',"b":{"minimum":' || gm ||
+        |        CASE WHEN gx THEN ',"multipleOf":0.5' ELSE '' END || ',"type":"integer"}' ELSE '' END AS bo
+        |  FROM base),
+        |txt AS (
+        |  SELECT broot AS bool_root,
+        |    CASE WHEN broot THEN NULL ELSE gt END AS title,
+        |    CASE WHEN broot THEN NULL ELSE gb END AS has_b,
+        |    CASE WHEN broot OR NOT gb THEN NULL ELSE gm END AS minv,
+        |    CASE WHEN broot OR NOT gb THEN NULL ELSE gx END AS has_mult,
+        |    CASE WHEN broot THEN (CASE WHEN k % 2 = 0 THEN 'true' ELSE '  true ' END)
+        |      WHEN v = 0 THEN '{"type":"object","title":"' || gt
+        |        || '","properties":{"a":{"type":"string","maxLength":5}' || bc
+        |        || '},"required":["a"],"additionalProperties":false}'
+        |      WHEN v = 1 THEN '{ "type" : "object" , "title" : "' || gt
+        |        || '" , "properties" : { "a" : { "type" : "string" , "maxLength" : 5 }' || bs
+        |        || ' } , "required" : [ "a" ] , "additionalProperties" : false }'
+        |      WHEN v = 2 THEN '{"additionalProperties":false,"properties":{"a":{"maxLength":5.0,"type":"string"}' || bo
+        |        || '},"required":["a"],"title":"' || gt || '","type":"object"}'
+        |      ELSE '{"required":["a"],"type":"object","properties":{"a":{"type":"string","maxLength":5}' || bc
+        |        || '},"title":"' || gt || '","additionalProperties":false}'
+        |    END AS text,
+        |    CASE WHEN broot THEN 'true' ELSE
+        |      '{"additionalProperties":false,"properties":{"a":{"maxLength":5,"type":"string"}'
+        |      || CASE WHEN gb THEN ',"b":{"minimum":' || gm ||
+        |           CASE WHEN gx THEN ',"multipleOf":0.5' ELSE '' END || ',"type":"integer"}' ELSE '' END
+        |      || '},"required":["a"],"title":"' || gt || '","type":"object"}'
+        |    END AS canon
+        |  FROM parts),
+        |d AS (SELECT DISTINCT bool_root, title, has_b, minv, has_mult, text, canon FROM txt)
+        |SELECT bool_root, title, has_b, minv, has_mult,
+        |  count(*) AS n_texts, count(DISTINCT sha256(canon)) AS n_fps, min(sha256(canon)) AS fp
+        |FROM d GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY bool_root, title NULLS FIRST, has_b NULLS FIRST, minv NULLS FIRST, has_mult NULLS FIRST""".stripMargin,
     "reg_canonical_fp" ->
       """WITH ev AS (
         |  SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events),

@@ -175,7 +175,48 @@ object Similarity {
       .orderBy(col("dim"))
   }
 
+  /** Embedding-space outlier QA — the data-quality report a training
+    * pipeline runs before trusting a new embedding batch: distance²
+    * of every vector to its label centroid, then a per-label z-score
+    * rollup flagging far-from-cluster vectors (mislabeled or corrupt
+    * rows). The sibling of [[Audit]]'s metrics_outliers in embedding
+    * space.
+    *
+    * Parity design: the centroid is rounded to 4 dp (the same
+    * normalization emb_centroids publishes) BEFORE the distance pass,
+    * so the per-term (x−c)² inputs are bit-identical in both engines
+    * and only aggregate summation order remains float-sensitive —
+    * then dist² itself is rounded before the stats pass for the same
+    * reason. sd guarded > 0 (constant cluster ⇒ defined NULL z, not
+    * engine-specific ÷0).
+    *
+    * Scale: one (label, dim) rollup broadcast back to the exploded
+    * scan; one vec_id-keyed partial-agg sum; a 10-row stats broadcast;
+    * output O(labels).
+    */
+  def embOutliers(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.spread(Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "x0")))
+      .select(col("vec_id"), col("label"), col("pos"), col("x0").cast("double").as("x"))
+    val cent = e.groupBy(col("label"), col("pos"))
+      .agg((round(avg(col("x")), 4) + lit(0.0)).as("c"))
+    val d2 = e.join(broadcast(cent), Seq("label", "pos"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg((round(sum((col("x") - col("c")) * (col("x") - col("c"))), 4) + lit(0.0)).as("dist2"))
+    val stats = d2.groupBy(col("label"))
+      .agg(avg(col("dist2")).as("mu"), stddev_samp(col("dist2")).as("sd"))
+    d2.join(broadcast(stats), Seq("label"))
+      .withColumn("z", when(col("sd") > 0, (col("dist2") - col("mu")) / col("sd")))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("z") > 2.0, 1L).otherwise(0L)).as("n_outliers"),
+        (round(max(col("z")), 4) + lit(0.0)).as("max_z"),
+        round(avg(col("dist2")), 4).as("mean_dist2"))
+      .orderBy(col("label"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_outliers" -> embOutliers,
     "ann_brute_topk" -> bruteTopK,
     "ann_topk_agg" -> bruteTopKAgg,
     "ann_lsh_topk" -> lshTopK,
@@ -190,6 +231,21 @@ object Similarity {
         |         THEN 1 ELSE -1 END AS wt
         |  FROM (SELECT unnest(range(0, 8)) AS p), (SELECT unnest(range(0, 64)) AS d))""".stripMargin
     Map(
+      "emb_outliers" ->
+        """WITH x AS (
+          |  SELECT vec_id, label, CAST(i AS BIGINT) AS pos, CAST(embedding[i] AS DOUBLE) AS x
+          |  FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding)+1)) AS i) t),
+          |cent AS (SELECT label, pos, round(avg(x), 4) + 0.0 AS c FROM x GROUP BY 1, 2),
+          |d2 AS (
+          |  SELECT vec_id, label, round(sum((x - c) * (x - c)), 4) + 0.0 AS dist2
+          |  FROM x JOIN cent USING (label, pos) GROUP BY 1, 2),
+          |st AS (SELECT label, avg(dist2) AS mu, stddev(dist2) AS sd FROM d2 GROUP BY 1)
+          |SELECT label, count(*) AS n_vecs,
+          |  CAST(sum(CASE WHEN sd > 0 AND (dist2 - mu) / sd > 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+          |  round(max(CASE WHEN sd > 0 THEN (dist2 - mu) / sd END), 4) + 0.0 AS max_z,
+          |  round(avg(dist2), 4) AS mean_dist2
+          |FROM d2 JOIN st USING (label)
+          |GROUP BY label ORDER BY label""".stripMargin,
       "emb_quantize" ->
         """WITH x AS (
           |  SELECT CAST(i AS BIGINT) AS dim, CAST(embedding[i] AS DOUBLE) AS v

@@ -195,7 +195,39 @@ object TextAnalysis {
         "gtop.best AS top_bigram_count")
       .orderBy(col("doc_id"))
 
+  /** Per-document TF-IDF keywords — the retrieval/data-card shape
+    * ("what is this document about"): term frequency per (doc, word),
+    * document frequency over the corpus, score = tf · ln(N/df)
+    * rounded to 4 dp BEFORE ranking (so the rank comparison is on
+    * values both engines agree on bit-for-bit), top-3 per doc with a
+    * word tie-break.
+    *
+    * Scale: one (doc_id, word) shuffle for tf; df and the 1-row doc
+    * count are vocabulary-sized rollups broadcast back; the top-k
+    * window partitions by doc_id. No corpus-sized global sort or
+    * cartesian anywhere.
+    */
+  def keywords(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.spread(Tables.documents(s, dir))
+    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val scored = tf.join(broadcast(df), Seq("word"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        floor(col("tf") * log(col("n_docs").cast("double") / col("df")) * 10000 + 0.5) / lit(10000.0))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("word"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("word"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_keywords" -> keywords,
     "text_repetition" -> repetition,
     "text_langid" -> langId,
     "text_langid_eval" -> langIdEval,
@@ -206,6 +238,21 @@ object TextAnalysis {
     "text_fingerprint" -> fingerprint)
 
   val oracleSql: Map[String, String] = Map(
+    "text_keywords" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, word, tf, df,
+        |    floor(tf * ln(CAST(n_docs AS DOUBLE) / df) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS score
+        |  FROM tf JOIN df USING (word) CROSS JOIN n),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, word, tf, df, score
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |g AS (

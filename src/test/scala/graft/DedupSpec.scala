@@ -55,6 +55,36 @@ class DedupSpec extends SparkSpec {
     })
   }
 
+  test("winnow: shared-fingerprint counts verified against row-local recomputation") {
+    import spark.implicits._
+    val rows = Dedup.winnow(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Long]("n_shared") >= 2)
+      val est = r.getAs[Double]("containment_est")
+      assert(est > 0 && est <= 1.0)
+    }
+    // recompute the min-8 fingerprint sets directly and cross-check the
+    // intersection size for every reported pair (the df-cap only drops
+    // corpus-boilerplate grams, so a reported pair's count can only be
+    // <= the uncapped intersection)
+    val fps = graft.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "split(text, ' ') AS ts")
+      .where("size(ts) >= 4")
+      .selectExpr("doc_id",
+        """slice(array_sort(array_distinct(transform(sequence(1, size(ts) - 3),
+          |  i -> md5(concat(element_at(ts, i), ' ', element_at(ts, i + 1), ' ',
+          |                  element_at(ts, i + 2), ' ', element_at(ts, i + 3)))))), 1, 8) AS fps""".stripMargin)
+      .as[(Long, Seq[String])].collect().toMap
+    rows.foreach { r =>
+      val inter = fps(r.getAs[Long]("doc_a")).toSet
+        .intersect(fps(r.getAs[Long]("doc_b")).toSet).size
+      assert(r.getAs[Long]("n_shared") <= inter,
+        s"pair ${r.getAs[Long]("doc_a")}/${r.getAs[Long]("doc_b")} reported more shared fingerprints than exist")
+    }
+  }
+
   test("minhash recall accounting is internally consistent") {
     val r = operators.Dedup.minhashRecall(spark, sfDir).head()
     val (t, c, h) = (r.getAs[Long]("n_true"), r.getAs[Long]("n_candidates"), r.getAs[Long]("n_hit"))

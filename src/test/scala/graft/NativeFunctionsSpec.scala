@@ -88,6 +88,31 @@ class NativeFunctionsSpec extends SparkSpec {
     assert(pcf(" long ") == "long")
   }
 
+  test("graft_json_canon: sorted keys, Go number rendering, boolean-root passthrough") {
+    Native.register(spark)
+    def canon(in: String): String = {
+      import spark.implicits._
+      // Dataset literal rather than a SQL string literal — the input
+      // contains backslash escapes the SQL parser would consume.
+      Seq(in).toDS().selectExpr("graft_json_canon(value) AS c").head().getString(0)
+    }
+    // key sorting + compact separators, recursive
+    assert(canon("""{ "b" : 1 , "a" : { "y" : true , "x" : null } }""")
+      == """{"a":{"x":null,"y":true},"b":1}""")
+    // Go encoding/json float64: integral value prints as an integer
+    assert(canon("""{"n":5.0,"m":0.5}""") == """{"m":0.5,"n":5}""")
+    // arrays keep element order; strings keep JSON escaping
+    assert(canon("""{"r":["b","a"],"t":"x\"y"}""") == """{"r":["b","a"],"t":"x\"y"}""")
+    // boolean root schemas preserved raw-trimmed (parser.go:113)
+    assert(canon("  true ") == "true")
+    assert(canon("false") == "false")
+    // idempotence: canonical input is a fixed point
+    val c1 = canon("""{"type":"object","title":"S","properties":{"a":{"maxLength":5,"type":"string"}}}""")
+    assert(canon(c1) == c1)
+    // invalid JSON → trimmed input
+    assert(canon(" {oops ") == "{oops")
+  }
+
   test("graft_cosine equals the zip_with/aggregate formulation") {
     Native.register(spark)
     val e = Tables.embeddings(spark, sfDir)

@@ -295,4 +295,19 @@ class RegistrySpec extends SparkSpec {
         "resolution must not chain through the target's own alias")
     }
   }
+
+  test("reg_json_fp: every formatting variant collapses to one fingerprint") {
+    val rows = operators.Registry.jsonFp(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_fps") == 1L,
+        s"group ${r.mkString(",")} canonicalized to ${r.getAs[Long]("n_fps")} fingerprints")
+      assert(r.getAs[Long]("n_texts") >= 1L)
+      assert(r.getAs[String]("fp").length == 64) // sha-256 hex
+    }
+    // boolean root schemas present and distinct from every object schema
+    val (boolRows, objRows) = rows.partition(_.getAs[Boolean]("bool_root"))
+    assert(boolRows.length == 1 && objRows.nonEmpty)
+    assert(!objRows.map(_.getAs[String]("fp")).contains(boolRows.head.getAs[String]("fp")))
+  }
 }

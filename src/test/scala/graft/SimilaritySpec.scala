@@ -68,4 +68,19 @@ class SimilaritySpec extends SparkSpec {
       assert(mae >= 0 && mae <= scale / 2 + 1e-9, s"dim ${r.getAs[Long]("dim")}: mae $mae > scale/2 ${scale / 2}")
     }
   }
+
+  test("emb_outliers: per-label accounting bounded and stats sane") {
+    val rows = operators.Similarity.embOutliers(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_vecs")).sum
+    val corpus = graft.Tables.embeddings(spark, sfDir).count()
+    assert(total == corpus, "every vector must be assigned to exactly one label group")
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_vecs"); val o = r.getAs[Long]("n_outliers")
+      assert(o >= 0 && o < n, "a z>2 outlier set can never be the whole cluster")
+      assert(r.getAs[Double]("mean_dist2") > 0)
+      // if anything was flagged, the max z must itself exceed the threshold
+      if (o > 0) assert(r.getAs[Double]("max_z") > 2.0)
+    }
+  }
 }

@@ -105,4 +105,25 @@ class TextAnalysisSpec extends SparkSpec {
         col("n_distinct_words") =!= col("n_distinct"))
     assert(mismatches.count() == 0)
   }
+
+  test("text_keywords: top-3 per doc, rank consistent with rounded score") {
+    val rows = operators.TextAnalysis.keywords(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length))
+      assert(rs.length <= 3)
+      // rank order must be monotone non-increasing in the rounded score
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      sorted.sliding(2).foreach {
+        case Array(hi, lo) =>
+          val sh = hi.getAs[Double]("score"); val sl = lo.getAs[Double]("score")
+          assert(sh > sl || (sh == sl && hi.getAs[String]("word") < lo.getAs[String]("word")))
+        case _ =>
+      }
+    }
+    // a word occurring in every document scores exactly 0 (ln 1)
+    rows.filter(r => r.getAs[Long]("df") == byDoc.size)
+      .foreach(r => assert(r.getAs[Double]("score") == 0.0))
+  }
 }
