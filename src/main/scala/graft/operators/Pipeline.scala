@@ -549,7 +549,53 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
+  /** One BPE merge-scan iteration (Sennrich et al. 2016 shape — the
+    * inner loop of tokenizer training): count every adjacent
+    * character pair across all word occurrences, rank the top-20
+    * merge candidates. Row-local double fan-out (words, then pairs —
+    * expansion bounded by text length), ONE pair-keyed partial-agg
+    * shuffle whose key space is at most alphabet², and a bounded
+    * top-k (TakeOrderedAndProject, no global sort). At 100 TB the
+    * full merge loop re-runs this scan per vocabulary step with
+    * learned merges applied — each step stays this same one-shuffle
+    * shape.
+    */
+  def tokPairCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(s, dir))
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> concat(substring(w, i, 1), ' ', substring(w, i + 1, 1)))")).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(20)
+
+  /** Tokenizer-fit data card: per-source OOV rate against the top-20
+    * corpus vocabulary — the "will this tokenizer cover that source"
+    * report run before committing a vocab. ONE token-keyed shuffle
+    * builds the vocab (key space = distinct words), the vocab rides
+    * back as a broadcast, coverage is a per-source partial agg; the
+    * corpus is never shuffled on a wide key. At 100 TB the vocab
+    * build is the same word-count scan BPE training already runs.
+    */
+  def tokVocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.spread(Tables.documents(s, dir))
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(20)
+      .select(col("w"), lit(1).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("w"), "left_outer")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("in_vocab").isNull, lit(1))).as("n_oov"),
+        countDistinct(when(col("in_vocab").isNull, col("w"))).as("n_oov_types"))
+      .selectExpr("source", "n_tokens", "n_oov",
+        "round(n_oov / cast(n_tokens AS double), 4) AS oov_rate", "n_oov_types")
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tok_vocab_coverage" -> tokVocabCoverage,
+    "tok_pair_counts" -> tokPairCounts,
     "corpus_mix_plan" -> corpusMixPlan,
     "emb_assign" -> embAssign,
     "tok_shard_plan" -> tokShardPlan,
@@ -567,6 +613,27 @@ object Pipeline {
     "emb_centroids" -> embCentroids)
 
   val oracleSql: Map[String, String] = Map(
+    "tok_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |v AS (
+        |  SELECT w, 1 AS in_vocab FROM (
+        |    SELECT w, count(*) AS cnt FROM tok GROUP BY w
+        |    ORDER BY cnt DESC, w LIMIT 20) c)
+        |SELECT source, count(*) AS n_tokens,
+        |  count(CASE WHEN v.in_vocab IS NULL THEN 1 END) AS n_oov,
+        |  round(count(CASE WHEN v.in_vocab IS NULL THEN 1 END) / CAST(count(*) AS DOUBLE), 4) AS oov_rate,
+        |  count(DISTINCT CASE WHEN v.in_vocab IS NULL THEN tok.w END) AS n_oov_types
+        |FROM tok LEFT JOIN v ON tok.w = v.w
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "tok_pair_counts" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |p AS (
+        |  SELECT unnest([substr(w, i, 1) || ' ' || substr(w, i + 1, 1)
+        |                 for i in range(1, len(w))]) AS pair
+        |  FROM w WHERE len(w) >= 2)
+        |SELECT pair, count(*) AS n FROM p
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
     "corpus_mix_plan" ->
       """WITH a AS (
         |  SELECT source,

@@ -215,7 +215,55 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Hard-negative mining for contrastive training: for each probe,
+    * the top-5 most cosine-similar corpus vectors whose LABEL differs
+    * from the probe's — the "looks similar, means different" examples
+    * a contrastive objective learns most from. Same broadcast-probe ×
+    * corpus scan as [[bruteTopK]] (the label predicate rides the
+    * broadcast join condition, so excluded same-label rows are never
+    * scored), per-probe bounded rank window; the LSH/IVF bucketed
+    * variants are the drop-in scale path exactly as for top-k.
+    */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Native.register(s)
+    val e = Tables.embeddings(s, dir)
+      .selectExpr("vec_id", "label", "cast(embedding AS array<double>) AS e")
+    val probes = broadcast(e.where("vec_id < 10")
+      .selectExpr("vec_id AS probe_id", "label AS probe_label", "e AS pe"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+    probes.join(e, col("label") =!= col("probe_label"))
+      .selectExpr("probe_id", "probe_label", "vec_id", "label AS neg_label",
+        "graft_cosine(pe, e) AS cos")
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= K)
+      .selectExpr("probe_id", "probe_label", "vec_id", "neg_label",
+        "round(cos, 4) AS cos", "rnk")
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  /** ANN quality gate: recall@k of the LSH-bucketed path against the
+    * brute-force truth — the number that justifies trusting
+    * [[lshTopK]] at scale, exactly as dedup_minhash_recall justifies
+    * the LSH dedup path. Truth and approx top-k are both per-probe
+    * bounded sets, so the recall join shuffles O(probes × k) rows —
+    * at 100 TB this evaluates on a probe SAMPLE while the production
+    * path runs LSH-only.
+    */
+  def recallEval(s: SparkSession, dir: String): DataFrame = {
+    val truth = bruteTopK(s, dir).select(col("probe_id"), col("vec_id"))
+    val approx = lshTopK(s, dir)
+      .select(col("probe_id"), col("vec_id"), lit(1).as("hit"))
+    truth.join(approx, Seq("probe_id", "vec_id"), "left_outer")
+      .groupBy(col("probe_id"))
+      .agg(count(col("hit")).as("n_hits"))
+      .selectExpr("probe_id", "n_hits",
+        s"round(n_hits / cast($K AS double), 4) AS recall")
+      .orderBy(col("probe_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_recall_eval" -> recallEval,
+    "ann_hard_negatives" -> hardNegatives,
     "emb_outliers" -> embOutliers,
     "ann_brute_topk" -> bruteTopK,
     "ann_topk_agg" -> bruteTopKAgg,
@@ -298,6 +346,60 @@ object Similarity {
           |  FROM n p JOIN n c ON p.vec_id < 10 AND p.vec_id <> c.vec_id)
           |SELECT probe_id, vec_id, round(cos, 4) AS cos, rnk FROM (
           |  SELECT probe_id, vec_id, cos,
+          |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk
+          |  FROM sc) t
+          |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+      "ann_recall_eval" ->
+        s"""WITH $weightsCte,
+           |e AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+           |n AS (SELECT vec_id, e, sqrt(list_sum([x * x for x in e])) AS nrm FROM e),
+           |bsc AS (
+           |  SELECT p.vec_id AS probe_id, c.vec_id,
+           |    list_sum([p.e[i] * c.e[i] for i in range(1, len(p.e) + 1)]) / (p.nrm * c.nrm) AS cos
+           |  FROM n p JOIN n c ON p.vec_id < 10 AND p.vec_id <> c.vec_id),
+           |truth AS (
+           |  SELECT probe_id, vec_id FROM (
+           |    SELECT probe_id, vec_id,
+           |      row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk
+           |    FROM bsc) t WHERE rnk <= 5),
+           |planedots AS (
+           |  SELECT n.vec_id, w.p, sum(w.wt * n.e[w.d + 1]) AS dot
+           |  FROM n, w GROUP BY n.vec_id, w.p),
+           |buckets AS (
+           |  SELECT vec_id, p // 4 AS t,
+           |    sum(CASE WHEN dot >= 0 THEN 1 << (p % 4) ELSE 0 END) AS bucket
+           |  FROM planedots GROUP BY vec_id, p // 4),
+           |cand AS (
+           |  SELECT DISTINCT pb.vec_id AS probe_id, cb.vec_id
+           |  FROM buckets pb JOIN buckets cb ON pb.t = cb.t AND pb.bucket = cb.bucket
+           |  WHERE pb.vec_id < 10 AND pb.vec_id <> cb.vec_id),
+           |lsc AS (
+           |  SELECT cand.probe_id, cand.vec_id,
+           |    list_sum([p.e[i] * c.e[i] for i in range(1, len(p.e) + 1)]) / (p.nrm * c.nrm) AS cos
+           |  FROM cand JOIN n p ON cand.probe_id = p.vec_id JOIN n c ON cand.vec_id = c.vec_id),
+           |approx AS (
+           |  SELECT probe_id, vec_id FROM (
+           |    SELECT probe_id, vec_id,
+           |      row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk
+           |    FROM lsc) t WHERE rnk <= 5)
+           |SELECT probe_id, n_hits, round(n_hits / CAST(5 AS DOUBLE), 4) AS recall FROM (
+           |  SELECT t.probe_id, count(a.vec_id) AS n_hits
+           |  FROM truth t LEFT JOIN approx a
+           |    ON t.probe_id = a.probe_id AND t.vec_id = a.vec_id
+           |  GROUP BY t.probe_id) r
+           |ORDER BY probe_id""".stripMargin,
+      "ann_hard_negatives" ->
+        """WITH e AS (
+          |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          |  FROM embeddings),
+          |n AS (SELECT vec_id, label, e, sqrt(list_sum([x * x for x in e])) AS nrm FROM e),
+          |sc AS (
+          |  SELECT p.vec_id AS probe_id, p.label AS probe_label, c.vec_id, c.label AS neg_label,
+          |    list_sum([p.e[i] * c.e[i] for i in range(1, len(p.e) + 1)]) / (p.nrm * c.nrm) AS cos
+          |  FROM n p JOIN n c ON p.vec_id < 10 AND p.label <> c.label)
+          |SELECT probe_id, probe_label, vec_id, neg_label, round(cos, 4) AS cos, rnk FROM (
+          |  SELECT probe_id, probe_label, vec_id, neg_label, cos,
           |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk
           |  FROM sc) t
           |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,

@@ -293,4 +293,53 @@ class PipelineSpec extends SparkSpec {
     assert(rows.exists(r => r.getAs[Long]("target_tokens") <= r.getAs[Long]("avail_tokens")),
       "need an under-subscribed source")
   }
+
+  test("tok_vocab_coverage: OOV accounting recounts against a brute vocab") {
+    import spark.implicits._
+    val rows = Pipeline.tokVocabCoverage(spark, sfDir).collect()
+    assert(rows.length == 20, "one row per source")
+    // brute vocab + per-source recount from the raw corpus
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("source", "text").as[(String, String)].collect()
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach(_._2.split(" ").foreach(w => counts(w) = counts.getOrElse(w, 0L) + 1))
+    val vocab = counts.toSeq.sortBy { case (w, n) => (-n, w) }.take(20).map(_._1).toSet
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val toks = docs.filter(_._1 == src).flatMap(_._2.split(" "))
+      val oov = toks.filterNot(vocab)
+      assert(r.getAs[Long]("n_tokens") == toks.length)
+      assert(r.getAs[Long]("n_oov") == oov.length)
+      assert(r.getAs[Long]("n_oov_types") == oov.distinct.length)
+      assert(math.abs(r.getAs[Double]("oov_rate") -
+        math.floor(oov.length.toDouble / toks.length * 10000 + 0.5) / 10000.0) < 1e-9)
+    }
+    // the 20-word vocab must leave real OOV mass on this corpus
+    assert(rows.exists(_.getAs[Long]("n_oov") > 0))
+  }
+
+  test("tok_pair_counts: top merge candidate matches an independent recount") {
+    import spark.implicits._
+    val rows = Pipeline.tokPairCounts(spark, sfDir).collect()
+    assert(rows.length == 20)
+    rows.foreach(r => assert(r.getAs[String]("pair").length == 3, "pair is two single chars"))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("n") > b.getAs[Long]("n") ||
+          (a.getAs[Long]("n") == b.getAs[Long]("n") &&
+            a.getAs[String]("pair") < b.getAs[String]("pair")))
+      case _ =>
+    }
+    // brute recount of every adjacent char pair over the raw corpus
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    graft.Tables.documents(spark, sfDir).select("text").as[String].collect()
+      .foreach(_.split(" ").filter(_.length >= 2).foreach { w =>
+        w.sliding(2).foreach { p =>
+          val k = s"${p(0)} ${p(1)}"
+          counts(k) = counts.getOrElse(k, 0L) + 1
+        }
+      })
+    val best = counts.toSeq.sortBy { case (p, n) => (-n, p) }.head
+    assert(rows.head.getAs[String]("pair") == best._1 && rows.head.getAs[Long]("n") == best._2)
+  }
 }

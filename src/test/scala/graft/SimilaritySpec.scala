@@ -69,6 +69,46 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ann_hard_negatives: only cross-label candidates, similarity-ranked") {
+    val rows = operators.Similarity.hardNegatives(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("probe_label") != r.getAs[Int]("neg_label"),
+        "a hard negative must come from a different label than its probe")
+      val c = r.getAs[Double]("cos")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+    }
+    val byProbe = rows.groupBy(_.getAs[Long]("probe_id"))
+    byProbe.values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rnk")).sorted.toSeq == (1 to rs.length) && rs.length <= 5)
+      val cs = rs.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("cos"))
+      cs.sliding(2).foreach {
+        case Array(a, b) => assert(a >= b - 1e-9, "cosine must be non-increasing in rank")
+        case _ =>
+      }
+    }
+  }
+
+  test("ann_recall_eval: recall is hits/5 and hits recount against the two paths") {
+    val rows = operators.Similarity.recallEval(spark, sfDir).collect()
+    assert(rows.length == 10, "one row per probe")
+    rows.foreach { r =>
+      val h = r.getAs[Long]("n_hits")
+      assert(h >= 0 && h <= 5)
+      assert(math.abs(r.getAs[Double]("recall") - h / 5.0) < 1e-9)
+    }
+    // independent recount: intersect the two registered paths directly
+    val truth = operators.Similarity.bruteTopK(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))).toSet
+    val approx = operators.Similarity.lshTopK(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))).toSet
+    rows.foreach { r =>
+      val p = r.getAs[Long]("probe_id")
+      val expect = truth.count { case (tp, tv) => tp == p && approx((tp, tv)) }
+      assert(r.getAs[Long]("n_hits") == expect, s"probe $p recount mismatch")
+    }
+  }
+
   test("emb_outliers: per-label accounting bounded and stats sane") {
     val rows = operators.Similarity.embOutliers(spark, sfDir).collect()
     assert(rows.nonEmpty)
