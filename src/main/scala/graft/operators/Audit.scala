@@ -368,7 +368,83 @@ object Audit {
       .orderBy(col("week"))
   }
 
+  /** Prometheus exposition-format catalog (tools_metrics.go:120-:220
+    * — `parseMetricLines`, the name cut at the first `{`/space
+    * exactly as list_metrics does at :225, and the `categoryPrefixes`
+    * table at :125 incl. the multi-prefix `schema` category and the
+    * `kafka_`-first precedence): scraped metric text → the grouped
+    * catalog the reference's list_metrics/get_metrics_by_category
+    * tools render. The exposition stream is synthesized per event
+    * (16 line classes: one metric per category, labeled series where
+    * the reference has labels, a `schema_registry_leader_elections_
+    * total` name that matches NO prefix → `other`, and `# HELP` /
+    * `# TYPE` comment lines the parser must skip).
+    *
+    * Everything up to the rollup is row-local string work on the
+    * scan; the one shuffle is the (category, name) groupBy whose key
+    * space is the metric vocabulary, with the distinct-series count
+    * bounded by label cardinality — at 100 TB of scraped metrics
+    * this is a pure map-side-combine aggregation.
+    */
+  def promParse(s: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.events(s, dir)
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .selectExpr("user_id", "k", "cast(k % 100 AS string) AS v",
+        "cast(user_id % 2 AS string) AS u2", "cast(user_id % 3 AS string) AS u3",
+        "cast(user_id % 4 AS string) AS u4", "cast(user_id % 5 AS string) AS u5",
+        "cast(user_id % 6 AS string) AS u6", "cast(user_id % 7 AS string) AS u7")
+      .selectExpr(
+        """CASE cast(k % 16 AS int)
+          |WHEN 0 THEN 'kafka_schema_registry_registered_count ' || v
+          |WHEN 1 THEN 'schema_registry_requests_total{method="m' || u3 || '",status="2xx"} ' || v
+          |WHEN 2 THEN 'schema_registry_schemas_total{type="t' || u4 || '"} ' || v
+          |WHEN 3 THEN CASE WHEN user_id % 2 = 0 THEN 'schema_registry_subjects_total ' || v
+          |                 ELSE 'schema_registry_registrations_total{format="avro"} ' || v END
+          |WHEN 4 THEN 'schema_registry_compatibility_checks_total{level="L' || u3 || '"} ' || v
+          |WHEN 5 THEN 'schema_registry_storage_operations_total{op="o' || u5 || '"} ' || v
+          |WHEN 6 THEN 'schema_registry_cache_hits_total ' || v
+          |WHEN 7 THEN 'schema_registry_auth_attempts_total{method="a' || u2 || '"} ' || v
+          |WHEN 8 THEN 'schema_registry_rate_limit_hits_total ' || v
+          |WHEN 9 THEN 'schema_registry_mcp_tool_calls_total{tool="T' || u6 || '"} ' || v
+          |WHEN 10 THEN 'schema_registry_principal_requests_total{principal="p' || u7 || '"} ' || v
+          |WHEN 11 THEN 'go_goroutines ' || v
+          |WHEN 12 THEN 'process_cpu_seconds_total ' || v
+          |WHEN 13 THEN 'schema_registry_leader_elections_total ' || v
+          |WHEN 14 THEN '# HELP schema_registry_requests_total Total requests by method and status.'
+          |ELSE '# TYPE schema_registry_requests_total counter'
+          |END AS line""".stripMargin)
+    lines
+      .where("line NOT LIKE '#%'")
+      .selectExpr(
+        "regexp_extract(line, '^[^{ ]+', 0) AS name",
+        "regexp_extract(line, '^[^ ]+', 0) AS series",
+        "cast(regexp_extract(line, ' ([0-9]+)$', 1) AS bigint) AS val")
+      .selectExpr("name", "series", "val",
+        """CASE
+          |WHEN name LIKE 'kafka_schema_registry_%' THEN 'wire_compatible'
+          |WHEN name LIKE 'schema_registry_request%' THEN 'request'
+          |WHEN name LIKE 'schema_registry_schema%' OR name LIKE 'schema_registry_subject%'
+          |  OR name LIKE 'schema_registry_registration%' THEN 'schema'
+          |WHEN name LIKE 'schema_registry_compatibility%' THEN 'compatibility'
+          |WHEN name LIKE 'schema_registry_storage%' THEN 'storage'
+          |WHEN name LIKE 'schema_registry_cache%' THEN 'cache'
+          |WHEN name LIKE 'schema_registry_auth%' THEN 'auth'
+          |WHEN name LIKE 'schema_registry_rate_limit%' THEN 'rate_limit'
+          |WHEN name LIKE 'schema_registry_mcp%' THEN 'mcp'
+          |WHEN name LIKE 'schema_registry_principal%' THEN 'principal'
+          |WHEN name LIKE 'go_%' THEN 'runtime'
+          |WHEN name LIKE 'process_%' THEN 'process'
+          |ELSE 'other' END AS category""".stripMargin)
+      .groupBy(col("category"), col("name"))
+      .agg(count(lit(1)).as("n_samples"),
+        countDistinct(col("series")).as("n_series"),
+        sum(col("val")).as("total"))
+      .orderBy(col("category"), col("name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "metrics_prom_parse" -> promParse,
     "audit_growth" -> growth,
     "audit_retention" -> retention,
     "metrics_rate_hop" -> rateHopping,
@@ -388,6 +464,63 @@ object Audit {
     "metrics_rate_1m" -> rate1m)
 
   val oracleSql: Map[String, String] = Map(
+    "metrics_prom_parse" ->
+      """WITH ev AS (
+        |  SELECT user_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events),
+        |base AS (
+        |  SELECT user_id, k, CAST(k % 100 AS VARCHAR) AS v,
+        |    CAST(user_id % 2 AS VARCHAR) AS u2, CAST(user_id % 3 AS VARCHAR) AS u3,
+        |    CAST(user_id % 4 AS VARCHAR) AS u4, CAST(user_id % 5 AS VARCHAR) AS u5,
+        |    CAST(user_id % 6 AS VARCHAR) AS u6, CAST(user_id % 7 AS VARCHAR) AS u7
+        |  FROM ev),
+        |lines AS (
+        |  SELECT CASE CAST(k % 16 AS INT)
+        |    WHEN 0 THEN 'kafka_schema_registry_registered_count ' || v
+        |    WHEN 1 THEN 'schema_registry_requests_total{method="m' || u3 || '",status="2xx"} ' || v
+        |    WHEN 2 THEN 'schema_registry_schemas_total{type="t' || u4 || '"} ' || v
+        |    WHEN 3 THEN CASE WHEN user_id % 2 = 0 THEN 'schema_registry_subjects_total ' || v
+        |                     ELSE 'schema_registry_registrations_total{format="avro"} ' || v END
+        |    WHEN 4 THEN 'schema_registry_compatibility_checks_total{level="L' || u3 || '"} ' || v
+        |    WHEN 5 THEN 'schema_registry_storage_operations_total{op="o' || u5 || '"} ' || v
+        |    WHEN 6 THEN 'schema_registry_cache_hits_total ' || v
+        |    WHEN 7 THEN 'schema_registry_auth_attempts_total{method="a' || u2 || '"} ' || v
+        |    WHEN 8 THEN 'schema_registry_rate_limit_hits_total ' || v
+        |    WHEN 9 THEN 'schema_registry_mcp_tool_calls_total{tool="T' || u6 || '"} ' || v
+        |    WHEN 10 THEN 'schema_registry_principal_requests_total{principal="p' || u7 || '"} ' || v
+        |    WHEN 11 THEN 'go_goroutines ' || v
+        |    WHEN 12 THEN 'process_cpu_seconds_total ' || v
+        |    WHEN 13 THEN 'schema_registry_leader_elections_total ' || v
+        |    WHEN 14 THEN '# HELP schema_registry_requests_total Total requests by method and status.'
+        |    ELSE '# TYPE schema_registry_requests_total counter'
+        |    END AS line
+        |  FROM base),
+        |parsed AS (
+        |  SELECT regexp_extract(line, '^[^{ ]+') AS name,
+        |    regexp_extract(line, '^[^ ]+') AS series,
+        |    CAST(regexp_extract(line, ' ([0-9]+)$', 1) AS BIGINT) AS val
+        |  FROM lines WHERE line NOT LIKE '#%'),
+        |cat AS (
+        |  SELECT name, series, val,
+        |    CASE
+        |    WHEN name LIKE 'kafka_schema_registry_%' THEN 'wire_compatible'
+        |    WHEN name LIKE 'schema_registry_request%' THEN 'request'
+        |    WHEN name LIKE 'schema_registry_schema%' OR name LIKE 'schema_registry_subject%'
+        |      OR name LIKE 'schema_registry_registration%' THEN 'schema'
+        |    WHEN name LIKE 'schema_registry_compatibility%' THEN 'compatibility'
+        |    WHEN name LIKE 'schema_registry_storage%' THEN 'storage'
+        |    WHEN name LIKE 'schema_registry_cache%' THEN 'cache'
+        |    WHEN name LIKE 'schema_registry_auth%' THEN 'auth'
+        |    WHEN name LIKE 'schema_registry_rate_limit%' THEN 'rate_limit'
+        |    WHEN name LIKE 'schema_registry_mcp%' THEN 'mcp'
+        |    WHEN name LIKE 'schema_registry_principal%' THEN 'principal'
+        |    WHEN name LIKE 'go_%' THEN 'runtime'
+        |    WHEN name LIKE 'process_%' THEN 'process'
+        |    ELSE 'other' END AS category
+        |  FROM parsed)
+        |SELECT category, name, count(*) AS n_samples,
+        |  count(DISTINCT series) AS n_series, CAST(sum(val) AS BIGINT) AS total
+        |FROM cat GROUP BY category, name ORDER BY category, name""".stripMargin,
     "audit_growth" ->
       """WITH weekly AS (
         |  SELECT date_trunc('week', ts) AS week, count(*) AS n_registrations,

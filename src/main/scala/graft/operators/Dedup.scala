@@ -298,7 +298,64 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** URL canonicalization dedup — the frontier/manifest dedup a crawl
+    * pipeline runs BEFORE fetching (or re-ingesting) anything: the
+    * same logical page arrives spelled many ways (scheme/host case,
+    * `www.`, default ports, trailing slashes, `utm_*` tracking
+    * params, fragments, query-param order), and fetching each
+    * spelling burns bandwidth and re-inflates every downstream dedup.
+    * The canonicalizer is GENERIC — it parses the URL string, not the
+    * generation parameters: lowercase scheme+host, strip `www.`, drop
+    * the scheme's default port (`:80`/`:443`), strip fragments and
+    * `utm_*` params, sort surviving params, trim trailing slashes.
+    * The per-doc URL is synthesized from (doc_id, source) with all
+    * seven noise axes active, so every rule executes both ways.
+    *
+    * Scale: canonicalization is row-local with the scan; the one
+    * shuffle keys on canonical URL (uniform, bounded classes);
+    * output is the dup classes (n ≥ 2) with the min-doc_id survivor —
+    * the same keep-first contract as [[exact]].
+    */
+  def urlDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr("doc_id",
+        """concat(
+          |  CASE cast(doc_id % 4 AS int) WHEN 0 THEN 'http' WHEN 1 THEN 'HTTP'
+          |       WHEN 2 THEN 'https' ELSE 'HTTPS' END,
+          |  '://',
+          |  CASE cast(doc_id % 3 AS int) WHEN 0 THEN 'www.' WHEN 1 THEN 'WWW.' ELSE '' END,
+          |  source,
+          |  CASE cast(doc_id % 2 AS int) WHEN 0 THEN '.Example.com' ELSE '.example.COM' END,
+          |  CASE WHEN doc_id % 5 = 0 THEN
+          |    CASE WHEN doc_id % 4 < 2 THEN ':80' ELSE ':443' END ELSE '' END,
+          |  '/d/', cast(doc_id % 17 AS string),
+          |  CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
+          |  CASE WHEN doc_id % 2 = 0 THEN '?v=1&utm_source=feed' ELSE '?utm_campaign=x&v=1' END,
+          |  CASE WHEN doc_id % 6 = 0 THEN '#top' ELSE '' END) AS url""".stripMargin)
+      .selectExpr("doc_id", "regexp_replace(url, '#.*$', '') AS u1")
+      .selectExpr("doc_id",
+        "regexp_replace(u1, '\\\\?.*$', '') AS base",
+        "regexp_extract(u1, '\\\\?(.*)$', 1) AS q")
+      .selectExpr("doc_id",
+        "lower(regexp_extract(base, '^[^:]+', 0)) AS scheme",
+        "lower(regexp_extract(base, '^[^:]+://([^/]+)', 1)) AS hostport",
+        "regexp_extract(base, '^[^:]+://[^/]+(/.*)?$', 1) AS path0",
+        "array_join(array_sort(filter(split(q, '&'), p -> substring(p, 1, 4) <> 'utm_')), '&') AS cq")
+      .selectExpr("doc_id", "scheme",
+        """regexp_replace(
+          |  CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+          |       WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+          |       ELSE hostport END, '^www\\.', '') AS host""".stripMargin,
+        "regexp_replace(path0, '/+$', '') AS path", "cq")
+      .selectExpr("doc_id",
+        "concat(scheme, '://', host, path, CASE WHEN cq = '' THEN '' ELSE concat('?', cq) END) AS canon_url")
+      .groupBy(col("canon_url"))
+      .agg(count(lit(1)).as("n_urls"), min(col("doc_id")).as("survivor_doc_id"))
+      .filter(col("n_urls") >= 2)
+      .orderBy(col("canon_url"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_url" -> urlDedup,
     "dedup_minhash_recall" -> minhashRecall,
     "dedup_winnow" -> winnow,
     "dedup_exact" -> exact,
@@ -332,6 +389,51 @@ object Dedup {
       |  WHERE est_jaccard >= 0.5)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_url" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'http' WHEN 1 THEN 'HTTP'
+        |          WHEN 2 THEN 'https' ELSE 'HTTPS' END)
+        |    || '://'
+        |    || (CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'www.' WHEN 1 THEN 'WWW.' ELSE '' END)
+        |    || source
+        |    || (CASE CAST(doc_id % 2 AS INT) WHEN 0 THEN '.Example.com' ELSE '.example.COM' END)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN
+        |          CASE WHEN doc_id % 4 < 2 THEN ':80' ELSE ':443' END ELSE '' END)
+        |    || '/d/' || CAST(doc_id % 17 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 2 = 0 THEN '?v=1&utm_source=feed' ELSE '?utm_campaign=x&v=1' END)
+        |    || (CASE WHEN doc_id % 6 = 0 THEN '#top' ELSE '' END) AS url
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u1 FROM u),
+        |s2 AS (
+        |  SELECT doc_id, regexp_replace(u1, '\?.*$', '') AS base,
+        |    regexp_extract(u1, '\?(.*)$', 1) AS q
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(base, '^[^:]+')) AS scheme,
+        |    lower(regexp_extract(base, '^[^:]+://([^/]+)', 1)) AS hostport,
+        |    regexp_extract(base, '^[^:]+://[^/]+(/.*)?$', 1) AS path0,
+        |    array_to_string(list_sort(list_filter(string_split(q, '&'),
+        |      p -> substring(p, 1, 4) <> 'utm_')), '&') AS cq
+        |  FROM s2),
+        |s4 AS (
+        |  SELECT doc_id, scheme,
+        |    regexp_replace(
+        |      CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |           WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |           ELSE hostport END, '^www\.', '') AS host,
+        |    regexp_replace(path0, '/+$', '') AS path, cq
+        |  FROM s3),
+        |c AS (
+        |  SELECT doc_id,
+        |    scheme || '://' || host || path ||
+        |    (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) AS canon_url
+        |  FROM s4)
+        |SELECT canon_url, count(*) AS n_urls, min(doc_id) AS survivor_doc_id
+        |FROM c GROUP BY canon_url HAVING count(*) >= 2
+        |ORDER BY canon_url""".stripMargin,
     "dedup_winnow" ->
       """WITH h AS (
         |  SELECT doc_id,

@@ -122,7 +122,7 @@ object Intelligence {
   /** DiffSchemas / computeFieldDiffs (tools_comparison.go:123,152):
     * added/removed/type-changed/nullability-changed field counts for
     * every consecutive version pair. Entirely row-local after the one
-    * window shuffle — and, on the positional 8-slot model, entirely
+    * window shuffle — and, on the positional nSlots-wide model, entirely
     * HOF-free: each tally is an integer sum of per-slot presence/
     * type/nullability comparisons between getItems of the two
     * arrays, emitted one row per (subject, version) with no second

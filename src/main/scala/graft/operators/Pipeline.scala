@@ -186,6 +186,35 @@ object Pipeline {
       .withColumn("rate", expr("floor(n_sampled / cast(n_total AS double) * 10000 + 0.5) / cast(10000 AS double)"))
       .orderBy(col("source"), col("lang"))
 
+  /** Deterministic train/valid/test holdout split — the partition
+    * every training corpus is cut into before anything else touches
+    * it. Content-addressed exactly like [[sampleStratified]]:
+    * md5(doc_id) under lexicographic hex thresholds ('fa' ≈ 250/256
+    * train, 'fd' valid, rest test), so membership is a pure function
+    * of the document — re-runs, engines, and incremental ingests all
+    * agree, and no split-assignment table needs to exist. The output
+    * is the split data card: per (split, source) doc/token volumes
+    * and each cell's share of the corpus. One scan + one
+    * vocabulary-sized partial-agg groupBy; the corpus total is a
+    * 1-row broadcast.
+    */
+  def sampleSplit(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("bigint").as("tok"),
+        when(md5(col("doc_id").cast("string")) < "fa", "train")
+          .when(md5(col("doc_id").cast("string")) < "fd", "valid")
+          .otherwise("test").as("split"))
+    val total = d.agg(count(lit(1)).as("n_corpus"))
+    d.groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+      .crossJoin(broadcast(total))
+      .withColumn("doc_share",
+        expr("floor(n_docs / cast(n_corpus AS double) * 10000 + 0.5) / cast(10000 AS double)"))
+      .drop("n_corpus")
+      .orderBy(col("split"), col("source"))
+  }
+
   /** Concat-then-chunk sequence packing (GPT-style pretraining): per
     * source, documents are concatenated in doc_id order and cut into
     * 2048-token chunks; each document reports the chunk containing
@@ -569,6 +598,36 @@ object Pipeline {
       .groupBy(col("pair")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair")).limit(20)
 
+  /** One full BPE training step (Sennrich et al. 2016): take
+    * [[tokPairCounts]]' winning pair, APPLY the merge to every word's
+    * symbol sequence (leftmost non-overlapping, the BPE contract —
+    * both engines' `replace` scans left and never re-matches inside a
+    * replacement), and recount adjacent pairs over the merged
+    * sequences — the state the next merge iteration ranks. The merge
+    * winner is a 1-row broadcast; symbolization and replacement are
+    * row-local; the recount is the same one alphabet²-bounded
+    * pair-keyed shuffle as the first scan. At 100 TB the whole merge
+    * loop is V repetitions of exactly this plan with the growing
+    * merge list applied in the same row-local pass.
+    */
+  def tokMergeApply(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.spread(Tables.documents(s, dir))
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 2)
+    val top = words.select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> concat(substring(w, i, 1), ' ', substring(w, i + 1, 1)))")).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(1)
+      .select(col("pair").as("merge"))
+    words
+      .selectExpr("array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), ' ') AS sym")
+      .crossJoin(broadcast(top))
+      .selectExpr("merge", "split(replace(sym, merge, replace(merge, ' ', '')), ' ') AS l")
+      .selectExpr("merge", "explode(transform(sequence(1, size(l) - 1), i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))) AS pair")
+      .groupBy(col("merge"), col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(20)
+  }
+
   /** Tokenizer-fit data card: per-source OOV rate against the top-20
     * corpus vocabulary — the "will this tokenizer cover that source"
     * report run before committing a vocab. ONE token-keyed shuffle
@@ -596,6 +655,8 @@ object Pipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tok_vocab_coverage" -> tokVocabCoverage,
     "tok_pair_counts" -> tokPairCounts,
+    "tok_merge_apply" -> tokMergeApply,
+    "sample_split" -> sampleSplit,
     "corpus_mix_plan" -> corpusMixPlan,
     "emb_assign" -> embAssign,
     "tok_shard_plan" -> tokShardPlan,
@@ -626,6 +687,37 @@ object Pipeline {
         |  count(DISTINCT CASE WHEN v.in_vocab IS NULL THEN tok.w END) AS n_oov_types
         |FROM tok LEFT JOIN v ON tok.w = v.w
         |GROUP BY source ORDER BY source""".stripMargin,
+    "sample_split" ->
+      """WITH d AS (
+        |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+        |    CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'fa' THEN 'train'
+        |         WHEN md5(CAST(doc_id AS VARCHAR)) < 'fd' THEN 'valid'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, source, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens,
+        |  floor(count(*) / CAST((SELECT count(*) FROM documents) AS DOUBLE) * 10000 + 0.5)
+        |    / CAST(10000 AS DOUBLE) AS doc_share
+        |FROM d GROUP BY split, source ORDER BY split, source""".stripMargin,
+    "tok_merge_apply" ->
+      """WITH wds AS (
+        |  SELECT w FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  WHERE len(w) >= 2),
+        |top AS (
+        |  SELECT pair AS merge FROM (
+        |    SELECT unnest([substr(w, i, 1) || ' ' || substr(w, i + 1, 1)
+        |                   for i in range(1, len(w))]) AS pair
+        |    FROM wds) p
+        |  GROUP BY pair ORDER BY count(*) DESC, pair LIMIT 1),
+        |sym AS (
+        |  SELECT array_to_string([substr(w, i, 1) for i in range(1, len(w) + 1)], ' ') AS sym
+        |  FROM wds),
+        |m AS (
+        |  SELECT string_split(replace(sym, (SELECT merge FROM top),
+        |    replace((SELECT merge FROM top), ' ', '')), ' ') AS l
+        |  FROM sym),
+        |p2 AS (SELECT unnest([l[i] || ' ' || l[i + 1] for i in range(1, len(l))]) AS pair FROM m)
+        |SELECT (SELECT merge FROM top) AS merge, pair, count(*) AS n
+        |FROM p2 GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
     "tok_pair_counts" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
         |p AS (

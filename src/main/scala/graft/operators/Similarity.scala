@@ -261,7 +261,38 @@ object Similarity {
       .orderBy(col("probe_id"))
   }
 
+  /** Cosine-threshold range search: every corpus vector with
+    * similarity ≥ τ of each probe (the "find everything near this"
+    * query — radius dedup, contamination sweeps, neighborhood-density
+    * QA — where top-k's fixed k is the wrong contract because
+    * neighborhood sizes vary per probe). Same broadcast-probe ×
+    * corpus scan as [[bruteTopK]]; the threshold replaces the rank
+    * window, so no window at all — filter + partial-agg rollup. The
+    * LSH/IVF bucketing is the drop-in scale path (a τ-ball is exactly
+    * what SRP buckets approximate).
+    *
+    * Parity design: the filter compares the 4 dp ROUNDED cosine (ulp
+    * drift at the threshold boundary cannot flip membership), and the
+    * per-probe mean aggregates the exact integer 1e4 grid (integer
+    * sums are order-independent; a float sum's last ulp is not).
+    */
+  def rangeSearch(s: SparkSession, dir: String): DataFrame = {
+    val tau = 0.2
+    scored(s, dir)
+      .selectExpr("probe_id", "vec_id",
+        "cast(floor(round(cos, 4) * 10000 + 0.5) AS bigint) AS g")
+      .where(col("g") >= (tau * 10000).toLong)
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        sum(col("g")).as("sg"), max(col("g")).as("mg"))
+      .selectExpr("probe_id", "n_matches",
+        "round(sg / (n_matches * cast(10000 AS double)), 4) AS avg_cos",
+        "round(mg / cast(10000 AS double), 4) AS max_cos")
+      .orderBy(col("probe_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_range_search" -> rangeSearch,
     "ann_recall_eval" -> recallEval,
     "ann_hard_negatives" -> hardNegatives,
     "emb_outliers" -> embOutliers,
@@ -403,6 +434,19 @@ object Similarity {
           |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk
           |  FROM sc) t
           |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+      "ann_range_search" ->
+        """WITH e AS (
+          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+          |n AS (SELECT vec_id, e, sqrt(list_sum([x * x for x in e])) AS nrm FROM e),
+          |sc AS (
+          |  SELECT p.vec_id AS probe_id, c.vec_id,
+          |    CAST(floor(round(list_sum([p.e[i] * c.e[i] for i in range(1, len(p.e) + 1)]) / (p.nrm * c.nrm), 4) * 10000 + 0.5) AS BIGINT) AS g
+          |  FROM n p JOIN n c ON p.vec_id < 10 AND p.vec_id <> c.vec_id)
+          |SELECT probe_id, count(*) AS n_matches,
+          |  round(sum(g) / (count(*) * CAST(10000 AS DOUBLE)), 4) AS avg_cos,
+          |  round(max(g) / CAST(10000 AS DOUBLE), 4) AS max_cos
+          |FROM sc WHERE g >= 2000
+          |GROUP BY probe_id ORDER BY probe_id""".stripMargin,
       "ann_brute_topk" ->
         """WITH e AS (
           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),

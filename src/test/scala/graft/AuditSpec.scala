@@ -143,4 +143,29 @@ class AuditSpec extends SparkSpec {
       .map(_.getAs[Long]("n_requests")).sum
     assert(rows.values.sum == pathTotal)
   }
+
+  test("prometheus catalog classifies every prefix class and skips comments") {
+    val rows = operators.Audit.promParse(spark, sfDir).collect()
+    val byCat = rows.groupBy(_.getAs[String]("category"))
+    // every category of the reference's categoryPrefixes table
+    // materializes from the synthesized exposition stream, plus the
+    // no-prefix-matches 'other' default (tools_metrics.go:125)
+    val expected = Set("wire_compatible", "request", "schema", "compatibility",
+      "storage", "cache", "auth", "rate_limit", "mcp", "principal",
+      "runtime", "process", "other")
+    assert(byCat.keySet == expected, s"got ${byCat.keySet}")
+    // comment lines never reach the catalog
+    assert(rows.forall(!_.getAs[String]("name").startsWith("#")))
+    // the multi-prefix 'schema' category carries all three name stems
+    val schemaNames = byCat("schema").map(_.getAs[String]("name")).toSet
+    assert(schemaNames == Set("schema_registry_schemas_total",
+      "schema_registry_subjects_total", "schema_registry_registrations_total"))
+    // label combinations count as distinct series; bare metrics as one
+    val series = rows.map(r => r.getAs[String]("name") -> r.getAs[Long]("n_series")).toMap
+    assert(series("schema_registry_requests_total") == 3, "method label has 3 values")
+    assert(series("go_goroutines") == 1, "an unlabeled metric is one series")
+    // the deliberately-unmatched name lands in 'other', nothing else does
+    assert(byCat("other").map(_.getAs[String]("name")).toSet ==
+      Set("schema_registry_leader_elections_total"))
+  }
 }

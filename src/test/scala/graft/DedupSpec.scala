@@ -91,4 +91,38 @@ class DedupSpec extends SparkSpec {
     assert(h <= t && h <= c)
     assert(r.getAs[Double]("recall") >= 0 && r.getAs[Double]("recall") <= 1)
   }
+
+  test("url dedup canonical forms carry none of the noise axes") {
+    val rows = operators.Dedup.urlDedup(spark, sfDir).collect()
+    assert(rows.nonEmpty, "the synthetic corpus must produce dup classes")
+    rows.foreach { r =>
+      val u = r.getAs[String]("canon_url")
+      assert(u == u.toLowerCase, s"canonical must be lowercased: $u")
+      assert(!u.contains("www."), s"www. must be stripped: $u")
+      assert(!u.contains(":80") && !u.contains(":443"), s"default port must be stripped: $u")
+      assert(!u.contains("utm_"), s"tracking params must be stripped: $u")
+      assert(!u.contains("#"), s"fragment must be stripped: $u")
+      assert(!u.stripSuffix("?v=1").endsWith("/"), s"trailing slash must be trimmed: $u")
+      assert(u.endsWith("?v=1"), s"surviving params must be kept: $u")
+      assert(r.getAs[Long]("n_urls") >= 2)
+    }
+  }
+
+  test("url dedup classes and survivors match the generation parameters") {
+    // independent ground truth: a canonical class is exactly
+    // (http-vs-https, source, doc_id % 17) by construction
+    import org.apache.spark.sql.functions._
+    val expected = graft.Tables.documents(spark, sfDir)
+      .groupBy(col("source"), (col("doc_id") % 17).as("m"),
+        (col("doc_id") % 4 < 2).as("isHttp"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("survivor"))
+      .filter(col("n") >= 2)
+      .collect()
+    val got = operators.Dedup.urlDedup(spark, sfDir).collect()
+    assert(got.length == expected.length,
+      s"class count mismatch: got ${got.length}, ground truth ${expected.length}")
+    assert(got.map(_.getAs[Long]("survivor_doc_id")).sorted.toSeq ==
+      expected.map(_.getAs[Long]("survivor")).sorted.toSeq)
+    assert(got.map(_.getAs[Long]("n_urls")).sum == expected.map(_.getAs[Long]("n")).sum)
+  }
 }

@@ -342,4 +342,30 @@ class PipelineSpec extends SparkSpec {
     val best = counts.toSeq.sortBy { case (p, n) => (-n, p) }.head
     assert(rows.head.getAs[String]("pair") == best._1 && rows.head.getAs[Long]("n") == best._2)
   }
+
+  test("merge application kills the merged pair and applies the true winner") {
+    val top = operators.Pipeline.tokPairCounts(spark, sfDir).head()
+    val rows = operators.Pipeline.tokMergeApply(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    // the applied merge IS the scan winner
+    assert(rows.forall(_.getAs[String]("merge") == top.getAs[String]("pair")))
+    // BPE invariant: after a merge is applied, that adjacency no longer
+    // exists anywhere (every occurrence became the merged symbol)
+    assert(!rows.exists(r => r.getAs[String]("pair") == r.getAs[String]("merge")),
+      "the merged pair must not survive its own application")
+    rows.foreach(r => assert(r.getAs[Long]("n") >= 1))
+  }
+
+  test("holdout split partitions the corpus deterministically") {
+    val rows = operators.Pipeline.sampleSplit(spark, sfDir).collect()
+    val total = graft.Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total,
+      "splits must partition the corpus exactly")
+    assert(rows.map(_.getAs[String]("split")).toSet.subsetOf(Set("train", "valid", "test")))
+    val train = rows.filter(_.getAs[String]("split") == "train").map(_.getAs[Long]("n_docs")).sum
+    assert(train > total * 0.9, s"~97.7% of docs hash under 'fa': $train/$total")
+    // content-addressed: a second run is bit-identical
+    val again = operators.Pipeline.sampleSplit(spark, sfDir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }

@@ -123,4 +123,26 @@ class SimilaritySpec extends SparkSpec {
       if (o > 0) assert(r.getAs[Double]("max_z") > 2.0)
     }
   }
+
+  test("range search agrees with brute-force top-1 and respects the threshold") {
+    val range = Similarity.rangeSearch(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("probe_id") ->
+        (r.getAs[Long]("n_matches"), r.getAs[Double]("avg_cos"), r.getAs[Double]("max_cos"))).toMap
+    range.values.foreach { case (n, avg, mx) =>
+      assert(n >= 1)
+      assert(avg >= 0.2 - 1e-9 && avg <= mx + 1e-9, "mean of a >=tau set sits in [tau, max]")
+      assert(mx >= 0.2 - 1e-9)
+    }
+    // a probe whose brute-force best is over the threshold MUST appear,
+    // and its max_cos must be exactly that best (both sides 4dp-rounded)
+    val best = Similarity.bruteTopK(spark, sfDir)
+      .filter(col("rnk") === 1).collect()
+      .map(r => r.getAs[Long]("probe_id") -> r.getAs[Double]("cos")).toMap
+    best.foreach { case (p, c) =>
+      if (c >= 0.2) {
+        assert(range.contains(p), s"probe $p has a >=tau neighbor but no range row")
+        assert(math.abs(range(p)._3 - c) < 1e-9)
+      }
+    }
+  }
 }
