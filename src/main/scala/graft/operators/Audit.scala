@@ -161,6 +161,36 @@ object Audit {
       .agg(count(lit(1)).as("n_events"))
       .orderBy(col("minute"), col("event_type"))
 
+  /** Burst alerting over the per-minute rate stream — the alert rule
+    * the reference's Prometheus counters exist to feed (rate vs its
+    * own recent baseline, the standard anomaly gate on
+    * requests/registrations/auth-failure rates): a minute fires when
+    * its count exceeds 1.5× the trailing average of the 10 PRECEDING
+    * observed minutes for that event type, with a full-history guard
+    * (exactly 10 trailing rows) so cold starts never alert.
+    *
+    * Shape: the corpus collapses to the minutes×types grid FIRST
+    * (one partial-agg shuffle, key space = time buckets × vocab),
+    * then ONE type-partitioned ROWS window computes the trailing
+    * sum/count — state per task is 10 rows per type. The alert
+    * decision n > 1.5·(sum/10) is evaluated as the pure-integer
+    * n·20 > 3·sum, so no float comparison exists to flip between
+    * engines; the reported avg/ratio are rounded display values.
+    */
+  def rateAlert(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("minute"))
+      .rowsBetween(-10, -1)
+    rate1m(s, dir)
+      .withColumn("t_sum", sum(col("n_events")).over(w))
+      .withColumn("t_cnt", count(col("n_events")).over(w))
+      .where(col("t_cnt") === 10 &&
+        col("n_events") * 20 > col("t_sum") * 3)
+      .select(col("event_type"), col("minute"), col("n_events"),
+        round(col("t_sum") / 10.0, 4).as("trailing_avg"),
+        round(col("n_events") * 10.0 / col("t_sum"), 4).as("ratio"))
+      .orderBy(col("event_type"), col("minute"))
+  }
+
   /** Skew-safe two-phase aggregation: pre-aggregate on a salted key
     * (key, hash%16), then merge the partials. The final result is
     * identical to a plain groupBy (same oracle) but no single task
@@ -444,6 +474,7 @@ object Audit {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "metrics_rate_alert" -> rateAlert,
     "metrics_prom_parse" -> promParse,
     "audit_growth" -> growth,
     "audit_retention" -> retention,
@@ -464,6 +495,23 @@ object Audit {
     "metrics_rate_1m" -> rate1m)
 
   val oracleSql: Map[String, String] = Map(
+    "metrics_rate_alert" ->
+      """WITH m AS (
+        |  SELECT date_trunc('minute', ts) AS minute, event_type, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, minute, n_events,
+        |    sum(n_events) OVER (PARTITION BY event_type ORDER BY minute
+        |      ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS t_sum,
+        |    count(n_events) OVER (PARTITION BY event_type ORDER BY minute
+        |      ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS t_cnt
+        |  FROM m)
+        |SELECT event_type, minute, n_events,
+        |  round(t_sum / 10.0, 4) AS trailing_avg,
+        |  round(n_events * 10.0 / t_sum, 4) AS ratio
+        |FROM t
+        |WHERE t_cnt = 10 AND n_events * 20 > t_sum * 3
+        |ORDER BY event_type, minute""".stripMargin,
     "metrics_prom_parse" ->
       """WITH ev AS (
         |  SELECT user_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

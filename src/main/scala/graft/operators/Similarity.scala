@@ -291,7 +291,53 @@ object Similarity {
       .orderBy(col("probe_id"))
   }
 
+  /** Embedding-dimension correlation QA: Pearson r for every
+    * dimension PAIR, ranked by |r| — the "are these 64 dims actually
+    * carrying 64 dims of signal" report (near-±1 pairs mean a
+    * redundant or collapsed encoder; training pipelines run this
+    * before trusting a new embedding version, and it is the
+    * decision input for dropping dims ahead of [[embQuantize]]).
+    *
+    * Parity design: values snap to the exact 1e4 integer grid FIRST,
+    * so every sufficient statistic (Σx, Σy, Σxy, Σx², Σy²) is an
+    * exact integer sum — order-independent, overflow-checked
+    * (|grid| ≤ 1e4, so n·Σxy < 2^63 through sf1) — and the final
+    * r = (nΣxy−ΣxΣy)/√((nΣx²−Σx²)(nΣy²−Σy²)) is one deterministic
+    * IEEE expression over identical integers in both engines.
+    * Zero-variance dims are excluded (r undefined), not divided.
+    *
+    * Scale: the pair fan-out is row-local and CONSTANT (D·(D−1)/2 =
+    * 2016 structs per vector); the one shuffle is the (i, j) groupBy
+    * with 2016 keys and full map-side partial aggregation — at
+    * 100 TB this is a pure combine-then-tiny-reduce plan, output
+    * top-20 via a bounded sort.
+    */
+  def dimCorr(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.spread(Tables.embeddings(s, dir))
+      .selectExpr(
+        "transform(embedding, x -> cast(floor(cast(x AS double) * 10000 + 0.5) AS bigint)) AS g")
+      .selectExpr(
+        s"""explode(flatten(transform(sequence(1, $Dims - 1), i ->
+           |  transform(sequence(i + 1, $Dims), j ->
+           |    struct(cast(i AS bigint) AS i, cast(j AS bigint) AS j,
+           |      element_at(g, i) AS x, element_at(g, j) AS y))))) AS p""".stripMargin)
+      .selectExpr("p.i AS i", "p.j AS j", "p.x AS x", "p.y AS y")
+    pairs.groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+      .withColumn("num", (col("n") * col("sxy") - col("sx") * col("sy")).cast("double"))
+      .withColumn("dx", (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .withColumn("dy", (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))
+      .where(col("dx") > 0 && col("dy") > 0)
+      .withColumn("r", round(col("num") / sqrt(col("dx") * col("dy")), 4))
+      .select(col("i"), col("j"), col("n"), col("r"))
+      .orderBy(abs(col("r")).desc, col("i"), col("j"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_dim_corr" -> dimCorr,
     "ann_range_search" -> rangeSearch,
     "ann_recall_eval" -> recallEval,
     "ann_hard_negatives" -> hardNegatives,
@@ -434,6 +480,30 @@ object Similarity {
           |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk
           |  FROM sc) t
           |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+      "emb_dim_corr" ->
+        """WITH e AS (
+          |  SELECT vec_id,
+          |    [CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT) for x in embedding] AS g
+          |  FROM embeddings),
+          |u AS (
+          |  SELECT vec_id, CAST(i AS BIGINT) AS i, g[i] AS v
+          |  FROM e, (SELECT unnest(range(1, 65)) AS i) t),
+          |p AS (
+          |  SELECT a.i AS i, b.i AS j, a.v AS x, b.v AS y
+          |  FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i < b.i),
+          |st AS (
+          |  SELECT i, j, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+          |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+          |  FROM p GROUP BY i, j),
+          |c AS (
+          |  SELECT i, j, n,
+          |    CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+          |    CAST(n * sxx - sx * sx AS DOUBLE) AS dx,
+          |    CAST(n * syy - sy * sy AS DOUBLE) AS dy
+          |  FROM st)
+          |SELECT i, j, n, round(num / sqrt(dx * dy), 4) AS r
+          |FROM c WHERE dx > 0 AND dy > 0
+          |ORDER BY abs(r) DESC, i, j LIMIT 20""".stripMargin,
       "ann_range_search" ->
         """WITH e AS (
           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),

@@ -168,4 +168,29 @@ class AuditSpec extends SparkSpec {
     assert(byCat("other").map(_.getAs[String]("name")).toSet ==
       Set("schema_registry_leader_elections_total"))
   }
+
+  test("rate alerts fire only on genuine bursts past a full baseline") {
+    // sf0.001's event stream is exactly 1 event/minute/type — alerts
+    // are structurally impossible there, so this spec drives sf0.01
+    val dir = "/root/testdata/sf0.01"
+    val alerts = operators.Audit.rateAlert(spark, dir).collect()
+    assert(alerts.nonEmpty, "sf0.01 contains bursty minutes")
+    alerts.foreach { r =>
+      assert(r.getAs[Double]("ratio") >= 1.5 - 1e-9,
+        "an alert means n exceeded 1.5x the trailing average")
+      assert(r.getAs[Double]("trailing_avg") > 0)
+      assert(r.getAs[Long]("n_events") > r.getAs[Double]("trailing_avg"))
+    }
+    // cold-start guard: a type's first 10 observed minutes never alert
+    import org.apache.spark.sql.expressions.Window
+    val first10 = operators.Audit.rate1m(spark, dir)
+      .withColumn("k", org.apache.spark.sql.functions.row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("minute"))))
+      .filter(col("k") <= 10)
+      .select(col("event_type"), col("minute")).collect()
+      .map(r => (r.getAs[String]("event_type"), r.get(1))).toSet
+    assert(alerts.forall(r => !first10.contains((r.getAs[String]("event_type"), r.get(1)))))
+    // and the degenerate uniform stream produces zero alerts
+    assert(operators.Audit.rateAlert(spark, sfDir).count() == 0)
+  }
 }

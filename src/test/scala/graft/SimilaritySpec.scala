@@ -145,4 +145,30 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("dimension correlations are ranked, bounded, and match a brute-force Pearson") {
+    val rows = Similarity.dimCorr(spark, sfDir).collect()
+    assert(rows.length == 20)
+    val rs = rows.map(_.getAs[Double]("r"))
+    assert(rs.forall(r => math.abs(r) <= 1.0 + 1e-9))
+    assert(rs.map(math.abs).sameElements(rs.map(math.abs).sortBy(-(_: Double))),
+      "rows must be ranked by |r| descending")
+    val n = graft.Tables.embeddings(spark, sfDir).count()
+    assert(rows.forall(_.getAs[Long]("n") == n), "every pair sees the full corpus")
+    rows.foreach(r => assert(r.getAs[Long]("i") < r.getAs[Long]("j")))
+    // brute-force the top pair on the same integer grid
+    val top = rows.head
+    val (ti, tj) = (top.getAs[Long]("i").toInt, top.getAs[Long]("j").toInt)
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("cast(embedding AS array<double>) AS e").collect()
+      .map(_.getSeq[Double](0))
+    val xs = vecs.map(v => math.floor(v(ti - 1) * 10000 + 0.5).toLong)
+    val ys = vecs.map(v => math.floor(v(tj - 1) * 10000 + 0.5).toLong)
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val (sxx, syy) = (xs.map(a => a * a).sum, ys.map(a => a * a).sum)
+    val num = (n * sxy - sx * sy).toDouble
+    val den = math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble)
+    assert(math.abs(top.getAs[Double]("r") - math.round(num / den * 10000.0) / 10000.0) < 1e-9)
+  }
 }
