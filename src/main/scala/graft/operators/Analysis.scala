@@ -107,7 +107,12 @@ object Analysis {
           when(col("value") > 10, col("value")).as("sev")).as("meta"),
         from_json(col("props"), "k BIGINT", Map.empty[String, String]).as("props"),
         when(col("user_id") % lit(3) =!= 0, col("user_id")).as("usr"))).as("payload"))
-      .select(explode(expr("graft_json_paths(payload)")).as("f"))
+      // explode_outer: the payload struct always carries meta.etype so
+      // the path array is never empty; outer stops
+      // InferFiltersFromGenerate from re-running the whole recursive
+      // parse in a filter below the spread repartition (see
+      // [[Dedup.winnow]])
+      .select(explode_outer(expr("graft_json_paths(payload)")).as("f"))
       .select(col("f.path").as("path"), col("f.jtype").as("jtype"))
       .groupBy(col("path"), col("jtype"))
       .agg(count(lit(1)).as("n"))

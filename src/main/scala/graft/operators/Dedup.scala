@@ -278,8 +278,18 @@ object Dedup {
           |  i -> md5(concat(element_at(ts, i), ' ', element_at(ts, i + 1), ' ',
           |                  element_at(ts, i + 2), ' ', element_at(ts, i + 3)))))),
           |  1, 8) AS fps""".stripMargin)
+    // explode_OUTER, deliberately: for a plain explode,
+    // InferFiltersFromGenerate derives `size(fps)>0 AND isnotnull(fps)`
+    // and pushes BOTH — each spelling out the whole md5-HOF derivation
+    // — below the spread repartition, where they run on the one
+    // pre-spread parquet partition single-threaded (measured 5.3s for
+    // a 0.45s expression at sf0.1). Outer generates infer no filters;
+    // `size(ts) >= 4` already guarantees a non-empty fps, so the
+    // semantics are identical. localCheckpoint then materializes the
+    // tiny ≤8-rows/doc postings once for the df-filter branch and both
+    // sides of the pair self-join.
     val post = fps.select(col("doc_id"), size(col("fps")).as("n_fp"),
-      explode(col("fps")).as("fh"))
+      explode_outer(col("fps")).as("fh")).localCheckpoint()
     val keep = post.groupBy(col("fh"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)

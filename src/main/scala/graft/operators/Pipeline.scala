@@ -285,7 +285,9 @@ object Pipeline {
       .selectExpr("doc_id", "split(text, ' ') AS ts")
       .where("size(ts) >= 5")
       .selectExpr(
-        """explode(array_distinct(transform(sequence(1, size(ts) - 4),
+        // explode_outer: the size guard makes the gram set non-empty;
+        // see [[Dedup.winnow]] on InferFiltersFromGenerate
+        """explode_outer(array_distinct(transform(sequence(1, size(ts) - 4),
           |  i -> concat_ws(' ', element_at(ts, i), element_at(ts, i+1), element_at(ts, i+2),
           |                 element_at(ts, i+3), element_at(ts, i+4))))) AS ngram""".stripMargin)
       .groupBy(col("ngram"))
@@ -324,7 +326,9 @@ object Pipeline {
       .selectExpr("doc_id", "split(text, ' ') AS ts")
       .where("size(ts) >= 8")
       .selectExpr("doc_id",
-        """explode(array_distinct(transform(sequence(1, size(ts) - 7),
+        // explode_outer: non-empty under the size guard; avoids the
+        // InferFiltersFromGenerate re-derivation below the spread
+        """explode_outer(array_distinct(transform(sequence(1, size(ts) - 7),
           |  i -> concat_ws(' ', slice(ts, i, 8))))) AS g""".stripMargin)
     val evalSet = grams.where(col("doc_id") % lit(7) === 0)
       .select(col("g")).distinct()
@@ -593,7 +597,10 @@ object Pipeline {
     Tables.spread(Tables.documents(s, dir))
       .select(explode(split(col("text"), " ")).as("w"))
       .where(length(col("w")) >= 2)
-      .select(explode(expr(
+      // explode_OUTER: equivalent under the length guard (≥1 pair),
+      // and it keeps InferFiltersFromGenerate from re-deriving the
+      // whole pair array inside a filter below the spread repartition
+      .select(explode_outer(expr(
         "transform(sequence(1, length(w) - 1), i -> concat(substring(w, i, 1), ' ', substring(w, i + 1, 1)))")).as("pair"))
       .groupBy(col("pair")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair")).limit(20)
@@ -614,7 +621,7 @@ object Pipeline {
     val words = Tables.spread(Tables.documents(s, dir))
       .select(explode(split(col("text"), " ")).as("w"))
       .where(length(col("w")) >= 2)
-    val top = words.select(explode(expr(
+    val top = words.select(explode_outer(expr(
         "transform(sequence(1, length(w) - 1), i -> concat(substring(w, i, 1), ' ', substring(w, i + 1, 1)))")).as("pair"))
       .groupBy(col("pair")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair")).limit(1)
@@ -623,7 +630,12 @@ object Pipeline {
       .selectExpr("array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), ' ') AS sym")
       .crossJoin(broadcast(top))
       .selectExpr("merge", "split(replace(sym, merge, replace(merge, ' ', '')), ' ') AS l")
-      .selectExpr("merge", "explode(transform(sequence(1, size(l) - 1), i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))) AS pair")
+      // a word equal to the merge itself collapses to ONE symbol — it
+      // has no adjacent pairs left. The guard is load-bearing: Spark's
+      // sequence(1, 0) auto-steps DOWN to [1, 0] (it does not return
+      // empty like DuckDB's range), which would probe element_at 0
+      .where("size(l) >= 2")
+      .selectExpr("merge", "explode_outer(transform(sequence(1, size(l) - 1), i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))) AS pair")
       .groupBy(col("merge"), col("pair")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair")).limit(20)
   }

@@ -317,7 +317,10 @@ object Similarity {
       .selectExpr(
         "transform(embedding, x -> cast(floor(cast(x AS double) * 10000 + 0.5) AS bigint)) AS g")
       .selectExpr(
-        s"""explode(flatten(transform(sequence(1, $Dims - 1), i ->
+        // explode_outer: the fan-out is a constant 2016 structs, never
+        // empty; outer keeps InferFiltersFromGenerate from evaluating
+        // this whole expression again in a filter below the spread
+        s"""explode_outer(flatten(transform(sequence(1, $Dims - 1), i ->
            |  transform(sequence(i + 1, $Dims), j ->
            |    struct(cast(i AS bigint) AS i, cast(j AS bigint) AS j,
            |      element_at(g, i) AS x, element_at(g, j) AS y))))) AS p""".stripMargin)
