@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Schema-analysis capabilities (reference internal/analysis/):
@@ -176,7 +177,44 @@ object Analysis {
       .orderBy(col("query"), col("best_score").desc, col("p_name"))
   }
 
+  /** Quality TREND over the registration history — ScoreSchemaQuality
+    * (quality.go:25) applied per VERSION instead of per latest, with
+    * the per-subject regression report an operator like
+    * SuggestSchemaEvolution would gate on ("did quality degrade when
+    * version N landed"). Each registration event scores its payload
+    * content (token-shape naming/type ratios + content/doc heuristics
+    * + an event-class evolution component, all integer-valued); one
+    * subject-keyed window hands each version its predecessor's score;
+    * the rollup counts regressions and the worst drop. One window
+    * shuffle + one vocabulary-sized partial agg — the same
+    * versions-stream shape as every registry scan.
+    */
+  def qualityTrend(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("subject")).orderBy(col("ts"), col("event_id"))
+    val toks = split(col("content"), " ")
+    val naming = floor(lit(25) * size(filter(toks, t => t.rlike("^[a-z_]+$"))) / size(toks)).cast("int")
+    val typed = floor(lit(25) * size(filter(toks, t => t.rlike("[0-9]"))) / size(toks)).cast("int")
+    val doc = (when(col("content").contains("\"k\""), 15).otherwise(0) +
+      when(length(col("content")) > 18, 10).otherwise(0)).cast("int")
+    val evo = when(col("event_type").isin("signup", "purchase"), 25)
+      .when(col("event_type").isin("view", "click"), 15).otherwise(lit(0)).cast("int")
+    Tables.events(s, dir)
+      .select(col("user_id").as("subject"), col("ts"), col("event_id"),
+        col("event_type"),
+        concat(col("event_type"), lit(" "), col("props")).as("content"))
+      .withColumn("score", naming + typed + doc + evo)
+      .withColumn("prev", lag(col("score"), 1).over(w))
+      .groupBy(col("subject"))
+      .agg(count(lit(1)).as("n_versions"),
+        sum(when(col("prev").isNotNull && col("score") < col("prev"), 1L)
+          .otherwise(0L)).as("n_regressions"),
+        min(when(col("prev").isNotNull, col("score") - col("prev"))).as("worst_delta"),
+        max_by(col("score"), struct(col("ts"), col("event_id"))).as("last_score"))
+      .orderBy(col("subject"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "an_quality_trend" -> qualityTrend,
     "an_fuzzy_match" -> fuzzyMatch,
     "an_fuzzy_candidates" -> fuzzyCandidates,
     "an_name_normalize" -> nameNormalize,
@@ -185,6 +223,38 @@ object Analysis {
     "an_quality_score" -> qualityScore)
 
   val oracleSql: Map[String, String] = Map(
+    "an_quality_trend" ->
+      """WITH e AS (
+        |  SELECT user_id AS subject, ts, event_id, event_type,
+        |    event_type || ' ' || props AS content
+        |  FROM events),
+        |sc AS (
+        |  SELECT subject, ts, event_id,
+        |    CAST(floor(25 * len(list_filter(string_split(content, ' '),
+        |        t -> regexp_matches(t, '^[a-z_]+$'))) / len(string_split(content, ' '))) AS INT)
+        |    + CAST(floor(25 * len(list_filter(string_split(content, ' '),
+        |        t -> regexp_matches(t, '[0-9]'))) / len(string_split(content, ' '))) AS INT)
+        |    + CAST(CASE WHEN content LIKE '%"k"%' THEN 15 ELSE 0 END
+        |        + CASE WHEN length(content) > 18 THEN 10 ELSE 0 END AS INT)
+        |    + CAST(CASE WHEN event_type IN ('signup', 'purchase') THEN 25
+        |           WHEN event_type IN ('view', 'click') THEN 15 ELSE 0 END AS INT) AS score
+        |  FROM e),
+        |d AS (
+        |  SELECT subject, ts, event_id, score,
+        |    lag(score) OVER (PARTITION BY subject ORDER BY ts, event_id) AS prev
+        |  FROM sc),
+        |last AS (
+        |  SELECT subject, score AS last_score FROM (
+        |    SELECT subject, score,
+        |      row_number() OVER (PARTITION BY subject ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM sc) t WHERE rn = 1)
+        |SELECT d.subject, count(*) AS n_versions,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND score < prev THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_regressions,
+        |  min(CASE WHEN prev IS NOT NULL THEN score - prev END) AS worst_delta,
+        |  any_value(last_score) AS last_score
+        |FROM d JOIN last ON d.subject = last.subject
+        |GROUP BY d.subject ORDER BY d.subject""".stripMargin,
     "an_fuzzy_match" ->
       """SELECT p_partkey, p_name,
         |  round(1.0 - levenshtein(lower('small widget'), lower(p_name)) /

@@ -147,7 +147,53 @@ object Multimodal {
           .as("rms_max"))
       .orderBy(col("doc_id"))
 
+  /** Magic-byte content-type sniffing — the first gate of a
+    * multimodal ingest pipeline: route each binary payload by its
+    * leading signature bytes (JPEG FFD8FF, PNG 89504E47, RIFF
+    * 52494646, GIF 474946) BEFORE any decoder touches it, so the
+    * image path never receives audio and unknown blobs fall to a
+    * quarantine class instead of crashing a worker. Payloads are
+    * synthesized by prepending real signatures (per doc_id residue)
+    * to the text bytes; the sniffer is GENERIC — it reads only the
+    * payload's leading bytes, longest signature first, exactly as
+    * file(1)/libmagic dispatch.
+    *
+    * Row-local sniff on the scan (Spark hexes only the first 4
+    * bytes), one mime-vocabulary partial-agg groupBy, 1-row share
+    * denominator. At 100 TB this is the manifest-building pass that
+    * sizes each decoder fleet.
+    */
+  def typeSniff(s: SparkSession, dir: String): DataFrame = {
+    val payloads = Tables.spread(Tables.documents(s, dir))
+      .selectExpr("doc_id",
+        """concat(
+          |  CASE cast(doc_id % 5 AS int)
+          |  WHEN 0 THEN unhex('FFD8FFE0')
+          |  WHEN 1 THEN unhex('89504E47')
+          |  WHEN 2 THEN unhex('52494646')
+          |  WHEN 3 THEN unhex('47494638')
+          |  ELSE cast('' AS binary) END,
+          |  encode(text, 'UTF-8')) AS payload""".stripMargin)
+    val mimed = payloads.selectExpr("doc_id",
+      "length(payload) AS n_bytes",
+      """CASE
+        |WHEN hex(substring(payload, 1, 4)) LIKE '89504E47%' THEN 'image/png'
+        |WHEN hex(substring(payload, 1, 4)) LIKE '52494646%' THEN 'audio/riff'
+        |WHEN hex(substring(payload, 1, 3)) LIKE 'FFD8FF%' THEN 'image/jpeg'
+        |WHEN hex(substring(payload, 1, 3)) LIKE '474946%' THEN 'image/gif'
+        |ELSE 'application/octet-stream' END AS mime""".stripMargin)
+    val total = mimed.agg(count(lit(1)).as("n_corpus"))
+    mimed.groupBy(col("mime"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("total_bytes"))
+      .crossJoin(broadcast(total))
+      .withColumn("share",
+        expr("floor(n_docs / cast(n_corpus AS double) * 10000 + 0.5) / cast(10000 AS double)"))
+      .drop("n_corpus")
+      .orderBy(col("mime"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_type_sniff" -> typeSniff,
     "mm_audio_windows" -> audioWindows,
     "mm_meta_extract" -> metaExtract,
     "mm_blocks" -> blockDedup,
@@ -157,6 +203,29 @@ object Multimodal {
     * ASCII text: byte values == code points.
     */
   val oracleSql: Map[String, String] = Map(
+    "mm_type_sniff" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    (CASE CAST(doc_id % 5 AS INT)
+        |     WHEN 0 THEN unhex('FFD8FFE0')
+        |     WHEN 1 THEN unhex('89504E47')
+        |     WHEN 2 THEN unhex('52494646')
+        |     WHEN 3 THEN unhex('47494638')
+        |     ELSE unhex('') END) || encode(text) AS payload
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, octet_length(payload) AS n_bytes,
+        |    CASE
+        |    WHEN hex(payload) LIKE '89504E47%' THEN 'image/png'
+        |    WHEN hex(payload) LIKE '52494646%' THEN 'audio/riff'
+        |    WHEN hex(payload) LIKE 'FFD8FF%' THEN 'image/jpeg'
+        |    WHEN hex(payload) LIKE '474946%' THEN 'image/gif'
+        |    ELSE 'application/octet-stream' END AS mime
+        |  FROM p)
+        |SELECT mime, count(*) AS n_docs, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |  floor(count(*) / CAST((SELECT count(*) FROM documents) AS DOUBLE) * 10000 + 0.5)
+        |    / CAST(10000 AS DOUBLE) AS share
+        |FROM m GROUP BY mime ORDER BY mime""".stripMargin,
     "mm_audio_windows" ->
       """WITH w AS (
         |  SELECT doc_id, text,

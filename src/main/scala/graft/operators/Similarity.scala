@@ -339,7 +339,36 @@ object Similarity {
       .limit(20)
   }
 
+  /** Vector-norm data card — the precondition check every cosine
+    * consumer in this file silently assumes: per-label norm range,
+    * mean squared norm, and the zero-vector count (a zero norm makes
+    * cosine undefined; a collapsed norm range flags an unnormalized
+    * or truncated embedding batch). Run on every new embedding
+    * delivery BEFORE the ANN/dedup operators trust it.
+    *
+    * Parity: norms are computed on the exact 1e4 integer grid (the
+    * [[dimCorr]] discipline) — the squared-norm sum is an exact
+    * integer, min/max/mean derive from identical integers in both
+    * engines. One row-local pass + one label-keyed partial agg.
+    */
+  def normCard(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.embeddings(s, dir))
+      .selectExpr("label",
+        """aggregate(transform(embedding, x -> cast(floor(cast(x AS double) * 10000 + 0.5) AS bigint)),
+          |  cast(0 AS bigint), (a, v) -> a + v * v) AS n2""".stripMargin)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("n2") === 0, 1L).otherwise(0L)).as("n_zero"),
+        min(col("n2")).as("min2"), max(col("n2")).as("max2"),
+        sum(col("n2")).as("s2"))
+      .selectExpr("label", "n_vecs", "n_zero",
+        "round(sqrt(min2) / cast(10000 AS double), 4) AS min_norm",
+        "round(sqrt(max2) / cast(10000 AS double), 4) AS max_norm",
+        "round(s2 / (n_vecs * cast(1e8 AS double)), 4) AS mean_norm2")
+      .orderBy(col("label"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_norm_card" -> normCard,
     "emb_dim_corr" -> dimCorr,
     "ann_range_search" -> rangeSearch,
     "ann_recall_eval" -> recallEval,
@@ -483,6 +512,19 @@ object Similarity {
           |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk
           |  FROM sc) t
           |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+      "emb_norm_card" ->
+        """WITH g AS (
+          |  SELECT label,
+          |    CAST(list_sum([CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+          |                   * CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+          |                   for x in embedding]) AS BIGINT) AS n2
+          |  FROM embeddings)
+          |SELECT label, count(*) AS n_vecs,
+          |  CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+          |  round(sqrt(min(n2)) / CAST(10000 AS DOUBLE), 4) AS min_norm,
+          |  round(sqrt(max(n2)) / CAST(10000 AS DOUBLE), 4) AS max_norm,
+          |  round(sum(n2) / (count(*) * CAST(1e8 AS DOUBLE)), 4) AS mean_norm2
+          |FROM g GROUP BY label ORDER BY label""".stripMargin,
       "emb_dim_corr" ->
         """WITH e AS (
           |  SELECT vec_id,

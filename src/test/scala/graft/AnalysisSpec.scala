@@ -85,4 +85,23 @@ class AnalysisSpec extends SparkSpec {
     val gradeBad = df.filter(col("overall") >= 90 && col("grade") =!= "A")
     assert(gradeBad.count() == 0)
   }
+
+  test("quality trend accounts every version and flags real regressions") {
+    val rows = operators.Analysis.qualityTrend(spark, sfDir).collect()
+    val nEvents = graft.Tables.events(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_versions")).sum == nEvents,
+      "every registration event is a version of exactly one subject")
+    rows.foreach { r =>
+      val regs = r.getAs[Long]("n_regressions")
+      assert(regs < r.getAs[Long]("n_versions"), "v1 can never regress")
+      if (regs > 0)
+        assert(r.getAs[Int]("worst_delta") < 0,
+          "a regression means some delta went negative")
+      val last = r.getAs[Int]("last_score")
+      assert(last >= 0 && last <= 100)
+    }
+    // the event-class evolution component guarantees both directions occur
+    assert(rows.exists(_.getAs[Long]("n_regressions") > 0))
+    assert(rows.exists(r => r.getAs[Long]("n_regressions") < r.getAs[Long]("n_versions") - 1))
+  }
 }

@@ -89,4 +89,27 @@ class MultimodalSpec extends SparkSpec {
     // docs shorter than one window are excluded, all others present
     assert(rows.length == lens.count(_._2 >= 128))
   }
+
+  test("type sniffing routes every payload to its signature class") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Multimodal.typeSniff(spark, sfDir).collect()
+      .map(r => r.getAs[String]("mime") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("total_bytes"), r.getAs[Double]("share"))).toMap
+    // ground truth from the generation residues
+    val byRes = graft.Tables.documents(spark, sfDir)
+      .groupBy((col("doc_id") % 5).as("r"))
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("text"))).as("bytes"))
+      .collect().map(r => r.getAs[Long]("r") -> (r.getAs[Long]("n"), r.getAs[Long]("bytes"))).toMap
+    val expected = Map(
+      "image/jpeg" -> 0L, "image/png" -> 1L, "audio/riff" -> 2L,
+      "image/gif" -> 3L, "application/octet-stream" -> 4L)
+    expected.foreach { case (mime, res) =>
+      assert(rows(mime)._1 == byRes(res)._1, s"$mime doc count")
+      val sig = if (mime == "application/octet-stream") 0L else 4L
+      assert(rows(mime)._2 == byRes(res)._2 + sig * byRes(res)._1,
+        s"$mime byte accounting (payload = signature + text bytes)")
+    }
+    assert(math.abs(rows.values.map(_._3).sum - 1.0) < 0.001, "shares sum to ~1")
+  }
 }

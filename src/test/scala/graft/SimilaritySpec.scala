@@ -171,4 +171,19 @@ class SimilaritySpec extends SparkSpec {
     val den = math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble)
     assert(math.abs(top.getAs[Double]("r") - math.round(num / den * 10000.0) / 10000.0) < 1e-9)
   }
+
+  test("norm card covers the corpus with internally consistent ranges") {
+    val rows = Similarity.normCard(spark, sfDir).collect()
+    val corpus = graft.Tables.embeddings(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == corpus)
+    rows.foreach { r =>
+      val (lo, hi) = (r.getAs[Double]("min_norm"), r.getAs[Double]("max_norm"))
+      val m2 = r.getAs[Double]("mean_norm2")
+      assert(lo <= hi + 1e-9)
+      assert(m2 >= lo * lo - 1e-3 && m2 <= hi * hi + 1e-3,
+        "mean squared norm sits inside the squared range")
+      assert(r.getAs[Long]("n_zero") == 0, "this corpus has no zero vectors")
+      assert(lo > 0, "cosine consumers rely on nonzero norms")
+    }
+  }
 }
