@@ -308,6 +308,69 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Cross-document repeated-substring detection — the substring-level
+    * exact dedup of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better" (arXiv:2107.06499), re-expressed for a
+    * distributed engine: instead of a monolithic suffix array, hash
+    * word-8-gram postings WITH POSITIONS, join docs on shared grams,
+    * and merge hits lying on the same alignment diagonal
+    * (pos_a − pos_b) into maximal runs with the classic
+    * gaps-and-islands trick (pos_a − row_number is constant within a
+    * consecutive run). A pair is reported when its longest shared run
+    * is ≥ 16 words — long verbatim overlap that survives even when
+    * the documents as wholes are not near-duplicates (the containment
+    * case MinHash's global-Jaccard view under-weights).
+    *
+    * Scale design: postings are one row per gram position keyed by a
+    * uniform md5 hash; grams shared by more than `graft.substr.dfCap`
+    * docs (corpus boilerplate — df² pair blowup) are dropped before
+    * pairing, exactly the [[winnow]] guard; the run-merge window and
+    * its per-run aggregate share one (doc_a, doc_b, diag)-keyed
+    * exchange (the groupBy keys are a superset of the window
+    * partition keys, so EnsureRequirements inserts no second
+    * shuffle); only pair-level aggregates leave that stage.
+    */
+  def substringRuns(s: SparkSession, dir: String): DataFrame = {
+    val dfCap = s.conf.get("graft.substr.dfCap", "50").toInt
+    val grams = Tables.spread(Tables.documents(s, dir))
+      .selectExpr("doc_id", "split(text, ' ') AS ts")
+      .where("size(ts) >= 8")
+      .selectExpr("doc_id",
+        "transform(sequence(1, size(ts) - 7), i -> md5(array_join(slice(ts, i, 8), ' '))) AS ghs")
+    // posexplode_OUTER for the same reason winnow uses explode_outer:
+    // plain generates make InferFiltersFromGenerate re-derive the md5
+    // HOF chain as a pushed filter below the spread repartition.
+    // localCheckpoint: the tiny postings table feeds the df filter and
+    // both sides of the pair self-join.
+    val post = grams
+      .select(col("doc_id"), posexplode_outer(col("ghs")).as(Seq("p0", "gh")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("gh"))
+      .localCheckpoint()
+    val keep = post.groupBy(col("gh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select(col("gh"))
+    val kept = post.join(keep, Seq("gh"))
+    val hits = kept.as("a")
+      .join(kept.as("b"),
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pos_a"), (col("a.pos") - col("b.pos")).as("diag"))
+    val runs = hits
+      .withColumn("rid", col("pos_a") - row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+          .orderBy(col("pos_a"))))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("rid"))
+      .agg((count(lit(1)) + lit(7)).as("run_words"))
+    runs.groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_runs"),
+        max(col("run_words")).as("max_run_words"),
+        sum(col("run_words") - lit(7)).as("n_shared_grams"))
+      .filter(col("max_run_words") >= 16)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** URL canonicalization dedup — the frontier/manifest dedup a crawl
     * pipeline runs BEFORE fetching (or re-ingesting) anything: the
     * same logical page arrives spelled many ways (scheme/host case,
@@ -365,6 +428,7 @@ object Dedup {
       .orderBy(col("canon_url"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_substring" -> substringRuns,
     "dedup_url" -> urlDedup,
     "dedup_minhash_recall" -> minhashRecall,
     "dedup_winnow" -> winnow,
@@ -399,6 +463,31 @@ object Dedup {
       |  WHERE est_jaccard >= 0.5)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_substring" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest([i for i in range(1, len(ts) - 6)]) AS pos,
+        |    unnest([md5(array_to_string(ts[i:i+7], ' ')) for i in range(1, len(ts) - 6)]) AS gh
+        |  FROM t WHERE len(ts) >= 8),
+        |keep AS (SELECT gh FROM g GROUP BY gh HAVING count(*) <= 50),
+        |kg AS (SELECT g.* FROM g JOIN keep USING (gh)),
+        |m AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, a.pos - b.pos AS diag
+        |  FROM kg a JOIN kg b ON a.gh = b.gh AND a.doc_id < b.doc_id),
+        |r AS (
+        |  SELECT doc_a, doc_b, diag, pos_a,
+        |    pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS rid
+        |  FROM m),
+        |runs AS (
+        |  SELECT doc_a, doc_b, diag, rid, count(*) + 7 AS run_words
+        |  FROM r GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, doc_b, count(*) AS n_runs,
+        |  CAST(max(run_words) AS BIGINT) AS max_run_words,
+        |  CAST(sum(run_words - 7) AS BIGINT) AS n_shared_grams
+        |FROM runs GROUP BY 1, 2 HAVING max(run_words) >= 16
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_url" ->
       """WITH u AS (
         |  SELECT doc_id,

@@ -195,6 +195,56 @@ object TextAnalysis {
         "gtop.best AS top_bigram_count")
       .orderBy(col("doc_id"))
 
+  /** Duplicate-3-gram coverage (the other half of Gopher's repetition
+    * battery, Rae et al. 2021 §A1.1 — the "fraction of characters in
+    * duplicate n-grams" filters): [[repetition]] reports the TOP
+    * n-gram's coverage; this reports how much of the document is
+    * covered by ALL word-3-grams occurring more than once in it —
+    * counting each word position once even when overlapping duplicate
+    * grams cover it twice (the paper's "fraction of characters in
+    * duplicated n-grams", in word units so every output stays an
+    * exact integer). A high covered fraction with a low top-gram
+    * count is the "many different repeated phrases" boilerplate shape
+    * the top-gram filter misses.
+    *
+    * Scale design: deliberately NOT a row-local O(len²) HOF (the
+    * exact shape the r5 text_repetition rewrite removed) — gram
+    * occurrences explode to (doc_id, gh) rows, the dup test is one
+    * window count over that key, and coverage is a distinct-count of
+    * exploded span positions keyed by doc_id. Both shuffle keys are
+    * uniform; a 100k-token outlier doc costs O(len log len) spread
+    * over the cluster, never len² on one core.
+    */
+  def dupCoverage(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.spread(Tables.documents(s, dir))
+      .selectExpr("doc_id", "split(text, ' ') AS ts")
+      .where("size(ts) >= 3")
+      .selectExpr("doc_id", "size(ts) AS n_words",
+        "transform(sequence(1, size(ts) - 2), i -> md5(array_join(slice(ts, i, 3), ' '))) AS ghs")
+    val base = docs.select(col("doc_id"), col("n_words"))
+    val occ = docs
+      .select(col("doc_id"), posexplode_outer(col("ghs")).as(Seq("p0", "gh")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("gh"))
+    val dup = occ
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("doc_id"), col("gh"))))
+      .filter(col("cnt") >= 2)
+    val stats = dup.groupBy(col("doc_id"))
+      .agg(countDistinct(col("gh")).as("n_dup_grams"),
+        count(lit(1)).as("n_dup_occurrences"))
+    val covered = dup
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + 2)).as("wpos"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("wpos")).as("n_words_covered"))
+    base.join(stats, Seq("doc_id"), "left")
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("n_dup_occurrences"), lit(0L)).as("n_dup_occurrences"),
+        coalesce(col("n_words_covered"), lit(0L)).as("n_words_covered"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document TF-IDF keywords — the retrieval/data-card shape
     * ("what is this document about"): term frequency per (doc, word),
     * document frequency over the corpus, score = tf · ln(N/df)
@@ -235,9 +285,36 @@ object TextAnalysis {
     "text_tokens" -> tokens,
     "text_redact" -> redact,
     "text_entropy" -> entropy,
-    "text_fingerprint" -> fingerprint)
+    "text_fingerprint" -> fingerprint,
+    "text_dup_coverage" -> dupCoverage)
 
   val oracleSql: Map[String, String] = Map(
+    "text_dup_coverage" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |d AS (SELECT doc_id, len(ts) AS n_words, ts FROM t WHERE len(ts) >= 3),
+        |occ AS (
+        |  SELECT doc_id,
+        |    unnest([i for i in range(1, len(ts) - 1)]) AS pos,
+        |    unnest([md5(array_to_string(ts[i:i+2], ' ')) for i in range(1, len(ts) - 1)]) AS gh
+        |  FROM d),
+        |dup AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id, pos, gh, count(*) OVER (PARTITION BY doc_id, gh) AS cnt FROM occ) x
+        |  WHERE cnt >= 2),
+        |stats AS (
+        |  SELECT doc_id, count(DISTINCT gh) AS n_dup_grams, count(*) AS n_dup_occurrences
+        |  FROM dup GROUP BY 1),
+        |cov AS (
+        |  SELECT doc_id, count(DISTINCT wpos) AS n_words_covered
+        |  FROM (SELECT doc_id, unnest(range(pos, pos + 3)) AS wpos FROM dup) x
+        |  GROUP BY 1)
+        |SELECT d.doc_id, d.n_words,
+        |  coalesce(stats.n_dup_grams, 0) AS n_dup_grams,
+        |  coalesce(stats.n_dup_occurrences, 0) AS n_dup_occurrences,
+        |  coalesce(cov.n_words_covered, 0) AS n_words_covered
+        |FROM d LEFT JOIN stats USING (doc_id) LEFT JOIN cov USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "text_keywords" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),

@@ -125,4 +125,37 @@ class DedupSpec extends SparkSpec {
       expected.map(_.getAs[Long]("survivor")).sorted.toSeq)
     assert(got.map(_.getAs[Long]("n_urls")).sum == expected.map(_.getAs[Long]("n")).sum)
   }
+
+  test("substring runs: pair set and longest run verified against driver-side ground truth") {
+    val texts = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(' ')).toMap
+    // ground-truth pair set: docs share a >=16-word run iff they share
+    // a word-16-gram (no dfCap drops fire on this corpus: max 8-gram
+    // df is 4, far under the 50 cap)
+    val idx = scala.collection.mutable.Map.empty[String, List[Long]]
+    for ((id, ts) <- texts; i <- 0 to ts.length - 16)
+      idx.updateWith(ts.slice(i, i + 16).mkString(" "))(o => Some(id :: o.getOrElse(Nil)))
+    val expected = idx.values.flatMap { ids =>
+      val d = ids.distinct
+      for (a <- d; b <- d if a < b) yield (a, b)
+    }.toSet
+    val rows = operators.Dedup.substringRuns(spark, sfDir).collect()
+    val got = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(rows.nonEmpty, "the corpus plants long verbatim overlaps")
+    assert(got == expected, s"pair set mismatch: extra=${got.diff(expected)} missing=${expected.diff(got)}")
+    // longest reported run equals the true longest common word substring
+    rows.foreach { r =>
+      val (a, b) = (texts(r.getAs[Long]("doc_a")), texts(r.getAs[Long]("doc_b")))
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      var best = 0
+      for (i <- 1 to a.length; j <- 1 to b.length if a(i - 1) == b(j - 1)) {
+        dp(i)(j) = dp(i - 1)(j - 1) + 1
+        best = math.max(best, dp(i)(j))
+      }
+      assert(r.getAs[Long]("max_run_words") == best,
+        s"pair (${r.getAs[Long]("doc_a")},${r.getAs[Long]("doc_b")}): reported ${r.getAs[Long]("max_run_words")}, true LCS $best")
+      assert(r.getAs[Long]("n_shared_grams") >= r.getAs[Long]("max_run_words") - 7)
+    }
+  }
 }

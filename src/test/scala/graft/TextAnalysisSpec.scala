@@ -126,4 +126,26 @@ class TextAnalysisSpec extends SparkSpec {
     rows.filter(r => r.getAs[Long]("df") == byDoc.size)
       .foreach(r => assert(r.getAs[Double]("score") == 0.0))
   }
+
+  test("dup coverage matches a row-local recomputation on every document") {
+    val texts = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(' ')).toMap
+    val rows = operators.TextAnalysis.dupCoverage(spark, sfDir).collect()
+    assert(rows.length == texts.count(_._2.length >= 3))
+    var anyDup = false
+    rows.foreach { r =>
+      val ts = texts(r.getAs[Long]("doc_id"))
+      val grams = ts.sliding(3).map(_.mkString(" ")).toArray
+      val counts = grams.groupBy(identity).view.mapValues(_.length)
+      val dupPos = grams.indices.filter(i => counts(grams(i)) >= 2)
+      val covered = dupPos.flatMap(i => i until i + 3).distinct.length
+      assert(r.getAs[Int]("n_words") == ts.length)
+      assert(r.getAs[Long]("n_dup_grams") == counts.count(_._2 >= 2))
+      assert(r.getAs[Long]("n_dup_occurrences") == dupPos.length)
+      assert(r.getAs[Long]("n_words_covered") == covered)
+      if (dupPos.nonEmpty) anyDup = true
+    }
+    assert(anyDup, "the corpus contains at least one internally repetitive document")
+  }
 }
