@@ -308,6 +308,48 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Integer power by textual repeated squaring — the same arithmetic
+    * expression string evaluates in Spark SQL and DuckDB, so the
+    * S-curve probabilities below are bit-identical across engines
+    * (a shared `pow()` would lean on two different libm
+    * implementations' last-ulp behavior).
+    */
+  private def ipow(e: String, n: Int): String =
+    if (n == 1) e else { val h = ipow(e, n / 2); s"($h * $h)" }
+
+  private val lshConfigs: Seq[(Int, Int)] = Seq((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+
+  private def lshThreshold(b: Int, r: Int): Double =
+    math.floor(math.pow(1.0 / b, 1.0 / r) * 10000 + 0.5) / 10000.0
+
+  /** LSH band-tuning report — the parameter-selection card run before
+    * committing a (bands × rows) split of the MinHash signature at
+    * scale: for every factorization of the 16 permutations, the
+    * theoretical S-curve threshold (1/b)^(1/r) and the EXPECTED
+    * RECALL over this corpus's measured truth-pair similarity
+    * distribution, E[1 − (1 − s^r)^b] with s the exact 3-gram
+    * Jaccard of each true pair (≥ 0.3, [[ngramJaccardBlocked]]'s
+    * contract). Unlike the textbook curve this weights the S-curve
+    * by the similarities that actually occur, which is what decides
+    * a deployment: the registered 4×4 split's expected recall is
+    * directly comparable to [[minhashRecall]]'s measured one.
+    *
+    * Like [[minhashRecall]] this composes the pairs-complete blocked
+    * truth set — an evaluation operator for sampled/small sf, not a
+    * corpus-wide scan. All probabilities use repeated-squaring
+    * multiplication chains ([[ipow]]) — no libm pow in either engine.
+    */
+  def lshTuning(s: SparkSession, dir: String): DataFrame = {
+    val truth = ngramJaccardBlocked(s, dir).selectExpr("jaccard AS s0").localCheckpoint()
+    lshConfigs.map { case (b, r) =>
+      val p = s"(1.0 - ${ipow(s"(1.0 - ${ipow("s0", r)})", b)})"
+      truth.agg(count(lit(1)).as("n_true"),
+          (floor(avg(expr(p)) * 10000 + 0.5) / lit(10000.0)).as("exp_recall"))
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          lit(lshThreshold(b, r)).as("s_threshold"), col("n_true"), col("exp_recall"))
+    }.reduce(_ unionAll _).orderBy(col("rows_per_band"))
+  }
+
   /** Cross-document repeated-substring detection — the substring-level
     * exact dedup of Lee et al., "Deduplicating Training Data Makes
     * Language Models Better" (arXiv:2107.06499), re-expressed for a
@@ -428,6 +470,7 @@ object Dedup {
       .orderBy(col("canon_url"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_lsh_tuning" -> lshTuning,
     "dedup_substring" -> substringRuns,
     "dedup_url" -> urlDedup,
     "dedup_minhash_recall" -> minhashRecall,
@@ -462,7 +505,33 @@ object Dedup {
       |    FROM cand JOIN mh ma ON cand.doc_a = ma.doc_id JOIN mh mb ON cand.doc_b = mb.doc_id) t
       |  WHERE est_jaccard >= 0.5)""".stripMargin
 
+  private def lshTuningOracle: String = {
+    val truthCte =
+      """ngt AS (
+        |  SELECT doc_id, lang, n_chars // 50 AS len_bucket,
+        |    list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts)-1)]) AS g
+        |  FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS ts FROM documents) t
+        |  WHERE len(ts) >= 3),
+        |truth AS (
+        |  SELECT floor(jr * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS s0 FROM (
+        |    SELECT len(list_intersect(a.g, b.g))
+        |           / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS jr
+        |    FROM ngt a JOIN ngt b
+        |      ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id) x
+        |  WHERE jr >= 0.3)""".stripMargin
+    val parts = lshConfigs.map { case (b, r) =>
+      val p = s"(1.0 - ${ipow(s"(1.0 - ${ipow("s0", r)})", b)})"
+      s"""SELECT $b AS bands, $r AS rows_per_band,
+         |  CAST(${lshThreshold(b, r)} AS DOUBLE) AS s_threshold,
+         |  count(*) AS n_true,
+         |  floor(avg($p) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS exp_recall
+         |FROM truth""".stripMargin
+    }
+    s"WITH $truthCte\n${parts.mkString("\nUNION ALL\n")}\nORDER BY rows_per_band"
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "dedup_lsh_tuning" -> lshTuningOracle,
     "dedup_substring" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),

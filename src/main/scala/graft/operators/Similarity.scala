@@ -367,7 +367,74 @@ object Similarity {
         "round(s2 / (n_vecs * cast(1e8 AS double)), 4) AS mean_norm2")
       .orderBy(col("label"))
 
+  /** Product-quantization ANN with asymmetric-distance (ADC) scoring —
+    * the memory-bound half of the IVF-PQ design every billion-vector
+    * deployment runs (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011): vectors are stored as 4 one-byte
+    * codes (one per 16-dim subspace) instead of 64 floats — a 64×
+    * compression — and query-time distance is the sum of per-subspace
+    * distances between the PROBE's exact subvector and each stored
+    * code's centroid (asymmetric: only the database side is
+    * quantized). The operator reports recall@5 of ADC top-5 against
+    * exact L2 top-5 per probe — the accuracy card that licenses the
+    * compression.
+    *
+    * The codebook is deterministic sampling, not k-means: the 16
+    * database vectors with vec_id < 16 serve as the 16 centroids of
+    * every subspace (a real deployment trains per-subspace k-means;
+    * sampling keeps the oracle byte-reproducible and exercises the
+    * identical encode/score plumbing).
+    *
+    * Scale design: the codebook is ONE broadcast row (16×4×16
+    * doubles); encoding is row-local with the scan — each vector
+    * finds its per-subspace argmin against the broadcast centroids
+    * and emits 4 small ints, never shuffling a float. ADC scoring
+    * streams the coded corpus once per probe batch (probes broadcast
+    * with their exact subvectors — the per-probe LUT of the paper,
+    * here inlined); the only shuffles are the two top-5 windows and
+    * the O(probes × k) recall join.
+    */
+  def pqAdc(s: SparkSession, dir: String): DataFrame = {
+    val sub = Tables.embeddings(s, dir)
+      .selectExpr("vec_id", "cast(embedding AS array<double>) AS e")
+      .selectExpr("vec_id", "e",
+        "transform(sequence(0, 3), j -> slice(e, j * 16 + 1, 16)) AS subs")
+    val cb = broadcast(sub.where("vec_id < 16")
+      .groupBy()
+      .agg(expr("transform(array_sort(collect_list(struct(vec_id, subs))), x -> x.subs)").as("cent")))
+    def l2sub(a: String, b: String): String =
+      s"aggregate(zip_with($a, $b, (p, q) -> (p - q) * (p - q)), cast(0 AS double), (s2, x) -> s2 + x)"
+    val coded = Tables.spread(sub).crossJoin(cb)
+      .selectExpr("vec_id", "cent",
+        s"transform(sequence(0, 3), j -> transform(cent, c -> ${l2sub("element_at(subs, j + 1)", "element_at(c, j + 1)")})) AS dists")
+      .selectExpr("vec_id", "cent",
+        "transform(dists, d -> cast(array_position(d, array_min(d)) AS int)) AS code")
+    val probes = broadcast(sub.where("vec_id < 10")
+      .selectExpr("vec_id AS probe_id", "e AS pe", "subs AS psubs"))
+    val wA = Window.partitionBy(col("probe_id")).orderBy(col("ad"), col("vec_id"))
+    val atop = coded.join(probes, col("probe_id") =!= col("vec_id"))
+      .selectExpr("probe_id", "vec_id",
+        s"""aggregate(sequence(0, 3), cast(0 AS double), (acc, j) ->
+           |  acc + ${l2sub("element_at(psubs, j + 1)",
+                            "element_at(element_at(cent, element_at(code, j + 1)), j + 1)")}) AS ad""".stripMargin)
+      .withColumn("rnk", row_number().over(wA)).where(col("rnk") <= 5)
+      .select(col("probe_id"), col("vec_id"))
+    val wE = Window.partitionBy(col("probe_id")).orderBy(col("d"), col("vec_id"))
+    val etop = Tables.spread(sub).join(probes, col("probe_id") =!= col("vec_id"))
+      .selectExpr("probe_id", "vec_id",
+        "aggregate(zip_with(pe, e, (a, b) -> (a - b) * (a - b)), cast(0 AS double), (acc, x) -> acc + x) AS d")
+      .withColumn("rnk", row_number().over(wE)).where(col("rnk") <= 5)
+      .select(col("probe_id"), col("vec_id"))
+    etop.join(atop.withColumn("hit", lit(1)), Seq("probe_id", "vec_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .selectExpr("probe_id", "cast(n_hit AS bigint) AS n_hit",
+        "floor(n_hit / cast(5 AS double) * 10000 + 0.5) / cast(10000 AS double) AS recall5")
+      .orderBy(col("probe_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_pq_adc" -> pqAdc,
     "emb_norm_card" -> normCard,
     "emb_dim_corr" -> dimCorr,
     "ann_range_search" -> rangeSearch,
@@ -388,6 +455,35 @@ object Similarity {
         |         THEN 1 ELSE -1 END AS wt
         |  FROM (SELECT unnest(range(0, 8)) AS p), (SELECT unnest(range(0, 64)) AS d))""".stripMargin
     Map(
+      "ann_pq_adc" ->
+        """WITH e AS (
+          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+          |sub AS (
+          |  SELECT vec_id, e, [e[j*16+1 : j*16+16] for j in range(0, 4)] AS subs FROM e),
+          |cb AS (SELECT list(subs ORDER BY vec_id) AS cent FROM sub WHERE vec_id < 16),
+          |dists AS (
+          |  SELECT vec_id,
+          |    [[ list_sum([ (subs[j+1][i] - c[j+1][i]) * (subs[j+1][i] - c[j+1][i]) for i in range(1, 17) ]) for c in cent ] for j in range(0, 4)] AS dists
+          |  FROM sub, cb),
+          |coded AS (
+          |  SELECT vec_id, [ list_position(d, list_min(d)) for d in dists ] AS code FROM dists),
+          |probes AS (SELECT vec_id AS probe_id, e AS pe, subs AS psubs FROM sub WHERE vec_id < 10),
+          |adc AS (
+          |  SELECT probe_id, c.vec_id,
+          |    list_sum([ list_sum([ (psubs[j+1][i] - cent[code[j+1]][j+1][i]) * (psubs[j+1][i] - cent[code[j+1]][j+1][i]) for i in range(1, 17) ]) for j in range(0, 4)]) AS ad
+          |  FROM probes, coded c, cb WHERE probe_id <> c.vec_id),
+          |atop AS (SELECT probe_id, vec_id FROM (
+          |  SELECT probe_id, vec_id, row_number() OVER (PARTITION BY probe_id ORDER BY ad, vec_id) AS rn FROM adc) t WHERE rn <= 5),
+          |exact AS (
+          |  SELECT probe_id, v.vec_id,
+          |    list_sum([ (pe[i] - v.e[i]) * (pe[i] - v.e[i]) for i in range(1, 65) ]) AS d
+          |  FROM probes, e v WHERE probe_id <> v.vec_id),
+          |etop AS (SELECT probe_id, vec_id FROM (
+          |  SELECT probe_id, vec_id, row_number() OVER (PARTITION BY probe_id ORDER BY d, vec_id) AS rn FROM exact) t WHERE rn <= 5)
+          |SELECT e2.probe_id, CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+          |  floor(count(a.vec_id) / CAST(5 AS DOUBLE) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS recall5
+          |FROM etop e2 LEFT JOIN atop a ON e2.probe_id = a.probe_id AND e2.vec_id = a.vec_id
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
       "emb_outliers" ->
         """WITH x AS (
           |  SELECT vec_id, label, CAST(i AS BIGINT) AS pos, CAST(embedding[i] AS DOUBLE) AS x

@@ -126,6 +126,36 @@ class DedupSpec extends SparkSpec {
     assert(got.map(_.getAs[Long]("n_urls")).sum == expected.map(_.getAs[Long]("n")).sum)
   }
 
+  test("lsh tuning: S-curve report consistent with the blocked truth set") {
+    val rows = operators.Dedup.lshTuning(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("rows_per_band"))
+    assert(rows.length == 5)
+    assert(rows.map(r => (r.getAs[Int]("bands"), r.getAs[Int]("rows_per_band"))).toSeq ==
+      Seq((16, 1), (8, 2), (4, 4), (2, 8), (1, 16)))
+    val nTrue = rows.head.getAs[Long]("n_true")
+    assert(rows.forall(_.getAs[Long]("n_true") == nTrue), "same truth set for every config")
+    assert(nTrue > 0)
+    // more, shorter bands → lower threshold and higher expected recall
+    val thr = rows.map(_.getAs[Double]("s_threshold"))
+    val rec = rows.map(_.getAs[Double]("exp_recall"))
+    assert(thr.sliding(2).forall { case Array(a, b) => a < b; case _ => true })
+    assert(rec.sliding(2).forall { case Array(a, b) => a >= b - 1e-9; case _ => true },
+      s"expected recall must not increase with rows_per_band: ${rec.toSeq}")
+    assert(thr.last == 1.0 && rec.forall(r => r >= 0 && r <= 1))
+    // cross-check one config against a driver-side recomputation
+    val sims = operators.Dedup.ngramJaccardBlocked(spark, sfDir)
+      .select("jaccard").collect().map(_.getDouble(0))
+    assert(sims.length == nTrue)
+    val p44 = sims.map { s0 =>
+      val s4 = (s0 * s0) * (s0 * s0)
+      val q = 1.0 - s4
+      1.0 - (q * q) * (q * q)
+    }.sum / sims.length
+    val got44 = rows(2).getAs[Double]("exp_recall")
+    assert(math.abs(got44 - math.floor(p44 * 10000 + 0.5) / 10000.0) <= 1e-4,
+      s"(4,4) expected recall: reported $got44, recomputed $p44")
+  }
+
   test("substring runs: pair set and longest run verified against driver-side ground truth") {
     val texts = graft.Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()

@@ -186,4 +186,42 @@ class SimilaritySpec extends SparkSpec {
       assert(lo > 0, "cosine consumers rely on nonzero norms")
     }
   }
+
+  test("pq adc recall matches a full driver-side PQ recomputation") {
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding AS array<double>) AS e").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1).toArray).toMap
+    def sub(v: Array[Double], j: Int): Array[Double] = v.slice(j * 16, j * 16 + 16)
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }; s
+    }
+    val cent = (0L until 16L).map(vecs).toArray
+    val code = vecs.map { case (id, v) =>
+      id -> (0 until 4).map { j =>
+        val ds = cent.map(c => l2(sub(v, j), sub(c, j)))
+        ds.indexOf(ds.min) // smallest centroid wins ties, as array_position does
+      }.toArray
+    }
+    def top5(scores: Map[Long, Double]): Set[Long] =
+      scores.toSeq.sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSet
+    val expected = (0L until 10L).map { p =>
+      val pv = vecs(p)
+      val others = vecs.keySet - p
+      val exact = top5(others.map(id => id -> l2(pv, vecs(id))).toMap)
+      val adc = top5(others.map { id =>
+        id -> (0 until 4).map(j => l2(sub(pv, j), sub(cent(code(id)(j)), j))).sum
+      }.toMap)
+      p -> (exact intersect adc).size.toLong
+    }.toMap
+    val rows = Similarity.pqAdc(spark, sfDir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val p = r.getAs[Long]("probe_id")
+      assert(r.getAs[Long]("n_hit") == expected(p),
+        s"probe $p: reported ${r.getAs[Long]("n_hit")}, recomputed ${expected(p)}")
+      assert(r.getAs[Double]("recall5") == expected(p) / 5.0)
+    }
+    assert(rows.map(_.getAs[Long]("n_hit")).sum > 0, "ADC must recover some exact neighbors")
+  }
 }
