@@ -473,7 +473,28 @@ object Audit {
       .orderBy(col("category"), col("name"))
   }
 
+  /** Apdex satisfaction score per endpoint class (the Apdex standard:
+    * satisfied ≤ T, tolerating ≤ 4T, score = (sat + tol/2) / n) over
+    * the request-duration metric the reference's histograms track
+    * (metrics.go request-duration observe sites). T = 50 duration
+    * units. Counts stay integers; only the final score rounds, so
+    * cross-engine parity is exact. One partial-aggregated shuffle on
+    * the bounded event-type key — scan-bound at any scale.
+    */
+  def apdex(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_requests"),
+        sum(when(col("value") <= 50.0, 1L).otherwise(0L)).as("n_satisfied"),
+        sum(when(col("value") > 50.0 && col("value") <= 200.0, 1L).otherwise(0L)).as("n_tolerating"),
+        sum(when(col("value") > 200.0, 1L).otherwise(0L)).as("n_frustrated"))
+      .withColumn("apdex",
+        floor((col("n_satisfied") + col("n_tolerating") / lit(2.0))
+          / col("n_requests") * 10000 + 0.5) / lit(10000.0))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "metrics_apdex" -> apdex,
     "metrics_rate_alert" -> rateAlert,
     "metrics_prom_parse" -> promParse,
     "audit_growth" -> growth,
@@ -495,6 +516,15 @@ object Audit {
     "metrics_rate_1m" -> rate1m)
 
   val oracleSql: Map[String, String] = Map(
+    "metrics_apdex" ->
+      """SELECT event_type, count(*) AS n_requests,
+        |  sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END) AS n_satisfied,
+        |  sum(CASE WHEN value > 50.0 AND value <= 200.0 THEN 1 ELSE 0 END) AS n_tolerating,
+        |  sum(CASE WHEN value > 200.0 THEN 1 ELSE 0 END) AS n_frustrated,
+        |  floor((sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END)
+        |         + sum(CASE WHEN value > 50.0 AND value <= 200.0 THEN 1 ELSE 0 END) / 2.0)
+        |        / count(*) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS apdex
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "metrics_rate_alert" ->
       """WITH m AS (
         |  SELECT date_trunc('minute', ts) AS minute, event_type, count(*) AS n_events

@@ -67,7 +67,25 @@ object Streaming {
       .orderBy(col("subject"), col("version"))
   }
 
+  /** Batch face of the mapGroupsWithState latest-per-key upsert view:
+    * the complete history collapses to one row per user — exactly
+    * what the streaming query's state holds after the same events.
+    * The oracle reproduces it relationally (rank-1 window for the
+    * latest event, plain rollup for the running aggregates).
+    */
+  def latestState(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val evts = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"), col("event_id"))
+      .as[EventStream.VEvt]
+    EventStream.latestStateful(evts).toDF()
+      .select(col("user_id"), col("last_ts"), col("last_type"), col("last_value"),
+        col("n_events"), round(col("total_raw"), 4).as("total_value"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_latest_state" -> latestState,
     "stream_window_counts" -> windowCounts,
     "stream_enrich_counts" -> enrichCounts,
     "stream_sessions" -> sessions,
@@ -77,6 +95,17 @@ object Streaming {
   val oracleSql: Map[String, String] = Map(
     // the incremental gate must agree with the relational scan exactly
     "stream_compat" -> Compat.oracleSql("compat_scan"),
+    "stream_latest_state" ->
+      """WITH r AS (
+        |  SELECT user_id, ts, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |a AS (
+        |  SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
+        |  FROM events GROUP BY 1)
+        |SELECT r.user_id, r.ts AS last_ts, r.event_type AS last_type,
+        |  r.value AS last_value, a.n_events, a.total_value
+        |FROM r JOIN a USING (user_id) WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "stream_window_counts" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  count(*) AS n_events, round(sum(value), 4) AS total_value

@@ -70,6 +70,43 @@ object EventStream {
         col("c_mktsegment").as("segment"))),
       Seq("user_id"))
 
+  final case class VEvt(user_id: Long, ts: java.sql.Timestamp, event_type: String,
+    value: Double, event_id: Long)
+  final case class LatestState(lastUs: Long, lastId: Long, lastType: String,
+    lastValue: Double, n: Long, total: Double)
+  final case class LatestOut(user_id: Long, last_ts: java.sql.Timestamp,
+    last_type: String, last_value: Double, n_events: Long, total_raw: Double)
+
+  /** Streaming materialized upsert — the "latest value per key" view
+    * every CDC/compaction sink maintains: one mapGroupsWithState row
+    * per key carrying the most recent event (by (ts, event_id), so
+    * ties are deterministic) plus running count/total. In streaming
+    * Update mode each micro-batch re-emits only the keys it touched;
+    * the sink applies them as upserts. State is O(1) per key — the
+    * shape that scales to any key cardinality the state store holds,
+    * unlike buffering events. In batch each group sees its complete
+    * history and emits exactly the final state.
+    */
+  def latestStateful(events: Dataset[VEvt]): Dataset[LatestOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[LatestState, LatestOut](GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evts: Iterator[VEvt], state: GroupState[LatestState]) =>
+          var st = state.getOption.getOrElse(
+            LatestState(Long.MinValue, Long.MinValue, "", 0.0, 0L, 0.0))
+          evts.foreach { e =>
+            val t = toMicros(e.ts)
+            if (t > st.lastUs || (t == st.lastUs && e.event_id > st.lastId))
+              st = st.copy(lastUs = t, lastId = e.event_id,
+                lastType = e.event_type, lastValue = e.value)
+            st = st.copy(n = st.n + 1, total = st.total + e.value)
+          }
+          state.update(st)
+          LatestOut(uid, fromMicros(st.lastUs), st.lastType, st.lastValue, st.n, st.total)
+      }
+  }
+
   final case class Evt(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,

@@ -193,4 +193,23 @@ class AuditSpec extends SparkSpec {
     // and the degenerate uniform stream produces zero alerts
     assert(operators.Audit.rateAlert(spark, sfDir).count() == 0)
   }
+
+  test("apdex: class counts partition the requests and score matches recomputation") {
+    val vals = Tables.events(spark, sfDir)
+      .select("event_type", "value").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Double]("value")))
+      .groupBy(_._1)
+    val rows = operators.Audit.apdex(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("event_type")).toSet == vals.keySet)
+    rows.foreach { r =>
+      val vs = vals(r.getAs[String]("event_type")).map(_._2)
+      val (n, sat, tol, fru) = (r.getAs[Long]("n_requests"), r.getAs[Long]("n_satisfied"),
+        r.getAs[Long]("n_tolerating"), r.getAs[Long]("n_frustrated"))
+      assert(n == vs.length && sat + tol + fru == n)
+      assert(sat == vs.count(_ <= 50.0) && fru == vs.count(_ > 200.0))
+      val score = math.floor((sat + tol / 2.0) / n * 10000 + 0.5) / 10000.0
+      assert(r.getAs[Double]("apdex") == score)
+      assert(score >= 0.0 && score <= 1.0)
+    }
+  }
 }

@@ -185,4 +185,41 @@ class StreamingSpec extends SparkSpec {
       assert(segs == Set((0L, "BUILDING"), (2L, "MACHINERY")))
     } finally q.stop()
   }
+
+  test("latest-state upsert view updates per key across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import EventStream.{LatestOut, VEvt}
+    val stream = MemoryStream[VEvt]
+    val q = EventStream.latestStateful(stream.toDS())
+      .writeStream.format("memory").queryName("latest")
+      .outputMode("update").start()
+    try {
+      stream.addData(VEvt(1L, ts(5), "click", 1.5, 10L), VEvt(1L, ts(3), "view", 2.0, 11L))
+      q.processAllAvailable()
+      stream.addData(VEvt(2L, ts(7), "view", 3.0, 12L))
+      q.processAllAvailable()
+      // late event for user 1: must NOT displace the ts(5) latest, but
+      // must fold into count/total; same-ts tie broken by event_id
+      stream.addData(VEvt(1L, ts(4), "view", 4.0, 13L), VEvt(2L, ts(7), "click", 5.0, 14L))
+      q.processAllAvailable()
+      // Update mode re-emits a key's row each batch it changes; the
+      // upsert view is the LAST row per key
+      val out = spark.table("latest").as[LatestOut].collect()
+        .groupBy(_.user_id).map { case (k, rs) => k -> rs.maxBy(_.n_events) }
+      assert(out(1L).last_ts == ts(5) && out(1L).last_type == "click")
+      assert(out(1L).n_events == 3L && math.abs(out(1L).total_raw - 7.5) < 1e-12)
+      assert(out(2L).last_ts == ts(7) && out(2L).last_type == "click",
+        "same-timestamp tie must resolve to the higher event_id")
+      assert(out(2L).n_events == 2L)
+    } finally q.stop()
+  }
+
+  test("batch latest-state face collapses to one row per user and covers all events") {
+    val df = operators.Streaming.latestState(spark, sfDir)
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(df.count() == users)
+    val total = df.agg(sum("n_events")).head().getLong(0)
+    assert(total == Tables.events(spark, sfDir).count())
+  }
 }
