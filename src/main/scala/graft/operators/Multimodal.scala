@@ -192,7 +192,47 @@ object Multimodal {
       .orderBy(col("mime"))
   }
 
+  /** Inference micro-batch planning over the media corpus — the
+    * data-loading step between storage and a GPU decode/embed pass:
+    * payloads are routed by sniffed content type (same magic-byte
+    * classification as [[typeSniff]] — a batch must be type-
+    * homogeneous to share a decoder) and packed in doc_id order into
+    * batches holding at most 4 KiB of payload (the accelerator-memory
+    * budget; production sizes differ, the plan shape doesn't). An
+    * item larger than the budget gets a batch of its own — the
+    * div-based prefix-sum assignment does this naturally.
+    *
+    * Scale: one running-sum window per mime class and a rollup on
+    * (mime, batch_id) riding the same exchange — [[graft.operators.
+    * Pipeline.packSequences]]' planner shape, applied to bytes.
+    */
+  def batchPlan(s: SparkSession, dir: String): DataFrame = {
+    val mimed = Tables.spread(Tables.documents(s, dir))
+      .selectExpr("doc_id",
+        """length(concat(
+          |  CASE cast(doc_id % 5 AS int)
+          |  WHEN 0 THEN unhex('FFD8FFE0')
+          |  WHEN 1 THEN unhex('89504E47')
+          |  WHEN 2 THEN unhex('52494646')
+          |  WHEN 3 THEN unhex('47494638')
+          |  ELSE cast('' AS binary) END,
+          |  encode(text, 'UTF-8'))) AS n_bytes""".stripMargin,
+        """CASE cast(doc_id % 5 AS int)
+          |WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png'
+          |WHEN 2 THEN 'audio/riff' WHEN 3 THEN 'image/gif'
+          |ELSE 'application/octet-stream' END AS mime""".stripMargin)
+    mimed
+      .withColumn("batch_id", expr(
+        "(sum(n_bytes) OVER (PARTITION BY mime ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_bytes) div 4096"))
+      .groupBy(col("mime"), col("batch_id"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("n_bytes")).as("total_bytes"),
+        max(col("n_bytes")).as("max_item_bytes"))
+      .orderBy(col("mime"), col("batch_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_batch_plan" -> batchPlan,
     "mm_type_sniff" -> typeSniff,
     "mm_audio_windows" -> audioWindows,
     "mm_meta_extract" -> metaExtract,
@@ -203,6 +243,24 @@ object Multimodal {
     * ASCII text: byte values == code points.
     */
   val oracleSql: Map[String, String] = Map(
+    "mm_batch_plan" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    strlen(text) + CASE WHEN doc_id % 5 < 4 THEN 4 ELSE 0 END AS n_bytes,
+        |    CASE CAST(doc_id % 5 AS INT)
+        |      WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png'
+        |      WHEN 2 THEN 'audio/riff' WHEN 3 THEN 'image/gif'
+        |      ELSE 'application/octet-stream' END AS mime
+        |  FROM documents),
+        |b AS (
+        |  SELECT mime, doc_id, n_bytes,
+        |    (sum(n_bytes) OVER (PARTITION BY mime ORDER BY doc_id
+        |       ROWS UNBOUNDED PRECEDING) - n_bytes) // 4096 AS batch_id
+        |  FROM m)
+        |SELECT mime, batch_id, count(*) AS n_items,
+        |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(max(n_bytes) AS BIGINT) AS max_item_bytes
+        |FROM b GROUP BY 1, 2 ORDER BY mime, batch_id""".stripMargin,
     "mm_type_sniff" ->
       """WITH p AS (
         |  SELECT doc_id,

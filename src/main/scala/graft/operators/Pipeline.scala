@@ -393,6 +393,42 @@ object Pipeline {
       .orderBy(col("lang"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): rank each
+    * language's documents by the unigram-LM score ([[textLogprob]],
+    * the engine's stand-in for the paper's KenLM perplexity) and cut
+    * into head / middle / tail tertiles — the quality strata CCNet
+    * keeps, samples, and drops respectively. Rank-based `ntile`, not
+    * interpolated percentile thresholds: both engines implement the
+    * same SQL ntile distribution, so bucket boundaries are exactly
+    * reproducible (an interpolated threshold would hang parity on
+    * libm-level arithmetic-order differences).
+    *
+    * Scale: the per-doc score is one (vocab-broadcast) scan; the
+    * tertile window partitions by language. For corpora where one
+    * language's stream is too large for a single sort partition, the
+    * production form replaces ntile with approx_percentile cutpoints
+    * — same report, sketch-bounded ranking (the [[corpusStatsApprox]]
+    * pattern).
+    */
+  def pplBuckets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lp = textLogprob(s, dir)
+    val langs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("avg_logp").desc, col("doc_id"))
+    lp.join(langs, "doc_id")
+      .withColumn("bucket_id", ntile(3).over(w))
+      .groupBy(col("lang"), col("bucket_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("avg_logp")).as("lo_logp"),
+        max(col("avg_logp")).as("hi_logp"),
+        (floor(avg(col("avg_logp")) * 10000 + 0.5) / lit(10000.0)).as("mean_logp"))
+      .selectExpr("lang", "bucket_id",
+        "CASE bucket_id WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket",
+        "n_docs", "total_tokens", "lo_logp", "hi_logp", "mean_logp")
+      .orderBy(col("lang"), col("bucket_id"))
+  }
+
   /** End-to-end corpus selection funnel — the composition a pipeline
     * user actually runs: language filter → length filter → duplicate
     * removal (non-canonical cluster members drop) → deterministic 50%
@@ -674,6 +710,7 @@ object Pipeline {
     "tok_shard_plan" -> tokShardPlan,
     "corpus_stats" -> corpusStats,
     "dedup_survivors" -> dedupSurvivors,
+    "corpus_ppl_buckets" -> pplBuckets,
     "text_logprob" -> textLogprob,
     "sample_temp" -> sampleTemp,
     "text_decontaminate" -> textDecontaminate,
@@ -684,6 +721,24 @@ object Pipeline {
     "text_chunks" -> chunkOverlap,
     "text_boilerplate" -> textBoilerplate,
     "emb_centroids" -> embCentroids)
+
+  /** The unigram-LM per-doc log-prob derivation as a DuckDB CTE chain
+    * ending in `lp(doc_id, n_tokens, avg_logp)` — shared by the
+    * text_logprob oracle and the perplexity-bucket oracle.
+    */
+  private val logprobCte: String =
+    """tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |counts AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t),
+      |vocab AS (SELECT t, cnt FROM counts ORDER BY cnt DESC, t LIMIT 1000),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM counts),
+      |sc AS (
+      |  SELECT tok.doc_id, ln(coalesce(vocab.cnt, 0.5) / (SELECT n FROM tot)) AS lp
+      |  FROM tok LEFT JOIN vocab ON tok.t = vocab.t),
+      |lp AS (
+      |  SELECT doc_id, count(*) AS n_tokens,
+      |    floor(avg(lp) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS avg_logp
+      |  FROM sc GROUP BY doc_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "tok_vocab_coverage" ->
@@ -756,17 +811,22 @@ object Pipeline {
         |  greatest(0, target_tokens - avail_tokens) AS shortfall_single_epoch
         |FROM p ORDER BY source""".stripMargin,
     "text_logprob" ->
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
-        |counts AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t),
-        |vocab AS (SELECT t, cnt FROM counts ORDER BY cnt DESC, t LIMIT 1000),
-        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM counts),
-        |sc AS (
-        |  SELECT tok.doc_id, ln(coalesce(vocab.cnt, 0.5) / (SELECT n FROM tot)) AS lp
-        |  FROM tok LEFT JOIN vocab ON tok.t = vocab.t)
-        |SELECT doc_id, count(*) AS n_tokens,
-        |  floor(avg(lp) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS avg_logp
-        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $logprobCte
+        |SELECT doc_id, n_tokens, avg_logp FROM lp ORDER BY doc_id""".stripMargin,
+    "corpus_ppl_buckets" ->
+      s"""WITH $logprobCte,
+        |j AS (
+        |  SELECT d.lang, lp.doc_id, lp.n_tokens, lp.avg_logp
+        |  FROM lp JOIN documents d ON lp.doc_id = d.doc_id),
+        |b AS (
+        |  SELECT *, ntile(3) OVER (PARTITION BY lang ORDER BY avg_logp DESC, doc_id) AS bucket_id
+        |  FROM j)
+        |SELECT lang, bucket_id,
+        |  CASE bucket_id WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  min(avg_logp) AS lo_logp, max(avg_logp) AS hi_logp,
+        |  floor(avg(avg_logp) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS mean_logp
+        |FROM b GROUP BY 1, 2, 3 ORDER BY lang, bucket_id""".stripMargin,
     "sample_temp" ->
       """WITH s AS (
         |  SELECT lang, count(*) AS n_docs,

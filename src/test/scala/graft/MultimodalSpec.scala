@@ -112,4 +112,22 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(math.abs(rows.values.map(_._3).sum - 1.0) < 0.001, "shares sum to ~1")
   }
+
+  test("batch plan: budget respected, batches contiguous, corpus fully covered") {
+    val rows = operators.Multimodal.batchPlan(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_items")).sum ==
+      Tables.documents(spark, sfDir).count())
+    rows.foreach { r =>
+      val (items, total, mx) = (r.getAs[Long]("n_items"),
+        r.getAs[Long]("total_bytes"), r.getAs[Int]("max_item_bytes"))
+      assert(mx <= total && items >= 1)
+      // a batch only exceeds the byte budget by its final item (the
+      // prefix-sum div boundary) — never by a whole extra item
+      assert(total - mx < 4096, s"batch ${r.getAs[String]("mime")}/${r.getAs[Long]("batch_id")} overfilled")
+    }
+    rows.groupBy(_.getAs[String]("mime")).foreach { case (m, rs) =>
+      val ids = rs.map(_.getAs[Long]("batch_id")).sorted
+      assert(ids.head == 0 && ids.toSeq == (0L to ids.last).toSeq, s"$m: batch ids not contiguous")
+    }
+  }
 }

@@ -368,4 +368,31 @@ class PipelineSpec extends SparkSpec {
     val again = operators.Pipeline.sampleSplit(spark, sfDir).collect()
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("ppl buckets: tertiles partition each language and order by score") {
+    val rows = operators.Pipeline.pplBuckets(spark, sfDir).collect()
+    val perLang = graft.Tables.documents(spark, sfDir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    assert(byLang.keySet == perLang.keySet)
+    byLang.foreach { case (lang, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("bucket_id"))
+      assert(sorted.map(_.getAs[String]("bucket")).toSeq == Seq("head", "middle", "tail"))
+      assert(sorted.map(_.getAs[Long]("n_docs")).sum == perLang(lang))
+      // SQL ntile: earlier buckets never smaller than later ones
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a.getAs[Long]("n_docs") >= b.getAs[Long]("n_docs"); case _ => true
+      })
+      // head holds the best (highest) scores: ranges must not overlap upward
+      assert(sorted.sliding(2).forall {
+        case Array(hi, lo) => hi.getAs[Double]("lo_logp") >= lo.getAs[Double]("hi_logp")
+        case _ => true
+      }, s"$lang: bucket score ranges out of order")
+      sorted.foreach { r =>
+        assert(r.getAs[Double]("lo_logp") <= r.getAs[Double]("mean_logp") + 1e-4)
+        assert(r.getAs[Double]("mean_logp") <= r.getAs[Double]("hi_logp") + 1e-4)
+      }
+    }
+  }
 }
