@@ -433,7 +433,50 @@ object Similarity {
       .orderBy(col("probe_id"))
   }
 
+  /** One matrix-free power-iteration step toward the corpus's top
+    * principal direction — the dimensionality diagnostic run before
+    * trusting cosine geometry (a dominant direction concentrating
+    * mass is the classic anisotropy failure of embedding spaces).
+    * For the N×64 matrix X on the 4dp integer grid ([[dimCorr]]'s
+    * grid), the N-scaled centered scatter is C = N·XᵀX − ssᵀ with
+    * s = Xᵀ1; the step computes v₁ = C·1 WITHOUT materializing C:
+    * v₁ = N·Xᵀ(X·1) − s·(sᵀ1), i.e. one per-vector row sum t, one
+    * per-dimension pass accumulating Σ q·t, and 64-row arithmetic.
+    * Every sum is exact 64-bit integer (|q| ≤ 10⁴ bounds all
+    * magnitudes through sf1), so both engines agree bit-for-bit;
+    * only the final normalization divides doubles, folded over the
+    * 64 components in dimension order for a deterministic norm.
+    *
+    * Scale: this is how power iteration actually runs on a
+    * 1000-executor corpus — matrix-vector products against X
+    * streamed per partition with a 64-slot partial aggregate; the
+    * 64×64 scatter never exists. Further steps re-enter the same
+    * pass with v₁ broadcast (in doubles once magnitudes outgrow the
+    * exact-integer window).
+    */
+  def pcaPower(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.spread(Tables.embeddings(s, dir))
+      .selectExpr("transform(embedding, x -> cast(floor(cast(x AS double) * 10000 + 0.5) AS bigint)) AS g")
+      .selectExpr("g", "aggregate(g, cast(0 AS bigint), (acc, x) -> acc + x) AS t")
+    val rows = g.select(col("t"), posexplode_outer(col("g")).as(Seq("p0", "q")))
+      .selectExpr("cast(p0 + 1 AS bigint) AS dim", "q", "t")
+    val perDim = rows.groupBy(col("dim"))
+      .agg(sum(col("q")).as("s"), sum(col("q") * col("t")).as("u"), count(lit(1)).as("n"))
+    val tot = perDim.agg(sum(col("s")).as("bigS"), max(col("n")).as("nvec"))
+    val v1 = perDim.crossJoin(broadcast(tot))
+      .select(col("dim"), col("s"), (col("nvec") * col("u") - col("s") * col("bigS")).as("v1"))
+    val norm = v1.agg(expr(
+      """aggregate(transform(array_sort(collect_list(struct(dim, v1))),
+        |  x -> cast(x.v1 AS double) * cast(x.v1 AS double)),
+        |  cast(0 AS double), (acc, x) -> acc + x)""".stripMargin).as("nsq"))
+    v1.crossJoin(broadcast(norm))
+      .select(col("dim"), col("s").as("sum_q"), col("v1"),
+        (floor(col("v1") / sqrt(col("nsq")) * 10000 + 0.5) / lit(10000.0)).as("loading"))
+      .orderBy(col("dim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_pca_power" -> pcaPower,
     "ann_pq_adc" -> pqAdc,
     "emb_norm_card" -> normCard,
     "emb_dim_corr" -> dimCorr,
@@ -455,6 +498,25 @@ object Similarity {
         |         THEN 1 ELSE -1 END AS wt
         |  FROM (SELECT unnest(range(0, 8)) AS p), (SELECT unnest(range(0, 64)) AS d))""".stripMargin
     Map(
+      "emb_pca_power" ->
+        """WITH g AS (
+          |  SELECT vec_id,
+          |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS g
+          |  FROM embeddings),
+          |tt AS (SELECT vec_id, g, CAST(list_sum(g) AS BIGINT) AS t FROM g),
+          |rows_ AS (
+          |  SELECT vec_id, unnest([i for i in range(1, 65)]) AS dim, unnest(g) AS q, t FROM tt),
+          |perdim AS (
+          |  SELECT dim, CAST(sum(q) AS BIGINT) AS s, CAST(sum(q * t) AS BIGINT) AS u, count(*) AS n
+          |  FROM rows_ GROUP BY 1),
+          |tot AS (SELECT CAST(sum(s) AS BIGINT) AS bigS, max(n) AS nvec FROM perdim),
+          |v1 AS (SELECT dim, s, nvec * u - s * bigS AS v1 FROM perdim, tot),
+          |nrm AS (
+          |  SELECT list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+          |                   for x in (SELECT list(v1 ORDER BY dim) FROM v1)]) AS nsq)
+          |SELECT dim, s AS sum_q, v1,
+          |  floor(v1 / sqrt(nsq) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS loading
+          |FROM v1, nrm ORDER BY dim""".stripMargin,
       "ann_pq_adc" ->
         """WITH e AS (
           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),

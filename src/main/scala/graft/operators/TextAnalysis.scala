@@ -245,6 +245,49 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document character-class profile — the C4-style page
+    * preconditions (Raffel et al. 2020 filter pages on punctuation /
+    * alphabetic-character ratios before any model-based scoring):
+    * counts of alphabetic, digit, whitespace, punctuation and other
+    * characters, all exact integers from one codegen'd
+    * regexp_extract_all pass per class, row-local with the scan.
+    * Ratio thresholds belong to the consumer.
+    */
+  def charClasses(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(s, dir))
+      .selectExpr("doc_id",
+        "length(text) AS n_chars_total",
+        "size(regexp_extract_all(text, '[a-zA-Z]', 0)) AS n_alpha",
+        "size(regexp_extract_all(text, '[0-9]', 0)) AS n_digit",
+        "size(regexp_extract_all(text, ' ', 0)) AS n_space",
+        "size(regexp_extract_all(text, '[.,;:!?]', 0)) AS n_punct")
+      .selectExpr("doc_id", "n_chars_total", "n_alpha", "n_digit", "n_space", "n_punct",
+        "n_chars_total - n_alpha - n_digit - n_space - n_punct AS n_other")
+      .orderBy(col("doc_id"))
+
+  /** Tokenizer fertility per corpus stratum — chars-per-token and
+    * subwords-per-word for the BPE-ish tokenization of [[tokens]],
+    * the efficiency card that decides tokenizer/vocab fit per
+    * language and source (fertility regressions are how bad
+    * segmentation of a new language shows up in practice). One
+    * partial-aggregated rollup on the bounded (source, lang) key.
+    */
+  def fertility(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(s, dir))
+      .selectExpr("source", "lang", "length(text) AS nc",
+        "size(split(text, ' ')) AS nw",
+        "size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS nt")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nc")).as("n_chars"),
+        sum(col("nw")).as("n_words"),
+        sum(col("nt")).as("n_tokens"))
+      .withColumn("chars_per_token",
+        floor(col("n_chars") / col("n_tokens").cast("double") * 10000 + 0.5) / lit(10000.0))
+      .withColumn("tokens_per_word",
+        floor(col("n_tokens") / col("n_words").cast("double") * 10000 + 0.5) / lit(10000.0))
+      .orderBy(col("source"), col("lang"))
+
   /** Per-document TF-IDF keywords — the retrieval/data-card shape
     * ("what is this document about"): term frequency per (doc, word),
     * document frequency over the corpus, score = tf · ln(N/df)
@@ -286,9 +329,34 @@ object TextAnalysis {
     "text_redact" -> redact,
     "text_entropy" -> entropy,
     "text_fingerprint" -> fingerprint,
-    "text_dup_coverage" -> dupCoverage)
+    "text_dup_coverage" -> dupCoverage,
+    "text_char_classes" -> charClasses,
+    "tok_fertility" -> fertility)
 
   val oracleSql: Map[String, String] = Map(
+    "text_char_classes" ->
+      """SELECT doc_id, strlen(text) AS n_chars_total,
+        |  len(regexp_extract_all(text, '[a-zA-Z]')) AS n_alpha,
+        |  len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+        |  len(regexp_extract_all(text, ' ')) AS n_space,
+        |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+        |  strlen(text) - len(regexp_extract_all(text, '[a-zA-Z]'))
+        |    - len(regexp_extract_all(text, '[0-9]')) - len(regexp_extract_all(text, ' '))
+        |    - len(regexp_extract_all(text, '[.,;:!?]')) AS n_other
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "tok_fertility" ->
+      """WITH t AS (
+        |  SELECT source, lang, strlen(text) AS nc,
+        |    len(string_split(text, ' ')) AS nw,
+        |    len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS nt
+        |  FROM documents)
+        |SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(nc) AS BIGINT) AS n_chars,
+        |  CAST(sum(nw) AS BIGINT) AS n_words,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |  floor(sum(nc) / CAST(sum(nt) AS DOUBLE) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS chars_per_token,
+        |  floor(sum(nt) / CAST(sum(nw) AS DOUBLE) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS tokens_per_word
+        |FROM t GROUP BY 1, 2 ORDER BY source, lang""".stripMargin,
     "text_dup_coverage" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),

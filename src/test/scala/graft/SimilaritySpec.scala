@@ -187,6 +187,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pca power step matches an exact integer recomputation and is unit-norm") {
+    val grid = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding AS array<double>) AS e").collect()
+      .map(_.getSeq[Double](1).map(x => math.floor(x * 10000 + 0.5).toLong).toArray)
+    val n = grid.length.toLong
+    val s = Array.tabulate(64)(i => grid.map(_(i)).sum)
+    val bigS = s.sum
+    val u = Array.tabulate(64)(i => grid.map(v => v(i) * v.sum).sum)
+    val v1 = Array.tabulate(64)(i => n * u(i) - s(i) * bigS)
+    val nsq = v1.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+    val rows = Similarity.pcaPower(spark, sfDir).collect()
+    assert(rows.length == 64)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("dim").toInt - 1
+      assert(r.getAs[Long]("sum_q") == s(d))
+      assert(r.getAs[Long]("v1") == v1(d), s"dim ${d + 1}: exact integer v1 mismatch")
+      assert(r.getAs[Double]("loading") ==
+        math.floor(v1(d) / math.sqrt(nsq) * 10000 + 0.5) / 10000.0)
+    }
+    val norm2 = rows.map(r => { val l = r.getAs[Double]("loading"); l * l }).sum
+    assert(math.abs(norm2 - 1.0) < 0.01, s"loadings should be ~unit norm, got $norm2")
+  }
+
   test("pq adc recall matches a full driver-side PQ recomputation") {
     val vecs = graft.Tables.embeddings(spark, sfDir)
       .selectExpr("vec_id", "cast(embedding AS array<double>) AS e").collect()

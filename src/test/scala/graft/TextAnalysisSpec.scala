@@ -127,6 +127,40 @@ class TextAnalysisSpec extends SparkSpec {
       .foreach(r => assert(r.getAs[Double]("score") == 0.0))
   }
 
+  test("char classes partition every document's characters exactly") {
+    val texts = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val rows = operators.TextAnalysis.charClasses(spark, sfDir).collect()
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val t = texts(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Int]("n_chars_total") == t.length)
+      assert(r.getAs[Int]("n_alpha") == t.count(_.isLetter))
+      assert(r.getAs[Int]("n_digit") == t.count(_.isDigit))
+      assert(r.getAs[Int]("n_space") == t.count(_ == ' '))
+      assert(r.getAs[Int]("n_punct") == t.count(".,;:!?".contains(_)))
+      assert(r.getAs[Int]("n_other") >= 0)
+      assert(r.getAs[Int]("n_alpha") + r.getAs[Int]("n_digit") + r.getAs[Int]("n_space")
+        + r.getAs[Int]("n_punct") + r.getAs[Int]("n_other") == t.length)
+    }
+  }
+
+  test("fertility strata tally with the per-doc token counters") {
+    val tok = operators.TextAnalysis.tokens(spark, sfDir)
+      .agg(sum("n_ws_tokens"), sum("n_bpe_tokens")).head()
+    val rows = operators.TextAnalysis.fertility(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_words")).sum == tok.getLong(0))
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == tok.getLong(1))
+    rows.foreach { r =>
+      val cpt = r.getAs[Double]("chars_per_token")
+      val tpw = r.getAs[Double]("tokens_per_word")
+      assert(cpt > 0 && cpt < 20, s"chars/token out of plausible band: $cpt")
+      assert(tpw >= 1.0 - 1e-9, "BPE-ish segmentation never merges across whitespace")
+      assert(r.getAs[Long]("n_chars") >= r.getAs[Long]("n_words"), "words cost at least one char")
+    }
+  }
+
   test("dup coverage matches a row-local recomputation on every document") {
     val texts = graft.Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()
