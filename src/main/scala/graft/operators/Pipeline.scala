@@ -393,6 +393,46 @@ object Pipeline {
       .orderBy(col("lang"))
   }
 
+  /** The composed Gopher quality gate (Rae et al. 2021 §A1.1) — not
+    * another signal but the FILTER actually applied: five rules over
+    * the engine's own quality signals ([[TextAnalysis.repetition]],
+    * [[TextAnalysis.entropy]], [[TextAnalysis.dupCoverage]]), each
+    * reported with its individual kill count plus the combined gate —
+    * the ablation card a pipeline owner reads before flipping a rule
+    * on. Thresholds are expressed in INTEGER cross-multiplied form
+    * (100·dups > 65·n, never dups/n > 0.65), so rule verdicts carry
+    * no float boundary risk; the one float input is the 4dp-rounded
+    * entropy both engines already agree on bit-for-bit.
+    *
+    * Scale: three per-doc signal scans joined on doc_id and one
+    * 6-row stack/rollup — each input is the already-shuffle-minimal
+    * operator it names; nothing new materializes per doc but flags.
+    */
+  def gopherGate(s: SparkSession, dir: String): DataFrame = {
+    val rep = TextAnalysis.repetition(s, dir)
+      .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+        col("top_bigram_count"), col("n_bigrams"))
+    val ent = TextAnalysis.entropy(s, dir).select(col("doc_id"), col("entropy"))
+    val cov = TextAnalysis.dupCoverage(s, dir).select(col("doc_id"), col("n_words_covered"))
+    rep.join(ent, "doc_id").join(cov, Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        "CASE WHEN n_words < 20 OR n_words > 90 THEN 1 ELSE 0 END AS f1",
+        "CASE WHEN 100 * (n_words - n_distinct_words) > 65 * n_words THEN 1 ELSE 0 END AS f2",
+        "CASE WHEN n_bigrams > 0 AND 100 * top_bigram_count > 8 * n_bigrams THEN 1 ELSE 0 END AS f3",
+        "CASE WHEN entropy < 2.4 THEN 1 ELSE 0 END AS f4",
+        "CASE WHEN coalesce(n_words_covered, 0) * 20 > n_words THEN 1 ELSE 0 END AS f5")
+      .selectExpr(
+        """stack(6,
+          |  'r1_word_count', f1, 'r2_dup_ratio', f2, 'r3_top_bigram', f3,
+          |  'r4_entropy', f4, 'r5_dup_3gram', f5,
+          |  'r6_all_rules', CASE WHEN f1 + f2 + f3 + f4 + f5 > 0 THEN 1 ELSE 0 END)
+          |AS (rule, fail)""".stripMargin)
+      .groupBy(col("rule"))
+      .agg(count(lit(1)).as("n_checked"), sum(col("fail")).as("n_fail"))
+      .withColumn("n_pass", col("n_checked") - col("n_fail"))
+      .orderBy(col("rule"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): rank each
     * language's documents by the unigram-LM score ([[textLogprob]],
     * the engine's stand-in for the paper's KenLM perplexity) and cut
@@ -710,6 +750,7 @@ object Pipeline {
     "tok_shard_plan" -> tokShardPlan,
     "corpus_stats" -> corpusStats,
     "dedup_survivors" -> dedupSurvivors,
+    "corpus_gopher_gate" -> gopherGate,
     "corpus_ppl_buckets" -> pplBuckets,
     "text_logprob" -> textLogprob,
     "sample_temp" -> sampleTemp,
@@ -741,6 +782,54 @@ object Pipeline {
       |  FROM sc GROUP BY doc_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "corpus_gopher_gate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |base AS (SELECT doc_id, len(ws) AS n, len(list_distinct(ws)) AS d, ws FROM t),
+        |big AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) >= 2 THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+        |         ELSE [] END AS gs
+        |  FROM t),
+        |tb AS (
+        |  SELECT doc_id,
+        |    coalesce(list_max(list_transform(list_distinct(gs), q -> len(list_filter(gs, x -> x = q)))), 0) AS tbc,
+        |    len(gs) AS ng
+        |  FROM big),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+        |tc AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY 1, 2),
+        |ent AS (
+        |  SELECT doc_id, floor((ln(sum(c)) - sum(c * ln(c)) / sum(c)) * 10000 + 0.5)
+        |    / CAST(10000 AS DOUBLE) AS ent
+        |  FROM tc GROUP BY 1),
+        |occ AS (
+        |  SELECT doc_id,
+        |    unnest([i for i in range(1, len(ws) - 1)]) AS pos,
+        |    unnest([md5(array_to_string(ws[i:i+2], ' ')) for i in range(1, len(ws) - 1)]) AS gh
+        |  FROM t WHERE len(ws) >= 3),
+        |dup AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id, pos, gh, count(*) OVER (PARTITION BY doc_id, gh) AS cnt FROM occ) x
+        |  WHERE cnt >= 2),
+        |cov AS (
+        |  SELECT doc_id, count(DISTINCT wpos) AS nc
+        |  FROM (SELECT doc_id, unnest(range(pos, pos + 3)) AS wpos FROM dup) x GROUP BY 1),
+        |f AS (
+        |  SELECT b.doc_id,
+        |    CASE WHEN b.n < 20 OR b.n > 90 THEN 1 ELSE 0 END AS f1,
+        |    CASE WHEN 100 * (b.n - b.d) > 65 * b.n THEN 1 ELSE 0 END AS f2,
+        |    CASE WHEN tb.ng > 0 AND 100 * tb.tbc > 8 * tb.ng THEN 1 ELSE 0 END AS f3,
+        |    CASE WHEN ent.ent < 2.4 THEN 1 ELSE 0 END AS f4,
+        |    CASE WHEN coalesce(cov.nc, 0) * 20 > b.n THEN 1 ELSE 0 END AS f5
+        |  FROM base b JOIN tb USING (doc_id) JOIN ent USING (doc_id) LEFT JOIN cov USING (doc_id))
+        |SELECT rule, n_checked, n_fail, n_checked - n_fail AS n_pass FROM (
+        |  SELECT 'r1_word_count' AS rule, count(*) AS n_checked, CAST(sum(f1) AS BIGINT) AS n_fail FROM f
+        |  UNION ALL SELECT 'r2_dup_ratio', count(*), CAST(sum(f2) AS BIGINT) FROM f
+        |  UNION ALL SELECT 'r3_top_bigram', count(*), CAST(sum(f3) AS BIGINT) FROM f
+        |  UNION ALL SELECT 'r4_entropy', count(*), CAST(sum(f4) AS BIGINT) FROM f
+        |  UNION ALL SELECT 'r5_dup_3gram', count(*), CAST(sum(f5) AS BIGINT) FROM f
+        |  UNION ALL SELECT 'r6_all_rules', count(*),
+        |    CAST(sum(CASE WHEN f1 + f2 + f3 + f4 + f5 > 0 THEN 1 ELSE 0 END) AS BIGINT) FROM f) u
+        |ORDER BY rule""".stripMargin,
     "tok_vocab_coverage" ->
       """WITH tok AS (
         |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),

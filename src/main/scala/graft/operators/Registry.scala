@@ -277,6 +277,60 @@ object Registry {
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("canonical_id"))
 
+  /** Broadcastable Bloom existence filter over the registered content
+    * hashes ([[lookupByHash]]'s key space) — the pre-filter a
+    * 1000-executor lookup-by-hash deployment ships to every scan task
+    * so the fact table is probed for membership WITHOUT a join: 64 KiB
+    * of bits answers "definitely absent" locally and only possible
+    * members shuffle (the same role as Spark's own runtime bloom
+    * pushdown, here as an explicit, engine-portable operator).
+    * m = 65536 bits as 2048 32-bit slots (kept in the positive range
+    * of an int64 — neither engine shifts into the sign bit), k = 4
+    * index functions taken
+    * from disjoint 4-hex-digit windows of the md5 (exact integers —
+    * no engine-specific hashing). The report card proves both Bloom
+    * contracts on real probes: member probes (every registered hash)
+    * must ALL hit — no false negatives — and synthesized non-member
+    * probes measure the false-positive rate against the filter's
+    * fill factor.
+    *
+    * Scale: build is one groupBy on ≤2048 slot keys with map-side
+    * bit_or combine; the filter result is ≤2048 rows (broadcast); each
+    * probe tests 4 slots via that broadcast — no corpus-sized shuffle
+    * anywhere.
+    */
+  def bloomFilter(s: SparkSession, dir: String): DataFrame = {
+    def positions(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("h", "explode(sequence(0, 3)) AS i")
+      .selectExpr("h", "i",
+        "cast(conv(substring(h, i * 4 + 1, 4), 16, 10) AS bigint) AS pos")
+      .selectExpr("h", "i", "pos div 32 AS slot", "cast(pos % 32 AS int) AS bit")
+    val items = Tables.documents(s, dir)
+      .select(md5(trim(regexp_replace(col("text"), "\\s+", " "))).as("h"))
+      .distinct()
+    val slots = positions(items)
+      .groupBy(col("slot"))
+      .agg(expr("bit_or(shiftleft(cast(1 AS bigint), bit))").as("bits"))
+    val probes = items.selectExpr("h", "'member' AS kind")
+      .unionAll(Tables.documents(s, dir)
+        .selectExpr("md5(concat('probe:', cast(doc_id AS string))) AS h", "'nonmember' AS kind")
+        .distinct())
+    val tested = positions(probes.select(col("h")))
+      .join(probes, "h")
+      .join(broadcast(slots), Seq("slot"), "left")
+      .selectExpr("h", "kind",
+        "CASE WHEN bits IS NOT NULL AND (bits & shiftleft(cast(1 AS bigint), bit)) != 0 THEN 1 ELSE 0 END AS bit_hit")
+      .groupBy(col("h"), col("kind"))
+      .agg(min(col("bit_hit")).as("hit"))
+    val fill = slots.agg(sum(expr("bit_count(bits)")).as("n_bits_set"))
+    tested.groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_probes"), sum(col("hit")).as("n_hits"))
+      .crossJoin(broadcast(fill))
+      .selectExpr("kind", "n_probes", "n_hits", "n_bits_set",
+        "floor(n_hits / cast(n_probes AS double) * 10000 + 0.5) / cast(10000 AS double) AS hit_rate")
+      .orderBy(col("kind"))
+  }
+
   /** GetReferencedBy (registry.go:1039): reverse reference counts —
     * orders referenced by their lineitems, heavily-referenced only.
     */
@@ -1025,6 +1079,7 @@ object Registry {
     "reg_versions" -> versions,
     "reg_counts_by_type" -> countsByType,
     "reg_config_fallback" -> configFallback,
+    "reg_bloom_filter" -> bloomFilter,
     "reg_lookup_by_hash" -> lookupByHash,
     "reg_canonical_fp" -> canonicalFp,
     "reg_json_fp" -> jsonFp,
@@ -1038,6 +1093,31 @@ object Registry {
     "reg_export_filtered" -> exportFiltered)
 
   val oracleSql: Map[String, String] = Map(
+    "reg_bloom_filter" ->
+      """WITH items AS (
+        |  SELECT DISTINCT md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS h FROM documents),
+        |ipos AS (
+        |  SELECT h, i, ('0x' || substr(h, i * 4 + 1, 4))::BIGINT AS pos
+        |  FROM items, (SELECT unnest(range(0, 4)) AS i)),
+        |slots AS (
+        |  SELECT pos // 32 AS slot, bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+        |  FROM ipos GROUP BY 1),
+        |probes AS (
+        |  SELECT h, 'member' AS kind FROM items
+        |  UNION ALL
+        |  SELECT DISTINCT md5('probe:' || CAST(doc_id AS VARCHAR)) AS h, 'nonmember' AS kind FROM documents),
+        |ppos AS (
+        |  SELECT p.h, p.kind, ('0x' || substr(p.h, i * 4 + 1, 4))::BIGINT AS pos
+        |  FROM probes p, (SELECT unnest(range(0, 4)) AS i)),
+        |tested AS (
+        |  SELECT h, kind, min(CASE WHEN bits IS NOT NULL
+        |      AND (bits & (1::BIGINT << CAST(pos % 32 AS INT))) != 0 THEN 1 ELSE 0 END) AS hit
+        |  FROM ppos LEFT JOIN slots ON pos // 32 = slot
+        |  GROUP BY 1, 2),
+        |fill AS (SELECT CAST(sum(bit_count(bits)) AS BIGINT) AS n_bits_set FROM slots)
+        |SELECT kind, count(*) AS n_probes, CAST(sum(hit) AS BIGINT) AS n_hits, n_bits_set,
+        |  floor(sum(hit) / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS hit_rate
+        |FROM tested, fill GROUP BY kind, n_bits_set ORDER BY kind""".stripMargin,
     "reg_resolve_alias" ->
       """WITH subs AS (SELECT DISTINCT user_id AS subject_id FROM events)
         |SELECT 'sub_' || subject_id AS subject,

@@ -369,6 +369,23 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("gopher gate: every rule flips both ways and the combined gate dominates") {
+    val rows = operators.Pipeline.gopherGate(spark, sfDir).collect()
+      .map(r => r.getAs[String]("rule") ->
+        (r.getAs[Long]("n_checked"), r.getAs[Long]("n_fail"), r.getAs[Long]("n_pass"))).toMap
+    assert(rows.keySet == Set("r1_word_count", "r2_dup_ratio", "r3_top_bigram",
+      "r4_entropy", "r5_dup_3gram", "r6_all_rules"))
+    val n = Tables.documents(spark, sfDir).count()
+    rows.values.foreach { case (checked, fail, pass) =>
+      assert(checked == n && fail + pass == checked)
+      assert(fail >= 1 && pass >= 1, "a rule that never fires (or always fires) is miscalibrated")
+    }
+    val all = rows("r6_all_rules")._2
+    val singles = rows.filterKeys(_ != "r6_all_rules").values.map(_._2)
+    assert(all >= singles.max, "the union gate kills at least the worst single rule")
+    assert(all <= singles.sum, "the union gate kills at most the sum of single rules")
+  }
+
   test("ppl buckets: tertiles partition each language and order by score") {
     val rows = operators.Pipeline.pplBuckets(spark, sfDir).collect()
     val perLang = graft.Tables.documents(spark, sfDir)

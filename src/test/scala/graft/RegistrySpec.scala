@@ -310,4 +310,19 @@ class RegistrySpec extends SparkSpec {
     assert(boolRows.length == 1 && objRows.nonEmpty)
     assert(!objRows.map(_.getAs[String]("fp")).contains(boolRows.head.getAs[String]("fp")))
   }
+
+  test("bloom filter: zero false negatives, fp rate within the fill-factor bound") {
+    val rows = operators.Registry.bloomFilter(spark, sfDir).collect()
+      .map(r => r.getAs[String]("kind") -> r).toMap
+    val member = rows("member"); val non = rows("nonmember")
+    // the Bloom contract: EVERY registered hash must hit
+    assert(member.getAs[Long]("n_hits") == member.getAs[Long]("n_probes"))
+    assert(member.getAs[Double]("hit_rate") == 1.0)
+    val bitsSet = member.getAs[Long]("n_bits_set")
+    assert(bitsSet > 0 && bitsSet <= member.getAs[Long]("n_probes") * 4)
+    // fp probability for a non-member is (fill)^4; allow generous slack
+    val pFp = math.pow(bitsSet.toDouble / 65536.0, 4)
+    val fpRate = non.getAs[Long]("n_hits").toDouble / non.getAs[Long]("n_probes")
+    assert(fpRate <= pFp * 50 + 0.01, s"fp rate $fpRate vs theoretical $pFp")
+  }
 }
