@@ -393,6 +393,31 @@ object Pipeline {
       .orderBy(col("lang"))
   }
 
+  /** Duplicate-cluster size distribution — the dedup impact report
+    * read before committing a survivor policy: how many clusters of
+    * each size exist (singletons = docs with no near-dup included,
+    * labeled by themselves — a label that cannot collide with a real
+    * cluster's min-doc_id label, since that min is itself a paired
+    * doc). n_docs per size row recounts the corpus exactly; the
+    * aggregate dedup rate falls out as 1 − n_clusters/n_docs.
+    *
+    * Scale: composes [[dedupClusters]] (LSH + min-label CC); the
+    * stats are two vocabulary-sized rollups (cluster ids, then
+    * sizes) after one left join keyed by uniform doc_id.
+    */
+  def clusterStats(s: SparkSession, dir: String): DataFrame = {
+    val cl = dedupClusters(s, dir).select(col("doc_id"), col("cluster_id"))
+    val labeled = Tables.documents(s, dir).select(col("doc_id"))
+      .join(cl, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    labeled.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("size"))
+      .groupBy(col("size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("size") * col("n_clusters"))
+      .orderBy(col("size"))
+  }
+
   /** The composed Gopher quality gate (Rae et al. 2021 §A1.1) — not
     * another signal but the FILTER actually applied: five rules over
     * the engine's own quality signals ([[TextAnalysis.repetition]],
@@ -750,6 +775,7 @@ object Pipeline {
     "tok_shard_plan" -> tokShardPlan,
     "corpus_stats" -> corpusStats,
     "dedup_survivors" -> dedupSurvivors,
+    "dedup_cluster_stats" -> clusterStats,
     "corpus_gopher_gate" -> gopherGate,
     "corpus_ppl_buckets" -> pplBuckets,
     "text_logprob" -> textLogprob,
@@ -1025,6 +1051,23 @@ object Pipeline {
         |  min(CASE WHEN rk = 1 THEN source END) AS survivor_source,
         |  CAST(count(*) - 1 AS BIGINT) AS n_dropped
         |FROM ranked GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+    "dedup_cluster_stats" ->
+      s"""WITH RECURSIVE ${Dedup.minhashPairsCte},
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(id, lab) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id),
+        |members AS (
+        |  SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id),
+        |labeled AS (
+        |  SELECT d.doc_id, coalesce(m.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN members m ON d.doc_id = m.doc_id),
+        |sizes AS (SELECT cluster_id, count(*) AS size FROM labeled GROUP BY 1)
+        |SELECT size, count(*) AS n_clusters, size * count(*) AS n_docs
+        |FROM sizes GROUP BY size ORDER BY size""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE ${Dedup.minhashPairsCte},
         |edges AS (

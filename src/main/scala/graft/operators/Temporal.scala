@@ -103,12 +103,60 @@ object Temporal {
       .orderBy(col("purchase_id"))
   }
 
+  /** Time-series downsampling to OHLC bars — the metrics-compaction
+    * pass every long-retention dashboard runs (raw points → one
+    * open/high/low/close/mean bar per (series, hour)). Open/close are
+    * the first/last points by (ts, event_id) — the deterministic
+    * tie-break both engines order identically. One shuffle on the
+    * (type, hour) bar key; both rank windows and the final aggregate
+    * ride that single exchange (same partitioning, two sort orders).
+    * At retention scale the bars table is what survives; raw points
+    * age out — this operator IS the compaction job.
+    */
+  def downsample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = graft.Tables.events(s, dir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"),
+        col("ts"), col("event_id"), col("value"))
+    val asc = Window.partitionBy(col("event_type"), col("hour"))
+      .orderBy(col("ts"), col("event_id"))
+    val desc = Window.partitionBy(col("event_type"), col("hour"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    pts
+      .withColumn("ra", row_number().over(asc))
+      .withColumn("rd", row_number().over(desc))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n_points"),
+        max(when(col("ra") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rd") === 1, col("value"))).as("close"),
+        (floor(avg(col("value")) * 10000 + 0.5) / lit(10000.0)).as("mean_value"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_downsample" -> downsample,
     "t_asof_join" -> asofJoin,
     "t_asof_custom" -> asofCustom,
     "t_range_join" -> rangeJoin)
 
   val oracleSql: Map[String, String] = Map(
+    "t_downsample" ->
+      """WITH p AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour, ts, event_id, value
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, hour ORDER BY ts, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY event_type, hour ORDER BY ts DESC, event_id DESC) AS rd
+        |  FROM p)
+        |SELECT event_type, hour, count(*) AS n_points,
+        |  max(CASE WHEN ra = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rd = 1 THEN value END) AS close,
+        |  floor(avg(value) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS mean_value
+        |FROM r GROUP BY 1, 2 ORDER BY event_type, hour""".stripMargin,
     "t_asof_custom" ->
       """WITH u AS (
         |  SELECT user_id, ts, event_id,

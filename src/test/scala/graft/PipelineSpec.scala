@@ -369,6 +369,20 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("cluster stats recount the corpus and agree with the cluster builder") {
+    val stats = operators.Pipeline.clusterStats(spark, sfDir).collect()
+    val corpus = Tables.documents(spark, sfDir).count()
+    assert(stats.map(_.getAs[Long]("n_docs")).sum == corpus, "sizes must partition the corpus")
+    stats.foreach(r => assert(
+      r.getAs[Long]("n_docs") == r.getAs[Long]("size") * r.getAs[Long]("n_clusters")))
+    val clustered = operators.Pipeline.dedupClusters(spark, sfDir)
+      .select("cluster_id").distinct().count()
+    val multi = stats.filter(_.getAs[Long]("size") >= 2).map(_.getAs[Long]("n_clusters")).sum
+    assert(multi == clustered, s"size>=2 cluster count $multi vs builder $clustered")
+    val singles = stats.filter(_.getAs[Long]("size") == 1).map(_.getAs[Long]("n_clusters")).sum
+    assert(singles == corpus - operators.Pipeline.dedupClusters(spark, sfDir).count())
+  }
+
   test("gopher gate: every rule flips both ways and the combined gate dominates") {
     val rows = operators.Pipeline.gopherGate(spark, sfDir).collect()
       .map(r => r.getAs[String]("rule") ->

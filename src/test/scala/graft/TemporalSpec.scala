@@ -81,4 +81,25 @@ class TemporalSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("time types must match"))
   }
+
+  test("downsample bars match a driver-side recomputation per (type, hour)") {
+    import org.apache.spark.sql.functions._
+    val raw = Tables.events(spark, sfDir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"),
+        col("ts"), col("event_id"), col("value")).collect()
+      .groupBy(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Timestamp]("hour")))
+    val rows = graft.operators.Temporal.downsample(spark, sfDir).collect()
+    assert(rows.length == raw.size)
+    assert(rows.map(_.getAs[Long]("n_points")).sum == raw.values.map(_.length.toLong).sum)
+    rows.foreach { r =>
+      val grp = raw((r.getAs[String]("event_type"), r.getAs[java.sql.Timestamp]("hour")))
+        .sortBy(g => (g.getAs[java.sql.Timestamp]("ts").getTime, g.getAs[Long]("event_id")))
+      val vals = grp.map(_.getAs[Double]("value"))
+      assert(r.getAs[Long]("n_points") == grp.length)
+      assert(r.getAs[Double]("open") == vals.head && r.getAs[Double]("close") == vals.last)
+      assert(r.getAs[Double]("high") == vals.max && r.getAs[Double]("low") == vals.min)
+      val m = r.getAs[Double]("mean_value")
+      assert(m >= r.getAs[Double]("low") - 1e-4 && m <= r.getAs[Double]("high") + 1e-4)
+    }
+  }
 }
