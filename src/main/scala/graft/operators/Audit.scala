@@ -493,7 +493,23 @@ object Audit {
           / col("n_requests") * 10000 + 0.5) / lit(10000.0))
       .orderBy(col("event_type"))
 
+  /** Weekly utilization heatmap — request volume and mean duration
+    * per (day-of-week, hour-of-day) cell, the capacity-planning view
+    * every ops dashboard renders. Day-of-week is normalized to the
+    * 0=Sunday convention (Spark's dayofweek is 1-based, DuckDB's
+    * 0-based — the one calendar-function divergence between the
+    * engines). Bounded ≤168-cell rollup, scan-bound at any scale.
+    */
+  def heatmap(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy((dayofweek(col("ts")) - 1).cast("bigint").as("dow"),
+        hour(col("ts")).cast("bigint").as("hod"))
+      .agg(count(lit(1)).as("n_events"),
+        (floor(avg(col("value")) * 10000 + 0.5) / lit(10000.0)).as("mean_value"))
+      .orderBy(col("dow"), col("hod"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "metrics_heatmap" -> heatmap,
     "metrics_apdex" -> apdex,
     "metrics_rate_alert" -> rateAlert,
     "metrics_prom_parse" -> promParse,
@@ -516,6 +532,11 @@ object Audit {
     "metrics_rate_1m" -> rate1m)
 
   val oracleSql: Map[String, String] = Map(
+    "metrics_heatmap" ->
+      """SELECT CAST(dayofweek(ts) AS BIGINT) AS dow, CAST(hour(ts) AS BIGINT) AS hod,
+        |  count(*) AS n_events,
+        |  floor(avg(value) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS mean_value
+        |FROM events GROUP BY 1, 2 ORDER BY dow, hod""".stripMargin,
     "metrics_apdex" ->
       """SELECT event_type, count(*) AS n_requests,
         |  sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END) AS n_satisfied,

@@ -333,6 +333,7 @@ object Intelligence {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "an_field_cooccur" -> fieldCooccur,
     "reg_compare_subjects" -> compareSubjects,
     "reg_active_latest" -> activeLatest,
     "an_find_field" -> findByField,
@@ -345,12 +346,58 @@ object Intelligence {
     "reg_migration" -> migrationPath,
     "reg_diff_fields" -> diffFields)
 
+  /** Field co-occurrence mining over the latest schemas — the
+    * "fields that travel together" intelligence behind evolution
+    * suggestions and contract templates: for every field-name pair
+    * appearing in ≥ 2 subjects' latest versions, the subject counts
+    * and the lift n_both·N / (df1·df2) (lift > 1 = the pair
+    * co-occurs more than independent adoption would predict).
+    *
+    * Scale: field names are unique within a subject, so the pair
+    * fan-out is bounded by (fields per schema)² per subject — never
+    * corpus²; document-frequency and the 1-row subject count are
+    * vocabulary-sized broadcasts; lift is one double division of
+    * exact integer products (no accumulation-order risk).
+    */
+  def fieldCooccur(s: SparkSession, dir: String): DataFrame = {
+    val lf = latestFields(s, dir).select(col("subject"), col("fname"))
+    val dfx = lf.groupBy(col("fname")).agg(count(lit(1)).as("dfx"))
+    val n = lf.agg(countDistinct(col("subject")).as("n_subjects"))
+    lf.as("a").join(lf.as("b"),
+        col("a.subject") === col("b.subject") && col("a.fname") < col("b.fname"))
+      .groupBy(col("a.fname").as("f1"), col("b.fname").as("f2"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= 2)
+      .join(broadcast(dfx.select(col("fname").as("f1"), col("dfx").as("df1"))), "f1")
+      .join(broadcast(dfx.select(col("fname").as("f2"), col("dfx").as("df2"))), "f2")
+      .crossJoin(broadcast(n))
+      .select(col("f1"), col("f2"), col("n_both"), col("df1"), col("df2"),
+        (floor(col("n_both") * col("n_subjects") / (col("df1") * col("df2")).cast("double") * 10000 + 0.5)
+          / lit(10000.0)).as("lift"))
+      .orderBy(col("f1"), col("f2"))
+  }
+
   private val latestCte: String =
     """latest AS (SELECT subject, max(version) AS v FROM versioned GROUP BY subject),
       |lf AS (SELECT f.subject, f.fname, f.ftype, f.fnull, f.fdefault, f.fsyms
       |       FROM fields f JOIN latest l ON f.subject = l.subject AND f.version = l.v)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "an_field_cooccur" ->
+      s"""WITH ${Compat.fieldModelCte},
+        |$latestCte,
+        |lfp AS (SELECT subject, fname FROM lf),
+        |d AS (SELECT fname, count(*) AS dfx FROM lfp GROUP BY 1),
+        |nn AS (SELECT count(DISTINCT subject) AS n_subjects FROM lfp),
+        |p AS (
+        |  SELECT a.fname AS f1, b.fname AS f2, count(*) AS n_both
+        |  FROM lfp a JOIN lfp b ON a.subject = b.subject AND a.fname < b.fname
+        |  GROUP BY 1, 2)
+        |SELECT f1, f2, n_both, d1.dfx AS df1, d2.dfx AS df2,
+        |  floor(n_both * n_subjects / CAST(d1.dfx * d2.dfx AS DOUBLE) * 10000 + 0.5)
+        |    / CAST(10000 AS DOUBLE) AS lift
+        |FROM p JOIN d d1 ON p.f1 = d1.fname JOIN d d2 ON p.f2 = d2.fname, nn
+        |WHERE n_both >= 2 ORDER BY f1, f2""".stripMargin,
     "reg_compare_subjects" ->
       s"""WITH ${Compat.fieldModelCte},
         |$latestCte,

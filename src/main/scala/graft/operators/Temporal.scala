@@ -135,13 +135,74 @@ object Temporal {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** Regular-grid resampling with forward fill — the TSDB gap-filling
+    * pass (a dashboard needs one value per minute whether or not a
+    * point arrived): the minute grid spans [min, max] per series,
+    * observed minutes aggregate to a 4dp mean, and gaps carry the
+    * last observed value forward (`last ... ignoreNulls` running
+    * window); minutes before a series' first point stay NULL —
+    * fill-forward never invents history.
+    *
+    * Scale: the grid is O(time span × series), NOT O(events) — 30
+    * days × 5 series is ~216k rows however many billions of raw
+    * points aggregate into it; the raw stream is touched once by the
+    * minute rollup. The fill window partitions per series; on spans
+    * too long for one partition the production form splits per
+    * (series, day) and hands the boundary value across — the plan
+    * shape stays identical.
+    */
+  def resampleFfill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.Tables.events(s, dir)
+    val bounds = ev.agg(date_trunc("minute", min(col("ts"))).as("t0"),
+      date_trunc("minute", max(col("ts"))).as("t1"))
+    val grid = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(expr("sequence(t0, t1, interval 1 minute)")).as("minute"))
+    val obs = ev
+      .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("minute"))
+      .agg(count(lit(1)).as("n_obs"),
+        (floor(avg(col("value")) * 10000 + 0.5) / lit(10000.0)).as("v_obs"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("minute"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("event_type", "minute"), "left")
+      .withColumn("value_filled", last(col("v_obs"), ignoreNulls = true).over(w))
+      .select(col("event_type"), col("minute"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        col("n_obs").isNotNull.as("is_observed"),
+        col("value_filled"))
+      .orderBy(col("event_type"), col("minute"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_resample_ffill" -> resampleFfill,
     "t_downsample" -> downsample,
     "t_asof_join" -> asofJoin,
     "t_asof_custom" -> asofCustom,
     "t_range_join" -> rangeJoin)
 
   val oracleSql: Map[String, String] = Map(
+    "t_resample_ffill" ->
+      """WITH b AS (
+        |  SELECT date_trunc('minute', min(ts)) AS t0, date_trunc('minute', max(ts)) AS t1
+        |  FROM events),
+        |ty AS (SELECT DISTINCT event_type FROM events),
+        |grid AS (
+        |  SELECT event_type, unnest(generate_series(t0, t1, INTERVAL 1 MINUTE)) AS minute
+        |  FROM ty, b),
+        |obs AS (
+        |  SELECT event_type, date_trunc('minute', ts) AS minute, count(*) AS n_obs,
+        |    floor(avg(value) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS v_obs
+        |  FROM events GROUP BY 1, 2)
+        |SELECT g.event_type, g.minute,
+        |  coalesce(o.n_obs, 0) AS n_obs,
+        |  o.n_obs IS NOT NULL AS is_observed,
+        |  last_value(o.v_obs IGNORE NULLS) OVER (
+        |    PARTITION BY g.event_type ORDER BY g.minute
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+        |FROM grid g LEFT JOIN obs o ON g.event_type = o.event_type AND g.minute = o.minute
+        |ORDER BY g.event_type, g.minute""".stripMargin,
     "t_downsample" ->
       """WITH p AS (
         |  SELECT event_type, date_trunc('hour', ts) AS hour, ts, event_id, value

@@ -194,6 +194,18 @@ class AuditSpec extends SparkSpec {
     assert(operators.Audit.rateAlert(spark, sfDir).count() == 0)
   }
 
+  test("heatmap covers the week grid and recounts the stream") {
+    val rows = operators.Audit.heatmap(spark, sfDir).collect()
+    assert(rows.length <= 168)
+    assert(rows.map(_.getAs[Long]("n_events")).sum == Tables.events(spark, sfDir).count())
+    rows.foreach { r =>
+      val (dow, hod) = (r.getAs[Long]("dow"), r.getAs[Long]("hod"))
+      assert(dow >= 0 && dow <= 6 && hod >= 0 && hod <= 23)
+    }
+    // the synthetic stream runs continuously: every weekday must appear
+    assert(rows.map(_.getAs[Long]("dow")).distinct.length == 7)
+  }
+
   test("apdex: class counts partition the requests and score matches recomputation") {
     val vals = Tables.events(spark, sfDir)
       .select("event_type", "value").collect()

@@ -180,4 +180,23 @@ class IntelligenceSpec extends SparkSpec {
     // score flips int↔bigint with k: type drift must be observed somewhere
     assert(rows.exists(_.getAs[Long]("n_modified") > 0), "expected some modified field on the corpus")
   }
+
+  test("field co-occurrence: counts bounded by dfs and lift algebra verified") {
+    val rows = operators.Intelligence.fieldCooccur(spark, sfDir).collect()
+    assert(rows.nonEmpty, "universal fields (id/name) must co-occur")
+    val nSubjects = Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    rows.foreach { r =>
+      val (both, d1, d2) = (r.getAs[Long]("n_both"), r.getAs[Long]("df1"), r.getAs[Long]("df2"))
+      assert(r.getAs[String]("f1") < r.getAs[String]("f2"))
+      assert(both >= 2 && both <= math.min(d1, d2), "co-occurrence cannot exceed either df")
+      assert(d1 <= nSubjects && d2 <= nSubjects)
+      val lift = math.floor(both.toDouble * nSubjects / (d1 * d2) * 10000 + 0.5) / 10000.0
+      assert(r.getAs[Double]("lift") == lift)
+    }
+    // id and name are in EVERY latest schema: their pair must show lift exactly 1
+    val universal = rows.find(r => r.getAs[String]("f1") == "id" && r.getAs[String]("f2") == "name")
+    assert(universal.isDefined && universal.get.getAs[Double]("lift") == 1.0,
+      "universal fields co-occur at exactly independent rate")
+  }
 }

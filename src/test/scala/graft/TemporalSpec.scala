@@ -82,6 +82,35 @@ class TemporalSpec extends SparkSpec {
     assert(e2.getMessage.contains("time types must match"))
   }
 
+  test("resample grid spans every minute and fill-forward never invents history") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Temporal.resampleFfill(spark, sfDir).collect()
+    val types = rows.map(_.getAs[String]("event_type")).distinct
+    val perType = rows.groupBy(_.getAs[String]("event_type"))
+    val gridSize = perType.values.map(_.length).toSet
+    assert(gridSize.size == 1, "every series resamples onto the same [min, max] grid")
+    assert(rows.map(_.getAs[Long]("n_obs")).sum == Tables.events(spark, sfDir).count())
+    perType.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[java.sql.Timestamp]("minute").getTime)
+      var lastSeen: Option[Double] = None
+      sorted.foreach { r =>
+        if (r.getAs[Boolean]("is_observed")) {
+          assert(r.getAs[Long]("n_obs") > 0)
+          lastSeen = Some(r.getAs[Double]("value_filled"))
+        } else {
+          assert(r.getAs[Long]("n_obs") == 0)
+          // carried value equals the most recent observed mean; NULL before any
+          (lastSeen, Option(r.get(r.fieldIndex("value_filled")))) match {
+            case (Some(v), Some(f)) => assert(f == v, "gap must carry the last observed value")
+            case (None, f) => assert(f.isEmpty, "history must not be invented before the first point")
+            case (Some(_), None) => fail("carried value lost mid-series")
+          }
+        }
+      }
+    }
+    assert(types.length >= 2)
+  }
+
   test("downsample bars match a driver-side recomputation per (type, hour)") {
     import org.apache.spark.sql.functions._
     val raw = Tables.events(spark, sfDir)
