@@ -582,6 +582,66 @@ object Compat {
           .otherwise("Only add new enum symbols; do not remove or rename existing ones."))
       .orderBy(col("subject"), col("version"), col("fname"), col("violation"))
 
+  /** Enum-vocabulary drift timeline — the descriptive history view
+    * next to the compat verdicts: for every enum field transition
+    * that changed its symbol set, which symbols were added, removed
+    * and kept. Compat answers "does this break"; this answers "how
+    * is the vocabulary actually evolving" (the input to deprecation
+    * planning and to spotting churn-prone enums). Same positional
+    * slot pairing and single window as the compat family — no new
+    * shuffle shape.
+    */
+  def enumDrift(s: SparkSession, dir: String): DataFrame = {
+    val versioned = fieldArrays(s, dir).filter(col("version") > 1)
+    val perField = versioned
+      .select(col("subject"), col("version"), col("w_all"),
+        posexplode(col("flds_all")).as(Seq("pos", "fld")))
+      .where(col("fld.present"))
+      .withColumn("wf", element_at(col("w_all"), col("pos") + 1))
+    val r = col("fld")
+    val wf = col("wf")
+    perField
+      .where(r("ftype") === "enum" && wf("present") && wf("ftype") === "enum" &&
+        wf("fname") === r("fname"))
+      .select(col("subject"), col("version"), r("fname").as("fname"),
+        size(array_except(split(r("fsyms"), ","), split(wf("fsyms"), ","))).as("n_added"),
+        size(array_except(split(wf("fsyms"), ","), split(r("fsyms"), ","))).as("n_removed"),
+        size(array_intersect(split(r("fsyms"), ","), split(wf("fsyms"), ","))).as("n_kept"))
+      .where(col("n_added") > 0 || col("n_removed") > 0)
+      .orderBy(col("subject"), col("version"), col("fname"))
+  }
+
+  /** Violation-class frequency card — "which compatibility rules
+    * actually fire in THIS registry": per violation class, how many
+    * field hits, failing transitions, and distinct subjects it
+    * touches, with each class's share of all hits. The ops view a
+    * registry owner reads before deciding which rule to promote from
+    * warn to block (a rule that never fires is free to enforce; one
+    * touching half the subjects needs a migration plan first).
+    * Composes [[compatExplain]]'s shared single-window scan; the
+    * rollup is one bounded-vocabulary aggregate.
+    */
+  def ruleFreq(s: SparkSession, dir: String): DataFrame = {
+    val hits = backwardFieldChecks(s, dir)
+      .select(col("subject"), col("version"), col("fname"),
+        explode(filter(array(
+          when(col("v_missing_default"), "missing_default"),
+          when(col("v_type_narrowed"), "type_narrowed"),
+          when(col("v_type_change") && !col("v_type_narrowed"), "type_change"),
+          when(col("v_required_reads_nullable"), "required_reads_nullable"),
+          when(col("v_enum_symbols"), "enum_symbols")), x => x.isNotNull)).as("violation"))
+    val total = hits.agg(count(lit(1)).as("n_total"))
+    hits.groupBy(col("violation"))
+      .agg(count(lit(1)).as("n_field_hits"),
+        countDistinct(col("subject"), col("version")).as("n_transitions"),
+        countDistinct(col("subject")).as("n_subjects"))
+      .crossJoin(broadcast(total))
+      .select(col("violation"), col("n_field_hits"), col("n_transitions"), col("n_subjects"),
+        (floor(col("n_field_hits") / col("n_total").cast("double") * 10000 + 0.5) / lit(10000.0))
+          .as("share"))
+      .orderBy(col("violation"))
+  }
+
   /** FORWARD mode over the corpus (modes.go: old readers must cope
     * with data written by the NEW version). Same single-window scan
     * as [[compatScan]] with the roles swapped: the N-1 fields are
@@ -1148,6 +1208,8 @@ object Compat {
     "compat_check" -> checkBattery,
     "compat_scan" -> compatScan,
     "compat_explain" -> compatExplain,
+    "compat_rule_freq" -> ruleFreq,
+    "an_enum_drift" -> enumDrift,
     "compat_forward_scan" -> compatForwardScan,
     "compat_transitive" -> compatTransitive,
     "compat_ftransitive" -> compatFTransitive,
@@ -1189,6 +1251,47 @@ object Compat {
     */
   private def sqlMatched(rn: String, ra: String, wn: String, wa: String): String =
     s"($rn = $wn OR coalesce($ra = $wn, false) OR coalesce($wa = $rn, false))"
+
+  /** The per-violation explain listing as one SQL text — used as the
+    * compat_explain oracle and wrapped as a subquery by the
+    * compat_rule_freq rollup oracle, so the rule set is stated once.
+    */
+  private lazy val explainOracle: String =
+      s"""WITH $fieldModelCte,
+        |joined AS (
+        |  SELECT r.subject, r.version, r.fname, r.ftype, r.fnull, r.fdefault, r.fsyms, r.funion,
+        |         w.ftype AS w_ftype, w.fnull AS w_fnull, w.fsyms AS w_fsyms,
+        |         w.funion AS w_funion,
+        |         ${sqlMatched("r.fname", "r.falias", "w.fname", "w.falias")} AS matched
+        |  FROM fields r LEFT JOIN fields w
+        |    ON r.subject = w.subject AND w.version = r.version - 1 AND r.fid = w.fid
+        |  WHERE r.version > 1)
+        |SELECT subject, version, fname, violation, suggestion FROM (
+        |  SELECT subject, version, fname, 'missing_default' AS violation,
+        |    'Add a default value to the new field so old data can be read with the new schema.' AS suggestion
+        |  FROM joined WHERE (w_ftype IS NULL OR NOT matched) AND NOT fnull AND fdefault IS NULL
+        |  UNION ALL
+        |  SELECT subject, version, fname, 'type_narrowed',
+        |    'This reverses a legal promotion; keep the wider type (or widen the union) instead of narrowing.'
+        |  FROM joined WHERE w_ftype IS NOT NULL AND matched
+        |    AND ${sqlTypeBreak("ftype", "funion", "w_ftype", "w_funion")}
+        |    AND NOT ${sqlTypeBreak("w_ftype", "w_funion", "ftype", "funion")}
+        |  UNION ALL
+        |  SELECT subject, version, fname, 'type_change',
+        |    'Use type promotion (e.g., int to long) or add a new field with the desired type.'
+        |  FROM joined WHERE w_ftype IS NOT NULL AND matched
+        |    AND ${sqlTypeBreak("ftype", "funion", "w_ftype", "w_funion")}
+        |    AND ${sqlTypeBreak("w_ftype", "w_funion", "ftype", "funion")}
+        |  UNION ALL
+        |  SELECT subject, version, fname, 'required_reads_nullable',
+        |    'Keep the field nullable or add a default before tightening it.'
+        |  FROM joined WHERE w_ftype IS NOT NULL AND matched AND NOT fnull AND w_fnull
+        |  UNION ALL
+        |  SELECT subject, version, fname, 'enum_symbols',
+        |    'Only add new enum symbols; do not remove or rename existing ones.'
+        |  FROM joined WHERE ftype = 'enum' AND w_ftype = 'enum' AND matched AND fdefault IS NULL
+        |    AND NOT list_has_all(string_split(fsyms, ','), string_split(w_fsyms, ','))
+        |) t ORDER BY subject, version, fname, violation""".stripMargin
 
   private val baseOracleSql: Map[String, String] = Map(
     "compat_named" ->
@@ -1296,42 +1399,32 @@ object Compat {
         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
         |  FROM joined GROUP BY subject, version)
         |ORDER BY subject, version""".stripMargin,
-    "compat_explain" ->
+    "compat_explain" -> explainOracle,
+    "an_enum_drift" ->
       s"""WITH $fieldModelCte,
-        |joined AS (
-        |  SELECT r.subject, r.version, r.fname, r.ftype, r.fnull, r.fdefault, r.fsyms, r.funion,
-        |         w.ftype AS w_ftype, w.fnull AS w_fnull, w.fsyms AS w_fsyms,
-        |         w.funion AS w_funion,
-        |         ${sqlMatched("r.fname", "r.falias", "w.fname", "w.falias")} AS matched
-        |  FROM fields r LEFT JOIN fields w
+        |j AS (
+        |  SELECT r.subject, r.version, r.fname,
+        |    string_split(r.fsyms, ',') AS rs, string_split(w.fsyms, ',') AS ws
+        |  FROM fields r JOIN fields w
         |    ON r.subject = w.subject AND w.version = r.version - 1 AND r.fid = w.fid
-        |  WHERE r.version > 1)
-        |SELECT subject, version, fname, violation, suggestion FROM (
-        |  SELECT subject, version, fname, 'missing_default' AS violation,
-        |    'Add a default value to the new field so old data can be read with the new schema.' AS suggestion
-        |  FROM joined WHERE (w_ftype IS NULL OR NOT matched) AND NOT fnull AND fdefault IS NULL
-        |  UNION ALL
-        |  SELECT subject, version, fname, 'type_narrowed',
-        |    'This reverses a legal promotion; keep the wider type (or widen the union) instead of narrowing.'
-        |  FROM joined WHERE w_ftype IS NOT NULL AND matched
-        |    AND ${sqlTypeBreak("ftype", "funion", "w_ftype", "w_funion")}
-        |    AND NOT ${sqlTypeBreak("w_ftype", "w_funion", "ftype", "funion")}
-        |  UNION ALL
-        |  SELECT subject, version, fname, 'type_change',
-        |    'Use type promotion (e.g., int to long) or add a new field with the desired type.'
-        |  FROM joined WHERE w_ftype IS NOT NULL AND matched
-        |    AND ${sqlTypeBreak("ftype", "funion", "w_ftype", "w_funion")}
-        |    AND ${sqlTypeBreak("w_ftype", "w_funion", "ftype", "funion")}
-        |  UNION ALL
-        |  SELECT subject, version, fname, 'required_reads_nullable',
-        |    'Keep the field nullable or add a default before tightening it.'
-        |  FROM joined WHERE w_ftype IS NOT NULL AND matched AND NOT fnull AND w_fnull
-        |  UNION ALL
-        |  SELECT subject, version, fname, 'enum_symbols',
-        |    'Only add new enum symbols; do not remove or rename existing ones.'
-        |  FROM joined WHERE ftype = 'enum' AND w_ftype = 'enum' AND matched AND fdefault IS NULL
-        |    AND NOT list_has_all(string_split(fsyms, ','), string_split(w_fsyms, ','))
-        |) t ORDER BY subject, version, fname, violation""".stripMargin,
+        |  WHERE r.version > 1 AND r.ftype = 'enum' AND w.ftype = 'enum'
+        |    AND r.fname = w.fname)
+        |SELECT subject, version, fname,
+        |  len(list_filter(rs, s -> NOT list_contains(ws, s))) AS n_added,
+        |  len(list_filter(ws, s -> NOT list_contains(rs, s))) AS n_removed,
+        |  len(list_intersect(rs, ws)) AS n_kept
+        |FROM j
+        |WHERE len(list_filter(rs, s -> NOT list_contains(ws, s))) > 0
+        |   OR len(list_filter(ws, s -> NOT list_contains(rs, s))) > 0
+        |ORDER BY subject, version, fname""".stripMargin,
+    "compat_rule_freq" ->
+      s"""WITH e AS ($explainOracle)
+        |SELECT violation, count(*) AS n_field_hits,
+        |  count(DISTINCT (subject, version)) AS n_transitions,
+        |  count(DISTINCT subject) AS n_subjects,
+        |  floor(count(*) / CAST((SELECT count(*) FROM e) AS DOUBLE) * 10000 + 0.5)
+        |    / CAST(10000 AS DOUBLE) AS share
+        |FROM e GROUP BY violation ORDER BY violation""".stripMargin,
     "compat_forward_scan" ->
       s"""WITH $fieldModelCte,
         |maxv AS (SELECT subject, max(version) AS mv FROM fields GROUP BY subject),

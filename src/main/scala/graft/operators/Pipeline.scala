@@ -393,6 +393,42 @@ object Pipeline {
       .orderBy(col("lang"))
   }
 
+  /** Distribution-drift card between corpus slices — the delivery QA
+    * every recurring ingest runs ("does source X's length profile
+    * still look like the corpus?"): per (source, length-bucket), the
+    * observed doc count against the expectation under the corpus-wide
+    * bucket mix, with the χ² contribution (obs − exp)²/exp and the
+    * per-source total. A source whose χ² total spikes between
+    * deliveries changed its content mix — the trigger for a manual
+    * look before the data enters training.
+    *
+    * All counts are exact integers from two bounded rollups
+    * (buckets × sources and buckets); expectation and χ² are single
+    * double expressions of those integers — no accumulation-order
+    * risk. Scan-bound at any corpus size.
+    */
+  def corpusDrift(s: SparkSession, dir: String): DataFrame = {
+    val b = Tables.documents(s, dir)
+      .select(col("source"), expr("n_chars div 100").as("bucket"))
+    val obs = b.groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("obs"))
+    val corpus = b.groupBy(col("bucket")).agg(count(lit(1)).as("bucket_total"))
+    val totals = b.groupBy(col("source")).agg(count(lit(1)).as("source_total"))
+    val n = b.agg(count(lit(1)).as("n_docs"))
+    obs
+      .join(broadcast(corpus), "bucket")
+      .join(broadcast(totals), "source")
+      .crossJoin(broadcast(n))
+      .withColumn("exp_docs",
+        (floor(col("bucket_total") * col("source_total") / col("n_docs").cast("double") * 10000 + 0.5)
+          / lit(10000.0)))
+      .withColumn("chi2_part",
+        (floor((col("obs") - col("exp_docs")) * (col("obs") - col("exp_docs"))
+          / col("exp_docs") * 10000 + 0.5) / lit(10000.0)))
+      .select(col("source"), col("bucket"), col("obs"), col("bucket_total"),
+        col("source_total"), col("exp_docs"), col("chi2_part"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
   /** Duplicate-cluster size distribution — the dedup impact report
     * read before committing a survivor policy: how many clusters of
     * each size exist (singletons = docs with no near-dup included,
@@ -775,6 +811,7 @@ object Pipeline {
     "tok_shard_plan" -> tokShardPlan,
     "corpus_stats" -> corpusStats,
     "dedup_survivors" -> dedupSurvivors,
+    "corpus_drift" -> corpusDrift,
     "dedup_cluster_stats" -> clusterStats,
     "corpus_gopher_gate" -> gopherGate,
     "corpus_ppl_buckets" -> pplBuckets,
@@ -808,6 +845,22 @@ object Pipeline {
       |  FROM sc GROUP BY doc_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "corpus_drift" ->
+      """WITH b AS (
+        |  SELECT source, n_chars // 100 AS bucket FROM documents),
+        |obs AS (SELECT source, bucket, count(*) AS obs FROM b GROUP BY 1, 2),
+        |corpus AS (SELECT bucket, count(*) AS bucket_total FROM b GROUP BY 1),
+        |totals AS (SELECT source, count(*) AS source_total FROM b GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM b),
+        |j AS (
+        |  SELECT o.source, o.bucket, o.obs, c.bucket_total, t.source_total,
+        |    floor(c.bucket_total * t.source_total / CAST(n_docs AS DOUBLE) * 10000 + 0.5)
+        |      / CAST(10000 AS DOUBLE) AS exp_docs
+        |  FROM obs o JOIN corpus c USING (bucket) JOIN totals t USING (source), n)
+        |SELECT source, bucket, obs, bucket_total, source_total, exp_docs,
+        |  floor((obs - exp_docs) * (obs - exp_docs) / exp_docs * 10000 + 0.5)
+        |    / CAST(10000 AS DOUBLE) AS chi2_part
+        |FROM j ORDER BY source, bucket""".stripMargin,
     "corpus_gopher_gate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |base AS (SELECT doc_id, len(ws) AS n, len(list_distinct(ws)) AS d, ws FROM t),

@@ -536,4 +536,36 @@ class CompatSpec extends SparkSpec {
     assert(bt.filter(col("n_bad_fields") > 0).count() > 0)
     assert(ft.filter(col("n_bad_fields") > 0).count() > 0)
   }
+
+  test("rule frequency card tallies exactly with the explain listing") {
+    val explain = operators.Compat.compatExplain(spark, sfDir)
+      .select("subject", "version", "violation").collect()
+    val rows = operators.Compat.ruleFreq(spark, sfDir).collect()
+    val byClass = explain.groupBy(_.getAs[String]("violation"))
+    assert(rows.map(_.getAs[String]("violation")).toSet == byClass.keySet)
+    rows.foreach { r =>
+      val hits = byClass(r.getAs[String]("violation"))
+      assert(r.getAs[Long]("n_field_hits") == hits.length)
+      assert(r.getAs[Long]("n_transitions") ==
+        hits.map(h => (h.getAs[Long]("subject"), h.getAs[Int]("version"))).distinct.length)
+      assert(r.getAs[Long]("n_subjects") == hits.map(_.getAs[Long]("subject")).distinct.length)
+      assert(r.getAs[Long]("n_transitions") <= r.getAs[Long]("n_field_hits"))
+    }
+    val shareSum = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shareSum - 1.0) < 0.001, s"shares must sum to ~1, got $shareSum")
+  }
+
+  test("enum drift timeline: set algebra holds and both directions occur") {
+    val rows = operators.Compat.enumDrift(spark, sfDir).collect()
+    assert(rows.nonEmpty, "the corpus rotates enum symbol sets")
+    rows.foreach { r =>
+      val (a, rm, k) = (r.getAs[Int]("n_added"), r.getAs[Int]("n_removed"), r.getAs[Int]("n_kept"))
+      assert(a > 0 || rm > 0, "unchanged transitions must be filtered out")
+      assert(a >= 0 && rm >= 0 && k >= 0)
+      // reader set = kept + added; the model's enum sets are 2-4 symbols
+      assert(a + k >= 2 && a + k <= 4 && rm + k >= 2 && rm + k <= 4)
+    }
+    assert(rows.exists(_.getAs[Int]("n_added") > 0))
+    assert(rows.exists(_.getAs[Int]("n_removed") > 0))
+  }
 }

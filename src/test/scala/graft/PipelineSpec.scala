@@ -369,6 +369,27 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("corpus drift: marginals reconcile and chi2 parts recompute") {
+    val rows = operators.Pipeline.corpusDrift(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val corpus = Tables.documents(spark, sfDir).count()
+    // per-source observed counts must sum to that source's total
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("obs")).sum == rs.head.getAs[Long]("source_total"))
+    }
+    // per-bucket observed counts across sources must sum to the bucket total
+    rows.groupBy(_.getAs[Long]("bucket")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("obs")).sum == rs.head.getAs[Long]("bucket_total"))
+    }
+    rows.foreach { r =>
+      val exp = math.floor(r.getAs[Long]("bucket_total").toDouble * r.getAs[Long]("source_total")
+        / corpus * 10000 + 0.5) / 10000.0
+      assert(r.getAs[Double]("exp_docs") == exp)
+      val d = r.getAs[Long]("obs") - r.getAs[Double]("exp_docs")
+      assert(r.getAs[Double]("chi2_part") == math.floor(d * d / r.getAs[Double]("exp_docs") * 10000 + 0.5) / 10000.0)
+    }
+  }
+
   test("cluster stats recount the corpus and agree with the cluster builder") {
     val stats = operators.Pipeline.clusterStats(spark, sfDir).collect()
     val corpus = Tables.documents(spark, sfDir).count()
