@@ -173,4 +173,35 @@ class ScalePathSpec extends SparkSpec {
     assert(!tr.contains("Join"), tr)
     assert("Exchange hashpartitioning".r.findAllIn(tr).size == 0, tr)
   }
+
+  test("round-6 operators: plan shapes never degrade to cartesians; shuffles bounded") {
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+    def exchanges(p: String): Int = "Exchange hashpartitioning".r.findAllIn(p).size
+    // DIAGNOSTIC printout (kept: makes a bound regression instantly readable)
+    val newOps = Seq(
+      "dedup_substring", "text_dup_coverage", "ann_pq_adc", "dedup_lsh_tuning",
+      "corpus_ppl_buckets", "mm_batch_plan", "emb_pca_power", "text_char_classes",
+      "tok_fertility", "reg_bloom_filter", "corpus_gopher_gate", "t_downsample",
+      "dedup_cluster_stats", "an_field_cooccur", "t_resample_ffill", "metrics_heatmap",
+      "metrics_apdex", "stream_latest_state", "compat_rule_freq", "an_enum_drift",
+      "corpus_drift")
+    val shapes = newOps.map(n => n -> plan(n)).toMap
+    shapes.foreach { case (n, p) =>
+      // 1-row broadcast crossJoins (codebook/total rows) plan as BNL with
+      // a 1-row build side and are fine; a CartesianProduct never is.
+      assert(!p.contains("CartesianProduct"), s"$n: CartesianProduct in plan")
+      info(s"$n: ${exchanges(p)} hash exchanges")
+    }
+    // row-local scans: no hash exchange at all
+    Seq("text_char_classes", "mm_batch_plan").foreach { n =>
+      assert(exchanges(shapes(n)) <= 1, s"$n: ${exchanges(shapes(n))} exchanges")
+    }
+    // the pair-generating dedups must key their only pair shuffle(s)
+    assert(exchanges(shapes("dedup_substring")) <= 5, shapes("dedup_substring"))
+    // broadcast sides where the design demands them
+    assert(shapes("ann_pq_adc").contains("Broadcast"), "pq codebook/probes must broadcast")
+    assert(shapes("an_field_cooccur").contains("BroadcastHashJoin"),
+      "df/total lookups must broadcast, not shuffle")
+  }
 }
