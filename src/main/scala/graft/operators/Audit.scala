@@ -539,9 +539,9 @@ object Audit {
         |FROM events GROUP BY 1, 2 ORDER BY dow, hod""".stripMargin,
     "metrics_apdex" ->
       """SELECT event_type, count(*) AS n_requests,
-        |  sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END) AS n_satisfied,
-        |  sum(CASE WHEN value > 50.0 AND value <= 200.0 THEN 1 ELSE 0 END) AS n_tolerating,
-        |  sum(CASE WHEN value > 200.0 THEN 1 ELSE 0 END) AS n_frustrated,
+        |  CAST(sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_satisfied,
+        |  CAST(sum(CASE WHEN value > 50.0 AND value <= 200.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tolerating,
+        |  CAST(sum(CASE WHEN value > 200.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_frustrated,
         |  floor((sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END)
         |         + sum(CASE WHEN value > 50.0 AND value <= 200.0 THEN 1 ELSE 0 END) / 2.0)
         |        / count(*) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS apdex

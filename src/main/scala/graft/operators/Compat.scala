@@ -553,6 +553,22 @@ object Compat {
     * shuffle; a field violating two rules yields two rows, as the
     * reference yields two messages.
     */
+  /** One (subject, version, fname, violation) row per fired rule —
+    * the classification stated ONCE and shared by [[compatExplain]]
+    * and [[ruleFreq]] (the SQL side shares `explainOracle` the same
+    * way), so a new violation class cannot silently diverge between
+    * the listing and its frequency rollup.
+    */
+  private def violationHits(s: SparkSession, dir: String): DataFrame =
+    backwardFieldChecks(s, dir)
+      .select(col("subject"), col("version"), col("fname"),
+        explode(filter(array(
+          when(col("v_missing_default"), "missing_default"),
+          when(col("v_type_narrowed"), "type_narrowed"),
+          when(col("v_type_change") && !col("v_type_narrowed"), "type_change"),
+          when(col("v_required_reads_nullable"), "required_reads_nullable"),
+          when(col("v_enum_symbols"), "enum_symbols")), x => x.isNotNull)).as("violation"))
+
   def compatExplain(s: SparkSession, dir: String): DataFrame =
     // ONE pass over the shared checks (a 4-way union of filtered
     // selects re-ran the window scan per class — 6s vs 1.9s for the
@@ -562,14 +578,7 @@ object Compat {
     // (reverse direction WOULD promote — the pure-narrowing mistakes
     // like double→float, bigint→int, union branch removal) vs
     // `type_change` (a genuine rewrite no promotion order fixes).
-    backwardFieldChecks(s, dir)
-      .select(col("subject"), col("version"), col("fname"),
-        explode(filter(array(
-          when(col("v_missing_default"), "missing_default"),
-          when(col("v_type_narrowed"), "type_narrowed"),
-          when(col("v_type_change") && !col("v_type_narrowed"), "type_change"),
-          when(col("v_required_reads_nullable"), "required_reads_nullable"),
-          when(col("v_enum_symbols"), "enum_symbols")), x => x.isNotNull)).as("violation"))
+    violationHits(s, dir)
       .withColumn("suggestion",
         when(col("violation") === "missing_default",
           "Add a default value to the new field so old data can be read with the new schema.")
@@ -622,14 +631,7 @@ object Compat {
     * rollup is one bounded-vocabulary aggregate.
     */
   def ruleFreq(s: SparkSession, dir: String): DataFrame = {
-    val hits = backwardFieldChecks(s, dir)
-      .select(col("subject"), col("version"), col("fname"),
-        explode(filter(array(
-          when(col("v_missing_default"), "missing_default"),
-          when(col("v_type_narrowed"), "type_narrowed"),
-          when(col("v_type_change") && !col("v_type_narrowed"), "type_change"),
-          when(col("v_required_reads_nullable"), "required_reads_nullable"),
-          when(col("v_enum_symbols"), "enum_symbols")), x => x.isNotNull)).as("violation"))
+    val hits = violationHits(s, dir)
     val total = hits.agg(count(lit(1)).as("n_total"))
     hits.groupBy(col("violation"))
       .agg(count(lit(1)).as("n_field_hits"),
@@ -1404,7 +1406,8 @@ object Compat {
       s"""WITH $fieldModelCte,
         |j AS (
         |  SELECT r.subject, r.version, r.fname,
-        |    string_split(r.fsyms, ',') AS rs, string_split(w.fsyms, ',') AS ws
+        |    list_distinct(string_split(r.fsyms, ',')) AS rs,
+        |    list_distinct(string_split(w.fsyms, ',')) AS ws
         |  FROM fields r JOIN fields w
         |    ON r.subject = w.subject AND w.version = r.version - 1 AND r.fid = w.fid
         |  WHERE r.version > 1 AND r.ftype = 'enum' AND w.ftype = 'enum'

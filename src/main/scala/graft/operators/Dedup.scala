@@ -314,8 +314,11 @@ object Dedup {
     * (a shared `pow()` would lean on two different libm
     * implementations' last-ulp behavior).
     */
-  private def ipow(e: String, n: Int): String =
+  private def ipow(e: String, n: Int): String = {
+    require(n > 0 && (n & (n - 1)) == 0,
+      s"ipow builds squaring chains for power-of-two exponents only, got $n")
     if (n == 1) e else { val h = ipow(e, n / 2); s"($h * $h)" }
+  }
 
   private val lshConfigs: Seq[(Int, Int)] = Seq((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
 
@@ -373,6 +376,8 @@ object Dedup {
     * shuffle); only pair-level aggregates leave that stage.
     */
   def substringRuns(s: SparkSession, dir: String): DataFrame = {
+    // The DuckDB oracle pins the DEFAULT cap (50), like winnow's; a
+    // non-default graft.substr.dfCap is a tuning run, not a parity run.
     val dfCap = s.conf.get("graft.substr.dfCap", "50").toInt
     val grams = Tables.spread(Tables.documents(s, dir))
       .selectExpr("doc_id", "split(text, ' ') AS ts")

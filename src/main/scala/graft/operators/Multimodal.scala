@@ -197,10 +197,13 @@ object Multimodal {
     * payloads are routed by sniffed content type (same magic-byte
     * classification as [[typeSniff]] — a batch must be type-
     * homogeneous to share a decoder) and packed in doc_id order into
-    * batches holding at most 4 KiB of payload (the accelerator-memory
-    * budget; production sizes differ, the plan shape doesn't). An
-    * item larger than the budget gets a batch of its own — the
-    * div-based prefix-sum assignment does this naturally.
+    * batches by a 4 KiB payload budget (the accelerator-memory
+    * knob; production sizes differ, the plan shape doesn't).
+    * Assignment is by START offset (prefix sum ÷ budget), so the
+    * exact invariant — asserted by the spec — is that a batch
+    * exceeds the budget only by its final item: total − max_item
+    * < budget. A loader that must HARD-cap bytes sizes its buffer
+    * to budget + max item size.
     *
     * Scale: one running-sum window per mime class and a rollup on
     * (mime, batch_id) riding the same exchange — [[graft.operators.

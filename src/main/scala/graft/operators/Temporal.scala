@@ -137,8 +137,10 @@ object Temporal {
 
   /** Regular-grid resampling with forward fill — the TSDB gap-filling
     * pass (a dashboard needs one value per minute whether or not a
-    * point arrived): the minute grid spans [min, max] per series,
-    * observed minutes aggregate to a 4dp mean, and gaps carry the
+    * point arrived): every series resamples onto ONE shared minute
+    * grid spanning the corpus-wide [min, max] (aligned axes are the
+    * dashboard contract — a per-series span would clip each panel
+    * differently), observed minutes aggregate to a 4dp mean, and gaps carry the
     * last observed value forward (`last ... ignoreNulls` running
     * window); minutes before a series' first point stay NULL —
     * fill-forward never invents history.
