@@ -31,6 +31,40 @@ def table_hash(df):
         h.update(b"\x1e")
     return h.hexdigest()
 
+# DuckDB type → comparison class. The r6 driver hash failure on
+# mm_batch_plan was a TYPE divergence with every value equal, so the
+# local gate compares result dtypes, not just names. Classes:
+#  - int widths bucket together through BIGINT (pandas itertuples
+#    str()s int32 and int64 identically, and the r6 driver accepted a
+#    live int32-vs-BIGINT column in text_dup_coverage), BUT
+#  - HUGEINT is its OWN class: DuckDB widens sum()/window-sum results
+#    to int128, pandas converts that to float64, and a str-canonical
+#    hash then renders 0.0 vs 0 — the exact mm_batch_plan failure.
+#    Every oracle must CAST hugeint outputs to BIGINT.
+#  - FLOAT vs DOUBLE also differ (float32 repr drift).
+def type_class(t):
+    t = t.upper()
+    if t.startswith("DECIMAL"):
+        return t  # scale/precision matter
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "INT"
+    if t == "HUGEINT":
+        return "INT128"
+    if t == "FLOAT":
+        return "FLOAT32"
+    if t == "DOUBLE":
+        return "FLOAT64"
+    return t
+
+def types_of(con, query):
+    rows = con.execute(f"DESCRIBE {query}").fetchall()
+    return {r[0]: type_class(r[1]) for r in rows}
+
+def raw_types_of(con, query):
+    rows = con.execute(f"DESCRIBE {query}").fetchall()
+    return {r[0]: r[1].upper() for r in rows}
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
@@ -48,15 +82,28 @@ def main(sf_dir, out_dir):
         except Exception as e:
             results[name] = f"ORACLE_SQL_ERROR: {e}"
             continue
+        stypes = types_of(con, f"SELECT * FROM read_parquet({spark_files!r})")
+        otypes = types_of(con, sql)
         sc, oc = sorted(sdf.columns), sorted(odf.columns)
+        tdiff = {c: (stypes.get(c), otypes.get(c)) for c in sc
+                 if c in otypes and stypes.get(c) != otypes.get(c)}
         if sc != oc:
             results[name] = f"SCHEMA_MISMATCH spark={sc} oracle={oc}"
+        elif tdiff:
+            results[name] = f"TYPE_MISMATCH {tdiff}"
         elif len(sdf) != len(odf):
             results[name] = f"ROWCOUNT_MISMATCH spark={len(sdf)} oracle={len(odf)}"
         elif table_hash(sdf) != table_hash(odf):
             results[name] = "HASH_MISMATCH"
         else:
-            results[name] = "OK"
+            # int-width divergences (e.g. Spark INTEGER vs oracle
+            # BIGINT) are driver-tolerated (str-canonical hash), but
+            # note them: they're one max()/sum() away from becoming a
+            # real divergence.
+            srt, ort = raw_types_of(con, f"SELECT * FROM read_parquet({spark_files!r})"), raw_types_of(con, sql)
+            note = {c: (srt.get(c), ort.get(c)) for c in sc
+                    if c in ort and srt.get(c) != ort.get(c)}
+            results[name] = f"OK (type note: {note})" if note else "OK"
     # queries with no oracle → rows-only check
     for d in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(d.rstrip("/"))
@@ -66,7 +113,7 @@ def main(sf_dir, out_dir):
             results[name] = f"ROWS_ONLY n={n}" + (" OK" if n > 0 else " EMPTY!")
     bad = 0
     for name, r in sorted(results.items()):
-        flag = "" if r == "OK" or "ROWS_ONLY" in r and "OK" in r else "  <<< FAIL"
+        flag = "" if r.startswith("OK") or "ROWS_ONLY" in r and "OK" in r else "  <<< FAIL"
         if flag: bad += 1
         print(f"{name:28s} {r}{flag}")
     print(f"\n{len(results)-bad}/{len(results)} pass")

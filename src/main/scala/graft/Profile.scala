@@ -28,6 +28,11 @@ object Profile {
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Paired-conf experiments: SPARK_GRAFT_CONF="k=v;k=v" overrides
+    // runtime SQL confs after session build (e.g. to A/B the AQE
+    // coalescing knobs that differ between bench generations).
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     // SPARK_GRAFT_PROFILE_MODE=count reproduces the r2 bench
     // materialization (df.count(), lets Catalyst prune aggregates);

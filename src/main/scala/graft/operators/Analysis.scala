@@ -120,6 +120,47 @@ object Analysis {
       .orderBy(col("path"), col("jtype"))
   }
 
+  /** Protobuf text-payload field extraction (fields.go:222
+    * extractProtobufFields — the third walker next to the Avro/JSON
+    * ones [[fieldPaths]] covers): a `.proto`-shaped payload is
+    * regex-walked line-by-line with the reference's exact pattern
+    * `^\s*(?:(optional|required|repeated)\s+)?(\w+)\s+(\w+)\s*=\s*\d+\s*;`
+    * into (modifier, type, name) field rows; `required` is true iff
+    * the modifier literal is `required` (fields.go:233). The payload
+    * is synthesized per document from its leading tokens — six field
+    * lines cycling through all modifier×type combinations plus the
+    * non-field lines the walker must skip (comment, `message …{`,
+    * `reserved 99;`, closing brace) — so every regex branch is
+    * exercised data-driven, then parsed back with the reference
+    * semantics. Construction and parse are row-local with the scan;
+    * the only shuffle is the bounded (modifier, type) rollup.
+    */
+  def protoFields(s: SparkSession, dir: String): DataFrame = {
+    val pat = """(?m)^\s*(?:(optional|required|repeated)\s+)?(\w+)\s+(\w+)\s*=\s*\d+\s*;"""
+    val ts = split(col("text"), " ")
+    val modArr = array(lit("optional "), lit("required "), lit("repeated "), lit(""))
+    val typArr = array(lit("string"), lit("int64"), lit("bool"))
+    val lines = transform(sequence(lit(1), lit(6)), i =>
+      concat(lit("  "),
+        element_at(modArr, ((i - 1) % 4 + 1).cast("int")),
+        element_at(typArr, ((i - 1) % 3 + 1).cast("int")),
+        lit(" "), element_at(ts, i), lit(" = "), i.cast("string"), lit(";")))
+    Tables.spread(Tables.documents(s, dir))
+      .where(size(ts) >= 6)
+      .select(concat(
+        lit("// synthesized proto for doc "), col("doc_id").cast("string"), lit("\n"),
+        lit("message Doc {\n"), array_join(lines, "\n"),
+        lit("\n  reserved 99;\n}")).as("payload"))
+      .select(explode(arrays_zip(
+        regexp_extract_all(col("payload"), lit(pat), lit(1)),
+        regexp_extract_all(col("payload"), lit(pat), lit(2)),
+        regexp_extract_all(col("payload"), lit(pat), lit(3)))).as("f"))
+      .select(col("f.0").as("modifier"), col("f.1").as("ftype"), col("f.2").as("fname"))
+      .groupBy(col("modifier"), col("ftype"), (col("modifier") === "required").as("required"))
+      .agg(count(lit(1)).as("n_fields"), countDistinct(col("fname")).as("n_names"))
+      .orderBy(col("modifier"), col("ftype"))
+  }
+
   /** MatchFuzzy against a candidate set with naming variants
     * (fuzzy.go:121 query×candidates scoring; fuzzy.go:60
     * NamingVariants camel/snake/kebab/space). Queries are the
@@ -220,6 +261,7 @@ object Analysis {
     "an_name_normalize" -> nameNormalize,
     "an_field_extract" -> fieldExtract,
     "an_field_paths" -> fieldPaths,
+    "an_proto_fields" -> protoFields,
     "an_quality_score" -> qualityScore)
 
   val oracleSql: Map[String, String] = Map(
@@ -280,6 +322,33 @@ object Analysis {
         |    WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
         |  UNION ALL SELECT 'usr', 'number', count(*) FROM events WHERE user_id % 3 <> 0
         |) WHERE n > 0 ORDER BY path, jtype""".stripMargin,
+    // Same payload synthesis, same reference regex; DuckDB returns
+    // NULL for a non-participating optional group where Spark returns
+    // '' — hence the coalesce. The three regexp_extract_all lists zip
+    // positionally through parallel unnests.
+    "an_proto_fields" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    '// synthesized proto for doc ' || doc_id || chr(10) ||
+        |    'message Doc {' || chr(10) ||
+        |    array_to_string(list_transform(range(1, 7), i ->
+        |      '  ' || ['optional ', 'required ', 'repeated ', ''][CAST((i-1) % 4 AS INT) + 1]
+        |      || ['string', 'int64', 'bool'][CAST((i-1) % 3 AS INT) + 1]
+        |      || ' ' || string_split(text, ' ')[CAST(i AS INT)] || ' = ' || i || ';'), chr(10))
+        |    || chr(10) || '  reserved 99;' || chr(10) || '}' AS payload
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 6),
+        |f AS (
+        |  SELECT
+        |    coalesce(unnest(regexp_extract_all(payload,
+        |      '(?m)^\s*(?:(optional|required|repeated)\s+)?(\w+)\s+(\w+)\s*=\s*\d+\s*;', 1)), '') AS modifier,
+        |    unnest(regexp_extract_all(payload,
+        |      '(?m)^\s*(?:(optional|required|repeated)\s+)?(\w+)\s+(\w+)\s*=\s*\d+\s*;', 2)) AS ftype,
+        |    unnest(regexp_extract_all(payload,
+        |      '(?m)^\s*(?:(optional|required|repeated)\s+)?(\w+)\s+(\w+)\s*=\s*\d+\s*;', 3)) AS fname
+        |  FROM p)
+        |SELECT modifier, ftype, modifier = 'required' AS required,
+        |  count(*) AS n_fields, count(DISTINCT fname) AS n_names
+        |FROM f GROUP BY 1, 2, 3 ORDER BY modifier, ftype""".stripMargin,
     "an_fuzzy_candidates" ->
       """WITH cand AS (SELECT DISTINCT p_name FROM part),
         |bw AS (SELECT GREATEST(CAST(ceil(MAX(length(lower(p_name))) * 0.25) AS BIGINT), 1) AS bw FROM cand),

@@ -416,7 +416,11 @@ object Audit {
     * bounded by label cardinality — at 100 TB of scraped metrics
     * this is a pure map-side-combine aggregation.
     */
-  def promParse(s: SparkSession, dir: String): DataFrame = {
+  /** The synthesized exposition stream parsed to (name, series, val)
+    * rows — shared by [[promParse]] (category catalog) and
+    * [[metricsSummary]] (the fixed-section ops card).
+    */
+  private def promSeriesParsed(s: SparkSession, dir: String): DataFrame = {
     val lines = Tables.events(s, dir)
       .select(col("user_id"),
         get_json_object(col("props"), "$.k").cast("bigint").as("k"))
@@ -450,6 +454,10 @@ object Audit {
         "regexp_extract(line, '^[^{ ]+', 0) AS name",
         "regexp_extract(line, '^[^ ]+', 0) AS series",
         "cast(regexp_extract(line, ' ([0-9]+)$', 1) AS bigint) AS val")
+  }
+
+  def promParse(s: SparkSession, dir: String): DataFrame = {
+    promSeriesParsed(s, dir)
       .selectExpr("name", "series", "val",
         """CASE
           |WHEN name LIKE 'kafka_schema_registry_%' THEN 'wire_compatible'
@@ -471,6 +479,83 @@ object Audit {
         countDistinct(col("series")).as("n_series"),
         sum(col("val")).as("total"))
       .orderBy(col("category"), col("name"))
+  }
+
+  /** The fixed-section metrics summary card (handleGetMetricsSummary,
+    * mcp/tools_metrics.go:45-:118) composed over [[promSeriesParsed]]:
+    * the handler's literal section/entry program — 11 sections, each a
+    * mix of NAMED entries (writeMetricValue :332 — the single series
+    * whose line starts `name ` / `name{`, or a "(not yet initialized)"
+    * row when the counter never incremented) and FAMILY entries
+    * (writeMatchingMetrics :346 — every series line matching the name
+    * prefix; an empty family renders nothing). Re-expressed
+    * relationally: the card spec is a 27-row broadcast literal
+    * mirroring the handler's call order (sec_order / item_order = the
+    * source line order), series values accumulate counter-style
+    * (sum over samples), named entries left-join on exact name,
+    * families inner-join on series prefix.
+    *
+    * Scale: the sample stream aggregates FIRST (map-side combine to
+    * the ≤ label-cardinality series vocabulary, one shuffle), then a
+    * 27-row broadcast joins against ~35 series rows — card
+    * composition costs nothing beyond the parse scan at any corpus
+    * size. localCheckpoint pins the aggregated series so the two
+    * joins (named + family) don't re-derive the scan.
+    */
+  def metricsSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val spec = Seq(
+      (1L, "wire_counters", 1L, "named", "kafka_schema_registry_registered_count", "Schemas registered (total)"),
+      (1L, "wire_counters", 2L, "named", "kafka_schema_registry_deleted_count", "Schemas deleted (total)"),
+      (1L, "wire_counters", 3L, "named", "kafka_schema_registry_api_success_count", "Successful API calls (2xx/3xx)"),
+      (1L, "wire_counters", 4L, "named", "kafka_schema_registry_api_failure_count", "Failed API calls (4xx/5xx)"),
+      (1L, "wire_counters", 5L, "named", "kafka_schema_registry_master_slave_role", "Leader role (1=leader, 0=follower)"),
+      (1L, "wire_counters", 6L, "named", "kafka_schema_registry_node_count", "Cluster node count"),
+      (2L, "schema_counts_by_type", 1L, "family", "kafka_schema_registry_schemas_created", null),
+      (2L, "schema_counts_by_type", 2L, "family", "kafka_schema_registry_schemas_deleted", null),
+      (3L, "request", 1L, "named", "schema_registry_requests_in_flight", "Requests in flight"),
+      (3L, "request", 2L, "family", "schema_registry_requests_total", null),
+      (4L, "schema", 1L, "family", "schema_registry_schemas_total", null),
+      (4L, "schema", 2L, "named", "schema_registry_subjects_total", "Total subjects"),
+      (4L, "schema", 3L, "family", "schema_registry_registrations_total", null),
+      (5L, "compatibility", 1L, "family", "schema_registry_compatibility_checks_total", null),
+      (5L, "compatibility", 2L, "family", "schema_registry_compatibility_errors_total", null),
+      (6L, "storage", 1L, "family", "schema_registry_storage_operations_total", null),
+      (6L, "storage", 2L, "family", "schema_registry_storage_errors_total", null),
+      (7L, "cache", 1L, "family", "schema_registry_cache_hits_total", null),
+      (7L, "cache", 2L, "family", "schema_registry_cache_misses_total", null),
+      (7L, "cache", 3L, "family", "schema_registry_cache_size", null),
+      (8L, "auth", 1L, "family", "schema_registry_auth_attempts_total", null),
+      (8L, "auth", 2L, "family", "schema_registry_auth_failures_total", null),
+      (9L, "rate_limit", 1L, "family", "schema_registry_rate_limit_hits_total", null),
+      (10L, "mcp", 1L, "named", "schema_registry_mcp_tool_calls_active", "Active MCP tool calls"),
+      (10L, "mcp", 2L, "family", "schema_registry_mcp_tool_calls_total", null),
+      (10L, "mcp", 3L, "family", "schema_registry_mcp_tool_call_errors_total", null),
+      (10L, "mcp", 4L, "family", "schema_registry_mcp_confirmations_total", null),
+      (10L, "mcp", 5L, "family", "schema_registry_mcp_policy_denials_total", null),
+      (10L, "mcp", 6L, "family", "schema_registry_mcp_permission_denied_total", null),
+      (11L, "per_principal", 1L, "family", "schema_registry_principal_requests_total", null),
+      (11L, "per_principal", 2L, "family", "schema_registry_principal_mcp_calls_total", null))
+      .toDF("sec_order", "section", "item_order", "kind", "metric", "descr")
+    val sagg = promSeriesParsed(s, dir)
+      .groupBy(col("name"), col("series"))
+      .agg(sum(col("val")).as("value"))
+      .localCheckpoint()
+    val outCols = Seq(col("sec_order"), col("section"), col("item_order"),
+      col("kind"), col("metric"), col("descr"), col("series"), col("value"),
+      col("status"))
+    val named = broadcast(spec.filter(col("kind") === "named"))
+      .join(sagg, col("name") === col("metric"), "left")
+      .withColumn("status",
+        when(col("value").isNull, "not_initialized").otherwise("ok"))
+      .select(outCols: _*)
+    val fams = sagg
+      .join(broadcast(spec.filter(col("kind") === "family")),
+        col("series").startsWith(col("metric")))
+      .withColumn("status", lit("ok"))
+      .select(outCols: _*)
+    named.union(fams)
+      .orderBy(col("sec_order"), col("item_order"), col("series"))
   }
 
   /** Apdex satisfaction score per endpoint class (the Apdex standard:
@@ -513,6 +598,7 @@ object Audit {
     "metrics_apdex" -> apdex,
     "metrics_rate_alert" -> rateAlert,
     "metrics_prom_parse" -> promParse,
+    "metrics_summary" -> metricsSummary,
     "audit_growth" -> growth,
     "audit_retention" -> retention,
     "metrics_rate_hop" -> rateHopping,
@@ -530,6 +616,47 @@ object Audit {
     "audit_sessionize" -> sessionize,
     "metrics_latency_pctile" -> latencyPctile,
     "metrics_rate_1m" -> rate1m)
+
+  /** Exposition synthesis + parse as a DuckDB CTE chain ending in
+    * `parsed(name, series, val)` — mirrors [[promSeriesParsed]] and is
+    * shared by the metrics_prom_parse and metrics_summary oracles.
+    */
+  private val promOracleCte: String =
+    """ev AS (
+      |  SELECT user_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events),
+      |base AS (
+      |  SELECT user_id, k, CAST(k % 100 AS VARCHAR) AS v,
+      |    CAST(user_id % 2 AS VARCHAR) AS u2, CAST(user_id % 3 AS VARCHAR) AS u3,
+      |    CAST(user_id % 4 AS VARCHAR) AS u4, CAST(user_id % 5 AS VARCHAR) AS u5,
+      |    CAST(user_id % 6 AS VARCHAR) AS u6, CAST(user_id % 7 AS VARCHAR) AS u7
+      |  FROM ev),
+      |lines AS (
+      |  SELECT CASE CAST(k % 16 AS INT)
+      |    WHEN 0 THEN 'kafka_schema_registry_registered_count ' || v
+      |    WHEN 1 THEN 'schema_registry_requests_total{method="m' || u3 || '",status="2xx"} ' || v
+      |    WHEN 2 THEN 'schema_registry_schemas_total{type="t' || u4 || '"} ' || v
+      |    WHEN 3 THEN CASE WHEN user_id % 2 = 0 THEN 'schema_registry_subjects_total ' || v
+      |                     ELSE 'schema_registry_registrations_total{format="avro"} ' || v END
+      |    WHEN 4 THEN 'schema_registry_compatibility_checks_total{level="L' || u3 || '"} ' || v
+      |    WHEN 5 THEN 'schema_registry_storage_operations_total{op="o' || u5 || '"} ' || v
+      |    WHEN 6 THEN 'schema_registry_cache_hits_total ' || v
+      |    WHEN 7 THEN 'schema_registry_auth_attempts_total{method="a' || u2 || '"} ' || v
+      |    WHEN 8 THEN 'schema_registry_rate_limit_hits_total ' || v
+      |    WHEN 9 THEN 'schema_registry_mcp_tool_calls_total{tool="T' || u6 || '"} ' || v
+      |    WHEN 10 THEN 'schema_registry_principal_requests_total{principal="p' || u7 || '"} ' || v
+      |    WHEN 11 THEN 'go_goroutines ' || v
+      |    WHEN 12 THEN 'process_cpu_seconds_total ' || v
+      |    WHEN 13 THEN 'schema_registry_leader_elections_total ' || v
+      |    WHEN 14 THEN '# HELP schema_registry_requests_total Total requests by method and status.'
+      |    ELSE '# TYPE schema_registry_requests_total counter'
+      |    END AS line
+      |  FROM base),
+      |parsed AS (
+      |  SELECT regexp_extract(line, '^[^{ ]+') AS name,
+      |    regexp_extract(line, '^[^ ]+') AS series,
+      |    CAST(regexp_extract(line, ' ([0-9]+)$', 1) AS BIGINT) AS val
+      |  FROM lines WHERE line NOT LIKE '#%')""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "metrics_heatmap" ->
@@ -563,42 +690,63 @@ object Audit {
         |FROM t
         |WHERE t_cnt = 10 AND n_events * 20 > t_sum * 3
         |ORDER BY event_type, minute""".stripMargin,
+    // The card spec VALUES mirror the handler's literal call order;
+    // named entries left-join (miss → not_initialized row), families
+    // inner-join on series prefix (miss → no rows), value = counter
+    // accumulation over samples.
+    "metrics_summary" ->
+      s"""WITH $promOracleCte,
+        |sagg AS (
+        |  SELECT name, series, CAST(sum(val) AS BIGINT) AS value
+        |  FROM parsed GROUP BY name, series),
+        |spec(sec_order, section, item_order, kind, metric, descr) AS (VALUES
+        |  (1, 'wire_counters', 1, 'named', 'kafka_schema_registry_registered_count', 'Schemas registered (total)'),
+        |  (1, 'wire_counters', 2, 'named', 'kafka_schema_registry_deleted_count', 'Schemas deleted (total)'),
+        |  (1, 'wire_counters', 3, 'named', 'kafka_schema_registry_api_success_count', 'Successful API calls (2xx/3xx)'),
+        |  (1, 'wire_counters', 4, 'named', 'kafka_schema_registry_api_failure_count', 'Failed API calls (4xx/5xx)'),
+        |  (1, 'wire_counters', 5, 'named', 'kafka_schema_registry_master_slave_role', 'Leader role (1=leader, 0=follower)'),
+        |  (1, 'wire_counters', 6, 'named', 'kafka_schema_registry_node_count', 'Cluster node count'),
+        |  (2, 'schema_counts_by_type', 1, 'family', 'kafka_schema_registry_schemas_created', NULL),
+        |  (2, 'schema_counts_by_type', 2, 'family', 'kafka_schema_registry_schemas_deleted', NULL),
+        |  (3, 'request', 1, 'named', 'schema_registry_requests_in_flight', 'Requests in flight'),
+        |  (3, 'request', 2, 'family', 'schema_registry_requests_total', NULL),
+        |  (4, 'schema', 1, 'family', 'schema_registry_schemas_total', NULL),
+        |  (4, 'schema', 2, 'named', 'schema_registry_subjects_total', 'Total subjects'),
+        |  (4, 'schema', 3, 'family', 'schema_registry_registrations_total', NULL),
+        |  (5, 'compatibility', 1, 'family', 'schema_registry_compatibility_checks_total', NULL),
+        |  (5, 'compatibility', 2, 'family', 'schema_registry_compatibility_errors_total', NULL),
+        |  (6, 'storage', 1, 'family', 'schema_registry_storage_operations_total', NULL),
+        |  (6, 'storage', 2, 'family', 'schema_registry_storage_errors_total', NULL),
+        |  (7, 'cache', 1, 'family', 'schema_registry_cache_hits_total', NULL),
+        |  (7, 'cache', 2, 'family', 'schema_registry_cache_misses_total', NULL),
+        |  (7, 'cache', 3, 'family', 'schema_registry_cache_size', NULL),
+        |  (8, 'auth', 1, 'family', 'schema_registry_auth_attempts_total', NULL),
+        |  (8, 'auth', 2, 'family', 'schema_registry_auth_failures_total', NULL),
+        |  (9, 'rate_limit', 1, 'family', 'schema_registry_rate_limit_hits_total', NULL),
+        |  (10, 'mcp', 1, 'named', 'schema_registry_mcp_tool_calls_active', 'Active MCP tool calls'),
+        |  (10, 'mcp', 2, 'family', 'schema_registry_mcp_tool_calls_total', NULL),
+        |  (10, 'mcp', 3, 'family', 'schema_registry_mcp_tool_call_errors_total', NULL),
+        |  (10, 'mcp', 4, 'family', 'schema_registry_mcp_confirmations_total', NULL),
+        |  (10, 'mcp', 5, 'family', 'schema_registry_mcp_policy_denials_total', NULL),
+        |  (10, 'mcp', 6, 'family', 'schema_registry_mcp_permission_denied_total', NULL),
+        |  (11, 'per_principal', 1, 'family', 'schema_registry_principal_requests_total', NULL),
+        |  (11, 'per_principal', 2, 'family', 'schema_registry_principal_mcp_calls_total', NULL)),
+        |named AS (
+        |  SELECT spec.*, sagg.series, sagg.value,
+        |    CASE WHEN sagg.value IS NULL THEN 'not_initialized' ELSE 'ok' END AS status
+        |  FROM spec LEFT JOIN sagg ON sagg.name = spec.metric
+        |  WHERE spec.kind = 'named'),
+        |fams AS (
+        |  SELECT spec.*, sagg.series, sagg.value, 'ok' AS status
+        |  FROM spec JOIN sagg ON starts_with(sagg.series, spec.metric)
+        |  WHERE spec.kind = 'family')
+        |SELECT CAST(sec_order AS BIGINT) AS sec_order, section,
+        |  CAST(item_order AS BIGINT) AS item_order, kind, metric, descr,
+        |  series, value, status
+        |FROM (SELECT * FROM named UNION ALL SELECT * FROM fams)
+        |ORDER BY sec_order, item_order, series""".stripMargin,
     "metrics_prom_parse" ->
-      """WITH ev AS (
-        |  SELECT user_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-        |  FROM events),
-        |base AS (
-        |  SELECT user_id, k, CAST(k % 100 AS VARCHAR) AS v,
-        |    CAST(user_id % 2 AS VARCHAR) AS u2, CAST(user_id % 3 AS VARCHAR) AS u3,
-        |    CAST(user_id % 4 AS VARCHAR) AS u4, CAST(user_id % 5 AS VARCHAR) AS u5,
-        |    CAST(user_id % 6 AS VARCHAR) AS u6, CAST(user_id % 7 AS VARCHAR) AS u7
-        |  FROM ev),
-        |lines AS (
-        |  SELECT CASE CAST(k % 16 AS INT)
-        |    WHEN 0 THEN 'kafka_schema_registry_registered_count ' || v
-        |    WHEN 1 THEN 'schema_registry_requests_total{method="m' || u3 || '",status="2xx"} ' || v
-        |    WHEN 2 THEN 'schema_registry_schemas_total{type="t' || u4 || '"} ' || v
-        |    WHEN 3 THEN CASE WHEN user_id % 2 = 0 THEN 'schema_registry_subjects_total ' || v
-        |                     ELSE 'schema_registry_registrations_total{format="avro"} ' || v END
-        |    WHEN 4 THEN 'schema_registry_compatibility_checks_total{level="L' || u3 || '"} ' || v
-        |    WHEN 5 THEN 'schema_registry_storage_operations_total{op="o' || u5 || '"} ' || v
-        |    WHEN 6 THEN 'schema_registry_cache_hits_total ' || v
-        |    WHEN 7 THEN 'schema_registry_auth_attempts_total{method="a' || u2 || '"} ' || v
-        |    WHEN 8 THEN 'schema_registry_rate_limit_hits_total ' || v
-        |    WHEN 9 THEN 'schema_registry_mcp_tool_calls_total{tool="T' || u6 || '"} ' || v
-        |    WHEN 10 THEN 'schema_registry_principal_requests_total{principal="p' || u7 || '"} ' || v
-        |    WHEN 11 THEN 'go_goroutines ' || v
-        |    WHEN 12 THEN 'process_cpu_seconds_total ' || v
-        |    WHEN 13 THEN 'schema_registry_leader_elections_total ' || v
-        |    WHEN 14 THEN '# HELP schema_registry_requests_total Total requests by method and status.'
-        |    ELSE '# TYPE schema_registry_requests_total counter'
-        |    END AS line
-        |  FROM base),
-        |parsed AS (
-        |  SELECT regexp_extract(line, '^[^{ ]+') AS name,
-        |    regexp_extract(line, '^[^ ]+') AS series,
-        |    CAST(regexp_extract(line, ' ([0-9]+)$', 1) AS BIGINT) AS val
-        |  FROM lines WHERE line NOT LIKE '#%'),
+      s"""WITH $promOracleCte,
         |cat AS (
         |  SELECT name, series, val,
         |    CASE

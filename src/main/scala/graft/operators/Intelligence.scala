@@ -360,7 +360,14 @@ object Intelligence {
     * exact integer products (no accumulation-order risk).
     */
   def fieldCooccur(s: SparkSession, dir: String): DataFrame = {
+    // The latest-fields view (events scan + version window + field
+    // model build) feeds FOUR consumers below — both self-join sides,
+    // the document-frequency rollup, and the 1-row subject count. r6
+    // re-derived it four times; localCheckpoint materializes the slim
+    // 2-column view once (vocabulary-sized: subjects × fields rows)
+    // and every consumer reads the checkpointed partitions.
     val lf = latestFields(s, dir).select(col("subject"), col("fname"))
+      .localCheckpoint()
     val dfx = lf.groupBy(col("fname")).agg(count(lit(1)).as("dfx"))
     val n = lf.agg(countDistinct(col("subject")).as("n_subjects"))
     lf.as("a").join(lf.as("b"),

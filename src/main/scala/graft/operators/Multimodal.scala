@@ -212,14 +212,14 @@ object Multimodal {
   def batchPlan(s: SparkSession, dir: String): DataFrame = {
     val mimed = Tables.spread(Tables.documents(s, dir))
       .selectExpr("doc_id",
-        """length(concat(
+        """cast(length(concat(
           |  CASE cast(doc_id % 5 AS int)
           |  WHEN 0 THEN unhex('FFD8FFE0')
           |  WHEN 1 THEN unhex('89504E47')
           |  WHEN 2 THEN unhex('52494646')
           |  WHEN 3 THEN unhex('47494638')
           |  ELSE cast('' AS binary) END,
-          |  encode(text, 'UTF-8'))) AS n_bytes""".stripMargin,
+          |  encode(text, 'UTF-8'))) AS bigint) AS n_bytes""".stripMargin,
         """CASE cast(doc_id % 5 AS int)
           |WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png'
           |WHEN 2 THEN 'audio/riff' WHEN 3 THEN 'image/gif'
@@ -260,7 +260,7 @@ object Multimodal {
         |    (sum(n_bytes) OVER (PARTITION BY mime ORDER BY doc_id
         |       ROWS UNBOUNDED PRECEDING) - n_bytes) // 4096 AS batch_id
         |  FROM m)
-        |SELECT mime, batch_id, count(*) AS n_items,
+        |SELECT mime, CAST(batch_id AS BIGINT) AS batch_id, count(*) AS n_items,
         |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
         |  CAST(max(n_bytes) AS BIGINT) AS max_item_bytes
         |FROM b GROUP BY 1, 2 ORDER BY mime, batch_id""".stripMargin,

@@ -481,6 +481,65 @@ object Registry {
       .orderBy(col("exporter"))
   }
 
+  /** The composed filtered listing (handleListSchemas,
+    * mcp/tools_schema.go:296 + storage/memory/store.go ListSchemas):
+    * subjectPrefix + deleted + latestOnly + offset/limit resolved in
+    * ONE pass over the versions stream. Faithful to the store's
+    * program: version numbers are assigned over the FULL changelog
+    * (soft-delete never renumbers), the deleted filter applies before
+    * latest resolution (latestVersions only considers included
+    * versions — a subject whose versions are all tombstoned vanishes
+    * from a latestOnly listing), results sort by schema id, and
+    * offset/limit slice that order. A 4-row request dimension
+    * exercises every parameter (prefix hit/miss, latestOnly on/off,
+    * deleted on/off, offset>0, small limit) batched in one query.
+    *
+    * Scale: one version window + one (req, subject) max window (both
+    * keyed, never global), the request fan-out is a broadcast NLJ
+    * over 4 rows, and pagination is a per-request row_number whose
+    * kept prefix is ≤ offset+limit ≤ 1100 by the handler's own cap —
+    * a cluster would plan the same thing as per-partition top-K +
+    * merge, which AQE's small final exchange approximates here.
+    */
+  def listFiltered(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val params = Seq(
+      (1L, "click", true, false, 0L, 100L),
+      (2L, "", false, false, 10L, 20L),
+      (3L, "view", true, true, 0L, 100L),
+      (4L, "p", false, false, 0L, 15L))
+      .toDF("req_id", "prefix", "latest_only", "include_deleted", "off", "lim")
+    val vw = Window.partitionBy(col("subject")).orderBy(col("ts"), col("schema_id"))
+    val recs = Tables.events(s, dir)
+      .select(col("event_type").as("subject"), col("event_id").as("schema_id"), col("ts"))
+      .withColumn("version", row_number().over(vw).cast("bigint"))
+      .withColumn("deleted", col("schema_id") % 7 === 0)
+    val matched = recs.join(broadcast(params), col("subject").startsWith(col("prefix")))
+      .filter(col("include_deleted") || !col("deleted"))
+    val lw = Window.partitionBy(col("req_id"), col("subject"))
+    val pw = Window.partitionBy(col("req_id")).orderBy(col("schema_id"))
+    matched
+      .withColumn("maxv", max(col("version")).over(lw))
+      .filter(!col("latest_only") || col("version") === col("maxv"))
+      .withColumn("rn", row_number().over(pw).cast("bigint"))
+      .filter(col("rn") > col("off") && col("rn") <= col("off") + col("lim"))
+      .select(col("req_id"), col("rn"), col("schema_id"), col("subject"),
+        col("version"), col("deleted"))
+      .orderBy(col("req_id"), col("rn"))
+  }
+
+  /** GetMaxSchemaID (tools_schema.go:329 / memory/store.go — the
+    * highest allocated id per registry context, tombstones included:
+    * the store answers nextID-1 without consulting deletion flags).
+    * Batched across contexts as one bounded groupBy; `source` plays
+    * the context namespace as in [[contexts]].
+    */
+  def maxSchemaId(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("source").as("context"))
+      .agg(max(col("doc_id")).as("max_id"), count(lit(1)).as("n_allocated"))
+      .orderBy(col("context"))
+
   /** ListContexts (registry.go:1141): sorted distinct namespaces. */
   def contexts(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -604,7 +663,29 @@ object Registry {
     * right trade when rounds are expensive (cluster scheduling
     * latency) and ancestor sets are log-bounded, as import DAGs are.
     */
-  private def closurePairs(s: SparkSession, dir: String): DataFrame = {
+  /** Scopes AQE's coalescing knob for the iteration loops below: the
+    * session-level `parallelismFirst=true` (right for the MB-scale
+    * document-scan shuffles — see Bench.scala) multiplies the fixed
+    * per-round task-dispatch cost of these KB-scale closure frames by
+    * keeping every tiny shuffle at full width. Measured r7 (sf0.1,
+    * warm): closure family 3.4–4.3s with the session conf vs 2.5–3.0s
+    * with size-driven coalescing — so the loop flips it off and
+    * restores on exit. At cluster scale this is the right call too: a
+    * registry reference graph is metadata-sized next to the corpus,
+    * and size-based coalescing still widens genuinely large closures.
+    */
+  private def withIterConf[T](s: SparkSession)(body: => T): T = {
+    val k = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    val prev = s.conf.getOption(k)
+    s.conf.set(k, "false")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(k, v)
+      case None    => s.conf.unset(k)
+    }
+  }
+
+  private def closurePairs(s: SparkSession, dir: String): DataFrame = withIterConf(s) {
     var closure = refEdges(s, dir)
       .select(col("child").as("doc_id"), col("parent").as("anc"))
       .distinct().localCheckpoint()
@@ -614,7 +695,10 @@ object Registry {
       val hop = closure.select(col("doc_id"), col("anc").as("mid"))
         .join(closure.select(col("doc_id").as("mid"), col("anc").as("anc2")), "mid")
         .select(col("doc_id"), col("anc2").as("anc"))
-      val next = closure.union(hop).distinct().localCheckpoint()
+      // LAZY checkpoint + count: the count action materializes (and
+      // pins) the checkpoint partitions in the SAME job, halving the
+      // per-round job count vs eager-checkpoint-then-count (r6 shape).
+      val next = closure.union(hop).distinct().localCheckpoint(false)
       prevCount = curCount
       curCount = next.count()
       closure = next
@@ -646,7 +730,7 @@ object Registry {
     * only grow and, per pair, d only shrinks, so an unchanged tuple
     * is a fixpoint. Same flat-lineage discipline as [[closurePairs]].
     */
-  private def closureDepths(s: SparkSession, dir: String): DataFrame = {
+  private def closureDepths(s: SparkSession, dir: String): DataFrame = withIterConf(s) {
     def witness(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)), sum(col("d"))).first()
       (r.getLong(0), r.getLong(1))
@@ -661,9 +745,11 @@ object Registry {
       val hop = closure.select(col("doc_id"), col("anc").as("mid"), col("d").as("d1"))
         .join(closure.select(col("doc_id").as("mid"), col("anc").as("anc2"), col("d").as("d2")), "mid")
         .select(col("doc_id"), col("anc2").as("anc"), (col("d1") + col("d2")).as("d"))
+      // lazy checkpoint: materialized by the witness job (see
+      // closurePairs) — one job per round, not two.
       val next = closure.union(hop)
         .groupBy(col("doc_id"), col("anc")).agg(min(col("d")).as("d"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       prev = cur
       cur = witness(next)
       closure = next
@@ -1090,7 +1176,9 @@ object Registry {
     "reg_resolve_subject" -> resolveSubject,
     "reg_resolve_alias" -> resolveAlias,
     "reg_rules_validate" -> rulesValidate,
-    "reg_export_filtered" -> exportFiltered)
+    "reg_export_filtered" -> exportFiltered,
+    "reg_list_filtered" -> listFiltered,
+    "reg_max_id" -> maxSchemaId)
 
   val oracleSql: Map[String, String] = Map(
     "reg_bloom_filter" ->
@@ -1562,6 +1650,38 @@ object Registry {
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
     "reg_contexts" ->
       "SELECT DISTINCT source AS context FROM documents ORDER BY context",
+    // Version numbers over the FULL changelog, deleted filter BEFORE
+    // latest resolution, sort-by-id pagination — the memory store's
+    // exact program (see listFiltered Scaladoc).
+    "reg_list_filtered" ->
+      """WITH recs AS (
+        |  SELECT event_type AS subject, event_id AS schema_id,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS BIGINT) AS version,
+        |    event_id % 7 = 0 AS deleted
+        |  FROM events),
+        |params(req_id, prefix, latest_only, include_deleted, off, lim) AS (VALUES
+        |  (1, 'click', true, false, 0, 100),
+        |  (2, '', false, false, 10, 20),
+        |  (3, 'view', true, true, 0, 100),
+        |  (4, 'p', false, false, 0, 15)),
+        |matched AS (
+        |  SELECT p.req_id, r.subject, r.schema_id, r.version, r.deleted,
+        |    p.latest_only, p.off, p.lim
+        |  FROM recs r JOIN params p ON starts_with(r.subject, p.prefix)
+        |  WHERE p.include_deleted OR NOT r.deleted),
+        |latest AS (
+        |  SELECT *, max(version) OVER (PARTITION BY req_id, subject) AS maxv
+        |  FROM matched),
+        |kept AS (
+        |  SELECT req_id, schema_id, subject, version, deleted, off, lim,
+        |    CAST(row_number() OVER (PARTITION BY req_id ORDER BY schema_id) AS BIGINT) AS rn
+        |  FROM latest WHERE NOT latest_only OR version = maxv)
+        |SELECT CAST(req_id AS BIGINT) AS req_id, rn, schema_id, subject, version, deleted
+        |FROM kept WHERE rn > off AND rn <= off + lim
+        |ORDER BY req_id, rn""".stripMargin,
+    "reg_max_id" ->
+      """SELECT source AS context, max(doc_id) AS max_id, count(*) AS n_allocated
+        |FROM documents GROUP BY source ORDER BY context""".stripMargin,
     "reg_resolve_subject" ->
       """WITH named AS (
         |  SELECT doc_id,

@@ -220,7 +220,7 @@ object TextAnalysis {
     val docs = Tables.spread(Tables.documents(s, dir))
       .selectExpr("doc_id", "split(text, ' ') AS ts")
       .where("size(ts) >= 3")
-      .selectExpr("doc_id", "size(ts) AS n_words",
+      .selectExpr("doc_id", "cast(size(ts) AS bigint) AS n_words",
         "transform(sequence(1, size(ts) - 2), i -> md5(array_join(slice(ts, i, 3), ' '))) AS ghs")
     val base = docs.select(col("doc_id"), col("n_words"))
     val occ = docs
@@ -229,15 +229,21 @@ object TextAnalysis {
     val dup = occ
       .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("doc_id"), col("gh"))))
       .filter(col("cnt") >= 2)
-    val stats = dup.groupBy(col("doc_id"))
-      .agg(countDistinct(col("gh")).as("n_dup_grams"),
-        count(lit(1)).as("n_dup_occurrences"))
-    val covered = dup
-      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + 2)).as("wpos"))
+    // Single consumer of the window tree (r6 shipped two: a stats
+    // groupBy AND a coverage groupBy, so the exploded-gram projection
+    // and the (doc_id, gh) count window each evaluated twice — sh:8).
+    // Every statistic reads off ONE span-exploded frame: each dup
+    // occurrence contributes exactly 3 (gh, wpos) span rows, so
+    // occurrences = rows/3, dup grams = distinct gh, coverage =
+    // distinct wpos — one window, one aggregate, half the work.
+    val agg = dup
+      .select(col("doc_id"), col("gh"),
+        explode(sequence(col("pos"), col("pos") + 2)).as("wpos"))
       .groupBy(col("doc_id"))
-      .agg(countDistinct(col("wpos")).as("n_words_covered"))
-    base.join(stats, Seq("doc_id"), "left")
-      .join(covered, Seq("doc_id"), "left")
+      .agg(countDistinct(col("gh")).as("n_dup_grams"),
+        (count(lit(1)) / 3).cast("long").as("n_dup_occurrences"),
+        countDistinct(col("wpos")).as("n_words_covered"))
+    base.join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_words"),
         coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
         coalesce(col("n_dup_occurrences"), lit(0L)).as("n_dup_occurrences"),

@@ -119,7 +119,7 @@ class MultimodalSpec extends SparkSpec {
       Tables.documents(spark, sfDir).count())
     rows.foreach { r =>
       val (items, total, mx) = (r.getAs[Long]("n_items"),
-        r.getAs[Long]("total_bytes"), r.getAs[Int]("max_item_bytes"))
+        r.getAs[Long]("total_bytes"), r.getAs[Long]("max_item_bytes"))
       assert(mx <= total && items >= 1)
       // a batch only exceeds the byte budget by its final item (the
       // prefix-sum div boundary) — never by a whole extra item

@@ -174,7 +174,7 @@ class TextAnalysisSpec extends SparkSpec {
       val counts = grams.groupBy(identity).view.mapValues(_.length)
       val dupPos = grams.indices.filter(i => counts(grams(i)) >= 2)
       val covered = dupPos.flatMap(i => i until i + 3).distinct.length
-      assert(r.getAs[Int]("n_words") == ts.length)
+      assert(r.getAs[Long]("n_words") == ts.length)
       assert(r.getAs[Long]("n_dup_grams") == counts.count(_._2 >= 2))
       assert(r.getAs[Long]("n_dup_occurrences") == dupPos.length)
       assert(r.getAs[Long]("n_words_covered") == covered)
