@@ -44,6 +44,27 @@ class AnalysisSpec extends SparkSpec {
     assert(rows.keys.exists(_._1.contains(".")))
   }
 
+  test("proto field extraction parses exactly the field lines, with reference modifier semantics") {
+    val nDocs = Tables.documents(spark, sfDir)
+      .filter(size(split(col("text"), " ")) >= 6).count()
+    val rows = Analysis.protoFields(spark, sfDir).collect()
+    // the 6 generated lines hit exactly these modifier×type slots
+    val expected = Set(
+      ("", "string"), ("optional", "string"), ("optional", "int64"),
+      ("repeated", "bool"), ("required", "int64"), ("required", "bool"))
+    assert(rows.map(r => (r.getAs[String]("modifier"), r.getAs[String]("ftype"))).toSet == expected)
+    rows.foreach { r =>
+      // every document contributes one field per slot; the non-field
+      // lines (comment, message header, reserved, brace) never parse
+      assert(r.getAs[Long]("n_fields") == nDocs, r.toString)
+      // required iff the modifier literal is `required` (fields.go:233)
+      assert(r.getAs[Boolean]("required") == (r.getAs[String]("modifier") == "required"))
+      assert(!Seq("message", "reserved").contains(r.getAs[String]("ftype")))
+      val names = r.getAs[Long]("n_names")
+      assert(names >= 1 && names <= nDocs)
+    }
+  }
+
   test("json paths expression handles malformed and non-object input") {
     graft.functions.Native.register(spark)
     import spark.implicits._

@@ -206,6 +206,37 @@ class AuditSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("dow")).distinct.length == 7)
   }
 
+  test("metrics summary card: section program, miss rows, and values tie to the parse catalog") {
+    val rows = operators.Audit.metricsSummary(spark, sfDir).collect()
+    val catalog = operators.Audit.promParse(spark, sfDir).collect()
+      .map(r => r.getAs[String]("name") -> r.getAs[Long]("total")).toMap
+    // the handler's named counters that never increment in the stream
+    // must render as not_initialized rows with no series/value
+    val missing = rows.filter(_.getAs[String]("status") == "not_initialized")
+    assert(missing.map(_.getAs[String]("metric")).toSet == Set(
+      "kafka_schema_registry_deleted_count", "kafka_schema_registry_api_success_count",
+      "kafka_schema_registry_api_failure_count", "kafka_schema_registry_master_slave_role",
+      "kafka_schema_registry_node_count", "schema_registry_requests_in_flight",
+      "schema_registry_mcp_tool_calls_active"))
+    missing.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("series")) && r.isNullAt(r.fieldIndex("value")))
+    }
+    // every family row's series carries its prefix; empty families render nothing
+    rows.filter(_.getAs[String]("kind") == "family").foreach { r =>
+      assert(r.getAs[String]("series").startsWith(r.getAs[String]("metric")))
+    }
+    assert(!rows.exists(_.getAs[String]("metric") == "schema_registry_cache_misses_total"))
+    // counter accumulation ties to the catalog totals, per family and named
+    val reqTotal = rows.filter(_.getAs[String]("metric") == "schema_registry_requests_total")
+      .map(_.getAs[Long]("value")).sum
+    assert(reqTotal == catalog("schema_registry_requests_total"))
+    val reg = rows.filter(_.getAs[String]("metric") == "kafka_schema_registry_registered_count")
+    assert(reg.length == 1 && reg.head.getAs[String]("status") == "ok" &&
+      reg.head.getAs[Long]("value") == catalog("kafka_schema_registry_registered_count"))
+    // sections appear in the handler's order
+    assert(rows.map(_.getAs[Long]("sec_order")).toSeq == rows.map(_.getAs[Long]("sec_order")).sorted.toSeq)
+  }
+
   test("apdex: class counts partition the requests and score matches recomputation") {
     val vals = Tables.events(spark, sfDir)
       .select("event_type", "value").collect()

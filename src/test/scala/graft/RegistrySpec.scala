@@ -311,6 +311,60 @@ class RegistrySpec extends SparkSpec {
     assert(!objRows.map(_.getAs[String]("fp")).contains(boolRows.head.getAs[String]("fp")))
   }
 
+  test("filtered listing follows the store's program on every request") {
+    import org.apache.spark.sql.Row
+    // driver-side model of the memory store: version = arrival order
+    // per subject over the FULL stream, deleted = id % 7 tombstone
+    val evs = Tables.events(spark, sfDir)
+      .select("event_type", "event_id", "ts").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("event_id"),
+        r.getAs[java.sql.Timestamp]("ts")))
+    val versioned = evs.groupBy(_._1).toSeq.flatMap { case (subj, rs) =>
+      rs.sortBy(r => (r._3.getTime, r._2)).zipWithIndex
+        .map { case ((_, id, _), i) => (subj, id, i + 1L, id % 7 == 0) }.toSeq
+    }
+    def model(prefix: String, latestOnly: Boolean, incDel: Boolean,
+              off: Long, lim: Long): Seq[(Long, String, Long, Boolean)] = {
+      val inc = versioned.filter(v => v._1.startsWith(prefix) && (incDel || !v._4))
+      val latest = inc.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+      val kept = if (latestOnly) inc.filter(v => v._3 == latest(v._1)) else inc
+      kept.sortBy(_._2).slice(off.toInt, (off + lim).toInt)
+        .map(v => (v._2, v._1, v._3, v._4))
+    }
+    val byReq = operators.Registry.listFiltered(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("req_id"))
+    val params = Seq(
+      (1L, "click", true, false, 0L, 100L),
+      (2L, "", false, false, 10L, 20L),
+      (3L, "view", true, true, 0L, 100L),
+      (4L, "p", false, false, 0L, 15L))
+    params.foreach { case (req, prefix, lo, del, off, lim) =>
+      val exp = model(prefix, lo, del, off, lim)
+      val got = byReq.getOrElse(req, Array.empty[Row]).sortBy(_.getAs[Long]("rn"))
+        .map(r => (r.getAs[Long]("schema_id"), r.getAs[String]("subject"),
+          r.getAs[Long]("version"), r.getAs[Boolean]("deleted"))).toSeq
+      assert(got == exp, s"req $req: got ${got.size} rows, expected ${exp.size}")
+      // rn is contiguous from offset+1 in schema_id order
+      val rns = byReq.getOrElse(req, Array.empty[Row]).map(_.getAs[Long]("rn")).sorted.toSeq
+      assert(rns == (off + 1 to off + got.size).toSeq)
+    }
+    // deleted rows surface ONLY on the include_deleted request
+    assert(byReq.filter(_._1 != 3L).values.flatten.forall(!_.getAs[Boolean]("deleted")))
+  }
+
+  test("max schema id: highest allocated id per context, tombstones included") {
+    val exp = Tables.documents(spark, sfDir)
+      .select("source", "doc_id").collect()
+      .groupBy(_.getAs[String]("source"))
+      .view.mapValues(rs => (rs.map(_.getAs[Long]("doc_id")).max, rs.length.toLong)).toMap
+    val rows = operators.Registry.maxSchemaId(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("context")).toSet == exp.keySet)
+    rows.foreach { r =>
+      val (mx, n) = exp(r.getAs[String]("context"))
+      assert(r.getAs[Long]("max_id") == mx && r.getAs[Long]("n_allocated") == n)
+    }
+  }
+
   test("bloom filter: zero false negatives, fp rate within the fill-factor bound") {
     val rows = operators.Registry.bloomFilter(spark, sfDir).collect()
       .map(r => r.getAs[String]("kind") -> r).toMap

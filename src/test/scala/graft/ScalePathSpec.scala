@@ -204,4 +204,30 @@ class ScalePathSpec extends SparkSpec {
     assert(shapes("an_field_cooccur").contains("BroadcastHashJoin"),
       "df/total lookups must broadcast, not shuffle")
   }
+
+  test("round-7 operators: plan shapes hold; dup-coverage single-evaluation sticks") {
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+    def exchanges(p: String): Int = "Exchange hashpartitioning".r.findAllIn(p).size
+    val newOps = Seq("an_proto_fields", "metrics_summary", "reg_list_filtered", "reg_max_id")
+    val shapes = newOps.map(n => n -> plan(n)).toMap
+    shapes.foreach { case (n, p) =>
+      assert(!p.contains("CartesianProduct"), s"$n: CartesianProduct in plan")
+      info(s"$n: ${exchanges(p)} hash exchanges")
+    }
+    // proto parse is row-local until the bounded slot rollup
+    assert(exchanges(shapes("an_proto_fields")) <= 3, shapes("an_proto_fields"))
+    // card composition: one series aggregation; spec joins broadcast
+    assert(exchanges(shapes("metrics_summary")) <= 2, shapes("metrics_summary"))
+    assert(shapes("metrics_summary").contains("Broadcast"),
+      "card spec must broadcast against the series vocabulary")
+    // listing: version window + per-request latest + pagination, nothing else
+    assert(exchanges(shapes("reg_list_filtered")) <= 3, shapes("reg_list_filtered"))
+    assert(exchanges(shapes("reg_max_id")) <= 1, shapes("reg_max_id"))
+    // r7 rewrite: ONE window + ONE span aggregation — the r6 double
+    // evaluation planned 8 exchanges; regression bound at 5
+    val dup = plan("text_dup_coverage")
+    assert(!dup.contains("CartesianProduct"))
+    assert(exchanges(dup) <= 5, s"text_dup_coverage re-grew: ${exchanges(dup)} exchanges")
+  }
 }
