@@ -75,6 +75,29 @@ object Tables {
       .getOrElse(s.sessionState.conf.numShufflePartitions)
   }
 
+  /** Scopes AQE's coalescing knob for driver-paced iteration loops
+    * (pointer-doubling closures, connected-components rounds): the
+    * session-level `parallelismFirst=true` is right for MB-scale
+    * document-scan shuffles (see Bench.scala) but multiplies the
+    * fixed per-round task-dispatch cost of KB-scale iteration frames
+    * by keeping every tiny shuffle at full width. Measured r7 (sf0.1,
+    * warm): the registry closure family 3.4–4.3s with the session
+    * conf vs 2.5–3.0s with size-driven coalescing. At cluster scale
+    * flipping it off inside the loop is also right: iteration state
+    * is metadata-sized next to the corpus, and size-based coalescing
+    * still widens genuinely large rounds.
+    */
+  def withIterConf[T](s: SparkSession)(body: => T): T = {
+    val k = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    val prev = s.conf.getOption(k)
+    s.conf.set(k, "false")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(k, v)
+      case None    => s.conf.unset(k)
+    }
+  }
+
   /** A Filter that must stay EXACTLY where it is written. Catalyst
     * freely pushes deterministic predicates below joins and even into
     * join conditions — for an expensive post-join score threshold

@@ -54,6 +54,11 @@ object Pipeline {
       .toDF("src", "dst")
       .repartition(col("dst"))
       .cache()
+    // Materialize the cache HERE, under the session conf: the edge
+    // generation is a corpus-scale LSH scan that wants full-width
+    // shuffles — only the iteration rounds inside the CC cores run
+    // under the scoped small-frame coalescing (Tables.withIterConf).
+    edges.count()
     // graft.clusters.algo = label (default) | star: same fixpoint,
     // different round complexity — diameter-many rounds vs O(log n).
     val (labels, _) =
@@ -73,9 +78,7 @@ object Pipeline {
     * decrease, so sum(label) is the monotone 1-row convergence
     * witness. Returns (labels (id, label), rounds run).
     */
-  private[graft] def ccLabelProp(edges: DataFrame, maxIter: Int = 20): (DataFrame, Int) = {
-    // Eager by default: materializes the round and truncates lineage,
-    // so every subsequent round plans against a flat LogicalRDD.
+  private[graft] def ccLabelProp(edges: DataFrame, maxIter: Int = 20): (DataFrame, Int) = Tables.withIterConf(edges.sparkSession) {
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint()
@@ -85,12 +88,16 @@ object Pipeline {
     var curSum = labelSum(labels)
     var iter = 0
     while (curSum != prevSum && iter < maxIter) {
+      // LAZY checkpoint: the witness aggregate materializes (and pins)
+      // the round's partitions in the SAME job — one job per round,
+      // not two, with lineage still truncated for the next plan
+      // (the r7 closure-loop discipline, see Registry.closurePairs).
       val next = edges
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
         .select(col("src").as("id"), col("nl").as("label"))
         .union(labels)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       prevSum = curSum
       curSum = labelSum(next)
       labels = next
@@ -144,12 +151,14 @@ object Pipeline {
         .filter(col("src") =!= col("dst"))
         .distinct()
     }
+    Tables.withIterConf(edges.sparkSession) {
     var e = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
     var iter = 0
     var stable = false
     while (!stable && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      // lazy checkpoint, materialized by the first fixpoint probe
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
       stable = next.except(e).isEmpty && e.except(next).isEmpty
       e = next
       iter += 1
@@ -164,6 +173,7 @@ object Pipeline {
       .union(e.select(col("dst").as("id"), col("dst").as("label")))
       .groupBy(col("id")).agg(min(col("label")).as("label"))
     (labels, iter)
+    }
   }
 
   /** Deterministic stratified sampling: each (source, lang) stratum

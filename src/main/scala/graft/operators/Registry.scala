@@ -663,29 +663,7 @@ object Registry {
     * right trade when rounds are expensive (cluster scheduling
     * latency) and ancestor sets are log-bounded, as import DAGs are.
     */
-  /** Scopes AQE's coalescing knob for the iteration loops below: the
-    * session-level `parallelismFirst=true` (right for the MB-scale
-    * document-scan shuffles — see Bench.scala) multiplies the fixed
-    * per-round task-dispatch cost of these KB-scale closure frames by
-    * keeping every tiny shuffle at full width. Measured r7 (sf0.1,
-    * warm): closure family 3.4–4.3s with the session conf vs 2.5–3.0s
-    * with size-driven coalescing — so the loop flips it off and
-    * restores on exit. At cluster scale this is the right call too: a
-    * registry reference graph is metadata-sized next to the corpus,
-    * and size-based coalescing still widens genuinely large closures.
-    */
-  private def withIterConf[T](s: SparkSession)(body: => T): T = {
-    val k = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
-    val prev = s.conf.getOption(k)
-    s.conf.set(k, "false")
-    try body
-    finally prev match {
-      case Some(v) => s.conf.set(k, v)
-      case None    => s.conf.unset(k)
-    }
-  }
-
-  private def closurePairs(s: SparkSession, dir: String): DataFrame = withIterConf(s) {
+  private def closurePairs(s: SparkSession, dir: String): DataFrame = Tables.withIterConf(s) {
     var closure = refEdges(s, dir)
       .select(col("child").as("doc_id"), col("parent").as("anc"))
       .distinct().localCheckpoint()
@@ -730,7 +708,7 @@ object Registry {
     * only grow and, per pair, d only shrinks, so an unchanged tuple
     * is a fixpoint. Same flat-lineage discipline as [[closurePairs]].
     */
-  private def closureDepths(s: SparkSession, dir: String): DataFrame = withIterConf(s) {
+  private def closureDepths(s: SparkSession, dir: String): DataFrame = Tables.withIterConf(s) {
     def witness(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)), sum(col("d"))).first()
       (r.getLong(0), r.getLong(1))
