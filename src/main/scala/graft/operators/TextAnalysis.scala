@@ -309,9 +309,15 @@ object TextAnalysis {
   def keywords(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.spread(Tables.documents(s, dir))
+    // tf feeds BOTH the document-frequency rollup and the scoring
+    // join; without the checkpoint the explode + (doc, word) groupBy
+    // evaluate twice (r6 plan: sh 9). The checkpoint is corpus-scale
+    // but exactly the bytes the scoring shuffle moves anyway — the
+    // same materialize-once trade as the dedup postings tables.
     val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
     val scored = tf.join(broadcast(df), Seq("word"))
