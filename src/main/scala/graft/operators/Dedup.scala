@@ -229,6 +229,50 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** SRP-bucketed embedding near-dup pairs — the label-free 100 TB
+    * scale path for [[embedCosine]] (handleSearchSchemas-style
+    * similarity surfaces assume a blocking key exists; a raw training
+    * corpus has none). Every vector is hashed to one bucket per table
+    * with the SAME deterministic ±1 hyperplane family as the ANN
+    * bucketer ([[Similarity.weightMatrixSql]] — md5-parity weights,
+    * embedded as a plan literal so codegen folds it); candidates are
+    * pairs sharing a (table, bucket) slot, scored with exact cosine
+    * above the [[embedCosine]] threshold. 2 tables × 4 planes here;
+    * at scale the plane count is the bucket-fan knob (each added
+    * plane halves the expected bucket population) and the table count
+    * is the recall knob — the self-join key stays (table, bucket), a
+    * plain hash join that never materializes the cross product.
+    * n_tables (bucket agreements per pair) rides the candidate
+    * groupBy for free and is the standard LSH-confidence tiebreak.
+    */
+  def embedLsh(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Native.register(s)
+    val e = Tables.embeddings(s, dir)
+      .selectExpr("vec_id", "cast(embedding AS array<double>) AS e")
+    val sig = Tables.spread(e).selectExpr("vec_id",
+      s"""transform(sequence(0, ${LshTables - 1}), t ->
+         |  aggregate(sequence(0, ${LshPlanes - 1}), 0, (acc, p) ->
+         |    acc + CASE WHEN aggregate(zip_with(element_at(${Similarity.weightMatrixSql}, t * $LshPlanes + p + 1), e, (w, x) -> w * x),
+         |                              cast(0 AS double), (a2, x) -> a2 + x) >= 0
+         |          THEN shiftleft(1, p) ELSE 0 END)) AS buckets""".stripMargin)
+    val tbl = sig.selectExpr("vec_id", "posexplode(buckets) AS (t, bucket)")
+    val cand = tbl.as("a").join(tbl.as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .groupBy(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .agg(count(lit(1)).as("n_tables"))
+    val scored = cand
+      .join(broadcast(e.selectExpr("vec_id AS vec_a", "e AS ea")), "vec_a")
+      .join(broadcast(e.selectExpr("vec_id AS vec_b", "e AS eb")), "vec_b")
+      .selectExpr("vec_a", "vec_b", "n_tables", "graft_cosine(ea, eb) AS cos")
+    Tables.filterBarrier(scored, col("cos") > 0.35)
+      .selectExpr("vec_a", "vec_b", "n_tables", "round(cos, 4) AS cos")
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  private val LshTables = 2
+  private val LshPlanes = 4
+
   /** Recall measurement of the LSH scale path against exact blocked
     * pairs — the evaluation every approximate-dedup deployment runs
     * before trusting candidates at 100 TB: how many exact 3-gram
@@ -484,7 +528,8 @@ object Dedup {
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhash,
     "dedup_ngram_jaccard" -> ngramJaccard,
-    "dedup_embed_cosine" -> embedCosine)
+    "dedup_embed_cosine" -> embedCosine,
+    "dedup_embed_lsh" -> embedLsh)
 
   /** The MinHash-LSH pair derivation as a DuckDB CTE chain ending in
     * `pairs(doc_a, doc_b, est_jaccard)` — embedded by the pair-report
@@ -706,6 +751,26 @@ object Dedup {
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |    list_sum([a.e[i] * b.e[i] for i in range(1, len(a.e) + 1)]) / (a.nrm * b.nrm) AS cos
         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id) t
+        |WHERE cos > 0.35
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "dedup_embed_lsh" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |sig AS (
+        |  SELECT vec_id, CAST(tt.range AS INT) AS t,
+        |    list_sum([CASE WHEN list_sum([${Similarity.weightMatrixDuck}[CAST(tt.range * 4 + p + 1 AS INT)][i] * e[i] for i in range(1, 65)]) >= 0
+        |              THEN [1, 2, 4, 8][p + 1] ELSE 0 END for p in range(0, 4)]) AS bucket
+        |  FROM e CROSS JOIN range(0, 2) tt),
+        |cand AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, count(*) AS n_tables
+        |  FROM sig a JOIN sig b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2),
+        |n AS (SELECT vec_id, e, sqrt(list_sum([x * x for x in e])) AS nrm FROM e)
+        |SELECT vec_a, vec_b, n_tables, round(cos, 4) AS cos FROM (
+        |  SELECT c.vec_a, c.vec_b, c.n_tables,
+        |    list_sum([a.e[i] * b.e[i] for i in range(1, len(a.e) + 1)]) / (a.nrm * b.nrm) AS cos
+        |  FROM cand c JOIN n a ON c.vec_a = a.vec_id JOIN n b ON c.vec_b = b.vec_id) t
         |WHERE cos > 0.35
         |ORDER BY vec_a, vec_b""".stripMargin)
 }

@@ -382,6 +382,75 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Interpolated bigram language-model scoring — the model-based
+    * upgrade of [[textLogprob]]'s unigram scorer (CCNet-style corpora
+    * rank documents by LM perplexity; a bigram LM with unigram
+    * interpolation is the smallest model that sees word ORDER, so
+    * shuffled-word spam scores badly while fluent text scores well):
+    * per-bigram logprob ln(0.8·c12/c1 + 0.2·c2/N) from corpus-trained
+    * counts, averaged per document weighted by occurrence.
+    *
+    * Scale shape: the corpus collapses to per-doc DISTINCT bigrams
+    * with occurrence counts first (one shuffle, map-side combined,
+    * checkpointed once because it feeds both the bigram-count
+    * training rollup and the scoring join); bigram counts then ride a
+    * (w1, w2)-keyed shuffle join — bigram vocabulary is Zipf-bounded,
+    * not corpus-bounded, and the join key is uniform enough that no
+    * salting is needed. Unigram counts and the 1-row total are
+    * vocabulary-sized broadcasts.
+    */
+  def textBigramLm(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.spread(Tables.documents(s, dir))
+      .selectExpr("doc_id", "split(text, ' ') AS ts")
+      .where("size(ts) >= 2")
+    val dbg = toks.selectExpr("doc_id",
+        "explode(transform(sequence(1, size(ts) - 1), i -> struct(ts[i - 1] AS w1, ts[i] AS w2))) AS bg")
+      .groupBy(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("k"))
+      .localCheckpoint()
+    val c12 = dbg.groupBy(col("w1"), col("w2")).agg(sum(col("k")).as("c12"))
+    val uni = toks.selectExpr("doc_id", "explode(ts) AS w")
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      .localCheckpoint()
+    val n = uni.agg(sum(col("cw")).as("n"))
+    dbg.join(c12, Seq("w1", "w2"))
+      .join(broadcast(uni.selectExpr("w AS w1", "cw AS c1")), "w1")
+      .join(broadcast(uni.selectExpr("w AS w2", "cw AS c2")), "w2")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("k"),
+        log(lit(0.8) * col("c12") / col("c1") + lit(0.2) * col("c2") / col("n")).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        (floor(sum(col("k") * col("lp")) / sum(col("k")) * 10000 + 0.5) / lit(10000.0)).as("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Weighted reservoir sampling (Efraimidis–Spirakis A-ES): every
+    * document draws a deterministic uniform u from md5(doc_id) (48
+    * hex bits, +1 so u ∈ (0, 1]) and competes with key ln(u)/w, w =
+    * token count — the top-k keys per source stratum are EXACTLY a
+    * weighted-without-replacement sample, the standard way to cut a
+    * token-budgeted subcorpus where long documents should win
+    * proportionally. One pass, no global sort: the key is row-local
+    * with the scan and only the per-stratum top-10 window shuffles —
+    * at 100 TB a per-partition top-k pre-prune (partial aggregate)
+    * bounds the exchange to k rows per task per stratum.
+    */
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("key").desc, col("doc_id"))
+    Tables.spread(Tables.documents(s, dir))
+      .selectExpr("source", "doc_id",
+        "cast(size(split(text, ' ')) AS bigint) AS n_tokens",
+        "(cast(conv(substring(md5(cast(doc_id AS string)), 1, 12), 16, 10) AS bigint) + 1) / cast(281474976710656 AS double) AS u")
+      .withColumn("key", log(col("u")) / col("n_tokens"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 10)
+      .selectExpr("source", "rnk", "doc_id", "n_tokens",
+        "floor(key * 1000000 + 0.5) / cast(1000000 AS double) AS priority")
+      .orderBy(col("source"), col("rnk"))
+  }
+
   /** Temperature-based language mixing (multilingual pretraining's
     * p_i ∝ n_i^α with α = 0.7, flattening the head language): one
     * partial-aggregated pass to per-language token counts (5 rows),
@@ -826,6 +895,8 @@ object Pipeline {
     "corpus_gopher_gate" -> gopherGate,
     "corpus_ppl_buckets" -> pplBuckets,
     "text_logprob" -> textLogprob,
+    "text_bigram_lm" -> textBigramLm,
+    "sample_weighted" -> sampleWeighted,
     "sample_temp" -> sampleTemp,
     "text_decontaminate" -> textDecontaminate,
     "corpus_funnel" -> corpusFunnel,
@@ -991,6 +1062,41 @@ object Pipeline {
     "text_logprob" ->
       s"""WITH $logprobCte
         |SELECT doc_id, n_tokens, avg_logp FROM lp ORDER BY doc_id""".stripMargin,
+    "text_bigram_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |dbg AS (
+        |  SELECT doc_id, bg['w1'] AS w1, bg['w2'] AS w2, count(*) AS k FROM (
+        |    SELECT doc_id, unnest([{'w1': ts[i], 'w2': ts[i + 1]} for i in range(1, len(ts))]) AS bg
+        |    FROM t)
+        |  GROUP BY 1, 2, 3),
+        |c12 AS (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c12 FROM dbg GROUP BY 1, 2),
+        |uni AS (SELECT w, count(*) AS cw FROM (SELECT unnest(ts) AS w FROM t) GROUP BY 1),
+        |nn AS (SELECT CAST(sum(cw) AS BIGINT) AS n FROM uni)
+        |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+        |  floor(sum(k * ln(0.8 * c12 / c1 + 0.2 * c2 / n)) / sum(k) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS avg_logp
+        |FROM (
+        |  SELECT d.doc_id, d.k, c.c12, u1.cw AS c1, u2.cw AS c2, nn.n
+        |  FROM dbg d
+        |  JOIN c12 c ON d.w1 = c.w1 AND d.w2 = c.w2
+        |  JOIN uni u1 ON d.w1 = u1.w
+        |  JOIN uni u2 ON d.w2 = u2.w
+        |  CROSS JOIN nn) j
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "sample_weighted" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT + 1) / CAST(281474976710656 AS DOUBLE) AS u
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, n_tokens, ln(u) / n_tokens AS key,
+        |    row_number() OVER (PARTITION BY source ORDER BY ln(u) / n_tokens DESC, doc_id) AS rnk
+        |  FROM d)
+        |SELECT source, rnk, doc_id, n_tokens,
+        |  floor(key * 1000000 + 0.5) / CAST(1000000 AS DOUBLE) AS priority
+        |FROM r WHERE rnk <= 10 ORDER BY source, rnk""".stripMargin,
     "corpus_ppl_buckets" ->
       s"""WITH $logprobCte,
         |j AS (

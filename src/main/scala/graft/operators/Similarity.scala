@@ -38,11 +38,23 @@ object Similarity {
     if ((v & 1) == 1) 1 else -1
   }
 
-  private lazy val weightMatrixSql: String = {
+  /** The ±1 hyperplane family as a Spark SQL array literal. Shared
+    * with [[Dedup.embedLsh]] so the near-dup bucketer and the ANN
+    * bucketer provably use the same deterministic projections.
+    */
+  private[operators] lazy val weightMatrixSql: String = {
     val rows = (0 until NPlanes).map { p =>
       (0 until Dims).map(d => weight(p, d)).mkString("array(", ", ", ")")
     }
     rows.mkString("array(", ", ", ")")
+  }
+
+  /** The same matrix as a DuckDB list literal, for oracle SQL. */
+  private[operators] lazy val weightMatrixDuck: String = {
+    val rows = (0 until NPlanes).map { p =>
+      (0 until Dims).map(d => weight(p, d)).mkString("[", ", ", "]")
+    }
+    rows.mkString("[", ", ", "]")
   }
 
   private def scored(s: SparkSession, dir: String): DataFrame = {

@@ -188,4 +188,53 @@ class DedupSpec extends SparkSpec {
       assert(r.getAs[Long]("n_shared_grams") >= r.getAs[Long]("max_run_words") - 7)
     }
   }
+
+  test("embed LSH: pair set equals a brute-force bucket + cosine recomputation") {
+    val rows = operators.Dedup.embedLsh(spark, sfDir).collect()
+    assert(rows.nonEmpty, "the labeled clusters plant same-bucket near-dups")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b"))
+      val nt = r.getAs[Long]("n_tables"); assert(nt >= 1 && nt <= 2)
+      val c = r.getAs[Double]("cos"); assert(c > 0.35 && c <= 1.0)
+    }
+    // independent full recomputation: SRP buckets from the shared
+    // hyperplane family, exact cosine, same threshold — the operator's
+    // bucketed path must surface EXACTLY the brute-force-bucketed set.
+    val vecs = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding AS array<double>) AS e")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def bucket(e: Array[Double], t: Int): Int =
+      (0 until 4).map { p =>
+        val dot = e.indices.map(d => operators.Similarity.weight(t * 4 + p, d) * e(d)).sum
+        if (dot >= 0) 1 << p else 0
+      }.sum
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids; j <- ids if i < j
+      shared = (0 until 2).count(t => bucket(vecs(i), t) == bucket(vecs(j), t))
+      if shared >= 1 && cosine(vecs(i), vecs(j)) > 0.35
+    } yield (i, j, shared.toLong)).toSet
+    val got = rows.map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+      r.getAs[Long]("n_tables"))).toSet
+    assert(got == expected,
+      s"extra=${got.diff(expected)} missing=${expected.diff(got)}")
+  }
+
+  test("embed LSH pairs are a subset of what label blocking finds within labels") {
+    // within a label block, the bucketed path can only *miss* pairs the
+    // exact blocked scorer reports (LSH recall < 1), never invent them.
+    val labels = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val lsh = operators.Dedup.embedLsh(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+      .filter { case (a, b) => labels(a) == labels(b) }.toSet
+    val blocked = operators.Dedup.embedCosine(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(lsh.subsetOf(blocked), s"invented pairs: ${lsh.diff(blocked)}")
+  }
 }

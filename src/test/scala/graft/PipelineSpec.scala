@@ -447,4 +447,62 @@ class PipelineSpec extends SparkSpec {
       }
     }
   }
+
+  test("bigram LM: every document's score matches a full Scala recomputation") {
+    val out = operators.Pipeline.textBigramLm(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_logp")))).toMap
+    val docs = graft.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "split(text, ' ') AS ts").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toArray)
+      .filter(_._2.length >= 2)
+    assert(out.keySet == docs.map(_._1).toSet)
+    val uni = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val big = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+    docs.foreach { case (_, ts) =>
+      ts.foreach(w => uni(w) += 1)
+      ts.sliding(2).foreach(p => big((p(0), p(1))) += 1)
+    }
+    val n = uni.values.sum.toDouble
+    docs.foreach { case (id, ts) =>
+      val lps = ts.sliding(2).map { p =>
+        math.log(0.8 * big((p(0), p(1))) / uni(p(0)) + 0.2 * uni(p(1)) / n)
+      }.toSeq
+      val exp = math.floor(lps.sum / lps.size * 10000 + 0.5) / 10000.0
+      val (nb, alp) = out(id)
+      assert(nb == ts.length - 1, s"doc $id: n_bigrams $nb vs ${ts.length - 1}")
+      // the operator sums per-DISTINCT-bigram (k·lp); sequential vs
+      // grouped float addition can differ at the last ulp, which a 4dp
+      // floor-round can flip by exactly one step — allow that and no more
+      assert(math.abs(alp - exp) <= 1e-4 + 1e-9, s"doc $id: $alp vs $exp")
+    }
+    // fluent text must outscore shuffled-word text on average: the
+    // bigram term sees order, the unigram interpolation alone doesn't
+    assert(out.values.map(_._2).sum / out.size > -12.0)
+  }
+
+  test("weighted sampling: A-ES top-10 per source matches direct recomputation") {
+    val out = operators.Pipeline.sampleWeighted(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Double]("priority") <= 0.0))
+    val bySource = out.groupBy(_.getAs[String]("source"))
+    val docs = graft.Tables.documents(spark, sfDir)
+      .selectExpr("source", "doc_id", "size(split(text, ' ')) AS w").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2).toLong))
+    def key(id: Long, w: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 12)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1) / 281474976710656.0
+      math.log(u) / w
+    }
+    assert(bySource.keySet == docs.map(_._1).toSet)
+    docs.groupBy(_._1).foreach { case (src, ds) =>
+      val expect = ds.map { case (_, id, w) => (id, key(id, w)) }
+        .sortBy { case (id, k) => (-k, id) }.take(10).map(_._1).toSeq
+      val got = bySource(src).sortBy(_.getAs[Int]("rnk"))
+        .map(_.getAs[Long]("doc_id")).toSeq
+      assert(got == expect, s"$src: $got vs $expect")
+    }
+  }
 }

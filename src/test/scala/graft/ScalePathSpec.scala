@@ -230,4 +230,28 @@ class ScalePathSpec extends SparkSpec {
     assert(!dup.contains("CartesianProduct"))
     assert(exchanges(dup) <= 5, s"text_dup_coverage re-grew: ${exchanges(dup)} exchanges")
   }
+
+  test("round-7 wave 2: LSH/LM/sampling scale paths hold their plan shapes") {
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+    def exchanges(p: String): Int = "Exchange hashpartitioning".r.findAllIn(p).size
+    val newOps = Seq("dedup_embed_lsh", "text_bigram_lm", "sample_weighted")
+    val shapes = newOps.map(n => n -> plan(n)).toMap
+    shapes.foreach { case (n, p) =>
+      assert(!p.contains("CartesianProduct"), s"$n: CartesianProduct in plan")
+      info(s"$n: ${exchanges(p)} hash exchanges")
+    }
+    // bucket self-join keys on (table, bucket) — a hash join, and the
+    // vector lookups must broadcast, never drag vectors through pairs
+    assert(shapes("dedup_embed_lsh").contains("BroadcastHashJoin"),
+      "embed LSH vector lookups must broadcast")
+    assert(exchanges(shapes("dedup_embed_lsh")) <= 4, shapes("dedup_embed_lsh"))
+    // bigram LM: doc-bigram collapse + (w1,w2) train/score join + final
+    // per-doc agg; unigram/total lookups broadcast
+    assert(shapes("text_bigram_lm").contains("BroadcastHashJoin"),
+      "bigram LM unigram lookups must broadcast")
+    assert(exchanges(shapes("text_bigram_lm")) <= 5, shapes("text_bigram_lm"))
+    // A-ES key is row-local; only the per-stratum top-k window shuffles
+    assert(exchanges(shapes("sample_weighted")) <= 2, shapes("sample_weighted"))
+  }
 }
