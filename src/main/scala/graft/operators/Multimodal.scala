@@ -117,6 +117,43 @@ object Multimodal {
         (floor(col("n_dedupable") / col("n_total").cast("double") * 10000 + 0.5) / lit(10000.0))
           .as("dedup_ratio"))
 
+  /** Cross-payload near-dup pairs at block granularity — the media
+    * question [[blockDedup]]'s corpus rollup can't answer: WHICH
+    * payloads are storage-level near-duplicates (re-uploads, trims,
+    * container re-muxes that keep most 64-byte blocks verbatim)?
+    * Per-doc DISTINCT block-hash postings; unique blocks (df = 1)
+    * are dropped before the join — they can't form a pair — and a
+    * df ≤ 16 cap drops corpus-boilerplate blocks (the same df² guard
+    * as the winnowing dedup); the ONLY pair-generating shuffle is
+    * keyed by uniform md5 block_hash. Containment = shared /
+    * min(total blocks), the asymmetric "is one payload mostly inside
+    * the other" measure a blob GC wants.
+    */
+  def sigDup(s: SparkSession, dir: String): DataFrame = {
+    val blocks = Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"), col("payload"), explode(expr(
+        "CASE WHEN length(payload) > 0 THEN sequence(cast(0 as bigint), cast(ceil(length(payload) / 64.0) as bigint) - 1) ELSE array() END")).as("i"))
+      .select(col("doc_id"), md5(expr("substring(payload, cast(i * 64 + 1 as int), 64)")).as("block_hash"))
+      .distinct()
+      .localCheckpoint() // feeds totals, the df cap, and both join sides
+    val totals = blocks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_blocks"))
+    val capped = blocks.join(
+      blocks.groupBy(col("block_hash")).agg(count(lit(1)).as("df"))
+        .where(col("df") >= 2 && col("df") <= 16).drop("df"),
+      "block_hash")
+    val pairs = capped.as("a").join(capped.as("b"),
+        col("a.block_hash") === col("b.block_hash") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_blocks"))
+      .where(col("n_shared_blocks") >= 2)
+    pairs.join(totals.selectExpr("doc_id AS doc_a", "n_blocks AS na"), "doc_a")
+      .join(totals.selectExpr("doc_id AS doc_b", "n_blocks AS nb"), "doc_b")
+      .selectExpr("doc_a", "doc_b", "n_shared_blocks",
+        "floor(n_shared_blocks / cast(least(na, nb) AS double) * 10000 + 0.5) / cast(10000 AS double) AS containment")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Audio-style windowed feature extraction: overlapping analysis
     * windows (width 128 samples, hop 64 — the 50%-overlap STFT
     * layout) over the payload, per-window RMS energy, rolled up to
@@ -240,6 +277,7 @@ object Multimodal {
     "mm_audio_windows" -> audioWindows,
     "mm_meta_extract" -> metaExtract,
     "mm_blocks" -> blockDedup,
+    "mm_sig_dup" -> sigDup,
     "mm_frames" -> frameSample)
 
   /** The fake decode is reproducible in SQL because the payload is
@@ -315,6 +353,22 @@ object Multimodal {
         |  floor(sum(CASE WHEN refs > 1 THEN refs - 1 ELSE 0 END) / CAST(sum(refs) AS DOUBLE) * 10000 + 0.5)
         |    / CAST(10000 AS DOUBLE) AS dedup_ratio
         |FROM d""".stripMargin,
+    "mm_sig_dup" ->
+      """WITH blk AS (
+        |  SELECT DISTINCT doc_id, md5(substr(text, CAST(i*64+1 AS INT), 64)) AS block_hash
+        |  FROM documents, LATERAL (SELECT unnest(range(0, CAST(ceil(len(text)/64.0) AS BIGINT))) AS i) t),
+        |tot AS (SELECT doc_id, count(*) AS n_blocks FROM blk GROUP BY 1),
+        |dfc AS (SELECT block_hash FROM blk GROUP BY block_hash HAVING count(*) BETWEEN 2 AND 16),
+        |cap AS (SELECT b.doc_id, b.block_hash FROM blk b JOIN dfc d ON b.block_hash = d.block_hash),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |  FROM cap a JOIN cap b ON a.block_hash = b.block_hash AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared_blocks,
+        |  floor(n_shared / CAST(least(ta.n_blocks, tb.n_blocks) AS DOUBLE) * 10000 + 0.5)
+        |    / CAST(10000 AS DOUBLE) AS containment
+        |FROM p JOIN tot ta ON p.doc_a = ta.doc_id JOIN tot tb ON p.doc_b = tb.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "mm_frames" ->
       """WITH fr AS (
         |  SELECT doc_id, text, unnest(range(0, CAST(ceil(len(text) / 32.0) AS BIGINT))) AS frame_id

@@ -177,8 +177,54 @@ object Temporal {
       .orderBy(col("event_type"), col("minute"))
   }
 
+  /** Linear gap interpolation on the minute grid — the sibling of
+    * [[resampleFfill]] for continuous signals (a gauge read every few
+    * minutes wants the line between observations, not a step).
+    * Interior gaps take v_prev + (v_next − v_prev) · Δt/Δtotal with
+    * INTEGER minute arithmetic for the fraction (cross-engine exact);
+    * the leading edge back-fills, the trailing edge forward-fills.
+    * Both neighbor scans (last-preceding, first-following) share one
+    * exchange + sort: same partition and ordering, only the frame
+    * differs, so Spark plans them over a single Window sort. The grid
+    * fan-out is per-type bounded and the only corpus shuffle is the
+    * minute-level pre-aggregation — identical scale shape to the
+    * forward-fill resampler.
+    */
+  def interpolate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.Tables.events(s, dir)
+    val bounds = ev.agg(date_trunc("minute", min(col("ts"))).as("t0"),
+      date_trunc("minute", max(col("ts"))).as("t1"))
+    val grid = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(expr("sequence(t0, t1, interval 1 minute)")).as("minute"))
+    val obs = ev
+      .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("minute"))
+      .agg((floor(avg(col("value")) * 10000 + 0.5) / lit(10000.0)).as("v_obs"))
+    val wb = Window.partitionBy(col("event_type")).orderBy(col("minute"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("event_type")).orderBy(col("minute"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(obs, Seq("event_type", "minute"), "left")
+      .withColumn("vp", last(col("v_obs"), ignoreNulls = true).over(wb))
+      .withColumn("tp", last(when(col("v_obs").isNotNull, col("minute")), ignoreNulls = true).over(wb))
+      .withColumn("vn", first(col("v_obs"), ignoreNulls = true).over(wf))
+      .withColumn("tn", first(when(col("v_obs").isNotNull, col("minute")), ignoreNulls = true).over(wf))
+      .select(col("event_type"), col("minute"),
+        col("v_obs").isNotNull.as("is_observed"),
+        expr("""floor((CASE
+          WHEN v_obs IS NOT NULL THEN v_obs
+          WHEN vp IS NULL THEN vn
+          WHEN vn IS NULL THEN vp
+          ELSE vp + (vn - vp) * (timestampdiff(MINUTE, tp, minute) / cast(timestampdiff(MINUTE, tp, tn) AS double))
+        END) * 10000 + 0.5) / cast(10000 AS double)""").as("value_interp"))
+      .orderBy(col("event_type"), col("minute"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_resample_ffill" -> resampleFfill,
+    "t_interpolate" -> interpolate,
     "t_downsample" -> downsample,
     "t_asof_join" -> asofJoin,
     "t_asof_custom" -> asofCustom,
@@ -205,6 +251,36 @@ object Temporal {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
         |FROM grid g LEFT JOIN obs o ON g.event_type = o.event_type AND g.minute = o.minute
         |ORDER BY g.event_type, g.minute""".stripMargin,
+    "t_interpolate" ->
+      """WITH b AS (
+        |  SELECT date_trunc('minute', min(ts)) AS t0, date_trunc('minute', max(ts)) AS t1
+        |  FROM events),
+        |ty AS (SELECT DISTINCT event_type FROM events),
+        |grid AS (
+        |  SELECT event_type, unnest(generate_series(t0, t1, INTERVAL 1 MINUTE)) AS minute
+        |  FROM ty, b),
+        |obs AS (
+        |  SELECT event_type, date_trunc('minute', ts) AS minute,
+        |    floor(avg(value) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS v_obs
+        |  FROM events GROUP BY 1, 2),
+        |j AS (
+        |  SELECT g.event_type, g.minute, o.v_obs,
+        |    last_value(o.v_obs IGNORE NULLS) OVER wprec AS vp,
+        |    last_value(CASE WHEN o.v_obs IS NOT NULL THEN g.minute END IGNORE NULLS) OVER wprec AS tp,
+        |    first_value(o.v_obs IGNORE NULLS) OVER wfoll AS vn,
+        |    first_value(CASE WHEN o.v_obs IS NOT NULL THEN g.minute END IGNORE NULLS) OVER wfoll AS tn
+        |  FROM grid g LEFT JOIN obs o ON g.event_type = o.event_type AND g.minute = o.minute
+        |  WINDOW wprec AS (PARTITION BY g.event_type ORDER BY g.minute
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wfoll AS (PARTITION BY g.event_type ORDER BY g.minute
+        |                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, minute, v_obs IS NOT NULL AS is_observed,
+        |  floor((CASE WHEN v_obs IS NOT NULL THEN v_obs
+        |              WHEN vp IS NULL THEN vn
+        |              WHEN vn IS NULL THEN vp
+        |              ELSE vp + (vn - vp) * (date_diff('minute', tp, minute) / CAST(date_diff('minute', tp, tn) AS DOUBLE))
+        |         END) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS value_interp
+        |FROM j ORDER BY event_type, minute""".stripMargin,
     "t_downsample" ->
       """WITH p AS (
         |  SELECT event_type, date_trunc('hour', ts) AS hour, ts, event_id, value

@@ -130,4 +130,39 @@ class MultimodalSpec extends SparkSpec {
       assert(ids.head == 0 && ids.toSeq == (0L to ids.last).toSeq, s"$m: batch ids not contiguous")
     }
   }
+
+  test("sig dup: pair set equals a driver-side block-postings recomputation") {
+    val rows = operators.Multimodal.sigDup(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Long]("n_shared_blocks") >= 2)
+      val c = r.getAs[Double]("containment"); assert(c > 0 && c <= 1.0)
+    }
+    // full recomputation: distinct 64-byte-block md5s per doc, df cap
+    // [2, 16], pair intersection counts, containment vs min totals
+    val texts = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val blocks = texts.map { case (id, t) =>
+      id -> t.grouped(64).map(md5hex).toSet
+    }.toMap
+    val df = blocks.values.flatten.groupBy(identity).map { case (h, hs) => h -> hs.size }
+    val capped = blocks.map { case (id, hs) =>
+      id -> hs.filter(h => df(h) >= 2 && df(h) <= 16)
+    }
+    val ids = blocks.keys.toSeq.sorted
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      shared = capped(a).intersect(capped(b)).size if shared >= 2
+    } yield {
+      val cont = math.floor(
+        shared / math.min(blocks(a).size, blocks(b).size).toDouble * 10000 + 0.5) / 10000.0
+      (a, b, shared.toLong, cont)
+    }).toSet
+    val got = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+      r.getAs[Long]("n_shared_blocks"), r.getAs[Double]("containment"))).toSet
+    assert(got == expected, s"extra=${got.diff(expected)} missing=${expected.diff(got)}")
+  }
 }

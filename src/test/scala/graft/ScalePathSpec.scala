@@ -235,7 +235,8 @@ class ScalePathSpec extends SparkSpec {
     def plan(name: String): String =
       SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
     def exchanges(p: String): Int = "Exchange hashpartitioning".r.findAllIn(p).size
-    val newOps = Seq("dedup_embed_lsh", "text_bigram_lm", "sample_weighted")
+    val newOps = Seq("dedup_embed_lsh", "text_bigram_lm", "sample_weighted",
+      "mm_sig_dup", "t_interpolate")
     val shapes = newOps.map(n => n -> plan(n)).toMap
     shapes.foreach { case (n, p) =>
       assert(!p.contains("CartesianProduct"), s"$n: CartesianProduct in plan")
@@ -253,5 +254,12 @@ class ScalePathSpec extends SparkSpec {
     assert(exchanges(shapes("text_bigram_lm")) <= 5, shapes("text_bigram_lm"))
     // A-ES key is row-local; only the per-stratum top-k window shuffles
     assert(exchanges(shapes("sample_weighted")) <= 2, shapes("sample_weighted"))
+    // block postings: distinct + df cap + ONE md5-keyed pair join + totals
+    assert(exchanges(shapes("mm_sig_dup")) <= 6, shapes("mm_sig_dup"))
+    // interpolation adds NO exchange over the resampler: both neighbor
+    // windows share the (event_type) partitioning and minute sort
+    assert(exchanges(shapes("t_interpolate")) <= 3, shapes("t_interpolate"))
+    assert(shapes("t_interpolate").split("Window").length - 1 <= 3,
+      "neighbor scans must not multiply Window sorts")
   }
 }

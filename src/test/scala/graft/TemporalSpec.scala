@@ -131,4 +131,44 @@ class TemporalSpec extends SparkSpec {
       assert(m >= r.getAs[Double]("low") - 1e-4 && m <= r.getAs[Double]("high") + 1e-4)
     }
   }
+
+  test("interpolation matches a driver-side linear recomputation per series") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Temporal.interpolate(spark, sfDir).collect()
+    // observed minute means, rounded exactly as the operator rounds
+    val obs = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("minute"))
+      .agg((floor(avg(col("value")) * 10000 + 0.5) / lit(10000.0)).as("v"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Timestamp]("minute").getTime) -> r.getAs[Double]("v"))
+      .toMap
+    val perType = rows.groupBy(_.getAs[String]("event_type"))
+    assert(perType.values.map(_.length).toSet.size == 1, "shared [min, max] grid")
+    perType.foreach { case (et, rs) =>
+      val sorted = rs.sortBy(_.getAs[java.sql.Timestamp]("minute").getTime)
+      val ts = sorted.map(_.getAs[java.sql.Timestamp]("minute").getTime)
+      val vs = sorted.map(r => obs.get((et, r.getAs[java.sql.Timestamp]("minute").getTime)))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val got = r.getAs[Double]("value_interp")
+        val expected = vs(i) match {
+          case Some(v) =>
+            assert(r.getAs[Boolean]("is_observed")); v
+          case None =>
+            assert(!r.getAs[Boolean]("is_observed"))
+            val pi = (i - 1 to 0 by -1).find(j => vs(j).isDefined)
+            val ni = (i + 1 until vs.length).find(j => vs(j).isDefined)
+            (pi, ni) match {
+              case (Some(p), Some(n)) =>
+                vs(p).get + (vs(n).get - vs(p).get) *
+                  (((ts(i) - ts(p)) / 60000).toDouble / ((ts(n) - ts(p)) / 60000))
+              case (Some(p), None) => vs(p).get
+              case (None, Some(n)) => vs(n).get
+              case _ => fail(s"$et: no observations at all")
+            }
+        }
+        val exp = math.floor(expected * 10000 + 0.5) / 10000.0
+        assert(math.abs(got - exp) < 1e-9, s"$et@${ts(i)}: $got vs $exp")
+      }
+    }
+  }
 }
