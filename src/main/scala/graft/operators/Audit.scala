@@ -593,7 +593,47 @@ object Audit {
         (floor(avg(col("value")) * 10000 + 0.5) / lit(10000.0)).as("mean_value"))
       .orderBy(col("dow"), col("hod"))
 
+  /** Multi-window SLO error-budget burn rate (the SRE alerting
+    * standard): per 1-hour window, the error rate against an 80%
+    * success SLO (budget = 0.2), paired with the containing 6-hour
+    * window's burn; an alert fires only when BOTH windows burn >1.2×
+    * budget — the short window gives detection speed, the long window
+    * suppresses blips. Reference: the ops-metrics alerting surface
+    * (metrics/metrics.go counters feeding rate alerts).
+    *
+    * Scale: the 6-hour totals are a whole-partition window sum OVER
+    * the 1-hour rollup (partitioned by h1 div 6), so raw events are
+    * scanned and shuffled exactly once and everything past the hourly
+    * aggregate is calendar-sized; a self-join rollup would re-derive
+    * the aggregate subtree and scan the corpus twice (exchange reuse
+    * cannot fire — the shared subtree ends at an aggregate, not an
+    * exchange). The alert predicate is integer cross-multiplied
+    * (25·err > 6·tot ⟺ burn > 1.2) — no float thresholds in the
+    * decision path.
+    */
+  def burnRate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h1 = Tables.events(s, dir)
+      .selectExpr("cast(ts AS long) div 3600 AS h1",
+        "CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err")
+      .groupBy(col("h1"))
+      .agg(count(lit(1)).as("tot_1h"), sum(col("is_err")).cast("bigint").as("err_1h"))
+      .withColumn("h6", expr("h1 div 6"))
+    val w6 = Window.partitionBy(col("h6"))
+    h1
+      .withColumn("tot_6h", sum(col("tot_1h")).over(w6))
+      .withColumn("err_6h", sum(col("err_1h")).over(w6))
+      .select(
+        (col("h1") * 3600).as("hour_start_s"),
+        col("tot_1h"), col("err_1h"),
+        (floor(col("err_1h") * 5 / col("tot_1h").cast("double") * 10000 + 0.5) / 10000.0).as("burn_1h"),
+        (floor(col("err_6h") * 5 / col("tot_6h").cast("double") * 10000 + 0.5) / 10000.0).as("burn_6h"),
+        (col("err_1h") * 25 > col("tot_1h") * 6 && col("err_6h") * 25 > col("tot_6h") * 6).as("alert"))
+      .orderBy(col("hour_start_s"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "metrics_burn_rate" -> burnRate,
     "metrics_heatmap" -> heatmap,
     "metrics_apdex" -> apdex,
     "metrics_rate_alert" -> rateAlert,
@@ -955,5 +995,20 @@ object Audit {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "metrics_rate_1m" ->
       """SELECT date_trunc('minute', ts) AS minute, event_type, count(*) AS n_events
-        |FROM events GROUP BY 1, 2 ORDER BY minute, event_type""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY minute, event_type""".stripMargin,
+    "metrics_burn_rate" ->
+      """WITH h1 AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS h1, count(*) AS tot_1h,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS err_1h
+        |  FROM events GROUP BY 1),
+        |h6 AS (
+        |  SELECT h1 // 6 AS h6, CAST(sum(tot_1h) AS BIGINT) AS tot_6h,
+        |    CAST(sum(err_1h) AS BIGINT) AS err_6h
+        |  FROM h1 GROUP BY 1)
+        |SELECT h1.h1 * 3600 AS hour_start_s, h1.tot_1h, h1.err_1h,
+        |  floor(h1.err_1h * 5 / CAST(h1.tot_1h AS DOUBLE) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS burn_1h,
+        |  floor(h6.err_6h * 5 / CAST(h6.tot_6h AS DOUBLE) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS burn_6h,
+        |  (h1.err_1h * 25 > h1.tot_1h * 6 AND h6.err_6h * 25 > h6.tot_6h * 6) AS alert
+        |FROM h1 JOIN h6 ON h1.h1 // 6 = h6.h6
+        |ORDER BY hour_start_s""".stripMargin)
 }

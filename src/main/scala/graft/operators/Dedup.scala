@@ -518,7 +518,47 @@ object Dedup {
       .filter(col("n_urls") >= 2)
       .orderBy(col("canon_url"))
 
+  /** Asymmetric containment dedup: over the SAME MinHash-LSH
+    * candidate pairs as [[ngramJaccard]], score
+    * |A∩B| / min(|A|, |B|) on the exact trigram sets. Containment
+    * catches the pair class symmetric Jaccard structurally misses —
+    * a short document embedded verbatim in a much longer one (quote
+    * farms, boilerplate wrappers, page-of-pages scrapes) scores
+    * containment ≈ 1 while Jaccard ≈ |A|/|B| ≈ 0. Both scores are
+    * reported so the excerpt relationship (high containment, low
+    * Jaccard) is directly visible. Reference: the near-dup mandate;
+    * asymmetric containment is the standard complement (Broder's
+    * containment estimator) to the resemblance scorer.
+    *
+    * Scale: identical shape to [[ngramJaccard]] — banding keys the
+    * only pair-generating shuffle, the exact scorer touches LSH
+    * candidates only, shingle sets ride two hash-joins keyed by
+    * doc id. Nothing is corpus-quadratic.
+    */
+  def containment(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Native.register(s)
+    val sh = Tables.documents(s, dir)
+      .selectExpr("doc_id", "split(text, ' ') AS ts")
+      .where("size(ts) >= 3")
+      .selectExpr("doc_id",
+        """array_distinct(transform(sequence(1, size(ts) - 2),
+          |  i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1), ' ', element_at(ts, i + 2)))) AS sh""".stripMargin)
+    val mh = minhashSignatures(s, dir).localCheckpoint()
+    val scored = minhashCandidates(mh)
+      .join(sh.selectExpr("doc_id AS doc_a", "sh AS sha"), "doc_a")
+      .join(sh.selectExpr("doc_id AS doc_b", "sh AS shb"), "doc_b")
+      .selectExpr("doc_a", "doc_b",
+        "size(array_intersect(sha, shb)) AS n_common",
+        "size(sha) AS n_a", "size(shb) AS n_b")
+    Tables.filterBarrier(scored, col("n_common") * 2 >= least(col("n_a"), col("n_b")))
+      .selectExpr("doc_a", "doc_b", "cast(n_common AS bigint) AS n_common",
+        "floor(n_common / cast(least(n_a, n_b) AS double) * 10000 + 0.5) / cast(10000 AS double) AS containment",
+        "floor(n_common / cast(n_a + n_b - n_common AS double) * 10000 + 0.5) / cast(10000 AS double) AS jaccard")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_containment" -> containment,
     "dedup_lsh_tuning" -> lshTuning,
     "dedup_substring" -> substringRuns,
     "dedup_url" -> urlDedup,
@@ -530,6 +570,32 @@ object Dedup {
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_embed_cosine" -> embedCosine,
     "dedup_embed_lsh" -> embedLsh)
+
+  /** The SRP-bucketed embedding near-dup pair derivation as a DuckDB
+    * CTE chain ending in `epairs(vec_a, vec_b, n_tables, cos)` —
+    * embedded by the dedup_embed_lsh oracle here and the semantic
+    * cluster oracle in [[Pipeline]].
+    */
+  private[operators] val embedPairsCte: String =
+    s"""e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |sig AS (
+      |  SELECT vec_id, CAST(tt.range AS INT) AS t,
+      |    list_sum([CASE WHEN list_sum([${Similarity.weightMatrixDuck}[CAST(tt.range * 4 + p + 1 AS INT)][i] * e[i] for i in range(1, 65)]) >= 0
+      |              THEN [1, 2, 4, 8][p + 1] ELSE 0 END for p in range(0, 4)]) AS bucket
+      |  FROM e CROSS JOIN range(0, 2) tt),
+      |ecand AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, count(*) AS n_tables
+      |  FROM sig a JOIN sig b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |  GROUP BY 1, 2),
+      |en AS (SELECT vec_id, e, sqrt(list_sum([x * x for x in e])) AS nrm FROM e),
+      |epairs AS (
+      |  SELECT vec_a, vec_b, n_tables, round(cos, 4) AS cos FROM (
+      |    SELECT c.vec_a, c.vec_b, c.n_tables,
+      |      list_sum([a.e[i] * b.e[i] for i in range(1, len(a.e) + 1)]) / (a.nrm * b.nrm) AS cos
+      |    FROM ecand c JOIN en a ON c.vec_a = a.vec_id JOIN en b ON c.vec_b = b.vec_id) t
+      |  WHERE cos > 0.35)""".stripMargin
 
   /** The MinHash-LSH pair derivation as a DuckDB CTE chain ending in
     * `pairs(doc_a, doc_b, est_jaccard)` — embedded by the pair-report
@@ -728,6 +794,22 @@ object Dedup {
         |    AND (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3)) t
         |WHERE hamming <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH $minhashPairsCte,
+        |shd AS (
+        |  SELECT doc_id,
+        |    list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts)-1)]) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t
+        |  WHERE len(ts) >= 3)
+        |SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+        |  floor(n_common / CAST(least(n_a, n_b) AS DOUBLE) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS containment,
+        |  floor(n_common / CAST(n_a + n_b - n_common AS DOUBLE) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS jaccard
+        |FROM (
+        |  SELECT c.doc_a, c.doc_b, len(list_intersect(a.sh, b.sh)) AS n_common,
+        |    len(a.sh) AS n_a, len(b.sh) AS n_b
+        |  FROM cand c JOIN shd a ON c.doc_a = a.doc_id JOIN shd b ON c.doc_b = b.doc_id) t
+        |WHERE n_common * 2 >= least(n_a, n_b)
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $minhashPairsCte,
         |shd AS (
@@ -754,23 +836,7 @@ object Dedup {
         |WHERE cos > 0.35
         |ORDER BY vec_a, vec_b""".stripMargin,
     "dedup_embed_lsh" ->
-      s"""WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-        |  FROM embeddings),
-        |sig AS (
-        |  SELECT vec_id, CAST(tt.range AS INT) AS t,
-        |    list_sum([CASE WHEN list_sum([${Similarity.weightMatrixDuck}[CAST(tt.range * 4 + p + 1 AS INT)][i] * e[i] for i in range(1, 65)]) >= 0
-        |              THEN [1, 2, 4, 8][p + 1] ELSE 0 END for p in range(0, 4)]) AS bucket
-        |  FROM e CROSS JOIN range(0, 2) tt),
-        |cand AS (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, count(*) AS n_tables
-        |  FROM sig a JOIN sig b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-        |  GROUP BY 1, 2),
-        |n AS (SELECT vec_id, e, sqrt(list_sum([x * x for x in e])) AS nrm FROM e)
-        |SELECT vec_a, vec_b, n_tables, round(cos, 4) AS cos FROM (
-        |  SELECT c.vec_a, c.vec_b, c.n_tables,
-        |    list_sum([a.e[i] * b.e[i] for i in range(1, len(a.e) + 1)]) / (a.nrm * b.nrm) AS cos
-        |  FROM cand c JOIN n a ON c.vec_a = a.vec_id JOIN n b ON c.vec_b = b.vec_id) t
-        |WHERE cos > 0.35
+      s"""WITH $embedPairsCte
+        |SELECT vec_a, vec_b, n_tables, cos FROM epairs
         |ORDER BY vec_a, vec_b""".stripMargin)
 }

@@ -880,7 +880,103 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
+  /** Semantic duplicate clusters: connected components over the
+    * SRP-bucketed embedding near-dup pairs ([[Dedup.embedLsh]]) —
+    * the embedding-space twin of [[dedupClusters]] (which clusters
+    * lexical MinHash pairs). Paraphrases and translations that share
+    * no n-grams still land in one semantic cluster; the survivor
+    * policy then keeps one rendition per meaning. Same min-label CC
+    * core, same O(log diameter) round structure, same scoped
+    * iteration conf.
+    */
+  def semanticClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.embedLsh(s, dir).select(col("vec_a"), col("vec_b"))
+    val edges = pairs
+      .union(pairs.select(col("vec_b"), col("vec_a")))
+      .toDF("src", "dst")
+      .repartition(col("dst"))
+      .cache()
+    edges.count()
+    val (labels, _) = ccLabelProp(edges)
+    edges.unpersist()
+    val members = labels.select(col("label").as("cluster_id"), col("id").as("vec_id"))
+    val sizes = members.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_vecs"))
+    members.join(sizes, "cluster_id")
+      .select(col("cluster_id"), col("vec_id"), col("n_vecs"))
+      .orderBy(col("cluster_id"), col("vec_id"))
+  }
+
+  /** Token-mass concentration per source (Gini coefficient): ranks
+    * each source's documents by token count and applies the exact
+    * rank-sum identity G = 2·Σ(rank·tok)/(n·Σtok) − (n+1)/n. A
+    * source where a handful of giant documents carry most of the
+    * token mass (G → 1) samples very differently from a uniform one
+    * (G → 0) — the mix planner reads this next to
+    * [[corpusMixPlan]]'s epoch counts when setting per-source
+    * sampling temperature. All sums stay integer until the final
+    * division (engine-portable, no float accumulation order issues).
+    *
+    * Scale: one narrow scan computes per-doc token counts, the rank
+    * window and both rollups run partitioned by source; with a
+    * skewed source the window input is still only (doc_id, tok)
+    * pairs — bytes-per-doc constant, never corpus text.
+    */
+  def corpusGini(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.spread(Tables.documents(s, dir))
+      .selectExpr("source", "doc_id", "cast(size(split(text, ' ')) AS bigint) AS tok")
+    val w = Window.partitionBy(col("source")).orderBy(col("tok"), col("doc_id"))
+    toks.withColumn("rank", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("total_tokens"),
+        sum(col("rank") * col("tok")).as("rank_mass"))
+      .selectExpr("source", "n_docs", "total_tokens",
+        """floor((2.0 * rank_mass / (n_docs * cast(total_tokens AS double))
+          |  - (n_docs + 1) / cast(n_docs AS double)) * 10000 + 0.5) / cast(10000 AS double) AS gini""".stripMargin)
+      .orderBy(col("source"))
+  }
+
+  /** Cross-source n-gram overlap matrix: for every source pair that
+    * shares at least one distinct trigram, the shared-gram count plus
+    * containment (|A∩B|/min) and Jaccard — the mix planner's "are
+    * these two ingest sources secretly the same crawl" card, read
+    * before corpus_mix_plan weights them as independent. Zero-overlap
+    * pairs are absent by construction (inner join on the gram hash).
+    *
+    * Scale: grams travel as md5 hashes and dedupe to DISTINCT
+    * (source, gram) rows first, so the self-join input is vocabulary-
+    * sized, keyed by a uniform hash, and each gram contributes at
+    * most sources² pair rows (sources is a small bounded set — the
+    * per-key fan-out cap that makes the join safe at 100 TB). Totals
+    * broadcast back onto the pair rollup.
+    */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sg = Tables.spread(Tables.documents(s, dir))
+      .selectExpr("source", "split(text, ' ') AS ts")
+      .where("size(ts) >= 3")
+      .selectExpr("source",
+        """explode(array_distinct(transform(sequence(1, size(ts) - 2),
+          |  i -> md5(concat(element_at(ts, i), ' ', element_at(ts, i + 1), ' ', element_at(ts, i + 2)))))) AS gh""".stripMargin)
+      .distinct()
+    val tot = sg.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+    sg.selectExpr("source AS source_a", "gh")
+      .join(sg.selectExpr("source AS source_b", "gh"), "gh")
+      .where(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(tot.selectExpr("source AS source_a", "n_grams AS n_a")), "source_a")
+      .join(broadcast(tot.selectExpr("source AS source_b", "n_grams AS n_b")), "source_b")
+      .selectExpr("source_a", "source_b", "n_common", "n_a", "n_b",
+        "floor(n_common / cast(least(n_a, n_b) AS double) * 10000 + 0.5) / cast(10000 AS double) AS containment",
+        "floor(n_common / cast(n_a + n_b - n_common AS double) * 10000 + 0.5) / cast(10000 AS double) AS jaccard")
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_semantic_clusters" -> semanticClusters,
+    "corpus_gini" -> corpusGini,
+    "corpus_source_overlap" -> sourceOverlap,
     "tok_vocab_coverage" -> tokVocabCoverage,
     "tok_pair_counts" -> tokPairCounts,
     "tok_merge_apply" -> tokMergeApply,
@@ -926,6 +1022,39 @@ object Pipeline {
       |  FROM sc GROUP BY doc_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "corpus_source_overlap" ->
+      """WITH t AS (
+        |  SELECT source, string_split(text, ' ') AS ts FROM documents),
+        |g AS (
+        |  SELECT DISTINCT source,
+        |    unnest(list_distinct([md5(array_to_string(ts[i:i+2], ' ')) for i in range(1, len(ts) - 1)])) AS gh
+        |  FROM t WHERE len(ts) >= 3),
+        |tot AS (SELECT source, count(*) AS n_grams FROM g GROUP BY 1),
+        |p AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+        |  FROM g a JOIN g b ON a.gh = b.gh AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_common, ta.n_grams AS n_a, tb.n_grams AS n_b,
+        |  floor(n_common / CAST(least(ta.n_grams, tb.n_grams) AS DOUBLE) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS containment,
+        |  floor(n_common / CAST(ta.n_grams + tb.n_grams - n_common AS DOUBLE) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS jaccard
+        |FROM p JOIN tot ta ON p.source_a = ta.source JOIN tot tb ON p.source_b = tb.source
+        |ORDER BY source_a, source_b""".stripMargin,
+    "corpus_gini" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, tok,
+        |    row_number() OVER (PARTITION BY source ORDER BY tok, doc_id) AS rank
+        |  FROM t),
+        |g AS (
+        |  SELECT source, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS total_tokens,
+        |    CAST(sum(rank * tok) AS BIGINT) AS rank_mass
+        |  FROM r GROUP BY 1)
+        |SELECT source, n_docs, total_tokens,
+        |  floor((2.0 * rank_mass / (n_docs * CAST(total_tokens AS DOUBLE))
+        |    - (n_docs + 1) / CAST(n_docs AS DOUBLE)) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS gini
+        |FROM g ORDER BY source""".stripMargin,
     "corpus_drift" ->
       """WITH b AS (
         |  SELECT source, n_chars // 100 AS bucket FROM documents),
@@ -1237,6 +1366,21 @@ object Pipeline {
         |sizes AS (SELECT cluster_id, count(*) AS size FROM labeled GROUP BY 1)
         |SELECT size, count(*) AS n_clusters, size * count(*) AS n_docs
         |FROM sizes GROUP BY size ORDER BY size""".stripMargin,
+    "dedup_semantic_clusters" ->
+      s"""WITH RECURSIVE ${Dedup.embedPairsCte},
+        |edges AS (
+        |  SELECT vec_a AS src, vec_b AS dst FROM epairs
+        |  UNION ALL SELECT vec_b, vec_a FROM epairs),
+        |reach(id, lab) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id),
+        |members AS (
+        |  SELECT id AS vec_id, min(lab) AS cluster_id FROM reach GROUP BY id)
+        |SELECT cluster_id, vec_id, n_vecs
+        |FROM members JOIN (SELECT cluster_id, count(*) AS n_vecs FROM members GROUP BY 1) c
+        |  USING (cluster_id)
+        |ORDER BY cluster_id, vec_id""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE ${Dedup.minhashPairsCte},
         |edges AS (

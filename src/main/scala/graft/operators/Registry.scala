@@ -663,8 +663,16 @@ object Registry {
     * right trade when rounds are expensive (cluster scheduling
     * latency) and ancestor sets are log-bounded, as import DAGs are.
     */
-  private def closurePairs(s: SparkSession, dir: String): DataFrame = Tables.withIterConf(s) {
-    var closure = refEdges(s, dir)
+  private def closurePairs(s: SparkSession, dir: String): DataFrame =
+    closurePairsOf(s, refEdges(s, dir))
+
+  /** [[closurePairs]] generalized to any (child, parent) edge set —
+    * pointer doubling converges on cyclic graphs too (the pair set is
+    * finite and only grows; a cycle just makes nodes self-reachable),
+    * which is what [[refCycles]] relies on.
+    */
+  private def closurePairsOf(s: SparkSession, edges: DataFrame): DataFrame = Tables.withIterConf(s) {
+    var closure = edges
       .select(col("child").as("doc_id"), col("parent").as("anc"))
       .distinct().localCheckpoint()
     var prevCount = -1L
@@ -750,6 +758,87 @@ object Registry {
         coalesce(max(col("d")), lit(0L)).as("depth"),
         coalesce(sum(when(col("d") <= 2, 1L).otherwise(0L)), lit(0L)).as("n_within_2"))
       .orderBy(col("doc_id"))
+
+  /** Cyclic-reference detector — the pathology the reference's
+    * resolver defends against with its seen-map (resolveReferences,
+    * registry.go:1545: "prevents cycles") and that an import/migration
+    * audit must surface BEFORE resolution silently truncates them.
+    * The healthy import DAG ([[refEdges]]) is augmented with
+    * deterministic 3-rings (every 25th document, both endpoints
+    * existence-checked) so the detector provably fires; output is
+    * every strongly-connected component of size ≥ 1 that contains a
+    * cycle: (cycle_id = min member, member, component size).
+    *
+    * Scale: reachability via the shared pointer-doubling core
+    * ([[closurePairsOf]] — O(log diameter) rounds, converges on
+    * cyclic graphs since the pair set is finite); SCC membership is
+    * one self-join of the closure with its transpose (mutual reach),
+    * then a min-label rollup. Reference graphs are metadata-sized
+    * next to the corpus, and ancestor sets are log-bounded, so the
+    * closure frame stays small at any corpus scale.
+    */
+  def refCycles(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val rb = docs.filter(col("doc_id") % 25 === 0 && col("doc_id") >= 25)
+      .select(col("doc_id").as("base"))
+    val ring = rb.select(col("base").as("child"), (col("base") + 1).as("parent"))
+      .union(rb.select((col("base") + 1).as("child"), (col("base") + 2).as("parent")))
+      .union(rb.select((col("base") + 2).as("child"), col("base").as("parent")))
+      .join(docs.select(col("doc_id").as("child")), Seq("child"), "left_semi")
+      .join(docs.select(col("doc_id").as("parent")), Seq("parent"), "left_semi")
+      .select(col("child"), col("parent"))
+    val closure = closurePairsOf(s, refEdges(s, dir).union(ring))
+    val mutual = closure
+      .join(closure.select(col("anc").as("doc_id"), col("doc_id").as("anc")),
+        Seq("doc_id", "anc"))
+    val scc = mutual.groupBy(col("doc_id")).agg(min(col("anc")).as("cycle_id"))
+    val sizes = scc.groupBy(col("cycle_id")).agg(count(lit(1)).as("n_members"))
+    scc.join(sizes, "cycle_id")
+      .select(col("cycle_id"), col("doc_id"), col("n_members"))
+      .orderBy(col("cycle_id"), col("doc_id"))
+  }
+
+  /** Id-space gap audit: the maximal runs of missing ids in the live
+    * (non-deleted) id sequence — the post-incident forensics face of
+    * the id allocator ([[maxSchemaId]] is its max face): failed
+    * imports and hard deletes leave holes, and a gap card is how an
+    * operator distinguishes "allocator skipped" from "records lost".
+    * Live ids model on the orders changelog with the established
+    * soft-delete convention (status 'F' = deleted). Top-100 widest
+    * gaps, deterministically tie-broken.
+    *
+    * Scale: a single global lag-window would funnel 100 TB of ids
+    * through one task. Instead ids hash into fixed-width blocks:
+    * within-block gaps come from a lag window PARTITIONED by block
+    * (distributed), and cross-block gaps from the per-block (min,
+    * max) rollup — a metadata-sized frame (one row per non-empty
+    * block) whose single-partition lag window is trivially cheap.
+    * Every consecutive live pair appears in exactly one of the two
+    * passes, so the union is the complete gap set.
+    */
+  def idGaps(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val blockW = 4096L
+    val live = Tables.orders(s, dir).filter(col("o_orderstatus") =!= "F")
+      .select(col("o_orderkey").as("id"),
+        expr(s"o_orderkey div $blockW").as("blk"))
+    val win = Window.partitionBy(col("blk")).orderBy(col("id"))
+    val inner = live.withColumn("prev", lag(col("id"), 1).over(win))
+      .where(col("id") - col("prev") > 1)
+      .select(col("prev").as("gap_after"), col("id").as("next_id"))
+    val blocks = live.groupBy(col("blk"))
+      .agg(min(col("id")).as("bmin"), max(col("id")).as("bmax"))
+    val bwin = Window.orderBy(col("blk"))
+    val boundary = blocks.withColumn("prev_max", lag(col("bmax"), 1).over(bwin))
+      .where(col("bmin") - col("prev_max") > 1)
+      .select(col("prev_max").as("gap_after"), col("bmin").as("next_id"))
+    inner.union(boundary)
+      .select(col("gap_after"), col("next_id"),
+        (col("next_id") - col("gap_after") - 1).as("gap_len"),
+        (expr(s"gap_after div $blockW") =!= expr(s"next_id div $blockW")).as("spans_blocks"))
+      .orderBy(col("gap_len").desc, col("gap_after"))
+      .limit(100)
+  }
 
   /** Free-text schema search (handleSearchSchemas,
     * tools_validation.go:176: match a query string against subject
@@ -1156,7 +1245,9 @@ object Registry {
     "reg_rules_validate" -> rulesValidate,
     "reg_export_filtered" -> exportFiltered,
     "reg_list_filtered" -> listFiltered,
-    "reg_max_id" -> maxSchemaId)
+    "reg_max_id" -> maxSchemaId,
+    "reg_ref_cycles" -> refCycles,
+    "reg_id_gaps" -> idGaps)
 
   val oracleSql: Map[String, String] = Map(
     "reg_bloom_filter" ->
@@ -1660,6 +1751,40 @@ object Registry {
     "reg_max_id" ->
       """SELECT source AS context, max(doc_id) AS max_id, count(*) AS n_allocated
         |FROM documents GROUP BY source ORDER BY context""".stripMargin,
+    "reg_ref_cycles" ->
+      """WITH RECURSIVE docs AS (SELECT doc_id FROM documents),
+        |base AS (
+        |  SELECT doc_id AS child, doc_id // 2 AS parent FROM documents WHERE doc_id >= 1
+        |  UNION ALL
+        |  SELECT doc_id, doc_id // 3 FROM documents WHERE doc_id >= 3 AND doc_id % 5 = 0),
+        |rb AS (SELECT doc_id AS base FROM documents WHERE doc_id % 25 = 0 AND doc_id >= 25),
+        |ring0 AS (
+        |  SELECT base AS child, base + 1 AS parent FROM rb
+        |  UNION ALL SELECT base + 1, base + 2 FROM rb
+        |  UNION ALL SELECT base + 2, base FROM rb),
+        |ring AS (
+        |  SELECT r.child, r.parent FROM ring0 r
+        |  JOIN docs c ON r.child = c.doc_id JOIN docs p ON r.parent = p.doc_id),
+        |edges AS (SELECT * FROM base UNION ALL SELECT * FROM ring),
+        |reach(src, dst) AS (
+        |  SELECT DISTINCT child, parent FROM edges
+        |  UNION
+        |  SELECT r.src, e.parent FROM reach r JOIN edges e ON r.dst = e.child),
+        |mutual AS (
+        |  SELECT a.src AS doc_id, a.dst AS m
+        |  FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src),
+        |scc AS (SELECT doc_id, min(m) AS cycle_id FROM mutual GROUP BY doc_id),
+        |sz AS (SELECT cycle_id, count(*) AS n_members FROM scc GROUP BY cycle_id)
+        |SELECT cycle_id, doc_id, n_members FROM scc JOIN sz USING (cycle_id)
+        |ORDER BY cycle_id, doc_id""".stripMargin,
+    "reg_id_gaps" ->
+      """WITH live AS (
+        |  SELECT o_orderkey AS id FROM orders WHERE o_orderstatus <> 'F'),
+        |p AS (SELECT id, lag(id) OVER (ORDER BY id) AS prev FROM live)
+        |SELECT prev AS gap_after, id AS next_id, id - prev - 1 AS gap_len,
+        |  (prev // 4096) <> (id // 4096) AS spans_blocks
+        |FROM p WHERE id - prev > 1
+        |ORDER BY gap_len DESC, gap_after LIMIT 100""".stripMargin,
     "reg_resolve_subject" ->
       """WITH named AS (
         |  SELECT doc_id,

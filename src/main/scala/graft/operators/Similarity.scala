@@ -84,9 +84,14 @@ object Similarity {
     * hash join, never an OR-join — so each task scores one bucket
     * slice; tables/planes are the recall/cost knobs at scale.
     */
-  def lshTopK(s: SparkSession, dir: String): DataFrame = {
+  /** SRP-bucketed corpus (vec_id, e, per-table bucket array) — the
+    * shared hashing stage of [[lshTopK]] (probe lookups) and
+    * [[nnGraph]] (all-nodes graph build); both provably hash with
+    * the same deterministic hyperplanes.
+    */
+  private def srpBuckets(s: SparkSession, dir: String): DataFrame = {
     graft.functions.Native.register(s)
-    val e = Tables.embeddings(s, dir)
+    Tables.embeddings(s, dir)
       .selectExpr("vec_id", "cast(embedding AS array<double>) AS e")
       .selectExpr("vec_id", "e",
         s"""transform(sequence(0, ${NTables - 1}), t ->
@@ -94,7 +99,10 @@ object Similarity {
            |    acc + CASE WHEN aggregate(zip_with(element_at($weightMatrixSql, t * $PlanesPerTable + p + 1), e, (w, x) -> w * x),
            |                              cast(0 AS double), (a2, x) -> a2 + x) >= 0
            |          THEN shiftleft(1, p) ELSE 0 END)) AS buckets""".stripMargin)
-      .cache()
+  }
+
+  def lshTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = srpBuckets(s, dir).cache()
     val tbl = e.selectExpr("vec_id", "explode(sequence(0, " + (NTables - 1) + ")) AS t", "buckets")
       .selectExpr("vec_id", "t", "element_at(buckets, t + 1) AS bucket")
     val probeTbl = broadcast(tbl.where("vec_id < 10")
@@ -112,6 +120,40 @@ object Similarity {
       .where(col("rnk") <= K)
       .selectExpr("probe_id", "vec_id", "round(cos, 4) AS cos", "rnk")
       .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  /** Approximate k-NN GRAPH build: top-3 same-bucket neighbors for
+    * EVERY corpus vector (not just probes — the structural difference
+    * from [[lshTopK]]). The k-NN graph is the substrate for
+    * NN-descent refinement, HNSW base-layer seeding, and
+    * graph-connected semantic dedup clustering. Candidates are pairs
+    * sharing an SRP bucket in either hash table; exact cosine ranks
+    * them per source node.
+    *
+    * Scale: the only pair generator is the (table, bucket) self-join
+    * — per-bucket quadratic, bounded by the planes-per-table knob
+    * (at 100 TB you add planes so expected bucket size stays
+    * constant; cost is Σ|bucket|², never N²). Scoring shuffles on
+    * vec_id hash joins; the top-k window partitions by src. Output is
+    * N·k rows — linear in the corpus.
+    */
+  def nnGraph(s: SparkSession, dir: String): DataFrame = {
+    val e = srpBuckets(s, dir).cache()
+    val tbl = e.selectExpr("vec_id", s"explode(sequence(0, ${NTables - 1})) AS t", "buckets")
+      .selectExpr("vec_id", "t", "element_at(buckets, t + 1) AS bucket")
+    val cand = tbl.selectExpr("vec_id AS src", "t", "bucket")
+      .join(tbl.selectExpr("vec_id AS dst", "t", "bucket"), Seq("t", "bucket"))
+      .where(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+    val vecs = e.selectExpr("vec_id", "e")
+    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+    cand.join(vecs.selectExpr("vec_id AS src", "e AS se"), "src")
+      .join(vecs.selectExpr("vec_id AS dst", "e AS de"), "dst")
+      .selectExpr("src", "dst", "graft_cosine(se, de) AS cos")
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .selectExpr("src", "dst", "round(cos, 4) AS cos", "rnk")
+      .orderBy(col("src"), col("rnk"))
   }
 
   /** IVF-style ANN: a coarse quantizer (per-label mean vectors — the
@@ -499,6 +541,7 @@ object Similarity {
     "ann_brute_topk" -> bruteTopK,
     "ann_topk_agg" -> bruteTopKAgg,
     "ann_lsh_topk" -> lshTopK,
+    "ann_nn_graph" -> nnGraph,
     "emb_quantize" -> embQuantize,
     "ann_ivf_topk" -> ivfTopK)
 
@@ -745,6 +788,31 @@ object Similarity {
           |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk
           |  FROM sc) t
           |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+      "ann_nn_graph" ->
+        s"""WITH $weightsCte,
+           |e AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+           |n AS (SELECT vec_id, e, sqrt(list_sum([x * x for x in e])) AS nrm FROM e),
+           |planedots AS (
+           |  SELECT n.vec_id, w.p, sum(w.wt * n.e[w.d + 1]) AS dot
+           |  FROM n, w GROUP BY n.vec_id, w.p),
+           |buckets AS (
+           |  SELECT vec_id, p // 4 AS t,
+           |    sum(CASE WHEN dot >= 0 THEN 1 << (p % 4) ELSE 0 END) AS bucket
+           |  FROM planedots GROUP BY vec_id, p // 4),
+           |cand AS (
+           |  SELECT DISTINCT sb.vec_id AS src, db.vec_id AS dst
+           |  FROM buckets sb JOIN buckets db ON sb.t = db.t AND sb.bucket = db.bucket
+           |  WHERE sb.vec_id <> db.vec_id),
+           |sc AS (
+           |  SELECT cand.src, cand.dst,
+           |    list_sum([p.e[i] * c.e[i] for i in range(1, len(p.e) + 1)]) / (p.nrm * c.nrm) AS cos
+           |  FROM cand JOIN n p ON cand.src = p.vec_id JOIN n c ON cand.dst = c.vec_id)
+           |SELECT src, dst, round(cos, 4) AS cos, rnk FROM (
+           |  SELECT src, dst, cos,
+           |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
+           |  FROM sc) t
+           |WHERE rnk <= 3 ORDER BY src, rnk""".stripMargin,
       "ann_lsh_topk" ->
         s"""WITH $weightsCte,
            |e AS (

@@ -84,7 +84,25 @@ object Streaming {
       .orderBy(col("user_id"))
   }
 
+  /** Batch face of the stream-stream interval join (click→purchase
+    * attribution within 30 minutes, [[EventStream.attributionJoin]]).
+    * In batch the range join shuffles both sides on user_id once and
+    * evaluates the time range inside the join; on a stream the SAME
+    * declarative join runs with two watermarks and state bounded by
+    * the 30-minute range (StreamingSpec runs it over MemoryStreams
+    * across micro-batches). The oracle is the equivalent epoch-micros
+    * range join.
+    */
+  def intervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    EventStream.attributionJoin(
+      ev.where(col("event_type") === "click"),
+      ev.where(col("event_type") === "purchase"))
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_interval_join" -> intervalJoin,
     "stream_latest_state" -> latestState,
     "stream_window_counts" -> windowCounts,
     "stream_enrich_counts" -> enrichCounts,
@@ -95,6 +113,18 @@ object Streaming {
   val oracleSql: Map[String, String] = Map(
     // the incremental gate must agree with the relational scan exactly
     "stream_compat" -> Compat.oracleSql("compat_scan"),
+    "stream_interval_join" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_us
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS purchase_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, click_id, purchase_id,
+        |  purchase_us - click_us AS lag_us
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND purchase_us >= click_us AND purchase_us - click_us <= 1800000000
+        |ORDER BY click_id, purchase_id""".stripMargin,
     "stream_latest_state" ->
       """WITH r AS (
         |  SELECT user_id, ts, event_type, value,

@@ -183,12 +183,18 @@ object Temporal {
     * Interior gaps take v_prev + (v_next − v_prev) · Δt/Δtotal with
     * INTEGER minute arithmetic for the fraction (cross-engine exact);
     * the leading edge back-fills, the trailing edge forward-fills.
-    * Both neighbor scans (last-preceding, first-following) share one
-    * exchange + sort: same partition and ordering, only the frame
-    * differs, so Spark plans them over a single Window sort. The grid
-    * fan-out is per-type bounded and the only corpus shuffle is the
-    * minute-level pre-aggregation — identical scale shape to the
-    * forward-fill resampler.
+    * Both neighbor scans run as RUNNING frames (unbounded-preceding →
+    * current row): the backward pass in minute order, the forward pass
+    * in REVERSE minute order over the same per-type exchange. A
+    * current-row → unbounded-following frame would be quadratic —
+    * Spark's UnboundedFollowing window frame re-aggregates the
+    * remainder of the partition for every row, which at a month-long
+    * minute grid is ~2·10⁹ updates per series (measured: minutes per
+    * series at sf0.1) — while a running frame is a single incremental
+    * pass; the reverse sort costs O(n log n) once. The grid fan-out is
+    * per-type bounded and the only corpus shuffle is the minute-level
+    * pre-aggregation — identical scale shape to the forward-fill
+    * resampler.
     */
   def interpolate(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -204,13 +210,19 @@ object Temporal {
       .agg((floor(avg(col("value")) * 10000 + 0.5) / lit(10000.0)).as("v_obs"))
     val wb = Window.partitionBy(col("event_type")).orderBy(col("minute"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wf = Window.partitionBy(col("event_type")).orderBy(col("minute"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wf = Window.partitionBy(col("event_type")).orderBy(col("minute").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(obs, Seq("event_type", "minute"), "left")
+      // mobs precomputed BEFORE the windows so each direction's two
+      // `last`s are plain column refs — CollapseWindow then fuses them
+      // into ONE Window node per sort direction (a `when` inline in the
+      // second withColumn inserts a Project between the nodes and
+      // defeats the fusion: 4 Window nodes instead of 2)
+      .withColumn("mobs", when(col("v_obs").isNotNull, col("minute")))
       .withColumn("vp", last(col("v_obs"), ignoreNulls = true).over(wb))
-      .withColumn("tp", last(when(col("v_obs").isNotNull, col("minute")), ignoreNulls = true).over(wb))
-      .withColumn("vn", first(col("v_obs"), ignoreNulls = true).over(wf))
-      .withColumn("tn", first(when(col("v_obs").isNotNull, col("minute")), ignoreNulls = true).over(wf))
+      .withColumn("tp", last(col("mobs"), ignoreNulls = true).over(wb))
+      .withColumn("vn", last(col("v_obs"), ignoreNulls = true).over(wf))
+      .withColumn("tn", last(col("mobs"), ignoreNulls = true).over(wf))
       .select(col("event_type"), col("minute"),
         col("v_obs").isNotNull.as("is_observed"),
         expr("""floor((CASE
@@ -222,15 +234,83 @@ object Temporal {
       .orderBy(col("event_type"), col("minute"))
   }
 
+  /** Exact half-life weights 2⁻ᵏ as decimal literals, inlined into
+    * BOTH engines' expression text. Multiplying a double by 2⁻ᵏ is
+    * exact (exponent shift), and both sides sum the 16 terms in the
+    * same left-associated order, so the smoothed value is
+    * bit-identical cross-engine — the documented alternative to libm
+    * pow (which is not).
+    */
+  private val ewmaWeights: IndexedSeq[String] = (0 until 16).map(k =>
+    java.math.BigDecimal.ONE.divide(new java.math.BigDecimal(2).pow(k)).toPlainString)
+
+  /** The EWMA numerator/denominator as SQL text over `v_obs`, shared
+    * verbatim by the Spark plan and the DuckDB oracle: term k is the
+    * k-th previous observation of the same series weighted 2⁻ᵏ
+    * (missing history contributes 0 to both sums, so the early rows
+    * renormalize over the observations that exist).
+    */
+  private def ewmaSums(over: String): (String, String) = {
+    val num = ewmaWeights.zipWithIndex.map {
+      case (w, 0) => s"v_obs * $w"
+      case (w, k) => s"coalesce(lag(v_obs, $k) OVER $over * $w, 0.0)"
+    }.mkString(" + ")
+    val den = ewmaWeights.zipWithIndex.map {
+      case (w, 0) => s"$w"
+      case (w, k) => s"(CASE WHEN lag(v_obs, $k) OVER $over IS NULL THEN 0.0 ELSE $w END)"
+    }.mkString(" + ")
+    (num, den)
+  }
+
+  /** Exponentially-weighted moving average per metric series — the
+    * smoothing pass a dashboard or anomaly detector runs over noisy
+    * per-minute values (half-life = one observation: weight 2⁻ᵏ on
+    * the k-th previous minute bar, truncated at 16 terms where the
+    * residual mass is < 0.002%). Truncation makes the operator a
+    * bounded window instead of an unbounded recursion — Spark has no
+    * recursive window, and the 16-term form is embarrassingly
+    * parallel.
+    *
+    * Scale: one shuffle for the (type, minute) rollup; all 31 lag
+    * terms share ONE window sort on the same exchange (identical
+    * partition/order spec), so the smoothing pass adds no shuffle.
+    * Weights are powers of two, so every product is exact and both
+    * engines agree bit-for-bit (see [[ewmaWeights]]).
+    */
+  def ewmaSmooth(s: SparkSession, dir: String): DataFrame = {
+    val over = "(PARTITION BY event_type ORDER BY minute)"
+    val (num, den) = ewmaSums(over)
+    Tables.events(s, dir)
+      .select(col("event_type"), date_trunc("minute", col("ts")).as("minute"), col("value"))
+      .groupBy(col("event_type"), col("minute"))
+      .agg((floor(avg(col("value")) * 10000 + 0.5) / lit(10000.0)).as("v_obs"))
+      .selectExpr("event_type", "minute", "v_obs",
+        s"floor(($num) / ($den) * 10000 + 0.5) / cast(10000 AS double) AS ewma")
+      .orderBy(col("event_type"), col("minute"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_resample_ffill" -> resampleFfill,
     "t_interpolate" -> interpolate,
     "t_downsample" -> downsample,
+    "t_ewma" -> ewmaSmooth,
     "t_asof_join" -> asofJoin,
     "t_asof_custom" -> asofCustom,
     "t_range_join" -> rangeJoin)
 
+  private val ewmaOracle: String = {
+    val (num, den) = ewmaSums("(PARTITION BY event_type ORDER BY minute)")
+    s"""WITH obs AS (
+       |  SELECT event_type, date_trunc('minute', ts) AS minute,
+       |    floor(avg(value) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS v_obs
+       |  FROM events GROUP BY 1, 2)
+       |SELECT event_type, minute, v_obs,
+       |  floor(($num) / ($den) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS ewma
+       |FROM obs ORDER BY event_type, minute""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "t_ewma" -> ewmaOracle,
     "t_resample_ffill" ->
       """WITH b AS (
         |  SELECT date_trunc('minute', min(ts)) AS t0, date_trunc('minute', max(ts)) AS t1

@@ -331,7 +331,112 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Zipf rank-frequency fit per source: word frequencies ranked
+    * (freq desc, word asc), then an OLS slope/intercept of
+    * ln(freq) ~ ln(rank). A natural corpus follows slope ≈ -1;
+    * machine-generated or template-heavy sources flatten (slope near
+    * 0) or cliff (steeper than -1.3) — the standard corpus-health
+    * fingerprint a data-quality dashboard tracks per ingest source.
+    * Cites the reference's per-source statistics rollup shape
+    * (mcp/tools_analysis.go statistics cards); the Zipf fit itself is
+    * the LLM-pipeline extension mandate.
+    *
+    * Scale: one (source, word) shuffle for the frequency table, then
+    * the rank window and the regression both run on the
+    * vocabulary-sized frame partitioned by source — the corpus-sized
+    * explode never re-shuffles. `regr_slope`/`regr_intercept` are
+    * built-in declarative aggregates (partial-aggregated, codegen'd);
+    * no driver-side math.
+    */
+  def zipf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = Tables.spread(Tables.documents(s, dir))
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy(col("source")).orderBy(col("freq").desc, col("word"))
+    freq.withColumn("rank", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_vocab"),
+        sum(col("freq")).as("n_tokens"),
+        (floor(expr("regr_slope(ln(freq), ln(rank))") * 10000 + 0.5) / 10000.0).as("zipf_slope"),
+        (floor(expr("regr_intercept(ln(freq), ln(rank))") * 10000 + 0.5) / 10000.0).as("zipf_intercept"))
+      .orderBy(col("source"))
+  }
+
+  /** N-gram novelty curve: for each document (in doc_id ingest
+    * order), the fraction of its distinct trigrams never seen in any
+    * earlier document. The classic diminishing-returns measurement
+    * for corpus growth — when marginal novelty flattens, more data
+    * from that source stops adding information. Trigrams travel as
+    * md5 hashes (16 bytes, not the raw strings) so the shuffle width
+    * is bounded.
+    *
+    * Scale: one gram-keyed groupBy computes each gram's first
+    * document (min doc_id — partial-aggregated map-side), one join
+    * back to the exploded grams, one doc-keyed rollup. All keys are
+    * uniformly distributed hashes; nothing is corpus-quadratic.
+    */
+  def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.spread(Tables.documents(s, dir))
+      .selectExpr("doc_id", "split(text, ' ') AS ts")
+      .where("size(ts) >= 3")
+      .selectExpr("doc_id",
+        """explode(array_distinct(transform(sequence(1, size(ts) - 2),
+          |  i -> md5(concat(element_at(ts, i), ' ', element_at(ts, i + 1), ' ', element_at(ts, i + 2)))))) AS gh""".stripMargin)
+      // feeds both the first-occurrence rollup and the join-back;
+      // materialize once (same trade as text_keywords' tf frame)
+      .localCheckpoint()
+    val first = grams.groupBy(col("gh")).agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, "gh")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", floor(col("n_novel") / col("n_grams").cast("double") * 10000 + 0.5) / 10000.0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Flesch–Kincaid readability grade per document — the classic
+    * surface-statistics quality score (words per sentence, syllables
+    * per word) a corpus pipeline computes before any model-based
+    * scorer runs. Sentences are [.!?]+ runs (min 1 so headline-only
+    * docs don't divide by zero); syllables are approximated by vowel
+    * groups over the lowercased text — the standard cheap estimator,
+    * applied at document level so it is one codegen regexp pass, not
+    * a per-word loop. The banding thresholds are the usual
+    * grade-school cut points.
+    *
+    * Scale: entirely row-local with the scan (three regexp/split
+    * passes per document, integer outputs); the only ordering is the
+    * output sort. The grade formula runs on integers in identical
+    * textual order in both engines, so the 4dp floor agrees exactly.
+    */
+  def readability(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(s, dir))
+      .selectExpr("doc_id",
+        "size(split(text, ' ')) AS n_words",
+        "greatest(size(regexp_extract_all(text, '[.!?]+', 0)), 1) AS n_sentences",
+        "size(regexp_extract_all(lower(text), '[aeiouy]+', 0)) AS n_syllables")
+      .where("n_words >= 1")
+      .selectExpr("doc_id",
+        "cast(n_words AS bigint) AS n_words",
+        "cast(n_sentences AS bigint) AS n_sentences",
+        "cast(n_syllables AS bigint) AS n_syllables",
+        """floor((0.39 * n_words / cast(n_sentences AS double)
+          |  + 11.8 * n_syllables / cast(n_words AS double) - 15.59) * 10000 + 0.5)
+          |  / cast(10000 AS double) AS fk_grade""".stripMargin)
+      .selectExpr("doc_id", "n_words", "n_sentences", "n_syllables", "fk_grade",
+        """CASE WHEN fk_grade < 8 THEN 'accessible'
+          |     WHEN fk_grade < 12 THEN 'standard'
+          |     ELSE 'advanced' END AS band""".stripMargin)
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_readability" -> readability,
+    "text_zipf" -> zipf,
+    "text_ngram_novelty" -> ngramNovelty,
     "text_keywords" -> keywords,
     "text_repetition" -> repetition,
     "text_langid" -> langId,
@@ -346,6 +451,51 @@ object TextAnalysis {
     "tok_fertility" -> fertility)
 
   val oracleSql: Map[String, String] = Map(
+    "text_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+        |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |    CAST(n_sentences AS BIGINT) AS n_sentences,
+        |    CAST(n_syllables AS BIGINT) AS n_syllables,
+        |    floor((0.39 * n_words / CAST(n_sentences AS DOUBLE)
+        |      + 11.8 * n_syllables / CAST(n_words AS DOUBLE) - 15.59) * 10000 + 0.5)
+        |      / CAST(10000 AS DOUBLE) AS fk_grade
+        |  FROM c WHERE n_words >= 1)
+        |SELECT doc_id, n_words, n_sentences, n_syllables, fk_grade,
+        |  CASE WHEN fk_grade < 8 THEN 'accessible'
+        |       WHEN fk_grade < 12 THEN 'standard'
+        |       ELSE 'advanced' END AS band
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "text_zipf" ->
+      """WITH w AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
+        |f AS (SELECT source, word, count(*) AS freq FROM w GROUP BY 1, 2),
+        |r AS (
+        |  SELECT source, freq,
+        |    row_number() OVER (PARTITION BY source ORDER BY freq DESC, word) AS rank
+        |  FROM f)
+        |SELECT source, count(*) AS n_vocab, CAST(sum(freq) AS BIGINT) AS n_tokens,
+        |  floor(regr_slope(ln(freq), ln(rank)) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS zipf_slope,
+        |  floor(regr_intercept(ln(freq), ln(rank)) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS zipf_intercept
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    "text_ngram_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([md5(array_to_string(ts[i:i+2], ' ')) for i in range(1, len(ts) - 1)])) AS gh
+        |  FROM t WHERE len(ts) >= 3),
+        |fst AS (SELECT gh, min(doc_id) AS first_doc FROM g GROUP BY 1)
+        |SELECT g.doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN fst.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  floor(sum(CASE WHEN fst.first_doc = g.doc_id THEN 1 ELSE 0 END)
+        |    / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS novelty
+        |FROM g JOIN fst USING (gh) GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
     "text_char_classes" ->
       """SELECT doc_id, strlen(text) AS n_chars_total,
         |  len(regexp_extract_all(text, '[a-zA-Z]')) AS n_alpha,

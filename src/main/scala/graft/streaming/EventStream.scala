@@ -70,6 +70,28 @@ object EventStream {
         col("c_mktsegment").as("segment"))),
       Seq("user_id"))
 
+  /** Stream-stream interval join — click→purchase attribution: each
+    * click pairs with the same user's purchases landing in
+    * [click_ts, click_ts + 30 min]. The join condition is the
+    * canonical watermark-prunable form (equality key + event-time
+    * range BETWEEN the two time columns): with `withWatermark` on
+    * BOTH inputs, Spark derives per-side state-eviction bounds from
+    * the range, so buffered state is (watermark horizon + 30 min) of
+    * events per side — never unbounded (see StreamingSpec for the
+    * MemoryStream execution). Batch and streaming share this exact
+    * plan.
+    */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks.select(col("user_id").as("c_uid"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .join(purchases.select(col("user_id").as("p_uid"),
+          col("event_id").as("purchase_id"), col("ts").as("purchase_ts")),
+        col("c_uid") === col("p_uid") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("c_uid").as("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("lag_us"))
+
   final case class VEvt(user_id: Long, ts: java.sql.Timestamp, event_type: String,
     value: Double, event_id: Long)
   final case class LatestState(lastUs: Long, lastId: Long, lastType: String,

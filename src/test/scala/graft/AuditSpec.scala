@@ -255,4 +255,29 @@ class AuditSpec extends SparkSpec {
       assert(score >= 0.0 && score <= 1.0)
     }
   }
+
+  test("burn rate: hourly tallies re-add to the event count; alert is the two-window AND") {
+    val evts = Tables.events(spark, sfDir)
+      .selectExpr("cast(ts AS long) div 3600 AS h1", "event_type").collect()
+      .map(r => (r.getAs[Long]("h1"), r.getAs[String]("event_type")))
+    val rows = operators.Audit.burnRate(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("tot_1h")).sum == evts.length)
+    val byHour = evts.groupBy(_._1)
+    val by6h = evts.groupBy(_._1 / 6)
+    rows.foreach { r =>
+      val h1 = r.getAs[Long]("hour_start_s") / 3600
+      val hs = byHour(h1)
+      val (tot, err) = (hs.length.toLong, hs.count(_._2 == "error").toLong)
+      assert(r.getAs[Long]("tot_1h") == tot && r.getAs[Long]("err_1h") == err)
+      assert(r.getAs[Double]("burn_1h") ==
+        math.floor(err * 5 / tot.toDouble * 10000 + 0.5) / 10000.0)
+      val sixes = by6h(h1 / 6)
+      val (tot6, err6) = (sixes.length.toLong, sixes.count(_._2 == "error").toLong)
+      assert(r.getAs[Double]("burn_6h") ==
+        math.floor(err6 * 5 / tot6.toDouble * 10000 + 0.5) / 10000.0)
+      assert(r.getAs[Boolean]("alert") == (err * 25 > tot * 6 && err6 * 25 > tot6 * 6))
+    }
+    assert(rows.exists(_.getAs[Boolean]("alert")) != rows.forall(_.getAs[Boolean]("alert")),
+      "the synthetic error rate must discriminate: some hours alert, some do not")
+  }
 }

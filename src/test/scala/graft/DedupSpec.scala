@@ -237,4 +237,26 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
     assert(lsh.subsetOf(blocked), s"invented pairs: ${lsh.diff(blocked)}")
   }
+
+  test("containment dominates jaccard and matches a driver-side set recomputation") {
+    val texts = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(' ')).toMap
+    def shingles(ts: Array[String]): Set[String] =
+      ts.sliding(3).map(_.mkString(" ")).toSet
+    val rows = operators.Dedup.containment(spark, sfDir).collect()
+    assert(rows.nonEmpty, "the replicated corpus must produce containment pairs")
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      val (sa, sb) = (shingles(texts(a)), shingles(texts(b)))
+      val common = (sa & sb).size
+      assert(r.getAs[Long]("n_common") == common, s"($a,$b): intersection")
+      val cont = math.floor(common.toDouble / math.min(sa.size, sb.size) * 10000 + 0.5) / 10000.0
+      val jac = math.floor(common.toDouble / (sa.size + sb.size - common) * 10000 + 0.5) / 10000.0
+      assert(r.getAs[Double]("containment") == cont, s"($a,$b): containment")
+      assert(r.getAs[Double]("jaccard") == jac, s"($a,$b): jaccard")
+      assert(cont + 1e-9 >= jac, "min-normalization dominates union-normalization")
+      assert(common * 2 >= math.min(sa.size, sb.size), "threshold is containment >= 0.5")
+    }
+  }
 }

@@ -505,4 +505,50 @@ class PipelineSpec extends SparkSpec {
       assert(got == expect, s"$src: $got vs $expect")
     }
   }
+
+  test("semantic clusters agree with a driver-side union-find over the embed-LSH pairs") {
+    val pairs = operators.Dedup.embedLsh(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+    assert(pairs.nonEmpty)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // min-rooted union-find: every component's root is its min vec_id,
+    // exactly the min-label CC contract
+    val expect = pairs.flatMap(p => Seq(p._1, p._2)).distinct.map(v => v -> find(v)).toMap
+    val rows = operators.Pipeline.semanticClusters(spark, sfDir).collect()
+    val got = rows.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(got == expect)
+    val sizes = expect.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.foreach(r => assert(r.getAs[Long]("n_vecs") == sizes(r.getAs[Long]("cluster_id"))))
+  }
+
+  test("corpus gini matches the driver-side rank-sum identity per source") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("source", "doc_id", "text").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[String]("text").split(' ').length.toLong))
+    val rows = operators.Pipeline.corpusGini(spark, sfDir).collect()
+    val bySource = docs.groupBy(_._1)
+    assert(rows.length == bySource.size)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val toks = bySource(src).sortBy(d => (d._3, d._2)).map(_._3)
+      val n = toks.length.toLong
+      val tot = toks.sum
+      val rankMass = toks.zipWithIndex.map { case (t, i) => (i + 1) * t }.sum
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("total_tokens") == tot)
+      val gini = math.floor((2.0 * rankMass / (n * tot.toDouble) - (n + 1) / n.toDouble)
+        * 10000 + 0.5) / 10000.0
+      assert(r.getAs[Double]("gini") == gini, s"$src: engine vs driver gini")
+      assert(gini >= 0.0 && gini < 1.0)
+    }
+  }
 }

@@ -262,4 +262,35 @@ class ScalePathSpec extends SparkSpec {
     assert(shapes("t_interpolate").split("Window").length - 1 <= 3,
       "neighbor scans must not multiply Window sorts")
   }
+
+  test("round-7 wave 3: graph/containment/burn-rate scale paths hold their plan shapes") {
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+    def exchanges(p: String): Int = "Exchange hashpartitioning".r.findAllIn(p).size
+    val newOps = Seq("text_zipf", "text_ngram_novelty", "corpus_gini",
+      "dedup_containment", "ann_nn_graph", "metrics_burn_rate", "stream_interval_join",
+      "dedup_semantic_clusters")
+    val shapes = newOps.map(n => n -> plan(n)).toMap
+    shapes.foreach { case (n, p) =>
+      assert(!p.contains("CartesianProduct"), s"$n: CartesianProduct in plan")
+      info(s"$n: ${exchanges(p)} hash exchanges")
+    }
+    // zipf/gini: one (source, word|doc) shuffle + source-partitioned
+    // window/rollup — the corpus-sized explode never re-shuffles
+    assert(exchanges(shapes("text_zipf")) <= 2, shapes("text_zipf"))
+    assert(exchanges(shapes("corpus_gini")) <= 2, shapes("corpus_gini"))
+    // novelty: gram-hash first-occurrence rollup + join-back + doc rollup
+    assert(exchanges(shapes("text_ngram_novelty")) <= 4, shapes("text_ngram_novelty"))
+    // containment rides the SAME banded candidate machinery as
+    // ngram_jaccard: banding keys every pair-generating shuffle
+    assert(exchanges(shapes("dedup_containment")) <= 7, shapes("dedup_containment"))
+    // 6h burn must re-aggregate the 1h PARTIAL aggregate, not rescan
+    // events: exactly one exchange out of the raw scan
+    val burnScans = "Scan parquet".r.findAllIn(shapes("metrics_burn_rate")).size
+    assert(burnScans <= 1, s"burn rate rescans events ($burnScans scans)")
+    // interval join: one user_id exchange per side, range inside the join
+    assert(exchanges(shapes("stream_interval_join")) <= 3, shapes("stream_interval_join"))
+    // knn graph: pair generation ONLY via the (table, bucket) self-join
+    assert(exchanges(shapes("ann_nn_graph")) <= 6, shapes("ann_nn_graph"))
+  }
 }

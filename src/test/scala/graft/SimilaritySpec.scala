@@ -247,4 +247,38 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(rows.map(_.getAs[Long]("n_hit")).sum > 0, "ADC must recover some exact neighbors")
   }
+
+  test("knn graph: ranked per-node edges, exact cosines, never beats brute force") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding AS array<double>) AS e").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1).toArray).toMap
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val rows = operators.Similarity.nnGraph(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val bySrc = rows.groupBy(_.getAs[Long]("src"))
+    // a healthy LSH graph covers most of the corpus with full degree
+    assert(bySrc.size > vecs.size / 2, s"graph covers only ${bySrc.size}/${vecs.size} nodes")
+    bySrc.foreach { case (src, es) =>
+      val sorted = es.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.map(_.getAs[Int]("rnk")).toSeq == (1 to es.length), s"$src: ranks")
+      val cs = sorted.map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, s"$src: cos must be non-increasing")
+      sorted.foreach { r =>
+        val exact = math.rint(cosine(vecs(src), vecs(r.getAs[Long]("dst"))) * 10000) / 10000.0
+        assert(math.abs(r.getAs[Double]("cos") - exact) <= 1e-4, s"$src->${r.getAs[Long]("dst")}")
+      }
+    }
+    // approximate graph never beats exact search: for the brute-force
+    // probes, the graph's best neighbor is at most the exact best
+    val brute = operators.Similarity.bruteTopK(spark, sfDir).collect()
+      .filter(_.getAs[Int]("rnk") == 1)
+      .map(r => r.getAs[Long]("probe_id") -> r.getAs[Double]("cos")).toMap
+    bySrc.filter(_._1 < 10).foreach { case (src, es) =>
+      val best = es.map(_.getAs[Double]("cos")).max
+      assert(best <= brute(src) + 1e-9, s"$src: graph $best beats exact ${brute(src)}")
+    }
+  }
 }

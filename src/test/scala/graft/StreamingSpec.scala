@@ -62,6 +62,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases within 30 minutes across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    val cDf = clicks.toDF().toDF("user_id", "ts", "event_id").withWatermark("ts", "10 minutes")
+    val pDf = purchases.toDF().toDF("user_id", "ts", "event_id").withWatermark("ts", "10 minutes")
+    val q = EventStream.attributionJoin(cDf, pDf)
+      .writeStream.format("memory").queryName("attr_join")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, ts(0), 100L), (2L, ts(5), 101L))
+      purchases.addData((1L, ts(10), 200L))
+      q.processAllAvailable()
+      // second micro-batch: 201 lands 45 min after click 100 (outside
+      // the 30-minute range), 202 lands 15 min after click 101 (inside)
+      purchases.addData((1L, ts(45), 201L), (2L, ts(20), 202L))
+      q.processAllAvailable()
+      val rows = spark.table("attr_join").orderBy("click_id", "purchase_id").collect()
+      assert(rows.map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id"))).toSeq ==
+        Seq((100L, 200L), (101L, 202L)))
+      assert(rows.head.getAs[Long]("lag_us") == 600000000L)
+      // the same declarative join gives identical pairs in batch
+      val batch = EventStream.attributionJoin(
+        Seq((1L, ts(0), 100L), (2L, ts(5), 101L)).toDF("user_id", "ts", "event_id"),
+        Seq((1L, ts(10), 200L), (1L, ts(45), 201L), (2L, ts(20), 202L)).toDF("user_id", "ts", "event_id"))
+        .orderBy("click_id", "purchase_id").collect()
+      assert(rows.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("stateful sessionization splits on 30-minute gaps across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

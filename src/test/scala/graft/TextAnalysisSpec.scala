@@ -182,4 +182,52 @@ class TextAnalysisSpec extends SparkSpec {
     }
     assert(anyDup, "the corpus contains at least one internally repetitive document")
   }
+
+  test("zipf: counts match recounts and the slope matches a driver-side OLS fit") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("source", "text").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("text").split(' ')))
+    val rows = operators.TextAnalysis.zipf(spark, sfDir).collect()
+    val bySource = docs.groupBy(_._1).view.mapValues(_.flatMap(_._2)).toMap
+    assert(rows.length == bySource.size)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val toks = bySource(src)
+      assert(r.getAs[Long]("n_tokens") == toks.length)
+      val freq = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      assert(r.getAs[Long]("n_vocab") == freq.size)
+      val slope = r.getAs[Double]("zipf_slope")
+      assert(slope < 0, s"$src: Zipf slope must be negative, got $slope")
+      // driver-side OLS of ln(freq) ~ ln(rank) with the same tie-break
+      val ranked = freq.toSeq.sortBy { case (w, f) => (-f, w) }.zipWithIndex
+        .map { case ((_, f), i) => (math.log(i + 1.0), math.log(f.toDouble)) }
+      val n = ranked.length
+      val mx = ranked.map(_._1).sum / n
+      val my = ranked.map(_._2).sum / n
+      val beta = ranked.map { case (x, y) => (x - mx) * (y - my) }.sum /
+        ranked.map { case (x, _) => (x - mx) * (x - mx) }.sum
+      assert(math.abs(slope - beta) < 2e-4, s"$src: engine $slope vs driver $beta")
+    }
+  }
+
+  test("ngram novelty: every distinct gram is novel exactly once; first doc scores 1.0") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(' '))
+      .filter(_._2.length >= 3)
+    val rows = operators.TextAnalysis.ngramNovelty(spark, sfDir).collect()
+    assert(rows.length == docs.length)
+    val allGrams = docs.flatMap(_._2.sliding(3).map(_.mkString(" ")).toSeq.distinct.map(_ -> ()))
+    val distinctGrams = allGrams.map(_._1).distinct.length
+    assert(rows.map(_.getAs[Long]("n_novel")).sum == distinctGrams,
+      "each distinct corpus gram must be counted novel at exactly its first document")
+    val firstDoc = docs.map(_._1).min
+    val firstRow = rows.find(_.getAs[Long]("doc_id") == firstDoc).get
+    assert(firstRow.getAs[Double]("novelty") == 1.0)
+    rows.foreach { r =>
+      val nov = r.getAs[Double]("novelty")
+      assert(nov >= 0.0 && nov <= 1.0)
+      assert(r.getAs[Long]("n_novel") <= r.getAs[Long]("n_grams"))
+    }
+  }
 }
