@@ -959,6 +959,10 @@ object Pipeline {
         """explode(array_distinct(transform(sequence(1, size(ts) - 2),
           |  i -> md5(concat(element_at(ts, i), ' ', element_at(ts, i + 1), ' ', element_at(ts, i + 2)))))) AS gh""".stripMargin)
       .distinct()
+      // three consumers (both self-join sides + totals) would each
+      // re-run the corpus explode; materialize the vocabulary-sized
+      // distinct frame once (same trade as text_ngram_novelty)
+      .localCheckpoint()
     val tot = sg.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
     sg.selectExpr("source AS source_a", "gh")
       .join(sg.selectExpr("source AS source_b", "gh"), "gh")

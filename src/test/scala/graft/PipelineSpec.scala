@@ -551,4 +551,28 @@ class PipelineSpec extends SparkSpec {
       assert(gini >= 0.0 && gini < 1.0)
     }
   }
+  test("source overlap: full matrix recomputed from raw trigram sets") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("source", "text").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("text").split(" ", -1)))
+      .filter(_._2.length >= 3)
+    val bySource: Map[String, Set[String]] = docs.groupBy(_._1)
+      .view.mapValues(_.flatMap(_._2.sliding(3).map(_.mkString(" "))).toSet).toMap
+    val expected = (for {
+      a <- bySource.keys; b <- bySource.keys if a < b
+      common = (bySource(a) & bySource(b)).size if common > 0
+    } yield (a, b) -> (common.toLong, bySource(a).size.toLong, bySource(b).size.toLong)).toMap
+    val rows = operators.Pipeline.sourceOverlap(spark, sfDir).collect()
+    assert(rows.map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b"))).toSet
+      == expected.keySet, "pair set must be exactly the overlapping pairs")
+    rows.foreach { r =>
+      val (common, na, nb) = expected((r.getAs[String]("source_a"), r.getAs[String]("source_b")))
+      assert(r.getAs[Long]("n_common") == common)
+      assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb)
+      val cont = math.floor(common.toDouble / math.min(na, nb) * 10000 + 0.5) / 10000.0
+      assert(math.abs(r.getAs[Double]("containment") - cont) < 1e-9)
+      assert(r.getAs[Double]("containment") >= r.getAs[Double]("jaccard"),
+        "containment dominates Jaccard by construction")
+    }
+  }
 }

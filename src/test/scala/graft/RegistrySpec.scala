@@ -365,6 +365,40 @@ class RegistrySpec extends SparkSpec {
     }
   }
 
+  test("ref cycles: exactly the injected rings, each a 3-member SCC rooted at its base") {
+    val docIds = Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expectedBases = docIds.filter(d => d % 25 == 0 && d >= 25)
+      .filter(d => docIds(d + 1) && docIds(d + 2))
+    val rows = operators.Registry.refCycles(spark, sfDir).collect()
+    // partial rings (a missing member) break the cycle, so only full
+    // rings may appear — and every full ring MUST appear
+    val byCycle = rows.groupBy(_.getAs[Long]("cycle_id"))
+    assert(byCycle.keySet == expectedBases,
+      s"cycles ${byCycle.keySet} vs expected rings $expectedBases")
+    byCycle.foreach { case (base, members) =>
+      assert(members.map(_.getAs[Long]("doc_id")).toSet == Set(base, base + 1, base + 2))
+      assert(members.forall(_.getAs[Long]("n_members") == 3L))
+    }
+    // the acyclic base DAG contributes no members: every doc outside a
+    // ring is absent
+    assert(rows.length == expectedBases.size * 3)
+  }
+
+  test("id gaps: brute-force gap scan agrees, including cross-block gaps and the flag") {
+    val live = Tables.orders(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("o_orderstatus") =!= "F")
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val brute = live.sliding(2).collect {
+      case Array(a, b) if b - a > 1 => (a, b, b - a - 1, a / 4096 != b / 4096)
+    }.toSeq.sortBy { case (a, _, len, _) => (-len, a) }.take(100)
+    val got = operators.Registry.idGaps(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("gap_after"), r.getAs[Long]("next_id"),
+        r.getAs[Long]("gap_len"), r.getAs[Boolean]("spans_blocks"))).toSeq
+    assert(got == brute, s"got ${got.take(5)}... vs ${brute.take(5)}...")
+    assert(got.nonEmpty, "the deleted-status model must leave gaps")
+  }
+
   test("bloom filter: zero false negatives, fp rate within the fill-factor bound") {
     val rows = operators.Registry.bloomFilter(spark, sfDir).collect()
       .map(r => r.getAs[String]("kind") -> r).toMap

@@ -293,4 +293,34 @@ class ScalePathSpec extends SparkSpec {
     // knn graph: pair generation ONLY via the (table, bucket) self-join
     assert(exchanges(shapes("ann_nn_graph")) <= 6, shapes("ann_nn_graph"))
   }
+  test("round-7 wave 4: smoothing/overlap/gap-scan scale paths hold their plan shapes") {
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+    def exchanges(p: String): Int = "Exchange hashpartitioning".r.findAllIn(p).size
+    val newOps = Seq("t_ewma", "text_readability", "corpus_source_overlap", "reg_id_gaps")
+    val shapes = newOps.map(n => n -> plan(n)).toMap
+    shapes.foreach { case (n, p) =>
+      assert(!p.contains("CartesianProduct"), s"$n: CartesianProduct in plan")
+      info(s"$n: ${exchanges(p)} hash exchanges")
+    }
+    // ewma: one rollup exchange + one series re-partition; the 31 lag
+    // terms must fuse into a single Window sort
+    assert(exchanges(shapes("t_ewma")) <= 2, shapes("t_ewma"))
+    assert(shapes("t_ewma").split("Window").length - 1 <= 1, "ewma lags must share one Window")
+    // readability is row-local with the scan: no hash exchange at all
+    assert(exchanges(shapes("text_readability")) == 0, shapes("text_readability"))
+    // overlap: distinct + self-join + pair rollup + two broadcast totals
+    assert(exchanges(shapes("corpus_source_overlap")) <= 6, shapes("corpus_source_overlap"))
+    assert(shapes("corpus_source_overlap").contains("BroadcastHashJoin"),
+      "per-source totals must broadcast")
+    // gap scan: the block window and the block rollup share the blk
+    // exchange; the cross-block window runs on the metadata-sized
+    // rollup; top-100 is a TakeOrdered, never a global sort
+    assert(exchanges(shapes("reg_id_gaps")) <= 2, shapes("reg_id_gaps"))
+    assert(shapes("reg_id_gaps").contains("TakeOrderedAndProject"), shapes("reg_id_gaps"))
+    // the cycle detector reuses the closure core whose shape is pinned
+    // by the registry closure specs; just assert it never goes quadratic
+    val cyc = plan("reg_ref_cycles")
+    assert(!cyc.contains("CartesianProduct"))
+  }
 }

@@ -171,4 +171,32 @@ class TemporalSpec extends SparkSpec {
       }
     }
   }
+  test("ewma: driver-side recomputation of the truncated half-life smoother") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Temporal.ewmaSmooth(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val bySeries = rows.groupBy(_.getAs[String]("event_type"))
+    bySeries.foreach { case (et, rs) =>
+      val sorted = rs.sortBy(_.getAs[java.sql.Timestamp]("minute").getTime)
+      val vs = sorted.map(_.getAs[Double]("v_obs"))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        var num = 0.0; var den = 0.0
+        (0 until 16).foreach { k =>
+          if (i - k >= 0) { val w = math.pow(2.0, -k); num += vs(i - k) * w; den += w }
+        }
+        val exp = math.floor(num / den * 10000 + 0.5) / 10000.0
+        val got = r.getAs[Double]("ewma")
+        assert(math.abs(got - exp) < 1e-9, s"$et row $i: $got vs $exp")
+      }
+    }
+    // first observation of every series is its own smoothed value
+    bySeries.values.foreach { rs =>
+      val first = rs.minBy(_.getAs[java.sql.Timestamp]("minute").getTime)
+      assert(math.abs(first.getAs[Double]("ewma") - first.getAs[Double]("v_obs")) < 1e-9)
+    }
+    // all 31 lag expressions share ONE window sort
+    val plan = operators.Temporal.ewmaSmooth(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Window").length - 1 <= 1, "lag terms must fuse into one Window node")
+  }
 }

@@ -230,4 +230,34 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getAs[Long]("n_novel") <= r.getAs[Long]("n_grams"))
     }
   }
+  test("readability: surface counts recomputed with java regex, bands partition the corpus") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+      .toMap
+    val rows = operators.TextAnalysis.readability(spark, sfDir).collect()
+    val sentRe = java.util.regex.Pattern.compile("[.!?]+")
+    val sylRe = java.util.regex.Pattern.compile("[aeiouy]+")
+    def count(p: java.util.regex.Pattern, t: String): Long = {
+      val m = p.matcher(t); var n = 0L; while (m.find()) n += 1; n
+    }
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val text = docs(r.getAs[Long]("doc_id"))
+      val w = text.split(" ", -1).length.toLong
+      val sent = math.max(count(sentRe, text), 1L)
+      val syl = count(sylRe, text.toLowerCase)
+      assert(r.getAs[Long]("n_words") == w)
+      assert(r.getAs[Long]("n_sentences") == sent)
+      assert(r.getAs[Long]("n_syllables") == syl)
+      val grade = math.floor((0.39 * w / sent + 11.8 * syl / w - 15.59) * 10000 + 0.5) / 10000.0
+      assert(math.abs(r.getAs[Double]("fk_grade") - grade) < 1e-9)
+      val band = r.getAs[String]("band")
+      if (grade < 8) assert(band == "accessible")
+      else if (grade < 12) assert(band == "standard")
+      else assert(band == "advanced")
+    }
+    // every (non-empty) document scores exactly once
+    assert(rows.length == docs.count { case (_, t) => t.split(" ", -1).nonEmpty })
+  }
 }
