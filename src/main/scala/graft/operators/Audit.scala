@@ -97,6 +97,27 @@ object Audit {
       .orderBy(col("n_events").desc, col("user_id"))
       .limit(20)
 
+  /** Top-3 actors PER DAY — the windowed face of [[topActors]]: a
+    * global top-20 hides the single-day burst a compliance review
+    * looks for, so the daily leaderboard is its own standard card.
+    *
+    * Scale: one (day, user) partial-aggregated rollup shuffles the
+    * corpus once; the rank window then runs on the rollup (bounded:
+    * actors-per-day rows, not events), partitioned by day. Output is
+    * 3 rows per day — calendar-sized.
+    */
+  def topActorsDaily(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("day")).orderBy(col("n_events").desc, col("user_id"))
+    daily.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("day"), col("rank"), col("user_id"), col("n_events"))
+      .orderBy(col("day"), col("rank"))
+  }
+
   /** Failure ratio per principal (metrics.go auth failure counters):
     * share of `error` events, 4dp.
     */
@@ -633,6 +654,7 @@ object Audit {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "audit_top_actors_daily" -> topActorsDaily,
     "metrics_burn_rate" -> burnRate,
     "metrics_heatmap" -> heatmap,
     "metrics_apdex" -> apdex,
@@ -996,6 +1018,16 @@ object Audit {
     "metrics_rate_1m" ->
       """SELECT date_trunc('minute', ts) AS minute, event_type, count(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY minute, event_type""".stripMargin,
+    "audit_top_actors_daily" ->
+      """WITH d AS (
+        |  SELECT cast(ts AS DATE) AS day, user_id, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT day, user_id, n_events,
+        |    row_number() OVER (PARTITION BY day ORDER BY n_events DESC, user_id) AS rank
+        |  FROM d)
+        |SELECT day, rank, user_id, n_events FROM r
+        |WHERE rank <= 3 ORDER BY day, rank""".stripMargin,
     "metrics_burn_rate" ->
       """WITH h1 AS (
         |  SELECT epoch_us(ts) // 3600000000 AS h1, count(*) AS tot_1h,

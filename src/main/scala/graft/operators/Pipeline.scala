@@ -48,10 +48,14 @@ object Pipeline {
     * Output: (cluster_id = min doc_id, doc_id, n_docs) per member.
     */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.minhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
-    val edges = pairs
-      .union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst")
+    // symmetric expansion as a row-local explode: a self-union would
+    // evaluate the (uncached) LSH pair scorer twice before the cache
+    // materializes
+    val edges = Dedup.minhashPairs(s, dir)
+      .selectExpr("""explode(array(
+        |  named_struct('src', doc_a, 'dst', doc_b),
+        |  named_struct('src', doc_b, 'dst', doc_a))) AS e""".stripMargin)
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("dst"))
       .cache()
     // Materialize the cache HERE, under the session conf: the edge
@@ -890,20 +894,57 @@ object Pipeline {
     * iteration conf.
     */
   def semanticClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.embedLsh(s, dir).select(col("vec_a"), col("vec_b"))
-    val edges = pairs
-      .union(pairs.select(col("vec_b"), col("vec_a")))
-      .toDF("src", "dst")
+    // symmetric expansion is a row-local explode, NOT a self-union:
+    // a union would evaluate the (uncached) SRP pair scorer twice
+    val edges = Dedup.embedLsh(s, dir)
+      .selectExpr("""explode(array(
+        |  named_struct('src', vec_a, 'dst', vec_b),
+        |  named_struct('src', vec_b, 'dst', vec_a))) AS e""".stripMargin)
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("dst"))
       .cache()
     edges.count()
-    val (labels, _) = ccLabelProp(edges)
+    // the embedding graph chains through hub vectors (a vector close
+    // to two distant neighbors bridges them), so component diameters
+    // grow with the corpus — at sf0.1 label propagation does NOT
+    // converge in 20 rounds. The star core contracts path lengths
+    // multiplicatively (O(log n) alternations regardless of
+    // diameter), so it is the default here, not the fallback.
+    val (labels, _) = ccStar(edges)
     edges.unpersist()
     val members = labels.select(col("label").as("cluster_id"), col("id").as("vec_id"))
     val sizes = members.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_vecs"))
     members.join(sizes, "cluster_id")
       .select(col("cluster_id"), col("vec_id"), col("n_vecs"))
       .orderBy(col("cluster_id"), col("vec_id"))
+  }
+
+  /** Per-source semantic-duplication rate: the fraction of each
+    * source's vectors that participate in at least one SRP-bucketed
+    * embedding near-dup pair ([[Dedup.embedLsh]]) — the roll-up a
+    * mix planner reads next to [[sourceOverlap]] (lexical overlap
+    * BETWEEN sources) to see which source is internally redundant in
+    * meaning-space. vec_id is the embedding of document doc_id, so
+    * the source dimension joins straight on the id.
+    *
+    * Scale: the pair frame explodes row-locally to its member ids
+    * and dedupes (bounded by the corpus); the flag join is id-keyed;
+    * the rollup is vocabulary-sized on the bounded source key.
+    */
+  def semanticRate(s: SparkSession, dir: String): DataFrame = {
+    val dupIds = Dedup.embedLsh(s, dir)
+      .selectExpr("explode(array(vec_a, vec_b)) AS vec_id")
+      .distinct()
+      .withColumn("is_dup", lit(1L))
+    Tables.documents(s, dir)
+      .select(col("doc_id").as("vec_id"), col("source"))
+      .join(dupIds, Seq("vec_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_vecs"),
+        coalesce(sum(col("is_dup")), lit(0L)).as("n_sem_dups"))
+      .selectExpr("source", "n_vecs", "n_sem_dups",
+        "floor(n_sem_dups / cast(n_vecs AS double) * 10000 + 0.5) / cast(10000 AS double) AS dup_rate")
+      .orderBy(col("source"))
   }
 
   /** Token-mass concentration per source (Gini coefficient): ranks
@@ -979,6 +1020,7 @@ object Pipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_semantic_clusters" -> semanticClusters,
+    "dedup_semantic_rate" -> semanticRate,
     "corpus_gini" -> corpusGini,
     "corpus_source_overlap" -> sourceOverlap,
     "tok_vocab_coverage" -> tokVocabCoverage,
@@ -1370,6 +1412,18 @@ object Pipeline {
         |sizes AS (SELECT cluster_id, count(*) AS size FROM labeled GROUP BY 1)
         |SELECT size, count(*) AS n_clusters, size * count(*) AS n_docs
         |FROM sizes GROUP BY size ORDER BY size""".stripMargin,
+    "dedup_semantic_rate" ->
+      s"""WITH ${Dedup.embedPairsCte},
+        |ids AS (
+        |  SELECT vec_a AS vec_id FROM epairs
+        |  UNION
+        |  SELECT vec_b FROM epairs)
+        |SELECT d.source, count(*) AS n_vecs,
+        |  CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_sem_dups,
+        |  floor(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS dup_rate
+        |FROM documents d LEFT JOIN ids i ON d.doc_id = i.vec_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "dedup_semantic_clusters" ->
       s"""WITH RECURSIVE ${Dedup.embedPairsCte},
         |edges AS (

@@ -289,7 +289,50 @@ object Temporal {
       .orderBy(col("event_type"), col("minute"))
   }
 
+  /** Robust anomaly detection per metric series: flag minute bars
+    * whose deviation from the series MEDIAN exceeds 3× the median
+    * absolute deviation. Median/MAD instead of mean/σ so the
+    * detector doesn't let the outliers it hunts inflate its own
+    * threshold. Both medians are RANK-SELECTED (the lower median —
+    * the element at row (n+1)/2 in (value, minute) order), never
+    * interpolated: interpolation arithmetic is an engine-specific
+    * float blend, while element selection is exact and
+    * cross-engine-identical; at cluster scale rank selection is also
+    * the shape that doesn't need a global percentile sketch.
+    *
+    * Scale: one (type, minute) rollup shuffle; both rank windows run
+    * per-series on the calendar-sized rollup (checkpointed once for
+    * its three consumers); the two 1-row-per-series median frames
+    * broadcast back.
+    */
+  def anomalyMad(s: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.events(s, dir)
+      .select(col("event_type"), date_trunc("minute", col("ts")).as("minute"), col("value"))
+      .groupBy(col("event_type"), col("minute"))
+      .agg((floor(avg(col("value")) * 10000 + 0.5) / lit(10000.0)).as("v_obs"))
+      .localCheckpoint()
+    def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("event_type")).orderBy(col(valueCol), col("minute"))
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        .where(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col(valueCol).as(out))
+    }
+    val med = lowerMedian(obs, "v_obs", "med")
+    val dev = obs.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("v_obs") - col("med")))
+    val mad = lowerMedian(dev, "dev", "mad")
+    dev.join(broadcast(mad), "event_type")
+      .where(col("dev") > col("mad") * 3)
+      .select(col("event_type"), col("minute"), col("v_obs"),
+        (floor(col("med") * 10000 + 0.5) / 10000.0).as("med"),
+        (floor(col("dev") * 10000 + 0.5) / 10000.0).as("dev"),
+        (floor(col("mad") * 10000 + 0.5) / 10000.0).as("mad"))
+      .orderBy(col("event_type"), col("minute"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_anomaly_mad" -> anomalyMad,
     "t_resample_ffill" -> resampleFfill,
     "t_interpolate" -> interpolate,
     "t_downsample" -> downsample,
@@ -310,6 +353,33 @@ object Temporal {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "t_anomaly_mad" ->
+      """WITH obs AS (
+        |  SELECT event_type, date_trunc('minute', ts) AS minute,
+        |    floor(avg(value) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS v_obs
+        |  FROM events GROUP BY 1, 2),
+        |mr AS (
+        |  SELECT event_type, v_obs, minute,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v_obs, minute) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM obs),
+        |med AS (SELECT event_type, v_obs AS med FROM mr WHERE rn = (n + 1) // 2),
+        |dv AS (
+        |  SELECT o.event_type, o.minute, o.v_obs, m.med, abs(o.v_obs - m.med) AS dev
+        |  FROM obs o JOIN med m USING (event_type)),
+        |dr AS (
+        |  SELECT event_type, dev, minute,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY dev, minute) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM dv),
+        |mad AS (SELECT event_type, dev AS mad FROM dr WHERE rn = (n + 1) // 2)
+        |SELECT d.event_type, d.minute, d.v_obs,
+        |  floor(d.med * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS med,
+        |  floor(d.dev * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS dev,
+        |  floor(a.mad * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS mad
+        |FROM dv d JOIN mad a USING (event_type)
+        |WHERE d.dev > a.mad * 3
+        |ORDER BY d.event_type, d.minute""".stripMargin,
     "t_ewma" -> ewmaOracle,
     "t_resample_ffill" ->
       """WITH b AS (
