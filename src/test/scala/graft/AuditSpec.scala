@@ -280,4 +280,20 @@ class AuditSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Boolean]("alert")) != rows.forall(_.getAs[Boolean]("alert")),
       "the synthetic error rate must discriminate: some hours alert, some do not")
   }
+  test("daily top actors: brute-force daily leaderboard agrees") {
+    import org.apache.spark.sql.functions._
+    val counts = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).collect()
+      .groupBy(r => (r.getAs[java.sql.Date]("day").toString, r.getAs[Long]("user_id")))
+      .view.mapValues(_.length.toLong).toMap
+    val expected = counts.toSeq.map { case ((d, u), n) => (d, u, n) }
+      .groupBy(_._1).flatMap { case (d, rs) =>
+        rs.sortBy(r => (-r._3, r._2)).take(3).zipWithIndex
+          .map { case ((_, u, n), i) => (d, i + 1, u, n) }
+      }.toSet
+    val got = operators.Audit.topActorsDaily(spark, sfDir).collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString, r.getAs[Int]("rank"),
+        r.getAs[Long]("user_id"), r.getAs[Long]("n_events"))).toSet
+    assert(got == expected)
+  }
 }

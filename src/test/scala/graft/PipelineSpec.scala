@@ -575,4 +575,22 @@ class PipelineSpec extends SparkSpec {
         "containment dominates Jaccard by construction")
     }
   }
+  test("semantic rate: per-source rollup reconciles with the pair frame and the corpus") {
+    import org.apache.spark.sql.functions._
+    val dupIds = operators.Dedup.embedLsh(spark, sfDir).collect()
+      .flatMap(r => Seq(r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+    val rows = operators.Pipeline.semanticRate(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == docs.length)
+    val bySource = docs.groupBy(_._2)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val members = bySource(src)
+      assert(r.getAs[Long]("n_vecs") == members.length.toLong)
+      assert(r.getAs[Long]("n_sem_dups") == members.count(d => dupIds(d._1)).toLong)
+      assert(r.getAs[Double]("dup_rate") >= 0.0 && r.getAs[Double]("dup_rate") <= 1.0)
+    }
+  }
 }

@@ -323,4 +323,25 @@ class ScalePathSpec extends SparkSpec {
     val cyc = plan("reg_ref_cycles")
     assert(!cyc.contains("CartesianProduct"))
   }
+  test("round-7 wave 5: leaderboard/anomaly/rate scale paths hold their plan shapes") {
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+    def exchanges(p: String): Int = "Exchange hashpartitioning".r.findAllIn(p).size
+    val shapes = Seq("audit_top_actors_daily", "t_anomaly_mad", "dedup_semantic_rate")
+      .map(n => n -> plan(n)).toMap
+    shapes.foreach { case (n, p) =>
+      assert(!p.contains("CartesianProduct"), s"$n: CartesianProduct in plan")
+      info(s"$n: ${exchanges(p)} hash exchanges")
+    }
+    // daily leaderboard: one corpus rollup + the day-partitioned rank
+    assert(exchanges(shapes("audit_top_actors_daily")) <= 2, shapes("audit_top_actors_daily"))
+    // MAD detector: the checkpointed rollup feeds per-series rank
+    // windows; the two 1-row-per-series median frames broadcast back
+    assert(exchanges(shapes("t_anomaly_mad")) <= 3, shapes("t_anomaly_mad"))
+    assert(shapes("t_anomaly_mad").contains("BroadcastHashJoin"),
+      "median frames must broadcast")
+    // semantic rate: pair explode is row-local; flag join on id;
+    // bounded-source rollup
+    assert(exchanges(shapes("dedup_semantic_rate")) <= 5, shapes("dedup_semantic_rate"))
+  }
 }

@@ -199,4 +199,29 @@ class TemporalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.split("Window").length - 1 <= 1, "lag terms must fuse into one Window node")
   }
+  test("anomaly mad: rank-selected medians and flags recomputed driver-side") {
+    import org.apache.spark.sql.functions._
+    val obs = Tables.events(spark, sfDir)
+      .select(col("event_type"), date_trunc("minute", col("ts")).as("minute"), col("value"))
+      .groupBy(col("event_type"), col("minute"))
+      .agg((floor(avg(col("value")) * 10000 + 0.5) / lit(10000.0)).as("v_obs"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Timestamp]("minute").getTime, r.getAs[Double]("v_obs")))
+    def lowerMedian(xs: Seq[(Double, Long)]): Double = {
+      val sorted = xs.sortBy(identity)
+      sorted(((sorted.length + 1) / 2) - 1)._1
+    }
+    val expected = obs.groupBy(_._1).flatMap { case (et, rs) =>
+      val med = lowerMedian(rs.map(r => (r._3, r._2)).toSeq)
+      val devs = rs.map(r => (r._2, r._3, math.abs(r._3 - med)))
+      val mad = lowerMedian(devs.map(d => (d._3, d._1)).toSeq)
+      devs.filter(_._3 > mad * 3).map(d => (et, d._1, d._2)).toSeq
+    }.toSet
+    val got = operators.Temporal.anomalyMad(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Timestamp]("minute").getTime, r.getAs[Double]("v_obs"))).toSet
+    assert(got == expected, s"${got.size} flagged vs ${expected.size} expected")
+    assert(got.nonEmpty, "the detector should fire on the synthetic series")
+  }
 }
