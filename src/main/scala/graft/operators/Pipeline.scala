@@ -158,13 +158,22 @@ object Pipeline {
     Tables.withIterConf(edges.sparkSession) {
     var e = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    var eCount = e.count()
     var iter = 0
     var stable = false
     while (!stable && iter < maxIter) {
-      // lazy checkpoint, materialized by the first fixpoint probe
+      // lazy checkpoint, materialized by the count probe. Exact
+      // set-equality fixpoint in at most two cheap jobs: both frames
+      // are distinct sets, so |next| == |e| AND |next ∪ e| == |e|
+      // ⟺ next == e — and the (usual) pre-fixpoint round where the
+      // edge count moved short-circuits before the union-distinct
+      // job. Cheaper than the former two except().isEmpty probes,
+      // which shuffled both frames twice every round.
       val next = smallStar(largeStar(e)).localCheckpoint(false)
-      stable = next.except(e).isEmpty && e.except(next).isEmpty
+      val nextCount = next.count()
+      stable = nextCount == eCount && next.union(e).distinct().count() == nextCount
       e = next
+      eCount = nextCount
       iter += 1
     }
     if (!stable)
