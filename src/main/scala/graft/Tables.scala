@@ -88,13 +88,22 @@ object Tables {
     * still widens genuinely large rounds.
     */
   def withIterConf[T](s: SparkSession)(body: => T): T = {
-    val k = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
-    val prev = s.conf.getOption(k)
-    s.conf.set(k, "false")
+    // parallelismFirst=false alone regressed the closure family 3x at
+    // sf1 (7s -> 17-23s, r7 measurement): size-driven coalescing with
+    // the DEFAULT 64 MB advisory folds a ~50 MB iteration frame into
+    // ONE post-shuffle partition and serializes every round. A 4 MB
+    // advisory keeps KB-scale rounds at 1-2 tasks (the sf0.1 fixed-
+    // dispatch win this conf exists for) while a genuinely large
+    // round still fans out to ~frame/4MB tasks.
+    val ks = Seq(
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4m")
+    val prev = ks.map { case (k, _) => k -> s.conf.getOption(k) }
+    ks.foreach { case (k, v) => s.conf.set(k, v) }
     try body
-    finally prev match {
-      case Some(v) => s.conf.set(k, v)
-      case None    => s.conf.unset(k)
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
     }
   }
 
