@@ -27,6 +27,28 @@ object Similarity {
   private val Dims = 64
   private val K = 5
 
+  /** Adaptive-SRP knobs for [[nnGraph]]: expected bucket occupancy is
+    * held at ~[[TargetBucket]] rows by choosing the plane count from
+    * the corpus size (see [[planesFor]]); [[MaxPlanesPerTable]] caps
+    * the literal matrix (2^20 buckets covers ~16M vectors — at true
+    * 100 TB scale regenerate with a larger cap, the formula is the
+    * same).
+    */
+  private[graft] val TargetBucket = 16
+  private[graft] val MaxPlanesPerTable = 20
+
+  /** Planes-per-table for a corpus of n vectors: the smallest p with
+    * 2^p * TargetBucket >= n (floored at 4, capped at the matrix).
+    * Integer-safe in both engines as
+    * `least(cap, greatest(4, length(bin((n + B-1) div B - 1))))` —
+    * no libm log2, no FP boundary flips at exact powers of two.
+    */
+  private[graft] def planesFor(n: Long): Int = {
+    val cells = (n + TargetBucket - 1) / TargetBucket
+    val p = java.lang.Long.toBinaryString(math.max(0L, cells - 1)).length
+    math.min(MaxPlanesPerTable, math.max(4, p))
+  }
+
   /** Deterministic ±1 hyperplane weights: parity of the first hex
     * digit of md5("p:d") — reproducible in any engine with md5.
     */
@@ -44,6 +66,19 @@ object Similarity {
     */
   private[operators] lazy val weightMatrixSql: String = {
     val rows = (0 until NPlanes).map { p =>
+      (0 until Dims).map(d => weight(p, d)).mkString("array(", ", ", ")")
+    }
+    rows.mkString("array(", ", ", ")")
+  }
+
+  /** The extended ±1 hyperplane family for the adaptive bucketer:
+    * table t owns the contiguous stripe
+    * [t*MaxPlanesPerTable, (t+1)*MaxPlanesPerTable) so the chosen
+    * plane count can grow with the corpus without re-deriving earlier
+    * planes. Same md5-parity generator as [[weightMatrixSql]].
+    */
+  private[operators] lazy val weightMatrixSqlBig: String = {
+    val rows = (0 until NTables * MaxPlanesPerTable).map { p =>
       (0 until Dims).map(d => weight(p, d)).mkString("array(", ", ", ")")
     }
     rows.mkString("array(", ", ", ")")
@@ -131,14 +166,38 @@ object Similarity {
     * them per source node.
     *
     * Scale: the only pair generator is the (table, bucket) self-join
-    * — per-bucket quadratic, bounded by the planes-per-table knob
-    * (at 100 TB you add planes so expected bucket size stays
-    * constant; cost is Σ|bucket|², never N²). Scoring shuffles on
-    * vec_id hash joins; the top-k window partitions by src. Output is
-    * N·k rows — linear in the corpus.
+    * — per-bucket quadratic, but the plane count ADAPTS to the corpus
+    * size ([[srpBucketsAdaptive]]) so expected bucket occupancy is a
+    * constant and Σ|bucket|² ≈ N·TargetBucket — linear, never N².
+    * Scoring shuffles on vec_id hash joins; the top-k window
+    * partitions by src. Output is N·k rows — linear in the corpus.
     */
+  /** Corpus-size-adaptive SRP bucketer: the plane count per table is
+    * a deterministic function of the corpus row count ([[planesFor]])
+    * so expected bucket occupancy stays ~[[TargetBucket]] at any
+    * scale — the (table, bucket) self-join cost is then
+    * Σ|bucket|² ≈ N·TargetBucket, LINEAR in the corpus (the fixed
+    * 4-plane variant grows quadratically past ~256 vectors). The
+    * count rides in as a broadcast 1-row aggregate; the DuckDB oracle
+    * mirrors it as a scalar subquery over the same integer formula.
+    */
+  private def srpBucketsAdaptive(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Native.register(s)
+    val e = Tables.embeddings(s, dir)
+      .selectExpr("vec_id", "cast(embedding AS array<double>) AS e")
+    val params = broadcast(e.agg(
+      expr(s"least($MaxPlanesPerTable, greatest(4, length(bin((count(1) + ${TargetBucket - 1}) div $TargetBucket - 1)))) AS np")))
+    e.crossJoin(params)
+      .selectExpr("vec_id", "e",
+        s"""transform(sequence(0, ${NTables - 1}), t ->
+           |  aggregate(sequence(0, np - 1), 0, (acc, p) ->
+           |    acc + CASE WHEN aggregate(zip_with(element_at($weightMatrixSqlBig, t * $MaxPlanesPerTable + p + 1), e, (w, x) -> w * x),
+           |                              cast(0 AS double), (a2, x) -> a2 + x) >= 0
+           |          THEN shiftleft(1, p) ELSE 0 END)) AS buckets""".stripMargin)
+  }
+
   def nnGraph(s: SparkSession, dir: String): DataFrame = {
-    val e = srpBuckets(s, dir).cache()
+    val e = srpBucketsAdaptive(s, dir).cache()
     val tbl = e.selectExpr("vec_id", s"explode(sequence(0, ${NTables - 1})) AS t", "buckets")
       .selectExpr("vec_id", "t", "element_at(buckets, t + 1) AS bucket")
     val cand = tbl.selectExpr("vec_id AS src", "t", "bucket")
@@ -789,17 +848,24 @@ object Similarity {
           |  FROM sc) t
           |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
       "ann_nn_graph" ->
-        s"""WITH $weightsCte,
+        s"""WITH wbig AS (
+           |  SELECT p, d,
+           |    CASE WHEN (strpos('0123456789abcdef', substr(md5(p::varchar || ':' || d::varchar), 1, 1)) - 1) & 1 = 1
+           |         THEN 1 ELSE -1 END AS wt
+           |  FROM (SELECT unnest(range(0, ${NTables * MaxPlanesPerTable})) AS p), (SELECT unnest(range(0, $Dims)) AS d)),
            |e AS (
            |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+           |params AS (
+           |  SELECT least($MaxPlanesPerTable, greatest(4, length(bin((count(*) + ${TargetBucket - 1}) // $TargetBucket - 1)))) AS np FROM e),
            |n AS (SELECT vec_id, e, sqrt(list_sum([x * x for x in e])) AS nrm FROM e),
            |planedots AS (
            |  SELECT n.vec_id, w.p, sum(w.wt * n.e[w.d + 1]) AS dot
-           |  FROM n, w GROUP BY n.vec_id, w.p),
+           |  FROM n, wbig w WHERE w.p % $MaxPlanesPerTable < (SELECT np FROM params)
+           |  GROUP BY n.vec_id, w.p),
            |buckets AS (
-           |  SELECT vec_id, p // 4 AS t,
-           |    sum(CASE WHEN dot >= 0 THEN 1 << (p % 4) ELSE 0 END) AS bucket
-           |  FROM planedots GROUP BY vec_id, p // 4),
+           |  SELECT vec_id, p // $MaxPlanesPerTable AS t,
+           |    sum(CASE WHEN dot >= 0 THEN 1 << (p % $MaxPlanesPerTable) ELSE 0 END) AS bucket
+           |  FROM planedots GROUP BY vec_id, p // $MaxPlanesPerTable),
            |cand AS (
            |  SELECT DISTINCT sb.vec_id AS src, db.vec_id AS dst
            |  FROM buckets sb JOIN buckets db ON sb.t = db.t AND sb.bucket = db.bucket

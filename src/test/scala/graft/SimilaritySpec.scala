@@ -46,6 +46,42 @@ class SimilaritySpec extends SparkSpec {
     shared.foreach { case (b, l) => assert(math.abs(b - l) < 1e-9) }
   }
 
+  test("adaptive plane count holds expected bucket occupancy constant") {
+    // the integer formula: smallest p with 2^p * 16 >= n, floored at
+    // 4, capped at the generated matrix — spot values at each test sf
+    // plus the power-of-two boundaries libm log2 would get wrong
+    assert(operators.Similarity.planesFor(1L) == 4)
+    assert(operators.Similarity.planesFor(16L) == 4)
+    assert(operators.Similarity.planesFor(256L) == 4)
+    assert(operators.Similarity.planesFor(257L) == 5)
+    assert(operators.Similarity.planesFor(500L) == 5)   // sf0.001/0.01
+    assert(operators.Similarity.planesFor(2000L) == 7)  // sf0.1
+    assert(operators.Similarity.planesFor(20000L) == 11) // sf1
+    assert(operators.Similarity.planesFor(1L << 40) == 20) // matrix cap
+    // occupancy invariant: n / 2^planes <= TargetBucket whenever the
+    // cap hasn't kicked in -> the (table,bucket) self-join cost is
+    // SUM(bucket^2) ~= n * TargetBucket, linear in the corpus
+    Seq(100L, 500L, 2000L, 20000L, 200000L, 2000000L).foreach { n =>
+      val p = operators.Similarity.planesFor(n)
+      assert(p < operators.Similarity.MaxPlanesPerTable ==>
+        (n.toDouble / (1L << p) <= operators.Similarity.TargetBucket),
+        s"n=$n planes=$p occupancy=${n.toDouble / (1L << p)}")
+    }
+    // Spark's bin()-based SQL form computes the same plane count as
+    // the Scala reference formula (and hence as the DuckDB oracle)
+    val sqlPlanes = spark.sql(
+      ("SELECT n, least(20, greatest(4, length(bin((n + 15) div 16 - 1)))) AS np " +
+        "FROM VALUES (1L),(16L),(256L),(257L),(500L),(2000L),(20000L) AS t(n)"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    sqlPlanes.foreach { case (n, np) =>
+      assert(np == operators.Similarity.planesFor(n), s"sql np($n)=$np")
+    }
+  }
+
+  implicit class BoolOps(private val a: Boolean) {
+    def ==>(b: => Boolean): Boolean = !a || b
+  }
+
   test("hyperplane weights are deterministic ±1") {
     val w1 = (0 until 8).map(p => (0 until 64).map(d => Similarity.weight(p, d)))
     val w2 = (0 until 8).map(p => (0 until 64).map(d => Similarity.weight(p, d)))
