@@ -138,11 +138,14 @@ object Pipeline {
       val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       val m = sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
         .select(col("src"), least(col("mn"), col("src")).as("m"))
+      // no distinct here (r8): output multiplicity is bounded by |sym|
+      // (one row per input edge) and smallStar's groupBy-min and
+      // terminal distinct absorb duplicates — one fewer shuffle per
+      // alternation for the same fixpoint.
       sym.join(m, "src")
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
         .filter(col("src") =!= col("dst"))
-        .distinct()
     }
     def smallStar(e: DataFrame): DataFrame = {
       val oriented = e.select(greatest(col("src"), col("dst")).as("src"),
@@ -156,7 +159,37 @@ object Pipeline {
         .distinct()
     }
     Tables.withIterConf(edges.sparkSession) {
-    var e = edges.select(col("src"), col("dst"))
+    // Seed pass (r8): one min-label hop + graph contraction before the
+    // alternations. seed(u) = min(Γ(u) ∪ u) is a member of u's own
+    // component, so contracting every edge (u,v) → (seed(u), seed(v))
+    // preserves components 1:1 while collapsing each replica-clique to
+    // (near-)single nodes — the bulk of a near-dup pair graph. The
+    // composed label is still the GLOBAL component min: the min node m
+    // seeds to itself (all neighbors are larger), so m survives as a
+    // contracted id and the star fixpoint on the contracted graph
+    // roots its component at m. Costs ~one alternation (groupBy-min +
+    // two relabel joins); saves alternations whenever clique mass
+    // dominates (the LSH pair graphs) and is measured, not assumed —
+    // see SURVEY §14.
+    val e0 = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    val sym0 = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val seed1 = sym0.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"), least(col("mn"), col("src")).as("slabel"))
+      .localCheckpoint(false)
+    // Two pointer jumps on the seed forest (slabel ∘ slabel): each is
+    // ONE node-sized self-join and squares the hop horizon — the seed
+    // map stays "u → some member of u's component" (closed under
+    // composition), which is the only property contraction needs.
+    val seed = (1 to 2).foldLeft(seed1) { (sd, _) =>
+      sd.join(sd.select(col("id").as("slabel"), col("slabel").as("l2")), Seq("slabel"))
+        .select(col("id"), col("l2").as("slabel"))
+        .localCheckpoint(false)
+    }
+    var e = sym0
+      .join(seed.select(col("id").as("src"), col("slabel").as("ls")), "src")
+      .join(seed.select(col("id").as("dst"), col("slabel").as("ld")), "dst")
+      .select(col("ls").as("src"), col("ld").as("dst"))
       .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
     var eCount = e.count()
     var iter = 0
@@ -168,7 +201,10 @@ object Pipeline {
       // ⟺ next == e — and the (usual) pre-fixpoint round where the
       // edge count moved short-circuits before the union-distinct
       // job. Cheaper than the former two except().isEmpty probes,
-      // which shuffled both frames twice every round.
+      // which shuffled both frames twice every round. (Running TWO
+      // alternations per probe cycle was measured in r8 and is
+      // WORSE — 7.1→9.9s warm: the doubled per-job stage DAG costs
+      // more in AQE replanning latency than the probe jobs it saves.)
       val next = smallStar(largeStar(e)).localCheckpoint(false)
       val nextCount = next.count()
       stable = nextCount == eCount && next.union(e).distinct().count() == nextCount
@@ -179,12 +215,18 @@ object Pipeline {
     if (!stable)
       ccLog.warn(s"ccStar exited at maxIter=$maxIter WITHOUT reaching the edge-set " +
         "fixpoint - component labels may be wrong; raise maxIter")
-    // Converged: every edge is (member → component min); minima label
-    // themselves. Nodes absent from e (isolated after self-loop
-    // removal) cannot occur here — every input node has a partner.
-    val labels = e.select(col("src").as("id"), col("dst").as("label"))
+    ccLog.info(s"ccStar converged in $iter alternations (final edge count $eCount)")
+    // Converged: every contracted edge is (member → component min);
+    // minima label themselves. Compose back through the seed map: a
+    // seed label absent from the contracted edge set means its whole
+    // seed class was already a component (clique collapsed in the
+    // seed hop) — it labels itself via the coalesce.
+    val starLabels = e.select(col("src").as("id"), col("dst").as("label"))
       .union(e.select(col("dst").as("id"), col("dst").as("label")))
       .groupBy(col("id")).agg(min(col("label")).as("label"))
+    val labels = seed
+      .join(starLabels.select(col("id").as("slabel"), col("label")), Seq("slabel"), "left")
+      .select(col("id"), coalesce(col("label"), col("slabel")).as("label"))
     (labels, iter)
     }
   }
@@ -903,14 +945,13 @@ object Pipeline {
     * iteration conf.
     */
   def semanticClusters(s: SparkSession, dir: String): DataFrame = {
-    // symmetric expansion is a row-local explode, NOT a self-union:
-    // a union would evaluate the (uncached) SRP pair scorer twice
+    // pairs go in ONCE (r8): ccStar symmetrizes internally (its seed
+    // pass builds sym0 = e ∪ reverse), so the former symmetric
+    // explode + repartition doubled every frame the seed/contraction
+    // joins scan for no benefit. The cache still pins the (uncached)
+    // SRP pair scorer's output so the iteration never re-runs it.
     val edges = Dedup.embedLsh(s, dir)
-      .selectExpr("""explode(array(
-        |  named_struct('src', vec_a, 'dst', vec_b),
-        |  named_struct('src', vec_b, 'dst', vec_a))) AS e""".stripMargin)
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .repartition(col("dst"))
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"))
       .cache()
     edges.count()
     // the embedding graph chains through hub vectors (a vector close
