@@ -441,7 +441,13 @@ object Audit {
     * rows — shared by [[promParse]] (category catalog) and
     * [[metricsSummary]] (the fixed-section ops card).
     */
-  private def promSeriesParsed(s: SparkSession, dir: String): DataFrame = {
+  /** The raw synthesized exposition lines, comments included —
+    * `parseMetricLines` (tools_metrics.go:320) keeps every non-empty
+    * line, and query_metric's substring probe matches against the
+    * FULL line text (comments and sample values too), so
+    * [[queryProbe]] needs this pre-filter view.
+    */
+  private def promLines(s: SparkSession, dir: String): DataFrame = {
     val lines = Tables.events(s, dir)
       .select(col("user_id"),
         get_json_object(col("props"), "$.k").cast("bigint").as("k"))
@@ -469,12 +475,16 @@ object Audit {
           |WHEN 14 THEN '# HELP schema_registry_requests_total Total requests by method and status.'
           |ELSE '# TYPE schema_registry_requests_total counter'
           |END AS line""".stripMargin)
+    lines
+  }
+
+  private def promSeriesParsed(s: SparkSession, dir: String): DataFrame = {
     // r8: the three per-line regex passes fused into pure string ops
     // (prom exposition series never contain spaces, labels included,
     // and the sample value is the last space-separated token) —
     // substring_index is codegen'd and regex-free; same-host A/B at
     // sf1: prom_parse 26.6→21.9s, summary 26.3→21.1s (16–20%).
-    lines
+    promLines(s, dir)
       .where("line NOT LIKE '#%'")
       .selectExpr(
         "substring_index(line, ' ', 1) AS series",
@@ -658,7 +668,34 @@ object Audit {
       .orderBy(col("hour_start_s"))
   }
 
+  /** query_metric (mcp/tools_metrics.go:194): a substring probe over
+    * `parseMetricLines` output — the handler keeps every line whose
+    * FULL text contains the pattern (comments and sample values
+    * included, :203-:207) and returns the matching lines. The card
+    * computes the handler's answer for a panel of probe patterns at
+    * once: (pattern, line, n_lines) — grouped because the scraped
+    * stream repeats each line once per sample event.
+    *
+    * Scale: the pattern panel is a broadcast literal dim, so the
+    * contains-join is a broadcast nested-loop over the line scan
+    * (linear, no shuffle for the match); the one shuffle is the
+    * (pattern, line) groupBy whose key space is the pattern panel ×
+    * line vocabulary — map-side combined.
+    */
+  def queryProbe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val patterns = broadcast(Seq(
+      "requests_total", "cache", "go_", "leader_elections", "principal")
+      .toDF("pattern"))
+    promLines(s, dir)
+      .join(patterns, col("line").contains(col("pattern")))
+      .groupBy(col("pattern"), col("line"))
+      .agg(count(lit(1)).as("n_lines"))
+      .orderBy(col("pattern"), col("line"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "metrics_query_probe" -> queryProbe,
     "audit_top_actors_daily" -> topActorsDaily,
     "metrics_burn_rate" -> burnRate,
     "metrics_heatmap" -> heatmap,
@@ -812,6 +849,12 @@ object Audit {
         |  series, value, status
         |FROM (SELECT * FROM named UNION ALL SELECT * FROM fams)
         |ORDER BY sec_order, item_order, series""".stripMargin,
+    "metrics_query_probe" ->
+      s"""WITH $promOracleCte,
+        |pat AS (SELECT unnest(['requests_total', 'cache', 'go_', 'leader_elections', 'principal']) AS pattern)
+        |SELECT pattern, line, count(*) AS n_lines
+        |FROM lines JOIN pat ON contains(line, pattern)
+        |GROUP BY pattern, line ORDER BY pattern, line""".stripMargin,
     "metrics_prom_parse" ->
       s"""WITH $promOracleCte,
         |cat AS (

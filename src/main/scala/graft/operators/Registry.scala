@@ -33,6 +33,26 @@ object Registry {
       .distinct()
       .orderBy(col("subject"))
 
+  /** count_versions (mcp/tools_validation.go:471): the handler
+    * returns `len(GetVersions(subject))` for one subject; the card
+    * computes that count for EVERY subject in one bounded groupBy —
+    * map-side combined on the subject key, scan-bound at any scale.
+    */
+  def countVersions(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id").as("subject"))
+      .agg(count(lit(1)).as("n_versions"))
+      .orderBy(col("subject"))
+
+  /** count_subjects (mcp/tools_validation.go:488):
+    * `len(ListSubjects)` — one global card row. count(DISTINCT) is a
+    * two-stage aggregate (partial distinct per partition, then one
+    * 1-row exchange), so the card costs a scan at any corpus size.
+    */
+  def countSubjects(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .agg(countDistinct(col("event_type")).as("n_subjects"))
+
   /** GetLatestSchema (registry.go:495): latest row per key via a
     * partitioned row_number window — one pass, no self-join.
     */
@@ -1247,7 +1267,9 @@ object Registry {
     "reg_list_filtered" -> listFiltered,
     "reg_max_id" -> maxSchemaId,
     "reg_ref_cycles" -> refCycles,
-    "reg_id_gaps" -> idGaps)
+    "reg_id_gaps" -> idGaps,
+    "reg_count_versions" -> countVersions,
+    "reg_count_subjects" -> countSubjects)
 
   val oracleSql: Map[String, String] = Map(
     "reg_bloom_filter" ->
@@ -1677,6 +1699,10 @@ object Registry {
         |FROM events WHERE event_id < 100 ORDER BY event_id""".stripMargin,
     "reg_subject_list" ->
       "SELECT DISTINCT event_type AS subject FROM events ORDER BY subject",
+    "reg_count_versions" ->
+      "SELECT user_id AS subject, count(*) AS n_versions FROM events GROUP BY user_id ORDER BY subject",
+    "reg_count_subjects" ->
+      "SELECT count(DISTINCT event_type) AS n_subjects FROM events",
     "reg_latest_version" ->
       """SELECT user_id, event_id AS latest_event_id, ts AS latest_ts, event_type AS latest_type FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn

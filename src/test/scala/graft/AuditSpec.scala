@@ -296,4 +296,21 @@ class AuditSpec extends SparkSpec {
         r.getAs[Long]("user_id"), r.getAs[Long]("n_events"))).toSet
     assert(got == expected)
   }
+  test("metrics_query_probe: every matched line contains its pattern, comments included") {
+    val rows = operators.Audit.queryProbe(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("line").contains(r.getAs[String]("pattern")))
+      assert(r.getAs[Long]("n_lines") >= 1L)
+    }
+    // query_metric matches the FULL line: the '# HELP'/'# TYPE'
+    // comment lines for requests_total must be in its match set
+    val reqLines = rows.filter(_.getAs[String]("pattern") == "requests_total")
+      .map(_.getAs[String]("line"))
+    assert(reqLines.exists(_.startsWith("# HELP")), "comment lines must match")
+    assert(reqLines.exists(_.startsWith("# TYPE")), "comment lines must match")
+    // a name-prefix pattern stays scoped: go_ only matches the runtime metric
+    rows.filter(_.getAs[String]("pattern") == "go_")
+      .foreach(r => assert(r.getAs[String]("line").startsWith("go_goroutines ")))
+  }
 }

@@ -413,4 +413,19 @@ class RegistrySpec extends SparkSpec {
     val fpRate = non.getAs[Long]("n_hits").toDouble / non.getAs[Long]("n_probes")
     assert(fpRate <= pFp * 50 + 0.01, s"fp rate $fpRate vs theoretical $pFp")
   }
+  test("count cards recount against their underlying streams") {
+    // count_versions: per-subject totals partition the event stream
+    val cv = operators.Registry.countVersions(spark, sfDir).collect()
+    val total = Tables.events(spark, sfDir).count()
+    assert(cv.map(_.getAs[Long]("n_versions")).sum == total)
+    // and each card row equals the subject's max dense version number
+    val vmax = operators.Registry.versions(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("user_id")).view.mapValues(_.map(_.getAs[Int]("version")).max).toMap
+    cv.foreach { r =>
+      assert(r.getAs[Long]("n_versions") == vmax(r.getAs[Long]("subject")).toLong)
+    }
+    // count_subjects: the one-row card equals the subject listing size
+    val ns = operators.Registry.countSubjects(spark, sfDir).collect()(0).getAs[Long]("n_subjects")
+    assert(ns == operators.Registry.subjectList(spark, sfDir).count())
+  }
 }
