@@ -234,6 +234,122 @@ object Temporal {
       .orderBy(col("event_type"), col("minute"))
   }
 
+  /** The long-span production form of [[resampleFfill]] (r8 — the
+    * 100 TB shape SURVEY §2 documents): the fill window partitions by
+    * (series, DAY) — ≤1440 rows per partition however long the span —
+    * and the value carried across midnight is handed over through a
+    * DAY-level pre-pass: each day's closing observation rolls up per
+    * (series, day) (max_by on the minute key), and a running
+    * last-ignore-nulls over the day SPINE (every calendar day in the
+    * span, so whole-day gaps still carry) with an unbounded-preceding
+    * → -1 frame yields each day's carry-in. Output is row-for-row
+    * identical to the span-wide window (spec-asserted): within-day
+    * fill wins when the day has an earlier observation, the carry-in
+    * covers the rest, and minutes before a series' first point stay
+    * NULL because no preceding day has a close.
+    *
+    * Scale: the minute window is per-(series, day) — a multi-year
+    * span never serializes one series into one task; the day-level
+    * handoff window is O(days) per series (thousands of rows where
+    * the minute grid has millions). Same single corpus shuffle (the
+    * minute rollup) as the span-wide form.
+    */
+  def resampleFfillSpans(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.Tables.events(s, dir)
+    val bounds = ev.agg(date_trunc("minute", min(col("ts"))).as("t0"),
+      date_trunc("minute", max(col("ts"))).as("t1"))
+    val daySpine = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), col("t0"), col("t1"),
+        explode(expr("sequence(date_trunc('DAY', t0), date_trunc('DAY', t1), interval 1 day)")).as("day"))
+    val obs = ev
+      .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("minute"))
+      .agg(count(lit(1)).as("n_obs"),
+        (floor(avg(col("value")) * 10000 + 0.5) / lit(10000.0)).as("v_obs"))
+    val dayClose = obs
+      .groupBy(col("event_type"), date_trunc("day", col("minute")).as("day"))
+      .agg(expr("max_by(v_obs, minute)").as("day_close"))
+    val wDays = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carried = daySpine.join(dayClose, Seq("event_type", "day"), "left")
+      .withColumn("carry_in", last(col("day_close"), ignoreNulls = true).over(wDays))
+    val grid = carried.select(col("event_type"), col("day"), col("carry_in"),
+      explode(expr(
+        "sequence(greatest(day, t0), least(day + interval 1 day - interval 1 minute, t1), interval 1 minute)"))
+        .as("minute"))
+    val wd = Window.partitionBy(col("event_type"), col("day")).orderBy(col("minute"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("event_type", "minute"), "left")
+      .withColumn("value_filled",
+        coalesce(last(col("v_obs"), ignoreNulls = true).over(wd), col("carry_in")))
+      .select(col("event_type"), col("minute"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        col("n_obs").isNotNull.as("is_observed"),
+        col("value_filled"))
+      .orderBy(col("event_type"), col("minute"))
+  }
+
+  /** The long-span production form of [[interpolate]] (r8): both
+    * neighbor scans partition by (series, DAY) and the cross-midnight
+    * neighbors hand over through the day spine — carry_in is the
+    * closing (value, minute) of any preceding day (running
+    * last-ignore-nulls, frame ending at -1), carry_next the opening
+    * (value, minute) of any following day (same frame over the
+    * reversed day order). Within a day the running frames are as in
+    * [[interpolate]]; at the edges the carried struct substitutes.
+    * Row-for-row identical output (spec-asserted), per-(series, day)
+    * bounded partitions.
+    */
+  def interpolateSpans(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.Tables.events(s, dir)
+    val bounds = ev.agg(date_trunc("minute", min(col("ts"))).as("t0"),
+      date_trunc("minute", max(col("ts"))).as("t1"))
+    val daySpine = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), col("t0"), col("t1"),
+        explode(expr("sequence(date_trunc('DAY', t0), date_trunc('DAY', t1), interval 1 day)")).as("day"))
+    val obs = ev
+      .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("minute"))
+      .agg((floor(avg(col("value")) * 10000 + 0.5) / lit(10000.0)).as("v_obs"))
+    val dayEnds = obs
+      .groupBy(col("event_type"), date_trunc("day", col("minute")).as("day"))
+      .agg(expr("max_by(named_struct('v', v_obs, 'm', minute), minute)").as("close_s"),
+        expr("min_by(named_struct('v', v_obs, 'm', minute), minute)").as("open_s"))
+    val wPrevDays = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNextDays = Window.partitionBy(col("event_type")).orderBy(col("day").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carried = daySpine.join(dayEnds, Seq("event_type", "day"), "left")
+      .withColumn("carry_in", last(col("close_s"), ignoreNulls = true).over(wPrevDays))
+      .withColumn("carry_next", last(col("open_s"), ignoreNulls = true).over(wNextDays))
+    val grid = carried.select(col("event_type"), col("day"),
+      col("carry_in"), col("carry_next"),
+      explode(expr(
+        "sequence(greatest(day, t0), least(day + interval 1 day - interval 1 minute, t1), interval 1 minute)"))
+        .as("minute"))
+    val wb = Window.partitionBy(col("event_type"), col("day")).orderBy(col("minute"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("event_type"), col("day")).orderBy(col("minute").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("event_type", "minute"), "left")
+      .withColumn("mobs", when(col("v_obs").isNotNull, col("minute")))
+      .withColumn("vp", coalesce(last(col("v_obs"), ignoreNulls = true).over(wb), col("carry_in.v")))
+      .withColumn("tp", coalesce(last(col("mobs"), ignoreNulls = true).over(wb), col("carry_in.m")))
+      .withColumn("vn", coalesce(last(col("v_obs"), ignoreNulls = true).over(wf), col("carry_next.v")))
+      .withColumn("tn", coalesce(last(col("mobs"), ignoreNulls = true).over(wf), col("carry_next.m")))
+      .select(col("event_type"), col("minute"),
+        col("v_obs").isNotNull.as("is_observed"),
+        expr("""floor((CASE
+          WHEN v_obs IS NOT NULL THEN v_obs
+          WHEN vp IS NULL THEN vn
+          WHEN vn IS NULL THEN vp
+          ELSE vp + (vn - vp) * (timestampdiff(MINUTE, tp, minute) / cast(timestampdiff(MINUTE, tp, tn) AS double))
+        END) * 10000 + 0.5) / cast(10000 AS double)""").as("value_interp"))
+      .orderBy(col("event_type"), col("minute"))
+  }
+
   /** Exact half-life weights 2⁻ᵏ as decimal literals, inlined into
     * BOTH engines' expression text. Multiplying a double by 2⁻ᵏ is
     * exact (exponent shift), and both sides sum the 16 terms in the
@@ -334,7 +450,9 @@ object Temporal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_anomaly_mad" -> anomalyMad,
     "t_resample_ffill" -> resampleFfill,
+    "t_resample_spans" -> resampleFfillSpans,
     "t_interpolate" -> interpolate,
+    "t_interpolate_spans" -> interpolateSpans,
     "t_downsample" -> downsample,
     "t_ewma" -> ewmaSmooth,
     "t_asof_join" -> asofJoin,
@@ -352,7 +470,15 @@ object Temporal {
        |FROM obs ORDER BY event_type, minute""".stripMargin
   }
 
-  val oracleSql: Map[String, String] = Map(
+  /** The span variants produce row-identical output to their
+    * span-wide siblings, so their oracles are the SAME SQL — the
+    * split is a plan-shape change, not a semantic one.
+    */
+  lazy val oracleSql: Map[String, String] = baseOracleSql ++ Map(
+    "t_resample_spans" -> baseOracleSql("t_resample_ffill"),
+    "t_interpolate_spans" -> baseOracleSql("t_interpolate"))
+
+  private lazy val baseOracleSql: Map[String, String] = Map(
     "t_anomaly_mad" ->
       """WITH obs AS (
         |  SELECT event_type, date_trunc('minute', ts) AS minute,

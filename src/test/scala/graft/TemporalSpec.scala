@@ -224,4 +224,23 @@ class TemporalSpec extends SparkSpec {
     assert(got == expected, s"${got.size} flagged vs ${expected.size} expected")
     assert(got.nonEmpty, "the detector should fire on the synthetic series")
   }
+  test("span-split grid ops: identical rows to the span-wide forms, day-partitioned windows") {
+    def key(r: org.apache.spark.sql.Row) = r.toSeq.map(String.valueOf).mkString("|")
+    val ff = operators.Temporal.resampleFfillSpans(spark, sfDir)
+    assert(ff.collect().map(key).toSeq.sorted ==
+      operators.Temporal.resampleFfill(spark, sfDir).collect().map(key).toSeq.sorted)
+    val ip = operators.Temporal.interpolateSpans(spark, sfDir)
+    assert(ip.collect().map(key).toSeq.sorted ==
+      operators.Temporal.interpolate(spark, sfDir).collect().map(key).toSeq.sorted)
+    // the whole point of the split: the minute-fill windows partition
+    // by (event_type, day), never by the series alone
+    Seq(ff, ip).foreach { df =>
+      val winSpecs = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.partitionSpec
+      }
+      assert(winSpecs.nonEmpty)
+      val minuteWins = winSpecs.filter(_.exists(_.references.exists(_.name == "day")))
+      assert(minuteWins.nonEmpty, "no day-partitioned window in the span plan")
+    }
+  }
 }
