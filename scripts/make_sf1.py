@@ -25,6 +25,51 @@ OUT.mkdir(parents=True, exist_ok=True)
 def stride(table, col):
     return pc.max(table.column(col)).as_py() + 1
 
+# --- content perturbation (r8) ---------------------------------------
+# Verbatim 10x replicas inflate TRUE near-dup pair counts ~quadratically
+# (every replica of doc A is a near-dup of every replica of doc B),
+# which masks real plan scaling for the whole dedup/ANN family: the
+# measured sf1 ratio mixes plan cost with an unrealistic 10x-denser dup
+# graph. Each replica therefore gets a content-space BIJECTION that
+# (a) preserves the WITHIN-copy duplicate structure exactly — a
+# bijection on tokens keeps exact-dup, jaccard, minhash, simhash and
+# winnowing relations bit-comparable inside one copy — and
+# (b) destroys CROSS-copy similarity (shifted alphabets / rotated
+# coordinate bases share ~nothing), so the corpus-wide dup RATE stays
+# that of sf0.1 instead of 10x'ing. documents.text: per-copy caesar
+# shift of letters (mod 26) and digits (mod 10); lengths, token
+# boundaries, punctuation and n_chars stay identical. embeddings: a
+# per-copy circular shift of the 64 coordinates — norms and all
+# within-copy angles are exactly preserved, cross-copy cosines decay
+# to noise. Copy 0 is bit-identical to sf0.1.
+import string
+
+def _caesar_table(i):
+    lo, up, dg = string.ascii_lowercase, string.ascii_uppercase, string.digits
+    k, d = i % 26, i % 10
+    return str.maketrans(lo + up + dg,
+                         lo[k:] + lo[:k] + up[k:] + up[:k] + dg[d:] + dg[:d])
+
+def perturbed(table, name, i):
+    if i == 0:
+        return table
+    if name == "documents":
+        tbl = _caesar_table(i)
+        texts = [t if t is None else t.translate(tbl)
+                 for t in table.column("text").to_pylist()]
+        idx = table.column_names.index("text")
+        return table.set_column(
+            idx, "text", pa.array(texts, type=table.schema.field("text").type))
+    if name == "embeddings":
+        s = (i * 13) % 64
+        vecs = [v if v is None else v[s:] + v[:s]
+                for v in table.column("embedding").to_pylist()]
+        idx = table.column_names.index("embedding")
+        return table.set_column(
+            idx, "embedding",
+            pa.array(vecs, type=table.schema.field("embedding").type))
+    return table
+
 def shifted(table, shifts, i):
     """Copy i of `table` with each (col -> stride) shifted by i*stride."""
     cols = {}
@@ -66,7 +111,8 @@ for t, cols in PLAN.items():
     if not cols:  # pure dimension: single copy
         out = src
     else:
-        out = pa.concat_tables([shifted(src, shifts, i) for i in range(COPIES)])
+        out = pa.concat_tables([perturbed(shifted(src, shifts, i), t, i)
+                                for i in range(COPIES)])
     # keep the original parquet logical/physical types (esp. ts nanos)
     pq.write_table(out, OUT / f"{t}.parquet",
                    coerce_timestamps=None, use_deprecated_int96_timestamps=False)
