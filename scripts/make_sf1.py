@@ -113,7 +113,13 @@ for t, cols in PLAN.items():
     else:
         out = pa.concat_tables([perturbed(shifted(src, shifts, i), t, i)
                                 for i in range(COPIES)])
-    # keep the original parquet logical/physical types (esp. ts nanos)
-    pq.write_table(out, OUT / f"{t}.parquet",
+    # keep the original parquet logical/physical types (esp. ts nanos).
+    # row_group_size (r8): the source files hold ONE row group per
+    # table, and Spark cannot split a scan below a row group — so at
+    # sf1 every scan-bound query was running its 1M-row parse on ONE
+    # task/core, which misreads as "the family scales 10x per 10x".
+    # A 100 TB table has millions of row groups and full scan
+    # parallelism; 64k-row groups restore that property to the bench.
+    pq.write_table(out, OUT / f"{t}.parquet", row_group_size=65536,
                    coerce_timestamps=None, use_deprecated_int96_timestamps=False)
     print(f"{t}: {src.num_rows} -> {out.num_rows}")
