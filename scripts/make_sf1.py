@@ -120,6 +120,9 @@ for t, cols in PLAN.items():
     # task/core, which misreads as "the family scales 10x per 10x".
     # A 100 TB table has millions of row groups and full scan
     # parallelism; 64k-row groups restore that property to the bench.
-    pq.write_table(out, OUT / f"{t}.parquet", row_group_size=65536,
+    # ~16 splits per table (floor 4096 rows, cap 64k) so the smaller
+    # text/embedding tables parallelize too, not just the big facts
+    rg = min(65536, max(4096, out.num_rows // 16))
+    pq.write_table(out, OUT / f"{t}.parquet", row_group_size=rg,
                    coerce_timestamps=None, use_deprecated_int96_timestamps=False)
     print(f"{t}: {src.num_rows} -> {out.num_rows}")
