@@ -196,7 +196,11 @@ object Similarity {
            |          THEN shiftleft(1, p) ELSE 0 END)) AS buckets""".stripMargin)
   }
 
-  def nnGraph(s: SparkSession, dir: String): DataFrame = {
+  /** The raw graph edge list (top-3 per src, unrounded cosines) —
+    * shared by [[nnGraph]] (the registered card) and [[nnDescent]]
+    * (which treats these edges as the round-0 graph to refine).
+    */
+  private def nnGraphEdges(s: SparkSession, dir: String): DataFrame = {
     val e = srpBucketsAdaptive(s, dir).cache()
     val tbl = e.selectExpr("vec_id", s"explode(sequence(0, ${NTables - 1})) AS t", "buckets")
       .selectExpr("vec_id", "t", "element_at(buckets, t + 1) AS bucket")
@@ -208,6 +212,46 @@ object Similarity {
     val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
     cand.join(vecs.selectExpr("vec_id AS src", "e AS se"), "src")
       .join(vecs.selectExpr("vec_id AS dst", "e AS de"), "dst")
+      .selectExpr("src", "dst", "graft_cosine(se, de) AS cos")
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+  }
+
+  def nnGraph(s: SparkSession, dir: String): DataFrame =
+    nnGraphEdges(s, dir)
+      .selectExpr("src", "dst", "round(cos, 4) AS cos", "rnk")
+      .orderBy(col("src"), col("rnk"))
+
+  /** One NN-descent refinement round (Dong et al., WWW'11) over the
+    * adaptive SRP k-NN graph: the candidate set for each node is its
+    * undirected graph neighborhood plus every two-hop node
+    * (neighbors-of-neighbors over the symmetrized edge set — the
+    * "a friend of a friend is likely a friend" step that lifts a
+    * cheap LSH graph toward the true k-NN graph without ever going
+    * near N²). Exact cosine re-ranks the widened candidate set and
+    * keeps the top-3; because the candidates are a superset of the
+    * round-0 edges, every rank's cosine is monotonically >= the
+    * round-0 graph's (spec-pinned).
+    *
+    * Scale: the round-0 edge list is N·k rows, the symmetrized set
+    * <= 2Nk, and the two-hop join fans out to <= N·(2k)^2 candidate
+    * rows — linear in the corpus for fixed k, shuffling only on
+    * edge keys. This is the iterated step a production build runs
+    * until convergence; one round is registered so the oracle stays
+    * one SQL statement.
+    */
+  def nnDescent(s: SparkSession, dir: String): DataFrame = {
+    val g = nnGraphEdges(s, dir).select("src", "dst")
+    val und = g.union(g.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    val hop2 = und.alias("a").join(und.alias("b"), col("a.dst") === col("b.src"))
+      .select(col("a.src").as("src"), col("b.dst").as("dst"))
+    val cand = und.union(hop2).where(col("src") =!= col("dst")).distinct()
+    val e = Tables.embeddings(s, dir)
+      .selectExpr("vec_id", "cast(embedding AS array<double>) AS e")
+    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+    cand.join(e.selectExpr("vec_id AS src", "e AS se"), "src")
+      .join(e.selectExpr("vec_id AS dst", "e AS de"), "dst")
       .selectExpr("src", "dst", "graft_cosine(se, de) AS cos")
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= 3)
@@ -601,6 +645,7 @@ object Similarity {
     "ann_topk_agg" -> bruteTopKAgg,
     "ann_lsh_topk" -> lshTopK,
     "ann_nn_graph" -> nnGraph,
+    "ann_nn_descent" -> nnDescent,
     "emb_quantize" -> embQuantize,
     "ann_ivf_topk" -> ivfTopK)
 
@@ -611,6 +656,40 @@ object Similarity {
         |    CASE WHEN (strpos('0123456789abcdef', substr(md5(p::varchar || ':' || d::varchar), 1, 1)) - 1) & 1 = 1
         |         THEN 1 ELSE -1 END AS wt
         |  FROM (SELECT unnest(range(0, 8)) AS p), (SELECT unnest(range(0, 64)) AS d))""".stripMargin
+    // The adaptive-SRP k-NN graph build, ranked but unfiltered (`g`),
+    // shared by ann_nn_graph (round-0 card) and ann_nn_descent (one
+    // neighbor-of-neighbor refinement round over g's top-3 edges).
+    val nnGraphCoreCte =
+      s"""wbig AS (
+         |  SELECT p, d,
+         |    CASE WHEN (strpos('0123456789abcdef', substr(md5(p::varchar || ':' || d::varchar), 1, 1)) - 1) & 1 = 1
+         |         THEN 1 ELSE -1 END AS wt
+         |  FROM (SELECT unnest(range(0, ${NTables * MaxPlanesPerTable})) AS p), (SELECT unnest(range(0, $Dims)) AS d)),
+         |e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |params AS (
+         |  SELECT least($MaxPlanesPerTable, greatest(4, length(bin((count(*) + ${TargetBucket - 1}) // $TargetBucket - 1)))) AS np FROM e),
+         |n AS (SELECT vec_id, e, sqrt(list_sum([x * x for x in e])) AS nrm FROM e),
+         |planedots AS (
+         |  SELECT n.vec_id, w.p, sum(w.wt * n.e[w.d + 1]) AS dot
+         |  FROM n, wbig w WHERE w.p % $MaxPlanesPerTable < (SELECT np FROM params)
+         |  GROUP BY n.vec_id, w.p),
+         |buckets AS (
+         |  SELECT vec_id, p // $MaxPlanesPerTable AS t,
+         |    sum(CASE WHEN dot >= 0 THEN 1 << (p % $MaxPlanesPerTable) ELSE 0 END) AS bucket
+         |  FROM planedots GROUP BY vec_id, p // $MaxPlanesPerTable),
+         |cand AS (
+         |  SELECT DISTINCT sb.vec_id AS src, db.vec_id AS dst
+         |  FROM buckets sb JOIN buckets db ON sb.t = db.t AND sb.bucket = db.bucket
+         |  WHERE sb.vec_id <> db.vec_id),
+         |sc AS (
+         |  SELECT cand.src, cand.dst,
+         |    list_sum([p.e[i] * c.e[i] for i in range(1, len(p.e) + 1)]) / (p.nrm * c.nrm) AS cos
+         |  FROM cand JOIN n p ON cand.src = p.vec_id JOIN n c ON cand.dst = c.vec_id),
+         |g AS (
+         |  SELECT src, dst, cos,
+         |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
+         |  FROM sc)""".stripMargin
     Map(
       "emb_pca_power" ->
         """WITH g AS (
@@ -848,36 +927,31 @@ object Similarity {
           |  FROM sc) t
           |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
       "ann_nn_graph" ->
-        s"""WITH wbig AS (
-           |  SELECT p, d,
-           |    CASE WHEN (strpos('0123456789abcdef', substr(md5(p::varchar || ':' || d::varchar), 1, 1)) - 1) & 1 = 1
-           |         THEN 1 ELSE -1 END AS wt
-           |  FROM (SELECT unnest(range(0, ${NTables * MaxPlanesPerTable})) AS p), (SELECT unnest(range(0, $Dims)) AS d)),
-           |e AS (
-           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
-           |params AS (
-           |  SELECT least($MaxPlanesPerTable, greatest(4, length(bin((count(*) + ${TargetBucket - 1}) // $TargetBucket - 1)))) AS np FROM e),
-           |n AS (SELECT vec_id, e, sqrt(list_sum([x * x for x in e])) AS nrm FROM e),
-           |planedots AS (
-           |  SELECT n.vec_id, w.p, sum(w.wt * n.e[w.d + 1]) AS dot
-           |  FROM n, wbig w WHERE w.p % $MaxPlanesPerTable < (SELECT np FROM params)
-           |  GROUP BY n.vec_id, w.p),
-           |buckets AS (
-           |  SELECT vec_id, p // $MaxPlanesPerTable AS t,
-           |    sum(CASE WHEN dot >= 0 THEN 1 << (p % $MaxPlanesPerTable) ELSE 0 END) AS bucket
-           |  FROM planedots GROUP BY vec_id, p // $MaxPlanesPerTable),
-           |cand AS (
-           |  SELECT DISTINCT sb.vec_id AS src, db.vec_id AS dst
-           |  FROM buckets sb JOIN buckets db ON sb.t = db.t AND sb.bucket = db.bucket
-           |  WHERE sb.vec_id <> db.vec_id),
-           |sc AS (
-           |  SELECT cand.src, cand.dst,
+        s"""WITH $nnGraphCoreCte
+           |SELECT src, dst, round(cos, 4) AS cos, rnk FROM g
+           |WHERE rnk <= 3 ORDER BY src, rnk""".stripMargin,
+      "ann_nn_descent" ->
+        s"""WITH $nnGraphCoreCte,
+           |g3 AS (SELECT src, dst FROM g WHERE rnk <= 3),
+           |und AS (
+           |  SELECT DISTINCT src, dst FROM (
+           |    SELECT src, dst FROM g3
+           |    UNION ALL
+           |    SELECT dst AS src, src AS dst FROM g3) u),
+           |cand2 AS (
+           |  SELECT DISTINCT src, dst FROM (
+           |    SELECT src, dst FROM und
+           |    UNION ALL
+           |    SELECT a.src AS src, b.dst AS dst FROM und a JOIN und b ON a.dst = b.src) u
+           |  WHERE src <> dst),
+           |sc2 AS (
+           |  SELECT cand2.src, cand2.dst,
            |    list_sum([p.e[i] * c.e[i] for i in range(1, len(p.e) + 1)]) / (p.nrm * c.nrm) AS cos
-           |  FROM cand JOIN n p ON cand.src = p.vec_id JOIN n c ON cand.dst = c.vec_id)
+           |  FROM cand2 JOIN n p ON cand2.src = p.vec_id JOIN n c ON cand2.dst = c.vec_id)
            |SELECT src, dst, round(cos, 4) AS cos, rnk FROM (
            |  SELECT src, dst, cos,
            |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
-           |  FROM sc) t
+           |  FROM sc2) t
            |WHERE rnk <= 3 ORDER BY src, rnk""".stripMargin,
       "ann_lsh_topk" ->
         s"""WITH $weightsCte,

@@ -317,4 +317,48 @@ class SimilaritySpec extends SparkSpec {
       assert(best <= brute(src) + 1e-9, s"$src: graph $best beats exact ${brute(src)}")
     }
   }
+
+  test("nn-descent: candidate-superset monotonicity, 2-hop provenance, exact cosines") {
+    val base = operators.Similarity.nnGraph(spark, sfDir).collect()
+    val refined = operators.Similarity.nnDescent(spark, sfDir).collect()
+    assert(refined.nonEmpty)
+    val baseBySrc = base.groupBy(_.getAs[Long]("src"))
+    val refBySrc = refined.groupBy(_.getAs[Long]("src"))
+    // same node set, and at least as many edges per node (candidates
+    // are a superset of the round-0 edges)
+    assert(refBySrc.keySet == baseBySrc.keySet)
+    // per-rank monotonic improvement: the refined rank-r cosine never
+    // drops below the round-0 rank-r cosine
+    refBySrc.foreach { case (src, es) =>
+      val r = es.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("cos"))
+      val b = baseBySrc(src).sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("cos"))
+      assert(r.length >= b.length, s"$src: refined degree ${r.length} < base ${b.length}")
+      b.indices.foreach { i =>
+        assert(r(i) >= b(i) - 1e-9, s"$src rank ${i + 1}: refined ${r(i)} < base ${b(i)}")
+      }
+      assert(es.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Int]("rnk")).toSeq == (1 to es.length))
+    }
+    // provenance: every refined edge lies within 2 undirected hops of
+    // its source in the round-0 graph
+    val und = base.flatMap { r =>
+      val s0 = r.getAs[Long]("src"); val d0 = r.getAs[Long]("dst")
+      Seq(s0 -> d0, d0 -> s0)
+    }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    refined.foreach { r =>
+      val s0 = r.getAs[Long]("src"); val d0 = r.getAs[Long]("dst")
+      val oneHop = und.getOrElse(s0, Set.empty[Long])
+      val twoHop = oneHop.flatMap(v => und.getOrElse(v, Set.empty[Long]))
+      assert(oneHop.contains(d0) || twoHop.contains(d0), s"$s0->$d0 not within 2 hops")
+    }
+    // exact cosines on the refined edges
+    val vecs = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding AS array<double>) AS e").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1).toArray).toMap
+    refined.foreach { r =>
+      val a = vecs(r.getAs[Long]("src")); val bb = vecs(r.getAs[Long]("dst"))
+      val dot = a.zip(bb).map { case (x, y) => x * y }.sum
+      val exact = dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(bb.map(x => x * x).sum))
+      assert(math.abs(r.getAs[Double]("cos") - math.rint(exact * 10000) / 10000.0) <= 1e-4)
+    }
+  }
 }
