@@ -39,9 +39,12 @@ object Dedup {
   /** Word-3-gram shingles + 16-permutation MinHash signature, all
     * row-local (no shuffle until banding).
     */
-  private def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+  private def minhashSignatures(s: SparkSession, dir: String): DataFrame =
+    minhashSignaturesOn(s, Tables.documents(s, dir))
+
+  private def minhashSignaturesOn(s: SparkSession, docs: DataFrame): DataFrame = {
     graft.functions.Native.register(s)
-    Tables.documents(s, dir)
+    docs
       .transform(Tables.spread)
       .selectExpr("doc_id", "split(text, ' ') AS ts")
       .where("size(ts) >= 3")
@@ -77,7 +80,10 @@ object Dedup {
     // band self-join and both per-side lookups, but the blocks are
     // ContextCleaner-collected with the DataFrame instead of pinning
     // memory across repeated invocations in a long-lived session.
-    val mh = minhashSignatures(s, dir).localCheckpoint()
+    minhashPairsFrom(minhashSignatures(s, dir).localCheckpoint())
+  }
+
+  private def minhashPairsFrom(mh: DataFrame): DataFrame = {
     minhashCandidates(mh)
       .join(mh.selectExpr("doc_id AS doc_a", "m AS ma"), "doc_a")
       .join(mh.selectExpr("doc_id AS doc_b", "m AS mb"), "doc_b")
@@ -147,9 +153,12 @@ object Dedup {
     * [[minhashRecall]] is the evaluation that justifies running the
     * exact scorer over LSH candidates only.
     */
-  def ngramJaccardBlocked(s: SparkSession, dir: String): DataFrame = {
+  def ngramJaccardBlocked(s: SparkSession, dir: String): DataFrame =
+    jaccardBlockedOn(s, Tables.documents(s, dir))
+
+  private def jaccardBlockedOn(s: SparkSession, docs: DataFrame): DataFrame = {
     graft.functions.Native.register(s)
-    val sh = Tables.documents(s, dir)
+    val sh = docs
       .selectExpr("doc_id", "lang", "n_chars div 50 AS len_bucket", "split(text, ' ') AS ts")
       .where("size(ts) >= 3")
       .selectExpr("doc_id", "lang", "len_bucket",
@@ -397,6 +406,67 @@ object Dedup {
     }.reduce(_ unionAll _).orderBy(col("rows_per_band"))
   }
 
+  /** Deterministic production-scale document sample for the
+    * recall/tuning evaluation cards: modulus smod = max(1, N div 500)
+    * keeps the expected sample near 500 docs at ANY corpus size, so a
+    * pairs-complete truth set INSIDE the sample is O(1) work at
+    * 100 TB (the full-corpus cards stay small-sf-only by design).
+    * smod rides in as a broadcast 1-row aggregate; the DuckDB oracle
+    * mirrors it as a scalar CTE over the same integer formula.
+    */
+  private def sampledDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val params = broadcast(d.agg(expr("greatest(1, count(1) div 500) AS smod")))
+    d.crossJoin(params).where("doc_id % smod = 0")
+  }
+
+  /** The 100 TB form of [[minhashRecall]]: the same
+    * truth-vs-candidates accounting, measured on the deterministic
+    * [[sampledDocs]] sample instead of the full corpus. Recall is a
+    * corpus-level ratio, so a ~500-doc uniform sample estimates it
+    * with bounded work no matter the corpus size — this is the card a
+    * deployment actually runs before trusting LSH candidates at
+    * scale; at small sf (smod = 1) it coincides with the
+    * pairs-complete card exactly (spec-pinned).
+    */
+  def minhashRecallSampled(s: SparkSession, dir: String): DataFrame = {
+    val sample = sampledDocs(s, dir).localCheckpoint()
+    val truth = jaccardBlockedOn(s, sample).select(col("doc_a"), col("doc_b"))
+    val cand = minhashPairsFrom(minhashSignaturesOn(s, sample).localCheckpoint())
+      .select(col("doc_a").as("c_a"), col("doc_b").as("c_b"))
+    val hits = truth.join(cand,
+      col("doc_a") === col("c_a") && col("doc_b") === col("c_b"), "left_semi")
+    sample.agg(max(col("smod")).as("smod"), count(lit(1)).as("n_docs"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .select(col("smod"), col("n_docs"), col("n_true"), col("n_candidates"), col("n_hit"),
+        (floor(col("n_hit") / col("n_true").cast("double") * 10000 + 0.5) / lit(10000.0))
+          .as("recall"))
+  }
+
+  /** The 100 TB form of [[lshTuning]]: the expected-recall S-curve
+    * card over the [[sampledDocs]] sample's truth-pair similarity
+    * distribution. The similarity histogram of true pairs is a
+    * corpus-level distribution, so the bounded sample estimates every
+    * config's expected recall with O(1) work at any scale; at small
+    * sf (smod = 1) the card coincides with the pairs-complete one.
+    */
+  def lshTuningSampled(s: SparkSession, dir: String): DataFrame = {
+    val sample = sampledDocs(s, dir).localCheckpoint()
+    val card = broadcast(sample.agg(max(col("smod")).as("smod"), count(lit(1)).as("n_docs")))
+    val truth = jaccardBlockedOn(s, sample).selectExpr("jaccard AS s0").localCheckpoint()
+    lshConfigs.map { case (b, r) =>
+      val p = s"(1.0 - ${ipow(s"(1.0 - ${ipow("s0", r)})", b)})"
+      truth.agg(count(lit(1)).as("n_true"),
+          (floor(avg(expr(p)) * 10000 + 0.5) / lit(10000.0)).as("exp_recall"))
+        .crossJoin(card)
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          lit(lshThreshold(b, r)).as("s_threshold"), col("smod"), col("n_docs"),
+          col("n_true"), col("exp_recall"))
+    }.reduce(_ unionAll _).orderBy(col("rows_per_band"))
+  }
+
   /** Cross-document repeated-substring detection — the substring-level
     * exact dedup of Lee et al., "Deduplicating Training Data Makes
     * Language Models Better" (arXiv:2107.06499), re-expressed for a
@@ -563,6 +633,8 @@ object Dedup {
     "dedup_substring" -> substringRuns,
     "dedup_url" -> urlDedup,
     "dedup_minhash_recall" -> minhashRecall,
+    "dedup_recall_sampled" -> minhashRecallSampled,
+    "dedup_tuning_sampled" -> lshTuningSampled,
     "dedup_winnow" -> winnow,
     "dedup_exact" -> exact,
     "dedup_minhash_lsh" -> minhashLsh,
@@ -601,10 +673,12 @@ object Dedup {
     * `pairs(doc_a, doc_b, est_jaccard)` — embedded by the pair-report
     * oracle here and the cluster oracle in [[Pipeline]].
     */
-  private[operators] val minhashPairsCte: String =
-    """sh AS (
+  private[operators] val minhashPairsCte: String = minhashPairsCteOn("documents")
+
+  private def minhashPairsCteOn(src: String): String =
+    s"""sh AS (
       |  SELECT doc_id, [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts)-1)] AS shingles
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM $src) t
       |  WHERE len(ts) >= 3),
       |mh AS (
       |  SELECT doc_id, [list_min([md5(sd::varchar || ':' || s) for s in shingles]) for sd in range(0, 16)] AS m
@@ -621,20 +695,29 @@ object Dedup {
       |    FROM cand JOIN mh ma ON cand.doc_a = ma.doc_id JOIN mh mb ON cand.doc_b = mb.doc_id) t
       |  WHERE est_jaccard >= 0.5)""".stripMargin
 
+  private def truthCteOn(src: String): String =
+    s"""ngt AS (
+       |  SELECT doc_id, lang, n_chars // 50 AS len_bucket,
+       |    list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts)-1)]) AS g
+       |  FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS ts FROM $src) t
+       |  WHERE len(ts) >= 3),
+       |truth AS (
+       |  SELECT floor(jr * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS s0 FROM (
+       |    SELECT len(list_intersect(a.g, b.g))
+       |           / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS jr
+       |    FROM ngt a JOIN ngt b
+       |      ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id) x
+       |  WHERE jr >= 0.3)""".stripMargin
+
+  // The deterministic sample the 100 TB evaluation cards run on —
+  // the SQL twin of [[sampledDocs]].
+  private val sampledCte: String =
+    """params AS (SELECT greatest(1, count(*) // 500) AS smod FROM documents),
+      |sdocs AS (
+      |  SELECT d.doc_id, d.lang, d.n_chars, d.text
+      |  FROM documents d, params WHERE d.doc_id % params.smod = 0)""".stripMargin
+
   private def lshTuningOracle: String = {
-    val truthCte =
-      """ngt AS (
-        |  SELECT doc_id, lang, n_chars // 50 AS len_bucket,
-        |    list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts)-1)]) AS g
-        |  FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS ts FROM documents) t
-        |  WHERE len(ts) >= 3),
-        |truth AS (
-        |  SELECT floor(jr * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS s0 FROM (
-        |    SELECT len(list_intersect(a.g, b.g))
-        |           / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS jr
-        |    FROM ngt a JOIN ngt b
-        |      ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id) x
-        |  WHERE jr >= 0.3)""".stripMargin
     val parts = lshConfigs.map { case (b, r) =>
       val p = s"(1.0 - ${ipow(s"(1.0 - ${ipow("s0", r)})", b)})"
       s"""SELECT $b AS bands, $r AS rows_per_band,
@@ -643,11 +726,48 @@ object Dedup {
          |  floor(avg($p) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS exp_recall
          |FROM truth""".stripMargin
     }
-    s"WITH $truthCte\n${parts.mkString("\nUNION ALL\n")}\nORDER BY rows_per_band"
+    s"WITH ${truthCteOn("documents")}\n${parts.mkString("\nUNION ALL\n")}\nORDER BY rows_per_band"
+  }
+
+  private def lshTuningSampledOracle: String = {
+    val parts = lshConfigs.map { case (b, r) =>
+      val p = s"(1.0 - ${ipow(s"(1.0 - ${ipow("s0", r)})", b)})"
+      s"""SELECT $b AS bands, $r AS rows_per_band,
+         |  CAST(${lshThreshold(b, r)} AS DOUBLE) AS s_threshold,
+         |  (SELECT smod FROM params) AS smod,
+         |  (SELECT count(*) FROM sdocs) AS n_docs,
+         |  count(*) AS n_true,
+         |  floor(avg($p) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS exp_recall
+         |FROM truth""".stripMargin
+    }
+    s"WITH $sampledCte,\n${truthCteOn("sdocs")}\n${parts.mkString("\nUNION ALL\n")}\nORDER BY rows_per_band"
   }
 
   val oracleSql: Map[String, String] = Map(
     "dedup_lsh_tuning" -> lshTuningOracle,
+    "dedup_tuning_sampled" -> lshTuningSampledOracle,
+    "dedup_recall_sampled" ->
+      s"""WITH $sampledCte,
+        |${minhashPairsCteOn("sdocs")},
+        |ngt AS (
+        |  SELECT doc_id, lang, n_chars // 50 AS len_bucket,
+        |    list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts)-1)]) AS g
+        |  FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS ts FROM sdocs) t
+        |  WHERE len(ts) >= 3),
+        |truth AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM ngt a JOIN ngt b
+        |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.g, b.g))
+        |        / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.3),
+        |hits AS (SELECT * FROM truth WHERE (doc_a, doc_b) IN (SELECT (doc_a, doc_b) FROM pairs))
+        |SELECT (SELECT smod FROM params) AS smod,
+        |  (SELECT count(*) FROM sdocs) AS n_docs,
+        |  (SELECT count(*) FROM truth) AS n_true,
+        |  (SELECT count(*) FROM pairs) AS n_candidates,
+        |  (SELECT count(*) FROM hits) AS n_hit,
+        |  floor((SELECT count(*) FROM hits) / CAST((SELECT count(*) FROM truth) AS DOUBLE) * 10000 + 0.5)
+        |    / CAST(10000 AS DOUBLE) AS recall""".stripMargin,
     "dedup_substring" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),

@@ -92,6 +92,49 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Double]("recall") >= 0 && r.getAs[Double]("recall") <= 1)
   }
 
+  test("sampled recall card: smod formula, and coincides with the full card when smod = 1") {
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    val r = operators.Dedup.minhashRecallSampled(spark, sfDir).head()
+    assert(r.getAs[Long]("smod") == math.max(1L, nDocs / 500))
+    assert(r.getAs[Long]("smod") == 1L, "sf0.001 must sample the whole corpus")
+    assert(r.getAs[Long]("n_docs") == nDocs)
+    val full = operators.Dedup.minhashRecall(spark, sfDir).head()
+    assert(r.getAs[Long]("n_true") == full.getAs[Long]("n_true"))
+    assert(r.getAs[Long]("n_candidates") == full.getAs[Long]("n_candidates"))
+    assert(r.getAs[Long]("n_hit") == full.getAs[Long]("n_hit"))
+    assert(r.getAs[Double]("recall") == full.getAs[Double]("recall"))
+  }
+
+  test("sampled recall card at sf0.1: bounded sample, modulus-driven membership") {
+    val dir = "/root/testdata/sf0.1"
+    val nDocs = graft.Tables.documents(spark, dir).count()
+    val r = operators.Dedup.minhashRecallSampled(spark, dir).head()
+    val smod = r.getAs[Long]("smod")
+    assert(smod == math.max(1L, nDocs / 500))
+    assert(smod > 1L, "sf0.1 must actually sample")
+    val expectDocs = graft.Tables.documents(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % smod === 0).count()
+    assert(r.getAs[Long]("n_docs") == expectDocs)
+    val (t, c, h) = (r.getAs[Long]("n_true"), r.getAs[Long]("n_candidates"), r.getAs[Long]("n_hit"))
+    assert(h <= t && h <= c)
+  }
+
+  test("sampled tuning card coincides with the full S-curve card when smod = 1") {
+    val full = operators.Dedup.lshTuning(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("rows_per_band"))
+    val sampled = operators.Dedup.lshTuningSampled(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("rows_per_band"))
+    assert(sampled.length == full.length)
+    sampled.zip(full).foreach { case (s0, f) =>
+      assert(s0.getAs[Long]("smod") == 1L)
+      assert(s0.getAs[Int]("bands") == f.getAs[Int]("bands"))
+      assert(s0.getAs[Int]("rows_per_band") == f.getAs[Int]("rows_per_band"))
+      assert(s0.getAs[Double]("s_threshold") == f.getAs[Double]("s_threshold"))
+      assert(s0.getAs[Long]("n_true") == f.getAs[Long]("n_true"))
+      assert(s0.getAs[Double]("exp_recall") == f.getAs[Double]("exp_recall"))
+    }
+  }
+
   test("url dedup canonical forms carry none of the noise axes") {
     val rows = operators.Dedup.urlDedup(spark, sfDir).collect()
     assert(rows.nonEmpty, "the synthetic corpus must produce dup classes")
