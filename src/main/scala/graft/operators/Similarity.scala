@@ -241,8 +241,12 @@ object Similarity {
     * one SQL statement.
     */
   def nnDescent(s: SparkSession, dir: String): DataFrame = {
-    val g = nnGraphEdges(s, dir).select("src", "dst")
-    val und = g.union(g.select(col("dst").as("src"), col("src").as("dst")))
+    // symmetric expansion is a row-local explode, NOT a self-union —
+    // a union of the uncached graph would evaluate the whole
+    // bucket-join + window build twice
+    val und = nnGraphEdges(s, dir)
+      .selectExpr("explode(array(struct(src, dst), struct(dst AS src, src AS dst))) AS p")
+      .selectExpr("p.src AS src", "p.dst AS dst")
       .distinct().cache()
     val hop2 = und.alias("a").join(und.alias("b"), col("a.dst") === col("b.src"))
       .select(col("a.src").as("src"), col("b.dst").as("dst"))
