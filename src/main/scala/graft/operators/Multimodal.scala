@@ -96,6 +96,54 @@ object Multimodal {
           .as("luma"))
       .orderBy(col("doc_id"), col("frame_id"))
 
+  /** Scene-cut detection over the decoded frame stream — shot
+    * segmentation, the step before per-scene keyframe extraction and
+    * frame dedup in a video pipeline: a cut lands where consecutive
+    * frame lumas jump by more than 0.08, and scenes are the runs
+    * between cuts (gaps-and-islands over the cut flags). One row per
+    * (asset, scene) with its frame span and byte-weighted mean luma.
+    * The decode is the deterministic fake (ASCII bytes == code
+    * points); the plumbing — frame slicing, per-asset ordered
+    * windows, run segmentation — is the real 100 TB shape.
+    *
+    * Determinism: the cut test is integer cross-multiplied
+    * (|s·l' − s'·l|·25 > 510·l·l' ⇔ |s/(255l) − s'/(255l')| > 2/25),
+    * so no float comparison can flip between engines; the scene mean
+    * is byte-weighted (Σbytes / Σlen / 255) so the aggregate is two
+    * exact integer sums — summation-order-free — before one rounded
+    * division.
+    *
+    * Scale: frame fan-out is row-local; both windows and the scene
+    * aggregate share one doc_id-keyed exchange, partitions bounded by
+    * payload_length/32 frames per asset at any corpus size.
+    */
+  def sceneCuts(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_id"))
+    Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"), col("payload"), explode(expr(
+        "CASE WHEN length(payload) > 0 THEN sequence(cast(0 as bigint), cast(ceil(length(payload) / 32.0) as bigint) - 1) ELSE array() END"))
+        .as("frame_id"))
+      .withColumn("fs", expr("decode(substring(payload, cast(frame_id * 32 + 1 as int), 32), 'UTF-8')"))
+      .withColumn("isum", expr(
+        """aggregate(transform(sequence(1, length(fs)), j -> ascii(substring(fs, j, 1))),
+          |  cast(0 as bigint), (a, x) -> a + x)""".stripMargin))
+      .withColumn("flen", length(col("fs")).cast("bigint"))
+      .withColumn("cut", when(lag(col("isum"), 1).over(w).isNull, lit(0))
+        .otherwise(when(
+          abs(col("isum") * lag(col("flen"), 1).over(w) - lag(col("isum"), 1).over(w) * col("flen")) * lit(25L) >
+            lit(510L) * col("flen") * lag(col("flen"), 1).over(w), lit(1)).otherwise(lit(0))))
+      .withColumn("scene_id", sum(col("cut")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("scene_id"))
+      .agg(min(col("frame_id")).as("start_frame"), max(col("frame_id")).as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        (floor(sum(col("isum")) / sum(col("flen")).cast("double") / lit(255.0) * 10000 + 0.5) / lit(10000.0))
+          .as("mean_luma"))
+      .orderBy(col("doc_id"), col("scene_id"))
+  }
+
   /** Content-addressed media-block dedup — the blob-store question
     * "how much of the binary corpus is redundant at fixed 64-byte
     * block granularity?". Row-local slicing + codegen md5 per block,
@@ -278,7 +326,8 @@ object Multimodal {
     "mm_meta_extract" -> metaExtract,
     "mm_blocks" -> blockDedup,
     "mm_sig_dup" -> sigDup,
-    "mm_frames" -> frameSample)
+    "mm_frames" -> frameSample,
+    "mm_scene_cuts" -> sceneCuts)
 
   /** The fake decode is reproducible in SQL because the payload is
     * ASCII text: byte values == code points.
@@ -380,6 +429,33 @@ object Multimodal {
         |  floor(list_sum([ascii(substr(f, j, 1)) * 1.0 for j in range(1, len(f)+1)])
         |        / len(f) / 255.0 * 10000 + 0.5) / 10000.0 AS luma
         |FROM fx ORDER BY doc_id, frame_id""".stripMargin,
+    "mm_scene_cuts" ->
+      """WITH fr AS (
+        |  SELECT doc_id, text, unnest(range(0, CAST(ceil(len(text) / 32.0) AS BIGINT))) AS frame_id
+        |  FROM documents),
+        |fx AS (
+        |  SELECT doc_id, frame_id, substr(text, CAST(frame_id*32+1 AS INT), 32) AS f
+        |  FROM fr),
+        |fy AS (
+        |  SELECT doc_id, frame_id,
+        |    CAST(list_sum([ascii(substr(f, j, 1)) for j in range(1, len(f)+1)]) AS BIGINT) AS isum,
+        |    CAST(len(f) AS BIGINT) AS flen
+        |  FROM fx),
+        |fc AS (
+        |  SELECT doc_id, frame_id, isum, flen,
+        |    CASE WHEN lag(isum) OVER w IS NULL THEN 0
+        |         WHEN 25 * abs(isum * (lag(flen) OVER w) - (lag(isum) OVER w) * flen) > 510 * flen * (lag(flen) OVER w)
+        |         THEN 1 ELSE 0 END AS cut
+        |  FROM fy WINDOW w AS (PARTITION BY doc_id ORDER BY frame_id)),
+        |sc AS (
+        |  SELECT doc_id, frame_id, isum, flen,
+        |    CAST(sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS scene_id
+        |  FROM fc)
+        |SELECT doc_id, scene_id, min(frame_id) AS start_frame, max(frame_id) AS end_frame,
+        |  count(*) AS n_frames,
+        |  floor(sum(isum) / CAST(sum(flen) AS DOUBLE) / 255.0 * 10000 + 0.5) / 10000.0 AS mean_luma
+        |FROM sc GROUP BY doc_id, scene_id
+        |ORDER BY doc_id, scene_id""".stripMargin,
     "mm_meta_extract" ->
       """SELECT doc_id,
         |  CAST(length(text) AS INT) AS n_bytes,

@@ -165,4 +165,52 @@ class MultimodalSpec extends SparkSpec {
       r.getAs[Long]("n_shared_blocks"), r.getAs[Double]("containment"))).toSet
     assert(got == expected, s"extra=${got.diff(expected)} missing=${expected.diff(got)}")
   }
+
+  test("scene cuts: driver-side recomputation of frames, cuts, and scene spans") {
+    val docs = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    case class Fr(isum: Long, flen: Long)
+    val expected = docs.flatMap { case (doc, text) =>
+      val frames = text.getBytes("UTF-8").grouped(32).toArray
+        .map(b => Fr(b.map(_.toLong & 0xff).sum, b.length.toLong))
+      if (frames.isEmpty) Seq.empty
+      else {
+        val cuts = frames.indices.map { i =>
+          if (i == 0) 0
+          else {
+            val (a, b) = (frames(i - 1), frames(i))
+            if (25L * math.abs(b.isum * a.flen - a.isum * b.flen) > 510L * a.flen * b.flen) 1 else 0
+          }
+        }
+        val sceneIds = cuts.scanLeft(0L)(_ + _).tail
+        frames.indices.groupBy(sceneIds(_)).map { case (sid, idxs) =>
+          val si = idxs.map(frames(_).isum).sum
+          val sl = idxs.map(frames(_).flen).sum
+          (doc, sid) -> ((idxs.min.toLong, idxs.max.toLong, idxs.size.toLong,
+            math.floor(si.toDouble / sl / 255.0 * 10000 + 0.5) / 10000.0))
+        }
+      }
+    }
+    val got = Multimodal.sceneCuts(spark, sfDir).collect()
+    assert(got.length == expected.size, s"scene count: got ${got.length}, expected ${expected.size}")
+    got.foreach { r =>
+      val k = (r.getAs[Long]("doc_id"), r.getAs[Long]("scene_id"))
+      val e = expected(k)
+      assert(r.getAs[Long]("start_frame") == e._1, s"$k start")
+      assert(r.getAs[Long]("end_frame") == e._2, s"$k end")
+      assert(r.getAs[Long]("n_frames") == e._3, s"$k n_frames")
+      assert(r.getAs[Double]("mean_luma") == e._4, s"$k mean_luma")
+    }
+    // scenes partition the frame stream: per doc, spans are contiguous and disjoint
+    got.groupBy(_.getAs[Long]("doc_id")).foreach { case (doc, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("scene_id"))
+      assert(sorted.head.getAs[Long]("start_frame") == 0L, s"$doc first scene start")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("start_frame") == a.getAs[Long]("end_frame") + 1, s"$doc contiguity")
+        case _ =>
+      }
+    }
+  }
 }
