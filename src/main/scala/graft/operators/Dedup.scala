@@ -406,17 +406,25 @@ object Dedup {
     }.reduce(_ unionAll _).orderBy(col("rows_per_band"))
   }
 
-  /** Deterministic production-scale document sample for the
-    * recall/tuning evaluation cards: modulus smod = max(1, N div 500)
-    * keeps the expected sample near 500 docs at ANY corpus size, so a
-    * pairs-complete truth set INSIDE the sample is O(1) work at
-    * 100 TB (the full-corpus cards stay small-sf-only by design).
-    * smod rides in as a broadcast 1-row aggregate; the DuckDB oracle
-    * mirrors it as a scalar CTE over the same integer formula.
+  /** Deterministic document sample for the recall/tuning evaluation
+    * cards. Truth PAIRS survive node sampling at rate 1/smod² — a
+    * fixed-size sample of a growing corpus holds an ever-emptier
+    * truth set (measured: zero pairs in a 500-doc sample at sf1) —
+    * so the sample scales as √N: smod = 2^((bitlen(N div 500) − 1)
+    * div 2), i.e. smod ≈ √(N/500) and sample size ≈ √(500·N). The
+    * expected sampled truth-pair count is then CONSTANT in N
+    * (pairs/smod² with pairs ∝ N), while the blocked truth work
+    * inside the sample grows only like a fraction of one corpus scan
+    * (s²/blocks ∝ N·500/blocks) — linear like any scan, never the
+    * full card's quadratic. Power-of-two via bit length keeps the
+    * modulus integer-exact in both engines (no libm sqrt boundary
+    * flips); it rides in as a broadcast 1-row aggregate, mirrored in
+    * the oracle as a scalar CTE.
     */
   private def sampledDocs(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-    val params = broadcast(d.agg(expr("greatest(1, count(1) div 500) AS smod")))
+    val params = broadcast(d.agg(expr(
+      "cast(shiftleft(1, (length(bin(greatest(1, count(1) div 500))) - 1) div 2) AS bigint) AS smod")))
     d.crossJoin(params).where("doc_id % smod = 0")
   }
 
@@ -441,7 +449,10 @@ object Dedup {
       .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
       .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
       .select(col("smod"), col("n_docs"), col("n_true"), col("n_candidates"), col("n_hit"),
-        (floor(col("n_hit") / col("n_true").cast("double") * 10000 + 0.5) / lit(10000.0))
+        // NULL when the sample holds no truth pairs (recall is then
+        // undefined; under ANSI mode a bare division would throw)
+        when(col("n_true") === 0, lit(null).cast("double"))
+          .otherwise(floor(col("n_hit") / col("n_true").cast("double") * 10000 + 0.5) / lit(10000.0))
           .as("recall"))
   }
 
@@ -712,7 +723,9 @@ object Dedup {
   // The deterministic sample the 100 TB evaluation cards run on —
   // the SQL twin of [[sampledDocs]].
   private val sampledCte: String =
-    """params AS (SELECT greatest(1, count(*) // 500) AS smod FROM documents),
+    """params AS (
+      |  SELECT CAST(1 << ((length(bin(greatest(1, count(*) // 500))) - 1) // 2) AS BIGINT) AS smod
+      |  FROM documents),
       |sdocs AS (
       |  SELECT d.doc_id, d.lang, d.n_chars, d.text
       |  FROM documents d, params WHERE d.doc_id % params.smod = 0)""".stripMargin
@@ -766,8 +779,9 @@ object Dedup {
         |  (SELECT count(*) FROM truth) AS n_true,
         |  (SELECT count(*) FROM pairs) AS n_candidates,
         |  (SELECT count(*) FROM hits) AS n_hit,
-        |  floor((SELECT count(*) FROM hits) / CAST((SELECT count(*) FROM truth) AS DOUBLE) * 10000 + 0.5)
-        |    / CAST(10000 AS DOUBLE) AS recall""".stripMargin,
+        |  CASE WHEN (SELECT count(*) FROM truth) = 0 THEN NULL
+        |       ELSE floor((SELECT count(*) FROM hits) / CAST((SELECT count(*) FROM truth) AS DOUBLE) * 10000 + 0.5)
+        |            / CAST(10000 AS DOUBLE) END AS recall""".stripMargin,
     "dedup_substring" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),

@@ -92,10 +92,14 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Double]("recall") >= 0 && r.getAs[Double]("recall") <= 1)
   }
 
+  // the √N sample modulus: 2^((bitlen(max(1, n/500)) − 1) div 2)
+  private def expectSmod(nDocs: Long): Long =
+    1L << ((java.lang.Long.toBinaryString(math.max(1L, nDocs / 500)).length - 1) / 2)
+
   test("sampled recall card: smod formula, and coincides with the full card when smod = 1") {
     val nDocs = graft.Tables.documents(spark, sfDir).count()
     val r = operators.Dedup.minhashRecallSampled(spark, sfDir).head()
-    assert(r.getAs[Long]("smod") == math.max(1L, nDocs / 500))
+    assert(r.getAs[Long]("smod") == expectSmod(nDocs))
     assert(r.getAs[Long]("smod") == 1L, "sf0.001 must sample the whole corpus")
     assert(r.getAs[Long]("n_docs") == nDocs)
     val full = operators.Dedup.minhashRecall(spark, sfDir).head()
@@ -110,7 +114,7 @@ class DedupSpec extends SparkSpec {
     val nDocs = graft.Tables.documents(spark, dir).count()
     val r = operators.Dedup.minhashRecallSampled(spark, dir).head()
     val smod = r.getAs[Long]("smod")
-    assert(smod == math.max(1L, nDocs / 500))
+    assert(smod == expectSmod(nDocs))
     assert(smod > 1L, "sf0.1 must actually sample")
     val expectDocs = graft.Tables.documents(spark, dir)
       .filter(org.apache.spark.sql.functions.col("doc_id") % smod === 0).count()
