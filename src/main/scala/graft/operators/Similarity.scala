@@ -240,7 +240,7 @@ object Similarity {
     * until convergence; one round is registered so the oracle stays
     * one SQL statement.
     */
-  def nnDescent(s: SparkSession, dir: String): DataFrame = {
+  private def nnDescentEdges(s: SparkSession, dir: String): DataFrame = {
     // symmetric expansion is a row-local explode, NOT a self-union —
     // a union of the uncached graph would evaluate the whole
     // bucket-join + window build twice
@@ -259,8 +259,45 @@ object Similarity {
       .selectExpr("src", "dst", "graft_cosine(se, de) AS cos")
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= 3)
+  }
+
+  def nnDescent(s: SparkSession, dir: String): DataFrame =
+    nnDescentEdges(s, dir)
       .selectExpr("src", "dst", "round(cos, 4) AS cos", "rnk")
       .orderBy(col("src"), col("rnk"))
+
+  /** Recall@3 of the graph path against exact truth — the card that
+    * licenses [[nnGraph]]/[[nnDescent]] at scale the way
+    * ann_recall_eval licenses the probe-LSH path: over the probe
+    * set, how many of each node's EXACT top-3 neighbors does the
+    * round-0 graph hold, and how many does one NN-descent round
+    * recover? Hits are provably monotone graph → descent (a
+    * candidate displacing an exact-top-3 member from a
+    * top-3-of-superset has higher cosine and is therefore exact
+    * top-3 itself), which the spec pins.
+    *
+    * Scale: truth is the same broadcast-probe brute scan as
+    * ann_brute_topk (per-probe bounded); both graph stages reuse the
+    * linear adaptive-SRP build; the recall joins shuffle
+    * O(probes × k) rows.
+    */
+  def graphRecall(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+    val truth = scored(s, dir).withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3).select(col("probe_id"), col("vec_id")).localCheckpoint()
+    def card(stage: String, edges: DataFrame): DataFrame = {
+      val pe = edges.where(col("src") < 10)
+        .select(col("src").as("probe_id"), col("dst").as("vec_id"))
+      truth.join(pe, Seq("probe_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+        .select(lit(stage).as("stage"), col("n_true"), col("n_hit"),
+          (floor(col("n_hit") / col("n_true").cast("double") * 10000 + 0.5) / lit(10000.0))
+            .as("recall3"))
+    }
+    card("graph", nnGraphEdges(s, dir))
+      .unionAll(card("descent", nnDescentEdges(s, dir)))
+      .orderBy(col("stage"))
   }
 
   /** IVF-style ANN: a coarse quantizer (per-label mean vectors — the
@@ -650,6 +687,7 @@ object Similarity {
     "ann_lsh_topk" -> lshTopK,
     "ann_nn_graph" -> nnGraph,
     "ann_nn_descent" -> nnDescent,
+    "ann_graph_recall" -> graphRecall,
     "emb_quantize" -> embQuantize,
     "ann_ivf_topk" -> ivfTopK)
 
@@ -934,6 +972,45 @@ object Similarity {
         s"""WITH $nnGraphCoreCte
            |SELECT src, dst, round(cos, 4) AS cos, rnk FROM g
            |WHERE rnk <= 3 ORDER BY src, rnk""".stripMargin,
+      "ann_graph_recall" ->
+        s"""WITH $nnGraphCoreCte,
+           |g3 AS (SELECT src, dst FROM g WHERE rnk <= 3),
+           |und AS (
+           |  SELECT DISTINCT src, dst FROM (
+           |    SELECT src, dst FROM g3
+           |    UNION ALL
+           |    SELECT dst AS src, src AS dst FROM g3) u),
+           |cand2 AS (
+           |  SELECT DISTINCT src, dst FROM (
+           |    SELECT src, dst FROM und
+           |    UNION ALL
+           |    SELECT a.src AS src, b.dst AS dst FROM und a JOIN und b ON a.dst = b.src) u
+           |  WHERE src <> dst),
+           |sc2 AS (
+           |  SELECT cand2.src, cand2.dst,
+           |    list_sum([p.e[i] * c.e[i] for i in range(1, len(p.e) + 1)]) / (p.nrm * c.nrm) AS cos
+           |  FROM cand2 JOIN n p ON cand2.src = p.vec_id JOIN n c ON cand2.dst = c.vec_id),
+           |d3 AS (
+           |  SELECT src, dst FROM (
+           |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
+           |    FROM sc2) t WHERE rnk <= 3),
+           |truth AS (
+           |  SELECT probe_id, vec_id FROM (
+           |    SELECT p.vec_id AS probe_id, c.vec_id,
+           |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+           |        (list_sum([p.e[i] * c.e[i] for i in range(1, len(p.e) + 1)]) / (p.nrm * c.nrm)) DESC,
+           |        c.vec_id) AS rnk
+           |    FROM n p JOIN n c ON p.vec_id < 10 AND p.vec_id <> c.vec_id) t
+           |  WHERE rnk <= 3),
+           |gh AS (SELECT * FROM truth WHERE (probe_id, vec_id) IN (SELECT (src, dst) FROM g3 WHERE src < 10)),
+           |dh AS (SELECT * FROM truth WHERE (probe_id, vec_id) IN (SELECT (src, dst) FROM d3 WHERE src < 10))
+           |SELECT stage, n_true, n_hit,
+           |  floor(n_hit / CAST(n_true AS DOUBLE) * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS recall3
+           |FROM (
+           |  SELECT 'graph' AS stage, (SELECT count(*) FROM truth) AS n_true, (SELECT count(*) FROM gh) AS n_hit
+           |  UNION ALL
+           |  SELECT 'descent' AS stage, (SELECT count(*) FROM truth) AS n_true, (SELECT count(*) FROM dh) AS n_hit) t
+           |ORDER BY stage""".stripMargin,
       "ann_nn_descent" ->
         s"""WITH $nnGraphCoreCte,
            |g3 AS (SELECT src, dst FROM g WHERE rnk <= 3),

@@ -361,4 +361,29 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("cos") - math.rint(exact * 10000) / 10000.0) <= 1e-4)
     }
   }
+
+  test("graph recall card: recomputed hits, and descent never loses recall vs round-0") {
+    val rows = operators.Similarity.graphRecall(spark, sfDir).collect()
+    assert(rows.length == 2)
+    val byStage = rows.map(r => r.getAs[String]("stage") -> r).toMap
+    assert(byStage.keySet == Set("graph", "descent"))
+    // truth size: 3 exact neighbors per probe
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_true") == 30)
+      assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_true"))
+      val rec = r.getAs[Double]("recall3")
+      assert(rec >= 0 && rec <= 1)
+    }
+    // monotone: any candidate displacing an exact-top-3 member from a
+    // top-3-of-superset has higher cosine and is thus exact top-3 itself
+    assert(byStage("descent").getAs[Long]("n_hit") >= byStage("graph").getAs[Long]("n_hit"))
+    // recompute the graph-stage hits from the public operators
+    val truth = operators.Similarity.bruteTopK(spark, sfDir).collect()
+      .filter(_.getAs[Int]("rnk") <= 3)
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))).toSet
+    val gHits = operators.Similarity.nnGraph(spark, sfDir).collect()
+      .filter(_.getAs[Long]("src") < 10)
+      .count(r => truth.contains((r.getAs[Long]("src"), r.getAs[Long]("dst"))))
+    assert(byStage("graph").getAs[Long]("n_hit") == gHits)
+  }
 }
