@@ -14,18 +14,50 @@ Exit 0 when every common query matches (adaptive-plane ops may be
 allow-listed with --allow name because their plan is DEFINED to change
 with corpus size); exit 1 with a per-query diff otherwise.
 
-Usage: python3 scripts/plan_guard.py bench_detail.json BENCH_sf1_detail.json [--allow q1 --allow q2]
+When both artifacts carry per-query summed executor task time (the
+"task" map, r9), the guard also reports task-time ratios (b/a) —
+scheduler-noise-free scaling evidence next to the wall-clock medians.
+Informational by default; --max-task-ratio R makes any query whose
+task-time ratio exceeds R fail the guard.
+
+Usage: python3 scripts/plan_guard.py bench_detail.json BENCH_sf1_detail.json
+         [--allow q1 --allow q2] [--max-task-ratio R]
 """
 import json
 import sys
 
+USAGE = ("usage: plan_guard.py A.json B.json [--allow q]... "
+         "[--max-task-ratio R]")
+
 args = [a for a in sys.argv[1:]]
 allow = set()
+max_ratio = None
 while "--allow" in args:
     i = args.index("--allow")
+    if i + 1 >= len(args):
+        print(USAGE + "\n--allow needs a query name")
+        sys.exit(2)
     allow.add(args[i + 1])
     del args[i:i + 2]
-a, b = (json.load(open(p)) for p in args[:2])
+if "--max-task-ratio" in args:
+    i = args.index("--max-task-ratio")
+    if i + 1 >= len(args):
+        print(USAGE + "\n--max-task-ratio needs a number")
+        sys.exit(2)
+    try:
+        max_ratio = float(args[i + 1])
+    except ValueError:
+        print(USAGE + "\n--max-task-ratio needs a number")
+        sys.exit(2)
+    del args[i:i + 2]
+if len(args) < 2:
+    print(USAGE)
+    sys.exit(2)
+try:
+    a, b = (json.load(open(p)) for p in args[:2])
+except (OSError, json.JSONDecodeError) as e:
+    print(f"{USAGE}\ncannot read artifacts: {e}")
+    sys.exit(2)
 pa, pb = a.get("plans", {}), b.get("plans", {})
 common = sorted(set(pa) & set(pb))
 if not common:
@@ -42,4 +74,29 @@ for q in skipped:
     print(f"allowed divergence (documented scale-adaptive plan): {q}")
 print(f"{len(common) - len(bad)}/{len(common)} plan shapes stable across scale"
       + (f" ({len(skipped)} allowed)" if skipped else ""))
-sys.exit(1 if bad else 0)
+
+# --- task-time ratios (r9): summed executor task time is immune to the
+# host's scheduler/GC band that makes wall-clock medians jump ±30%
+# between identical-code runs; the b/a ratio per query is the honest
+# per-10x scaling number.
+ta, tb = a.get("task", {}), b.get("task", {})
+tcommon = [q for q in common if ta.get(q, 0) and tb.get(q, 0) and
+           ta[q] > 0 and tb[q] > 0]
+ratio_bad = []
+if tcommon:
+    ratios = sorted((tb[q] / ta[q], q) for q in tcommon)
+    med = ratios[len(ratios) // 2][0]
+    print(f"task-time ratio ({args[1]} / {args[0]}): median {med:.2f}x "
+          f"over {len(tcommon)} queries")
+    for r, q in ratios[-8:][::-1]:
+        flag = ""
+        if max_ratio is not None and r > max_ratio and q not in allow:
+            ratio_bad.append(q)
+            flag = f"  EXCEEDS --max-task-ratio {max_ratio}"
+        print(f"  {q}: {r:.2f}x ({ta[q]:.2f}s -> {tb[q]:.2f}s task time){flag}")
+    if max_ratio is not None:
+        for r, q in ratios[:-8]:
+            if r > max_ratio and q not in allow:
+                ratio_bad.append(q)
+                print(f"  {q}: {r:.2f}x EXCEEDS --max-task-ratio {max_ratio}")
+sys.exit(1 if (bad or ratio_bad) else 0)

@@ -30,10 +30,30 @@ object Bench {
     // measured query isn't charged for it.
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
-    // Returns (seconds, post-execution plan string): with AQE the
-    // final plan (real joins picked, codegen stages marked "*(n)")
-    // only exists on the QueryExecution AFTER materialization.
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, (Double, String)] = {
+    // Summed executor task time per query (r9): wall medians on this
+    // host swing ±30% between identical-code runs (BENCH_VARIANCE.md);
+    // summed executorRunTime/CpuTime across a query's tasks is immune
+    // to scheduler stalls and is the honest cross-round comparator.
+    val taskRunMs = new java.util.concurrent.atomic.AtomicLong(0)
+    val taskCpuNs = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          taskRunMs.addAndGet(m.executorRunTime)
+          taskCpuNs.addAndGet(m.executorCpuTime)
+        }
+      }
+    })
+
+    case class Run(wall: Double, plan: String, task: Double, cpu: Double)
+    // Returns wall seconds, the post-execution plan string (with AQE
+    // the final plan — real joins picked, codegen stages marked
+    // "*(n)" — only exists on the QueryExecution AFTER
+    // materialization), and the query's summed task run/cpu seconds.
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Run] = {
+      org.apache.spark.sql.graftshim.GraftShim.flushListeners(spark)
+      val (r0, c0) = (taskRunMs.get(), taskCpuNs.get())
       val t0 = System.nanoTime()
       // toRdd materializes every output column — count() would let
       // Catalyst prune expensive projections and under-report.
@@ -41,13 +61,41 @@ object Bench {
         val qe = fn(spark, sfDir).queryExecution
         qe.toRdd.count()
         val secs = (System.nanoTime() - t0) / 1e9
-        Right((secs, qe.executedPlan.toString))
+        org.apache.spark.sql.graftshim.GraftShim.flushListeners(spark)
+        Right(Run(secs, qe.executedPlan.toString,
+          (taskRunMs.get() - r0) / 1e3, (taskCpuNs.get() - c0) / 1e9))
       } catch {
         case e: Throwable => Left(e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(200))
       }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    case class Res(name: String, cold: Either[String, Double],
+                   median: Either[String, Double], plan: String,
+                   task: Either[String, Double], cpu: Either[String, Double])
+    def med3(a: Double, b: Double, c: Double): Double = Seq(a, b, c).sorted.apply(1)
+
+    // Optional subset run (r9): SPARK_GRAFT_QUERIES=a,b,c benches only
+    // the named queries — the sf10 scale-risk suite uses this; the
+    // driver's full per-round run leaves it unset.
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Evaluation-scale gate (r9, VERDICT r8 #2): the two
+    // pairs-complete truth cards are quadratic BY DESIGN (exhaustive
+    // ground truth for the sampled scale siblings). Above
+    // Dedup.EvalScaleMaxDocs they are skipped with a note instead of
+    // keeping a >8x-scaling tail alive in every at-scale suite; their
+    // sampled siblings stay in.
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val evalOnly = Set("dedup_lsh_tuning", "dedup_minhash_recall")
+    val gated: Set[String] =
+      if (nDocs > operators.Dedup.EvalScaleMaxDocs) evalOnly else Set.empty
+    val gateNote = s"pairs-complete evaluation card gated above " +
+      s"${operators.Dedup.EvalScaleMaxDocs} docs (corpus has $nDocs); " +
+      "the sampled scale sibling is the registered 100 TB form"
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) && !gated(name) }
+      .map { case (name, fn) =>
       // Each query runs three times; the reported number is the
       // MEDIAN. The first (cold) run pays one-off JIT/codegen cost
       // that amortizes to zero on a long-lived cluster, so the median
@@ -66,12 +114,13 @@ object Bench {
       val warms = (1 to 2).map { _ =>
         val r = if (cold.isRight) run(fn) else cold
         spark.catalog.clearCache()
-        r.map(_._1)
+        r
       }
-      val coldT = cold.map(_._1)
-      val median = for { c <- coldT; w1 <- warms(0); w2 <- warms(1) }
-        yield Seq(c, w1, w2).sorted.apply(1)
-      (name, coldT, median, cold.map(_._2).getOrElse(""))
+      def medOf(f: Run => Double): Either[String, Double] = for {
+        c <- cold; w1 <- warms(0); w2 <- warms(1)
+      } yield med3(f(c), f(w1), f(w2))
+      Res(name, cold.map(_.wall), medOf(_.wall),
+        cold.map(_.plan).getOrElse(""), medOf(_.task), medOf(_.cpu))
     }
     // minimal-width rendering: 0.50 → "0.5", 1.00 → "1" (valid JSON,
     // saves ~1 char/query against the tail-window budget)
@@ -82,14 +131,14 @@ object Bench {
     }
     def esc(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"").replaceAll("[\\x00-\\x1f]", " ")
-    def qmap(dp: Int, pick: ((String, Either[String, Double], Either[String, Double], String)) => Either[String, Double]): String =
-      results.map { r => "\"" + r._1 + "\":" + pick(r).fold(_ => "-1", fmt(_, dp)) }
+    def qmap(dp: Int, pick: Res => Either[String, Double]): String =
+      results.map { r => "\"" + r.name + "\":" + pick(r).fold(_ => "-1", fmt(_, dp)) }
         .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Left(m), _) => "\"" + k + "\":\"" + esc(m) + "\"" }
+    val errs = results.collect { case Res(k, _, Left(m), _, _, _) => "\"" + k + "\":\"" + esc(m) + "\"" }
       .mkString("{", ",", "}")
     // An errored query must not silently improve the headline total.
-    val anyErr = results.exists(_._3.isLeft)
-    val total = if (anyErr) -1.0 else results.map(_._3.getOrElse(0.0)).sum
+    val anyErr = results.exists(_.median.isLeft)
+    val total = if (anyErr) -1.0 else results.map(_.median.getOrElse(0.0)).sum
     // errors only when non-empty: the compact line must stay inside
     // the driver's 2000-char tail window (see header comment).
     val errsPart = if (anyErr) s""","errors":$errs""" else ""
@@ -106,8 +155,8 @@ object Bench {
     // information; the complete 6dp map is in bench_detail.json.
     // errored queries sort LAST (they're already reported in the errors
     // map) so real slow queries keep the headline slots
-    val byTimeDesc = results.sortBy(r => -r._3.getOrElse(0.0))
-      .map(r => ("\"" + r._1 + "\":" + r._3.fold(_ => "-1", fmt(_, 2)), r._3.getOrElse(0.0)))
+    val byTimeDesc = results.sortBy(r => -r.median.getOrElse(0.0))
+      .map(r => ("\"" + r.name + "\":" + r.median.fold(_ => "-1", fmt(_, 2)), r.median.getOrElse(0.0)))
     val budget = 1880
     val keep = byTimeDesc.scanLeft(0)(_ + _._1.length + 1).tail
       .lastIndexWhere(_ <= budget - line(Nil).length) + 1
@@ -120,10 +169,11 @@ object Bench {
     // broadcast exchanges, whole-stage-codegen spans): the evidence
     // behind SURVEY §4's claims, recorded next to the timings so a
     // regression in plan shape is visible without re-deriving plans.
-    val planMetrics = results.map { case (name, _, _, pRaw) =>
+    val planMetrics = results.map { r =>
+      val name = r.name
       // post-execution AdaptiveSparkPlan prints "== Current Plan ==" +
       // "== Initial Plan ==" — count only the current (final) section
-      val p = pRaw.split("== Initial Plan ==").head
+      val p = r.plan.split("== Initial Plan ==").head
       val m = if (p.isEmpty) "null" else {
         val sh = "[+:]- Exchange ".r.findAllIn(p).size
         val bc = "[+:]- BroadcastExchange ".r.findAllIn(p).size
@@ -141,9 +191,16 @@ object Bench {
       "amortizes to zero on a long-lived cluster; the median also absorbs " +
       "one transient GC/host stall without letting a lucky run flatter " +
       "the number). Raw cold times in 'cold', plan-shape metrics " +
-      "(shuffles/broadcasts/codegen spans) in 'plans'."
+      "(shuffles/broadcasts/codegen spans) in 'plans'. 'task'/'cpu' (r9) " +
+      "are the median-of-three per-query summed executor task run/cpu " +
+      "seconds across all tasks — scheduler-noise-free, the honest " +
+      "cross-round and cross-scale comparator (plan_guard.py reads them)."
+    val skipped = gated.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+      .map(n => "\"" + n + "\":\"" + esc(gateNote) + "\"")
+      .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${fmt(total, 6)},"unit":"sec","queries":${qmap(6, _._3)},"cold":${qmap(6, _._2)},"plans":$planMetrics,"errors":$errs,"notes":"${esc(notes)}","sf":"$sfDir","cpus":$cpus}"""
+      s"""{"metric":"total","value":${fmt(total, 6)},"unit":"sec","queries":${qmap(6, _.median)},"cold":${qmap(6, _.cold)},"task":${qmap(6, _.task)},"cpu":${qmap(6, _.cpu)},"plans":$planMetrics,"errors":$errs,"skipped":$skipped,"notes":"${esc(notes)}","sf":"$sfDir","cpus":$cpus}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes("UTF-8"))
     spark.stop()

@@ -22,6 +22,19 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Corpus-size ceiling for the two PAIRS-COMPLETE evaluation cards
+    * ([[lshTuning]], [[minhashRecall]]): their truth sets enumerate
+    * every blocked pair by construction — quadratic per block, the
+    * exhaustive small-corpus ground truth that licenses the sampled
+    * siblings ([[lshTuningSampled]], [[minhashRecallSampled]], the
+    * registered 100 TB forms whose √N sample keeps the expected
+    * truth-pair yield constant). Bench skips the full cards above
+    * this many documents (the driver's sf0.1 gate and all
+    * correctness runs sit below it), so no at-scale suite carries a
+    * by-design-quadratic entry.
+    */
+  val EvalScaleMaxDocs = 10000L
+
   /** Exact dedup: canonical row per content hash + keep/drop flag.
     * One groupBy on the uniform md5 key — skew-free by construction.
     */

@@ -120,9 +120,11 @@ object Similarity {
     * slice; tables/planes are the recall/cost knobs at scale.
     */
   /** SRP-bucketed corpus (vec_id, e, per-table bucket array) — the
-    * shared hashing stage of [[lshTopK]] (probe lookups) and
-    * [[nnGraph]] (all-nodes graph build); both provably hash with
-    * the same deterministic hyperplanes.
+    * hashing stage of [[lshTopK]] (probe lookups), on the FIXED
+    * 4-planes-per-table family shared with [[Dedup.embedLsh]]. The
+    * all-nodes graph build ([[nnGraph]]) uses
+    * [[srpBucketsAdaptive]] instead: same md5-parity generator, but
+    * the plane count follows the corpus size.
     */
   private def srpBuckets(s: SparkSession, dir: String): DataFrame = {
     graft.functions.Native.register(s)
@@ -137,7 +139,7 @@ object Similarity {
   }
 
   def lshTopK(s: SparkSession, dir: String): DataFrame = {
-    val e = srpBuckets(s, dir).cache()
+    val e = srpBuckets(s, dir).localCheckpoint(false)
     val tbl = e.selectExpr("vec_id", "explode(sequence(0, " + (NTables - 1) + ")) AS t", "buckets")
       .selectExpr("vec_id", "t", "element_at(buckets, t + 1) AS bucket")
     val probeTbl = broadcast(tbl.where("vec_id < 10")
@@ -201,7 +203,12 @@ object Similarity {
     * (which treats these edges as the round-0 graph to refine).
     */
   private def nnGraphEdges(s: SparkSession, dir: String): DataFrame = {
-    val e = srpBucketsAdaptive(s, dir).cache()
+    // lazy localCheckpoint, not .cache(): the bucketed corpus is only
+    // needed while THIS query runs, and checkpoint blocks are
+    // reclaimed by the ContextCleaner when the frame goes out of
+    // scope — a .cache() here stayed pinned across every later query
+    // of a long-lived session (r8 advice).
+    val e = srpBucketsAdaptive(s, dir).localCheckpoint(false)
     val tbl = e.selectExpr("vec_id", s"explode(sequence(0, ${NTables - 1})) AS t", "buckets")
       .selectExpr("vec_id", "t", "element_at(buckets, t + 1) AS bucket")
     val cand = tbl.selectExpr("vec_id AS src", "t", "bucket")
@@ -240,14 +247,21 @@ object Similarity {
     * until convergence; one round is registered so the oracle stays
     * one SQL statement.
     */
-  private def nnDescentEdges(s: SparkSession, dir: String): DataFrame = {
+  private def nnDescentEdges(s: SparkSession, dir: String): DataFrame =
+    nnDescentFrom(nnGraphEdges(s, dir), s, dir)
+
+  /** The descent round over an ALREADY-BUILT round-0 edge list, so a
+    * caller holding the graph (graphRecall) refines it without
+    * rebuilding the whole bucket-join + window stage a second time.
+    */
+  private def nnDescentFrom(round0: DataFrame, s: SparkSession, dir: String): DataFrame = {
     // symmetric expansion is a row-local explode, NOT a self-union —
     // a union of the uncached graph would evaluate the whole
     // bucket-join + window build twice
-    val und = nnGraphEdges(s, dir)
+    val und = round0
       .selectExpr("explode(array(struct(src, dst), struct(dst AS src, src AS dst))) AS p")
       .selectExpr("p.src AS src", "p.dst AS dst")
-      .distinct().cache()
+      .distinct().localCheckpoint(false)
     val hop2 = und.alias("a").join(und.alias("b"), col("a.dst") === col("b.src"))
       .select(col("a.src").as("src"), col("b.dst").as("dst"))
     val cand = und.union(hop2).where(col("src") =!= col("dst")).distinct()
@@ -295,8 +309,13 @@ object Similarity {
           (floor(col("n_hit") / col("n_true").cast("double") * 10000 + 0.5) / lit(10000.0))
             .as("recall3"))
     }
-    card("graph", nnGraphEdges(s, dir))
-      .unionAll(card("descent", nnDescentEdges(s, dir)))
+    // Build the round-0 graph ONCE and checkpoint it: both cards and
+    // the descent round read it, and before r9 each card rebuilt the
+    // full adaptive-SRP bucket join from scratch (the graph stage ran
+    // twice and its cached corpus frames stayed pinned).
+    val g0 = nnGraphEdges(s, dir).select("src", "dst").localCheckpoint()
+    card("graph", g0)
+      .unionAll(card("descent", nnDescentFrom(g0, s, dir)))
       .orderBy(col("stage"))
   }
 

@@ -14,4 +14,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object GraftShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
+
+  /** Drain the async listener bus (`private[spark]` access), so a
+    * task-metrics listener has observed every task of the job that
+    * just returned — Bench snapshots summed executorRunTime/CpuTime
+    * around each query and listener events are delivered
+    * asynchronously.
+    */
+  def flushListeners(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }
