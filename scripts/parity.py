@@ -65,7 +65,7 @@ def raw_types_of(con, query):
     rows = con.execute(f"DESCRIBE {query}").fetchall()
     return {r[0]: r[1].upper() for r in rows}
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -117,7 +117,12 @@ def main(sf_dir, out_dir):
         if flag: bad += 1
         print(f"{name:28s} {r}{flag}")
     print(f"\n{len(results)-bad}/{len(results)} pass")
+    if json_out:
+        json.dump({"sf_dir": sf_dir, "pass": len(results) - bad,
+                   "total": len(results), "results": results},
+                  open(json_out, "w"), indent=1, sort_keys=True)
     return 1 if bad else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    jo = sys.argv[4] if len(sys.argv) > 4 and sys.argv[3] == "--json" else None
+    sys.exit(main(sys.argv[1], sys.argv[2], jo))

@@ -30,12 +30,14 @@ object Similarity {
   /** Adaptive-SRP knobs for [[nnGraph]]: expected bucket occupancy is
     * held at ~[[TargetBucket]] rows by choosing the plane count from
     * the corpus size (see [[planesFor]]); [[MaxPlanesPerTable]] caps
-    * the literal matrix (2^20 buckets covers ~16M vectors — at true
-    * 100 TB scale regenerate with a larger cap, the formula is the
-    * same).
+    * the literal matrix. At 32 planes/table (r9; was 20) the cap
+    * covers 2^32 buckets ≈ 68 BILLION vectors at occupancy 16 —
+    * comfortably past any 100 TB corpus — and bucket codes ride as
+    * BIGINT (a shift by up to 31 outgrows the int sign bit; both
+    * engines shift a 64-bit one, never into bit 63).
     */
   private[graft] val TargetBucket = 16
-  private[graft] val MaxPlanesPerTable = 20
+  private[graft] val MaxPlanesPerTable = 32
 
   /** Planes-per-table for a corpus of n vectors: the smallest p with
     * 2^p * TargetBucket >= n (floored at 4, capped at the matrix).
@@ -192,10 +194,10 @@ object Similarity {
     e.crossJoin(params)
       .selectExpr("vec_id", "e",
         s"""transform(sequence(0, ${NTables - 1}), t ->
-           |  aggregate(sequence(0, np - 1), 0, (acc, p) ->
+           |  aggregate(sequence(0, np - 1), cast(0 AS bigint), (acc, p) ->
            |    acc + CASE WHEN aggregate(zip_with(element_at($weightMatrixSqlBig, t * $MaxPlanesPerTable + p + 1), e, (w, x) -> w * x),
            |                              cast(0 AS double), (a2, x) -> a2 + x) >= 0
-           |          THEN shiftleft(1, p) ELSE 0 END)) AS buckets""".stripMargin)
+           |          THEN shiftleft(cast(1 AS bigint), p) ELSE cast(0 AS bigint) END)) AS buckets""".stripMargin)
   }
 
   /** The raw graph edge list (top-3 per src, unrounded cosines) —
@@ -737,7 +739,7 @@ object Similarity {
          |  GROUP BY n.vec_id, w.p),
          |buckets AS (
          |  SELECT vec_id, p // $MaxPlanesPerTable AS t,
-         |    sum(CASE WHEN dot >= 0 THEN 1 << (p % $MaxPlanesPerTable) ELSE 0 END) AS bucket
+         |    sum(CASE WHEN dot >= 0 THEN 1::BIGINT << (p % $MaxPlanesPerTable) ELSE 0::BIGINT END) AS bucket
          |  FROM planedots GROUP BY vec_id, p // $MaxPlanesPerTable),
          |cand AS (
          |  SELECT DISTINCT sb.vec_id AS src, db.vec_id AS dst

@@ -57,21 +57,28 @@ class SimilaritySpec extends SparkSpec {
     assert(operators.Similarity.planesFor(500L) == 5)   // sf0.001/0.01
     assert(operators.Similarity.planesFor(2000L) == 7)  // sf0.1
     assert(operators.Similarity.planesFor(20000L) == 11) // sf1
-    assert(operators.Similarity.planesFor(1L << 40) == 20) // matrix cap
+    assert(operators.Similarity.planesFor(1L << 21) == 17) // ~2M vectors
+    assert(operators.Similarity.planesFor(1L << 25) == 21) // ~34M (past the old 20-plane cap)
+    assert(operators.Similarity.planesFor((1L << 32) * 16L) == 32) // exactly at cap
+    assert(operators.Similarity.planesFor(1L << 40) == 32) // matrix cap (r9: 32 planes/table ~ 68B vectors)
     // occupancy invariant: n / 2^planes <= TargetBucket whenever the
     // cap hasn't kicked in -> the (table,bucket) self-join cost is
     // SUM(bucket^2) ~= n * TargetBucket, linear in the corpus
-    Seq(100L, 500L, 2000L, 20000L, 200000L, 2000000L).foreach { n =>
+    Seq(100L, 500L, 2000L, 20000L, 200000L, 2000000L, 1L << 21, 1L << 25,
+        1L << 30).foreach { n =>
       val p = operators.Similarity.planesFor(n)
       assert(p < operators.Similarity.MaxPlanesPerTable ==>
         (n.toDouble / (1L << p) <= operators.Similarity.TargetBucket),
         s"n=$n planes=$p occupancy=${n.toDouble / (1L << p)}")
     }
     // Spark's bin()-based SQL form computes the same plane count as
-    // the Scala reference formula (and hence as the DuckDB oracle)
+    // the Scala reference formula (and hence as the DuckDB oracle,
+    // whose text uses the identical integer ops) — pinned through the
+    // 2^21 / 2^25 / cap cases so the raised 32-plane cap is exercised
     val sqlPlanes = spark.sql(
-      ("SELECT n, least(20, greatest(4, length(bin((n + 15) div 16 - 1)))) AS np " +
-        "FROM VALUES (1L),(16L),(256L),(257L),(500L),(2000L),(20000L) AS t(n)"))
+      ("SELECT n, least(32, greatest(4, length(bin((n + 15) div 16 - 1)))) AS np " +
+        "FROM VALUES (1L),(16L),(256L),(257L),(500L),(2000L),(20000L)," +
+        s"(${1L << 21}L),(${1L << 25}L),(${(1L << 32) * 16L}L),(${1L << 40}L) AS t(n)"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     sqlPlanes.foreach { case (n, np) =>
       assert(np == operators.Similarity.planesFor(n), s"sql np($n)=$np")
