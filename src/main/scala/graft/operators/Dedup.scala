@@ -256,13 +256,17 @@ object Dedup {
     * similarity surfaces assume a blocking key exists; a raw training
     * corpus has none). Every vector is hashed to one bucket per table
     * with the SAME deterministic ±1 hyperplane family as the ANN
-    * bucketer ([[Similarity.weightMatrixSql]] — md5-parity weights,
+    * bucketer ([[Similarity.adaptiveBuckets]] — md5-parity weights,
     * embedded as a plan literal so codegen folds it); candidates are
     * pairs sharing a (table, bucket) slot, scored with exact cosine
-    * above the [[embedCosine]] threshold. 2 tables × 4 planes here;
-    * at scale the plane count is the bucket-fan knob (each added
-    * plane halves the expected bucket population) and the table count
-    * is the recall knob — the self-join key stays (table, bucket), a
+    * above the [[embedCosine]] threshold. 2 tables, and (r9) the
+    * plane count per table ADAPTS to the corpus size exactly as
+    * [[Similarity.nnGraph]]'s does — expected bucket occupancy holds
+    * at ~16 rows so the (table, bucket) self-join cost Σ|bucket|² ≈
+    * N·16 stays LINEAR at any corpus size (the r8 FIXED 4-plane form
+    * measured 7.5× per 10× data: in-bucket population grew with the
+    * corpus and the pair fan-out quadratically). The table count is
+    * the recall knob — the self-join key stays (table, bucket), a
     * plain hash join that never materializes the cross product.
     * n_tables (bucket agreements per pair) rides the candidate
     * groupBy for free and is the standard LSH-confidence tiebreak.
@@ -271,12 +275,7 @@ object Dedup {
     graft.functions.Native.register(s)
     val e = Tables.embeddings(s, dir)
       .selectExpr("vec_id", "cast(embedding AS array<double>) AS e")
-    val sig = Tables.spread(e).selectExpr("vec_id",
-      s"""transform(sequence(0, ${LshTables - 1}), t ->
-         |  aggregate(sequence(0, ${LshPlanes - 1}), 0, (acc, p) ->
-         |    acc + CASE WHEN aggregate(zip_with(element_at(${Similarity.weightMatrixSql}, t * $LshPlanes + p + 1), e, (w, x) -> w * x),
-         |                              cast(0 AS double), (a2, x) -> a2 + x) >= 0
-         |          THEN shiftleft(1, p) ELSE 0 END)) AS buckets""".stripMargin)
+    val sig = Similarity.adaptiveBuckets(Tables.spread(e))
     val tbl = sig.selectExpr("vec_id", "posexplode(buckets) AS (t, bucket)")
     val cand = tbl.as("a").join(tbl.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
@@ -291,9 +290,6 @@ object Dedup {
       .selectExpr("vec_a", "vec_b", "n_tables", "round(cos, 4) AS cos")
       .orderBy(col("vec_a"), col("vec_b"))
   }
-
-  private val LshTables = 2
-  private val LshPlanes = 4
 
   /** Recall measurement of the LSH scale path against exact blocked
     * pairs — the evaluation every approximate-dedup deployment runs
@@ -676,11 +672,21 @@ object Dedup {
     s"""e AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       |  FROM embeddings),
+      |ewb AS (
+      |  SELECT p, d,
+      |    CASE WHEN (strpos('0123456789abcdef', substr(md5(p::varchar || ':' || d::varchar), 1, 1)) - 1) & 1 = 1
+      |         THEN 1 ELSE -1 END AS wt
+      |  FROM (SELECT unnest(range(0, ${2 * Similarity.MaxPlanesPerTable})) AS p), (SELECT unnest(range(0, 64)) AS d)),
+      |epar AS (
+      |  SELECT least(${Similarity.MaxPlanesPerTable}, greatest(4, length(bin((count(*) + ${Similarity.TargetBucket - 1}) // ${Similarity.TargetBucket} - 1)))) AS np FROM e),
+      |edots AS (
+      |  SELECT e.vec_id, w.p, sum(w.wt * e.e[w.d + 1]) AS dot
+      |  FROM e, ewb w WHERE w.p % ${Similarity.MaxPlanesPerTable} < (SELECT np FROM epar)
+      |  GROUP BY e.vec_id, w.p),
       |sig AS (
-      |  SELECT vec_id, CAST(tt.range AS INT) AS t,
-      |    list_sum([CASE WHEN list_sum([${Similarity.weightMatrixDuck}[CAST(tt.range * 4 + p + 1 AS INT)][i] * e[i] for i in range(1, 65)]) >= 0
-      |              THEN [1, 2, 4, 8][p + 1] ELSE 0 END for p in range(0, 4)]) AS bucket
-      |  FROM e CROSS JOIN range(0, 2) tt),
+      |  SELECT vec_id, CAST(p // ${Similarity.MaxPlanesPerTable} AS INT) AS t,
+      |    sum(CASE WHEN dot >= 0 THEN 1::BIGINT << (p % ${Similarity.MaxPlanesPerTable}) ELSE 0::BIGINT END) AS bucket
+      |  FROM edots GROUP BY vec_id, p // ${Similarity.MaxPlanesPerTable}),
       |ecand AS (
       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, count(*) AS n_tables
       |  FROM sig a JOIN sig b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id

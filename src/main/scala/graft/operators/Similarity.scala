@@ -86,14 +86,6 @@ object Similarity {
     rows.mkString("array(", ", ", ")")
   }
 
-  /** The same matrix as a DuckDB list literal, for oracle SQL. */
-  private[operators] lazy val weightMatrixDuck: String = {
-    val rows = (0 until NPlanes).map { p =>
-      (0 until Dims).map(d => weight(p, d)).mkString("[", ", ", "]")
-    }
-    rows.mkString("[", ", ", "]")
-  }
-
   private def scored(s: SparkSession, dir: String): DataFrame = {
     graft.functions.Native.register(s)
     val e = Tables.embeddings(s, dir)
@@ -187,8 +179,16 @@ object Similarity {
     */
   private def srpBucketsAdaptive(s: SparkSession, dir: String): DataFrame = {
     graft.functions.Native.register(s)
-    val e = Tables.embeddings(s, dir)
-      .selectExpr("vec_id", "cast(embedding AS array<double>) AS e")
+    adaptiveBuckets(Tables.embeddings(s, dir)
+      .selectExpr("vec_id", "cast(embedding AS array<double>) AS e"))
+  }
+
+  /** The adaptive bucketer over any (vec_id, e) frame — shared with
+    * [[Dedup.embedLsh]] (r9) so the near-dup pair generator and the
+    * k-NN graph build provably hash with the same corpus-size-adaptive
+    * hyperplane family.
+    */
+  private[operators] def adaptiveBuckets(e: DataFrame): DataFrame = {
     val params = broadcast(e.agg(
       expr(s"least($MaxPlanesPerTable, greatest(4, length(bin((count(1) + ${TargetBucket - 1}) div $TargetBucket - 1)))) AS np")))
     e.crossJoin(params)

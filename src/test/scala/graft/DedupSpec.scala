@@ -245,15 +245,18 @@ class DedupSpec extends SparkSpec {
       val c = r.getAs[Double]("cos"); assert(c > 0.35 && c <= 1.0)
     }
     // independent full recomputation: SRP buckets from the shared
-    // hyperplane family, exact cosine, same threshold — the operator's
+    // ADAPTIVE hyperplane family (r9: same planesFor stripe layout as
+    // ann_nn_graph), exact cosine, same threshold — the operator's
     // bucketed path must surface EXACTLY the brute-force-bucketed set.
     val vecs = Tables.embeddings(spark, sfDir)
       .selectExpr("vec_id", "cast(embedding AS array<double>) AS e")
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
-    def bucket(e: Array[Double], t: Int): Int =
-      (0 until 4).map { p =>
-        val dot = e.indices.map(d => operators.Similarity.weight(t * 4 + p, d) * e(d)).sum
-        if (dot >= 0) 1 << p else 0
+    val np = operators.Similarity.planesFor(vecs.size.toLong)
+    val stripe = operators.Similarity.MaxPlanesPerTable
+    def bucket(e: Array[Double], t: Int): Long =
+      (0 until np).map { p =>
+        val dot = e.indices.map(d => operators.Similarity.weight(t * stripe + p, d) * e(d)).sum
+        if (dot >= 0) 1L << p else 0L
       }.sum
     def cosine(a: Array[Double], b: Array[Double]): Double = {
       val dot = a.zip(b).map { case (x, y) => x * y }.sum
