@@ -21,9 +21,7 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private val NPlanes = 8
   private val NTables = 2
-  private val PlanesPerTable = 4
   private val Dims = 64
   private val K = 5
 
@@ -62,22 +60,13 @@ object Similarity {
     if ((v & 1) == 1) 1 else -1
   }
 
-  /** The ±1 hyperplane family as a Spark SQL array literal. Shared
-    * with [[Dedup.embedLsh]] so the near-dup bucketer and the ANN
-    * bucketer provably use the same deterministic projections.
-    */
-  private[operators] lazy val weightMatrixSql: String = {
-    val rows = (0 until NPlanes).map { p =>
-      (0 until Dims).map(d => weight(p, d)).mkString("array(", ", ", ")")
-    }
-    rows.mkString("array(", ", ", ")")
-  }
-
-  /** The extended ±1 hyperplane family for the adaptive bucketer:
-    * table t owns the contiguous stripe
+  /** The ±1 hyperplane family for the adaptive bucketer as a Spark
+    * SQL array literal: table t owns the contiguous stripe
     * [t*MaxPlanesPerTable, (t+1)*MaxPlanesPerTable) so the chosen
     * plane count can grow with the corpus without re-deriving earlier
-    * planes. Same md5-parity generator as [[weightMatrixSql]].
+    * planes. md5-parity generator ([[weight]]); shared by every SRP
+    * consumer (lshTopK, nnGraph family, [[Dedup.embedLsh]]) so they
+    * provably hash with the same deterministic projections.
     */
   private[operators] lazy val weightMatrixSqlBig: String = {
     val rows = (0 until NTables * MaxPlanesPerTable).map { p =>
@@ -106,34 +95,23 @@ object Similarity {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
-  /** Multi-table SRP-LSH bucketed ANN: 2 hash tables × 4 hyperplanes
-    * (16 buckets each); a corpus vector is a candidate if it shares a
-    * bucket with the probe in *either* table (standard L-table LSH
-    * recall boost). The bucket join key is (table, bucket) — a plain
-    * hash join, never an OR-join — so each task scores one bucket
-    * slice; tables/planes are the recall/cost knobs at scale.
+  /** Multi-table SRP-LSH bucketed ANN: 2 hash tables of
+    * corpus-size-adaptive sign-random-projection buckets; a corpus
+    * vector is a candidate if it shares a bucket with the probe in
+    * *either* table (standard L-table LSH recall boost). The bucket
+    * join key is (table, bucket) — a plain hash join, never an
+    * OR-join — so each task scores one bucket slice.
+    *
+    * Scale (r9): the plane count follows the corpus size
+    * ([[planesFor]], the same adaptive bucketer as [[nnGraph]] and
+    * [[Dedup.embedLsh]]), so expected bucket occupancy — and with it
+    * the candidate list each probe scores — is a CONSTANT ~16×tables
+    * rows at any corpus size. The r8 fixed 4-plane form's candidate
+    * lists grew ∝ N/16 (measured 35× task time at sf1→sf10); tables
+    * remain the recall knob.
     */
-  /** SRP-bucketed corpus (vec_id, e, per-table bucket array) — the
-    * hashing stage of [[lshTopK]] (probe lookups), on the FIXED
-    * 4-planes-per-table family shared with [[Dedup.embedLsh]]. The
-    * all-nodes graph build ([[nnGraph]]) uses
-    * [[srpBucketsAdaptive]] instead: same md5-parity generator, but
-    * the plane count follows the corpus size.
-    */
-  private def srpBuckets(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.Native.register(s)
-    Tables.embeddings(s, dir)
-      .selectExpr("vec_id", "cast(embedding AS array<double>) AS e")
-      .selectExpr("vec_id", "e",
-        s"""transform(sequence(0, ${NTables - 1}), t ->
-           |  aggregate(sequence(0, ${PlanesPerTable - 1}), 0, (acc, p) ->
-           |    acc + CASE WHEN aggregate(zip_with(element_at($weightMatrixSql, t * $PlanesPerTable + p + 1), e, (w, x) -> w * x),
-           |                              cast(0 AS double), (a2, x) -> a2 + x) >= 0
-           |          THEN shiftleft(1, p) ELSE 0 END)) AS buckets""".stripMargin)
-  }
-
   def lshTopK(s: SparkSession, dir: String): DataFrame = {
-    val e = srpBuckets(s, dir).localCheckpoint(false)
+    val e = srpBucketsAdaptive(s, dir).localCheckpoint(false)
     val tbl = e.selectExpr("vec_id", "explode(sequence(0, " + (NTables - 1) + ")) AS t", "buckets")
       .selectExpr("vec_id", "t", "element_at(buckets, t + 1) AS bucket")
     val probeTbl = broadcast(tbl.where("vec_id < 10")
@@ -713,16 +691,12 @@ object Similarity {
     "ann_ivf_topk" -> ivfTopK)
 
   val oracleSql: Map[String, String] = {
-    val weightsCte =
-      """w AS (
-        |  SELECT p, d,
-        |    CASE WHEN (strpos('0123456789abcdef', substr(md5(p::varchar || ':' || d::varchar), 1, 1)) - 1) & 1 = 1
-        |         THEN 1 ELSE -1 END AS wt
-        |  FROM (SELECT unnest(range(0, 8)) AS p), (SELECT unnest(range(0, 64)) AS d))""".stripMargin
-    // The adaptive-SRP k-NN graph build, ranked but unfiltered (`g`),
-    // shared by ann_nn_graph (round-0 card) and ann_nn_descent (one
-    // neighbor-of-neighbor refinement round over g's top-3 edges).
-    val nnGraphCoreCte =
+    // The adaptive-SRP bucket derivation (ends in buckets(vec_id, t,
+    // bucket) over normalized vectors n) — the ONE hashing stage every
+    // SRP oracle composes: probe-LSH (ann_lsh_topk), its recall card,
+    // and the k-NN graph family. Mirrors Similarity.adaptiveBuckets /
+    // planesFor exactly (scalar-subquery plane count, BIGINT codes).
+    val adaptiveBucketsCte =
       s"""wbig AS (
          |  SELECT p, d,
          |    CASE WHEN (strpos('0123456789abcdef', substr(md5(p::varchar || ':' || d::varchar), 1, 1)) - 1) & 1 = 1
@@ -740,7 +714,12 @@ object Similarity {
          |buckets AS (
          |  SELECT vec_id, p // $MaxPlanesPerTable AS t,
          |    sum(CASE WHEN dot >= 0 THEN 1::BIGINT << (p % $MaxPlanesPerTable) ELSE 0::BIGINT END) AS bucket
-         |  FROM planedots GROUP BY vec_id, p // $MaxPlanesPerTable),
+         |  FROM planedots GROUP BY vec_id, p // $MaxPlanesPerTable)""".stripMargin
+    // The adaptive-SRP k-NN graph build, ranked but unfiltered (`g`),
+    // shared by ann_nn_graph (round-0 card) and ann_nn_descent (one
+    // neighbor-of-neighbor refinement round over g's top-3 edges).
+    val nnGraphCoreCte =
+      s"""$adaptiveBucketsCte,
          |cand AS (
          |  SELECT DISTINCT sb.vec_id AS src, db.vec_id AS dst
          |  FROM buckets sb JOIN buckets db ON sb.t = db.t AND sb.bucket = db.bucket
@@ -873,10 +852,7 @@ object Similarity {
           |  FROM sc) t
           |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
       "ann_recall_eval" ->
-        s"""WITH $weightsCte,
-           |e AS (
-           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
-           |n AS (SELECT vec_id, e, sqrt(list_sum([x * x for x in e])) AS nrm FROM e),
+        s"""WITH $adaptiveBucketsCte,
            |bsc AS (
            |  SELECT p.vec_id AS probe_id, c.vec_id,
            |    list_sum([p.e[i] * c.e[i] for i in range(1, len(p.e) + 1)]) / (p.nrm * c.nrm) AS cos
@@ -886,13 +862,6 @@ object Similarity {
            |    SELECT probe_id, vec_id,
            |      row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk
            |    FROM bsc) t WHERE rnk <= 5),
-           |planedots AS (
-           |  SELECT n.vec_id, w.p, sum(w.wt * n.e[w.d + 1]) AS dot
-           |  FROM n, w GROUP BY n.vec_id, w.p),
-           |buckets AS (
-           |  SELECT vec_id, p // 4 AS t,
-           |    sum(CASE WHEN dot >= 0 THEN 1 << (p % 4) ELSE 0 END) AS bucket
-           |  FROM planedots GROUP BY vec_id, p // 4),
            |cand AS (
            |  SELECT DISTINCT pb.vec_id AS probe_id, cb.vec_id
            |  FROM buckets pb JOIN buckets cb ON pb.t = cb.t AND pb.bucket = cb.bucket
@@ -1056,17 +1025,7 @@ object Similarity {
            |  FROM sc2) t
            |WHERE rnk <= 3 ORDER BY src, rnk""".stripMargin,
       "ann_lsh_topk" ->
-        s"""WITH $weightsCte,
-           |e AS (
-           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
-           |n AS (SELECT vec_id, e, sqrt(list_sum([x * x for x in e])) AS nrm FROM e),
-           |planedots AS (
-           |  SELECT n.vec_id, w.p, sum(w.wt * n.e[w.d + 1]) AS dot
-           |  FROM n, w GROUP BY n.vec_id, w.p),
-           |buckets AS (
-           |  SELECT vec_id, p // 4 AS t,
-           |    sum(CASE WHEN dot >= 0 THEN 1 << (p % 4) ELSE 0 END) AS bucket
-           |  FROM planedots GROUP BY vec_id, p // 4),
+        s"""WITH $adaptiveBucketsCte,
            |cand AS (
            |  SELECT DISTINCT pb.vec_id AS probe_id, cb.vec_id
            |  FROM buckets pb JOIN buckets cb ON pb.t = cb.t AND pb.bucket = cb.bucket
