@@ -194,7 +194,10 @@ object Bench {
       "(shuffles/broadcasts/codegen spans) in 'plans'. 'task'/'cpu' (r9) " +
       "are the median-of-three per-query summed executor task run/cpu " +
       "seconds across all tasks — scheduler-noise-free, the honest " +
-      "cross-round and cross-scale comparator (plan_guard.py reads them)."
+      "cross-round and cross-scale comparator (plan_guard.py reads them). " +
+      "Caveat: each task carries a ~0.2s runtime floor on this host, so " +
+      "at KB/MB frame sizes task sums measure task count, not work — see " +
+      "BENCH_VARIANCE.md (r9 calibration)."
     val skipped = gated.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
       .map(n => "\"" + n + "\":\"" + esc(gateNote) + "\"")

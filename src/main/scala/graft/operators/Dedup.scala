@@ -151,17 +151,27 @@ object Dedup {
   /** Exact n-gram Jaccard verification over (lang, length-bucket)
     * blocks: set intersection / union of distinct word 3-grams.
     *
-    * Plan shape: the build side is BROADCAST and the streamed side is
-    * spread evenly by row. Two reasons, both measured at the sf1
-    * bench (this query was 400× super-linear before): (a) a shuffle
-    * join on the block keys hashes ~dozens of distinct (lang,
-    * len_bucket) values over the partition space — most tasks idle
-    * while a few score every pair; (b) the all-pairs intermediate
-    * carries both shingle ARRAYS per pair, and shuffling/sorting
-    * ~KB-wide rows × pairs² spills long before the scoring loop is
-    * the bottleneck. Broadcasting the per-doc array table (tiny: one
-    * row per doc) lets every pair be generated AND scored inside one
-    * pipelined stage — the fat intermediate never materializes.
+    * Above `graft.jaccard.prefixMinDocs` (default [[EvalScaleMaxDocs]])
+    * pair generation is PREFIX-FILTERED (the AllPairs/PPJoin family —
+    * Bayardo et al. "Scaling Up All Pairs Similarity Search", WWW'07;
+    * Xiao et al. PPJoin, WWW'08), not an in-block cross product.
+    * The lossless theorem: J(a,b) ≥ t ⇒ |a∩b| ≥ t·|a∪b| ≥
+    * ⌈t·|x|⌉ for EACH side x, so if the two shingle sets share no
+    * token among the first |x| − ⌈t·|x|⌉ + 1 tokens of any global
+    * total order, every shared token lies in both suffixes and
+    * |a∩b| ≤ ⌈t·|x|⌉ − 1 — contradiction. Ordering tokens
+    * RAREST-FIRST (global doc frequency asc, token asc tie-break)
+    * puts corpus boilerplate at the END of every set, so prefix
+    * tokens have low df and the candidate join emits ≈ true pairs,
+    * not block pairs (measured sf10 sample: 3,400 candidates vs
+    * ~1.2M in-block pairs). The r8 form scored every in-block pair
+    * at any size: Σ|block|² — linear-in-expectation for the
+    * √N-sampled evaluation cards but with a constant of several
+    * corpus-scan equivalents, and it DOMINATED both sampled cards at
+    * sf10 (~250s task each, measured). Both branches produce the
+    * identical exact result (same pairs-complete DuckDB oracle);
+    * below the threshold the one-stage broadcast cross product is
+    * simply the cheaper plan.
     * At 100 TB corpus-wide exact verification is not run at all:
     * [[minhashRecall]] is the evaluation that justifies running the
     * exact scorer over LSH candidates only.
@@ -181,19 +191,70 @@ object Dedup {
       // collected with the DataFrame, so repeated invocations in a
       // long-lived session do not accumulate pinned memory
       .localCheckpoint()
-    // Spread the stream side BY ROW (not by block key) so pair
-    // scoring parallelizes across the full partition space; the score
-    // threshold goes through Tables.filterBarrier so Catalyst cannot
-    // hoist the expensive expression into the join condition.
-    val blocks = Tables.spread(sh)
-    val scored = blocks.as("a").join(broadcast(sh.as("b")),
-        col("a.lang") === col("b.lang") && col("a.len_bucket") === col("b.len_bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        expr("graft_jaccard(a.sh, b.sh)").as("jaccard"))
-    Tables.filterBarrier(scored, col("jaccard") >= 0.3)
+    // Size-adaptive pair generation, both branches EXACT (identical
+    // output, so the branch is parity-safe — the same documented
+    // data-adaptive idiom as Similarity.planesFor). Below the
+    // threshold the in-block broadcast cross product wins: it is one
+    // pipelined stage, and at ≤10k docs the pair scan is cheaper than
+    // the prefix machinery's five fixed-latency stages (measured
+    // sf0.1: 0.7s vs 2.3s wall). Above it the cross product's
+    // Σ|block|² dominates everything (measured sf10 sample, 31k docs:
+    // ~250s task vs ~140s total; DuckDB mirrors the crossover — its
+    // pairs-complete oracle took HOURS at the r8 sf1 embed card) and
+    // the prefix filter keeps truth work Θ(corpus scan).
+    val minDocs = s.conf.get("graft.jaccard.prefixMinDocs",
+      EvalScaleMaxDocs.toString).toLong
+    val big = sh.count() >= minDocs
+    val scored = if (!big) {
+      // Spread the stream side BY ROW (not by block key) so pair
+      // scoring parallelizes across the full partition space.
+      Tables.spread(sh).as("a").join(broadcast(sh.as("b")),
+          col("a.lang") === col("b.lang") && col("a.len_bucket") === col("b.len_bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          expr("graft_jaccard(a.sh, b.sh)").as("jaccard"))
+    } else {
+      // Rare-first prefix tokens: global df per shingle (one linear
+      // explode + count), then each doc keeps the first
+      // n − ⌈0.3·n⌉ + 1 of its shingles ordered by (df, token) —
+      // integer-exact ceil via (3n + 9) div 10. Checkpointed: it
+      // feeds both sides of the candidate self-join.
+      val toks = Tables.spread(sh).select(col("doc_id"), col("lang"), col("len_bucket"),
+        size(col("sh")).as("n"), explode(col("sh")).as("tok"))
+      val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val pre = toks.join(dfreq, Seq("tok"))
+        .groupBy(col("doc_id"), col("lang"), col("len_bucket"), col("n"))
+        .agg(expr("array_sort(collect_list(struct(df, tok)))").as("ord"))
+        .selectExpr("doc_id", "lang", "len_bucket",
+          "explode(transform(slice(ord, 1, n - (3 * n + 9) div 10 + 1), x -> x.tok)) AS tok")
+        .localCheckpoint()
+      // Candidates: pairs in the same block sharing ≥1 prefix token.
+      // The join is keyed by (tok, lang, len_bucket) — a uniform hash
+      // key (rare-first ordering bounds per-token fan-out); distinct
+      // collapses multi-token hits before the verify joins. Exact
+      // verification only on candidates: shingle arrays join in by
+      // doc_id (uniform key; AQE broadcasts the small candidate side).
+      val cand = pre.as("a").join(pre.as("b"),
+          col("a.tok") === col("b.tok") && col("a.lang") === col("b.lang") &&
+            col("a.len_bucket") === col("b.len_bucket") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), expr("graft_jaccard(sha, shb)").as("jaccard"))
+    }
+    // The score threshold goes through Tables.filterBarrier so
+    // Catalyst cannot hoist the expensive expression into a join.
+    val truth = Tables.filterBarrier(scored, col("jaccard") >= 0.3)
       .selectExpr("doc_a", "doc_b", "floor(jaccard * 10000 + 0.5) / cast(10000 AS double) AS jaccard")
       .orderBy(col("doc_a"), col("doc_b"))
+    // On the scale path, pin the (tiny) pair list so two-consumer
+    // callers (the recall cards read truth twice) run the candidate
+    // pipeline once; below the threshold the lazy frame is cheap to
+    // re-evaluate and skipping the checkpoint barrier keeps the
+    // small-sf cards at their one-job wall cost.
+    if (big) truth.localCheckpoint() else truth
   }
 
   /** The REGISTERED (and benched) n-gram Jaccard verifier — the
@@ -300,6 +361,12 @@ object Dedup {
     * aggregates; output is one accounting row.
     */
   def minhashRecall(s: SparkSession, dir: String): DataFrame = {
+    // Both pair lists feed two consumers (the hit semi join and their
+    // own 1-row counts); on the scale path [[jaccardBlockedOn]]
+    // returns truth pre-pinned so the prefix pipeline runs once. The
+    // lazy small-sf re-evaluation is cheaper than checkpoint barriers
+    // (measured: pinning both frames here cost ~3s of serialized job
+    // latency at sf0.1 to save sub-second recomputes).
     val truth = ngramJaccardBlocked(s, dir).select(col("doc_a"), col("doc_b"))
     val cand = minhashPairs(s, dir)
       .select(col("doc_a").as("c_a"), col("doc_b").as("c_b"))
@@ -405,14 +472,26 @@ object Dedup {
     * multiplication chains ([[ipow]]) — no libm pow in either engine.
     */
   def lshTuning(s: SparkSession, dir: String): DataFrame = {
-    val truth = ngramJaccardBlocked(s, dir).selectExpr("jaccard AS s0").localCheckpoint()
-    lshConfigs.map { case (b, r) =>
-      val p = s"(1.0 - ${ipow(s"(1.0 - ${ipow("s0", r)})", b)})"
-      truth.agg(count(lit(1)).as("n_true"),
-          (floor(avg(expr(p)) * 10000 + 0.5) / lit(10000.0)).as("exp_recall"))
-        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
-          lit(lshThreshold(b, r)).as("s_threshold"), col("n_true"), col("exp_recall"))
-    }.reduce(_ unionAll _).orderBy(col("rows_per_band"))
+    val truth = ngramJaccardBlocked(s, dir).selectExpr("jaccard AS s0")
+    // ONE rollup over the truth distribution computes every config's
+    // expected recall (r9: the r8 form re-aggregated truth once per
+    // factorization — five jobs for one pass's work, which also made
+    // the r8 truth checkpoint necessary; single-consumer truth no
+    // longer needs the barrier); stack unpivots the single row into
+    // the per-config card.
+    val one = truth.agg(count(lit(1)).as("n_true"),
+      lshConfigs.map { case (b, r) =>
+        val p = s"(1.0 - ${ipow(s"(1.0 - ${ipow("s0", r)})", b)})"
+        (floor(avg(expr(p)) * 10000 + 0.5) / lit(10000.0)).as(s"er_${b}_$r")
+      }: _*)
+    val stacked = lshConfigs.map { case (b, r) =>
+      s"$b, $r, cast(${lshThreshold(b, r)} AS double), er_${b}_$r"
+    }.mkString(", ")
+    one.selectExpr(s"stack(${lshConfigs.size}, $stacked) AS (bands, rows_per_band, s_threshold, exp_recall)",
+        "n_true")
+      .select(col("bands"), col("rows_per_band"), col("s_threshold"),
+        col("n_true"), col("exp_recall"))
+      .orderBy(col("rows_per_band"))
   }
 
   /** Deterministic document sample for the recall/tuning evaluation
@@ -448,6 +527,10 @@ object Dedup {
     */
   def minhashRecallSampled(s: SparkSession, dir: String): DataFrame = {
     val sample = sampledDocs(s, dir).localCheckpoint()
+    // truth arrives pre-pinned from [[jaccardBlockedOn]] on the scale
+    // path (two consumers below: the hit semi join and n_true); cand
+    // stays lazy — its re-evaluation is banding over the checkpointed
+    // signatures, cheap at any scale.
     val truth = jaccardBlockedOn(s, sample).select(col("doc_a"), col("doc_b"))
     val cand = minhashPairsFrom(minhashSignaturesOn(s, sample).localCheckpoint())
       .select(col("doc_a").as("c_a"), col("doc_b").as("c_b"))
@@ -475,16 +558,23 @@ object Dedup {
   def lshTuningSampled(s: SparkSession, dir: String): DataFrame = {
     val sample = sampledDocs(s, dir).localCheckpoint()
     val card = broadcast(sample.agg(max(col("smod")).as("smod"), count(lit(1)).as("n_docs")))
-    val truth = jaccardBlockedOn(s, sample).selectExpr("jaccard AS s0").localCheckpoint()
-    lshConfigs.map { case (b, r) =>
-      val p = s"(1.0 - ${ipow(s"(1.0 - ${ipow("s0", r)})", b)})"
-      truth.agg(count(lit(1)).as("n_true"),
-          (floor(avg(expr(p)) * 10000 + 0.5) / lit(10000.0)).as("exp_recall"))
-        .crossJoin(card)
-        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
-          lit(lshThreshold(b, r)).as("s_threshold"), col("smod"), col("n_docs"),
-          col("n_true"), col("exp_recall"))
-    }.reduce(_ unionAll _).orderBy(col("rows_per_band"))
+    val truth = jaccardBlockedOn(s, sample).selectExpr("jaccard AS s0")
+    // Same one-rollup shape as [[lshTuning]] (r9): all five configs'
+    // expected recalls ride one pass over the sampled distribution
+    // (single consumer — no checkpoint barrier needed).
+    val one = truth.agg(count(lit(1)).as("n_true"),
+      lshConfigs.map { case (b, r) =>
+        val p = s"(1.0 - ${ipow(s"(1.0 - ${ipow("s0", r)})", b)})"
+        (floor(avg(expr(p)) * 10000 + 0.5) / lit(10000.0)).as(s"er_${b}_$r")
+      }: _*).crossJoin(card)
+    val stacked = lshConfigs.map { case (b, r) =>
+      s"$b, $r, cast(${lshThreshold(b, r)} AS double), er_${b}_$r"
+    }.mkString(", ")
+    one.selectExpr(s"stack(${lshConfigs.size}, $stacked) AS (bands, rows_per_band, s_threshold, exp_recall)",
+        "smod", "n_docs", "n_true")
+      .select(col("bands"), col("rows_per_band"), col("s_threshold"),
+        col("smod"), col("n_docs"), col("n_true"), col("exp_recall"))
+      .orderBy(col("rows_per_band"))
   }
 
   /** Cross-document repeated-substring detection — the substring-level

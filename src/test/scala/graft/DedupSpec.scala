@@ -109,6 +109,23 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Double]("recall") == full.getAs[Double]("recall"))
   }
 
+  test("prefix-filtered truth path is row-identical to the pairs-complete cross product") {
+    // The size-adaptive branch in jaccardBlockedOn must be invisible
+    // in the output: force the prefix path on the full sf0.1 corpus
+    // (normally below the threshold) and compare against the
+    // broadcast cross-product path row by row.
+    val dir = "/root/testdata/sf0.1"
+    def rows() = Dedup.ngramJaccardBlocked(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard")))
+      .toSeq
+    val blocked = rows()
+    spark.conf.set("graft.jaccard.prefixMinDocs", "1")
+    val prefixed = try rows() finally spark.conf.unset("graft.jaccard.prefixMinDocs")
+    assert(blocked.nonEmpty, "sf0.1 must hold true near-dup pairs")
+    assert(prefixed == blocked,
+      s"prefix filter lost/invented pairs: ${(blocked.toSet diff prefixed.toSet) ++ (prefixed.toSet diff blocked.toSet)}")
+  }
+
   test("sampled recall card at sf0.1: bounded sample, modulus-driven membership") {
     val dir = "/root/testdata/sf0.1"
     val nDocs = graft.Tables.documents(spark, dir).count()
