@@ -202,8 +202,17 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
       .map(n => "\"" + n + "\":\"" + esc(gateNote) + "\"")
       .mkString("{", ",", "}")
+    // Host-contention witness (r9): this box shares hardware with
+    // co-tenants whose load is invisible to guest CPU/steal counters
+    // but inflates real per-instruction cost 2-3x on CPU-saturating
+    // queries (BENCH_VARIANCE.md). loadavg at run end is the one
+    // guest-visible signal that correlates; recording it makes every
+    // artifact carry its own "was the host quiet" context.
+    val loadavg = scala.util.Try(
+      scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ").take(3).mkString(",")
+    ).getOrElse("")
     val detail =
-      s"""{"metric":"total","value":${fmt(total, 6)},"unit":"sec","queries":${qmap(6, _.median)},"cold":${qmap(6, _.cold)},"task":${qmap(6, _.task)},"cpu":${qmap(6, _.cpu)},"plans":$planMetrics,"errors":$errs,"skipped":$skipped,"notes":"${esc(notes)}","sf":"$sfDir","cpus":$cpus}"""
+      s"""{"metric":"total","value":${fmt(total, 6)},"unit":"sec","queries":${qmap(6, _.median)},"cold":${qmap(6, _.cold)},"task":${qmap(6, _.task)},"cpu":${qmap(6, _.cpu)},"plans":$planMetrics,"errors":$errs,"skipped":$skipped,"notes":"${esc(notes)}","sf":"$sfDir","cpus":$cpus,"loadavg":"$loadavg"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes("UTF-8"))
     spark.stop()
