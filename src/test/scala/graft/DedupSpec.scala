@@ -126,6 +126,21 @@ class DedupSpec extends SparkSpec {
       s"prefix filter lost/invented pairs: ${(blocked.toSet diff prefixed.toSet) ++ (prefixed.toSet diff blocked.toSet)}")
   }
 
+  test("prefix-filtered truth path plans with keyed joins only — no cartesian, no block cross product") {
+    spark.conf.set("graft.jaccard.prefixMinDocs", "1")
+    try {
+      val qe = Dedup.ngramJaccardBlocked(spark, sfDir).queryExecution
+      qe.toRdd.count()
+      val p = qe.executedPlan.toString.split("== Initial Plan ==").head
+      assert(!p.contains("CartesianProduct"), p)
+      // the pair generator must be an equi-join carrying the prefix
+      // token in its key, not a block-key-only join (which would be
+      // the cross product the prefix filter exists to avoid)
+      assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r.findFirstIn(p).nonEmpty, p)
+      assert(p.contains("tok"), "candidate join must be keyed by the prefix token:\n" + p)
+    } finally spark.conf.unset("graft.jaccard.prefixMinDocs")
+  }
+
   test("sampled recall card at sf0.1: bounded sample, modulus-driven membership") {
     val dir = "/root/testdata/sf0.1"
     val nDocs = graft.Tables.documents(spark, dir).count()
