@@ -58,6 +58,29 @@ try:
 except (OSError, json.JSONDecodeError) as e:
     print(f"{USAGE}\ncannot read artifacts: {e}")
     sys.exit(2)
+# --- host context (r10): artifacts carry per-query calibration-probe
+# window inflation ("infl") and probe samples ("cal"). Surface them
+# first so every number below is read against its host state, and a
+# contended run is identifiable from the guard output alone.
+ia, ib = a.get("infl", {}), b.get("infl", {})
+for label, art, infl in ((args[0], a, ia), (args[1], b, ib)):
+    cal = art.get("cal")
+    if cal:
+        print(f"host context {label}: med_infl {cal.get('med_infl')}x "
+              f"max_infl {cal.get('max_infl')}x over ref {cal.get('ref')}s, "
+              f"{len(cal.get('requeued', {}))} requeued, "
+              f"loadavg(end) {art.get('loadavg', '?')}")
+    elif infl:
+        vals = sorted(infl.values())
+        print(f"host context {label}: med_infl {vals[len(vals)//2]:.2f}x "
+              f"max_infl {vals[-1]:.2f}x")
+    else:
+        print(f"host context {label}: no calibration data (pre-r10 artifact)")
+
+def contended(q):
+    """True when either artifact measured q in a >2x-inflated window."""
+    return max(ia.get(q, 0), ib.get(q, 0)) > 2.0
+
 pa, pb = a.get("plans", {}), b.get("plans", {})
 common = sorted(set(pa) & set(pb))
 if not common:
@@ -88,15 +111,26 @@ if tcommon:
     med = ratios[len(ratios) // 2][0]
     print(f"task-time ratio ({args[1]} / {args[0]}): median {med:.2f}x "
           f"over {len(tcommon)} queries")
+    # A ratio measured in a contended window (either side) is host
+    # noise, not plan evidence: report it, but never fail the guard on
+    # it — the r9 driver dispute (10-34x task inflation on identical
+    # plans) is exactly the case this separates.
     for r, q in ratios[-8:][::-1]:
         flag = ""
         if max_ratio is not None and r > max_ratio and q not in allow:
-            ratio_bad.append(q)
-            flag = f"  EXCEEDS --max-task-ratio {max_ratio}"
+            if contended(q):
+                flag = "  contended-window (infl>2x) — not actionable"
+            else:
+                ratio_bad.append(q)
+                flag = f"  EXCEEDS --max-task-ratio {max_ratio}"
         print(f"  {q}: {r:.2f}x ({ta[q]:.2f}s -> {tb[q]:.2f}s task time){flag}")
     if max_ratio is not None:
         for r, q in ratios[:-8]:
             if r > max_ratio and q not in allow:
-                ratio_bad.append(q)
-                print(f"  {q}: {r:.2f}x EXCEEDS --max-task-ratio {max_ratio}")
+                if contended(q):
+                    print(f"  {q}: {r:.2f}x contended-window (infl>2x) — "
+                          "not actionable")
+                else:
+                    ratio_bad.append(q)
+                    print(f"  {q}: {r:.2f}x EXCEEDS --max-task-ratio {max_ratio}")
 sys.exit(1 if (bad or ratio_bad) else 0)

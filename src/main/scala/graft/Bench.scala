@@ -7,11 +7,53 @@ import org.apache.spark.sql.SparkSession
   * small and must not be wrapped/prefixed by sbt's logger — see
   * build.sbt `run / outputStrategy := StdoutOutput`). Full-precision
   * cold+warm per-query detail is written to bench_detail.json.
+  *
+  * Self-arbitration against co-tenant load (r10, VERDICT r9 #1): this
+  * host shares hardware with co-tenants whose load is invisible to
+  * guest CPU/steal counters but inflates real per-instruction cost
+  * (r9: the driver's official run read 4.3x the committed median on
+  * byte-identical plans, and even summed executor task time inflated
+  * 10-34x). Every artifact therefore carries its own host context:
+  *   - a fixed CPU+shuffle calibration probe (no IO, deterministic
+  *     plan) runs before the suite and after every [[CalEvery]]
+  *     queries; probe wall / [[CalQuietSec]] (the probe's median on a
+  *     measured-quiet host, loadavg < 0.5 — see BENCH_VARIANCE.md) is
+  *     the window's INFLATION FACTOR, recorded per query ("infl" map)
+  *     as max(bracketing probes)/ref;
+  *   - 1-min loadavg is sampled at every query start ("load" map) and
+  *     at every probe;
+  *   - queries whose window inflation exceeds [[RequeueAbove]] are
+  *     re-run once after the main pass (worst-first, capped at
+  *     SPARK_GRAFT_REQUEUE_MAX) with their own bracketing probes; the
+  *     result from the LOWER-inflation window is kept and the swap is
+  *     recorded ("cal".requeued).
+  * A contended run is thus mechanically identifiable from the
+  * artifact alone (med/max inflation in the compact line's "cal"
+  * entry), and scripts/plan_guard.py separates "plan got slower" from
+  * "host was busy" without external context.
   */
 object Bench {
+  /** Probe rows: sized so the probe runs ~0.5s on a quiet host —
+    * long enough that per-instruction throughput (the co-tenant
+    * signal) dominates the ~0.2s/task dispatch floor, short enough
+    * that 13 probes cost ~1% of a full 233-query run.
+    */
+  private val CalRows = 192000000L
+  /** Median probe wall on a measured-quiet host (loadavg 0.1, zero
+    * co-tenant graft processes; BENCH_VARIANCE.md r10 calibration).
+    * Override with SPARK_GRAFT_CAL_REF after any host migration.
+    */
+  private val CalQuietSec = 0.55
+  private val CalEvery = 20
+  private val RequeueAbove = 2.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val calRef = sys.env.get("SPARK_GRAFT_CAL_REF").flatMap(_.toDoubleOption)
+      .getOrElse(CalQuietSec)
+    val requeueMax = sys.env.get("SPARK_GRAFT_REQUEUE_MAX").flatMap(_.toIntOption)
+      .getOrElse(40)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,6 +71,37 @@ object Bench {
     // Absorb session/codegen/parquet-footer warmup so the first
     // measured query isn't charged for it.
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+
+    def loadavg1: String = scala.util.Try {
+      java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ").head
+    }.getOrElse("")
+
+    // The calibration probe: 192M xxhash64 evaluations across `cpus`
+    // tasks feeding a 997-key shuffle — CPU-bound like the
+    // document-scan family where contention shows first and largest,
+    // deterministic, zero IO. One warm run at JVM start absorbs its
+    // codegen cost so every measured probe is steady-state.
+    def calProbe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, CalRows, 1, cpus.toInt)
+        .selectExpr("xxhash64(id) AS h", "id % 997 AS k")
+        .groupBy("k").agg(org.apache.spark.sql.functions.expr("bit_xor(h)"))
+        .queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // Three unrecorded warmups: one run pays codegen, but C2
+    // compilation of the generated hash loop keeps ramping through
+    // run 2-3 (measured r10: probe 1 after a single warmup read
+    // 1.25s vs 0.58s steady-state on a quiet host).
+    (1 to 3).foreach(_ => calProbe())
+    // (boundary query index, probe seconds, 1-min loadavg at probe)
+    val calSamples = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, String)]
+    def probeAt(boundary: Int): Double = {
+      val s = calProbe()
+      calSamples += ((boundary, s, loadavg1))
+      s
+    }
 
     // Summed executor task time per query (r9): wall medians on this
     // host swing ±30% between identical-code runs (BENCH_VARIANCE.md);
@@ -71,31 +144,15 @@ object Bench {
 
     case class Res(name: String, cold: Either[String, Double],
                    median: Either[String, Double], plan: String,
-                   task: Either[String, Double], cpu: Either[String, Double])
+                   task: Either[String, Double], cpu: Either[String, Double],
+                   load: String, infl: Double)
     def med3(a: Double, b: Double, c: Double): Double = Seq(a, b, c).sorted.apply(1)
 
-    // Optional subset run (r9): SPARK_GRAFT_QUERIES=a,b,c benches only
-    // the named queries — the sf10 scale-risk suite uses this; the
-    // driver's full per-round run leaves it unset.
-    val only = sys.env.get("SPARK_GRAFT_QUERIES")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    // Evaluation-scale gate (r9, VERDICT r8 #2): the two
-    // pairs-complete truth cards are quadratic BY DESIGN (exhaustive
-    // ground truth for the sampled scale siblings). Above
-    // Dedup.EvalScaleMaxDocs they are skipped with a note instead of
-    // keeping a >8x-scaling tail alive in every at-scale suite; their
-    // sampled siblings stay in.
-    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
-    val evalOnly = Set("dedup_lsh_tuning", "dedup_minhash_recall")
-    val gated: Set[String] =
-      if (nDocs > operators.Dedup.EvalScaleMaxDocs) evalOnly else Set.empty
-    val gateNote = s"pairs-complete evaluation card gated above " +
-      s"${operators.Dedup.EvalScaleMaxDocs} docs (corpus has $nDocs); " +
-      "the sampled scale sibling is the registered 100 TB form"
-
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) && !gated(name) }
-      .map { case (name, fn) =>
+    // One full measurement of a query: cold + 2 warm, median. The
+    // window inflation is filled in by the caller (it needs the
+    // bracketing probe that runs AFTER this query's window closes).
+    def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Res = {
+      val startLoad = loadavg1
       // Each query runs three times; the reported number is the
       // MEDIAN. The first (cold) run pays one-off JIT/codegen cost
       // that amortizes to zero on a long-lived cluster, so the median
@@ -120,8 +177,74 @@ object Bench {
         c <- cold; w1 <- warms(0); w2 <- warms(1)
       } yield med3(f(c), f(w1), f(w2))
       Res(name, cold.map(_.wall), medOf(_.wall),
-        cold.map(_.plan).getOrElse(""), medOf(_.task), medOf(_.cpu))
+        cold.map(_.plan).getOrElse(""), medOf(_.task), medOf(_.cpu),
+        startLoad, 0.0)
     }
+
+    // Optional subset run (r9): SPARK_GRAFT_QUERIES=a,b,c benches only
+    // the named queries — the sf10 scale-risk suite uses this; the
+    // driver's full per-round run leaves it unset.
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Evaluation-scale gate (r9, VERDICT r8 #2): the two
+    // pairs-complete truth cards are quadratic BY DESIGN (exhaustive
+    // ground truth for the sampled scale siblings). Above
+    // Dedup.EvalScaleMaxDocs they are skipped with a note instead of
+    // keeping a >8x-scaling tail alive in every at-scale suite; their
+    // sampled siblings stay in.
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val evalOnly = Set("dedup_lsh_tuning", "dedup_minhash_recall")
+    val gated: Set[String] =
+      if (nDocs > operators.Dedup.EvalScaleMaxDocs) evalOnly else Set.empty
+    val gateNote = s"pairs-complete evaluation card gated above " +
+      s"${operators.Dedup.EvalScaleMaxDocs} docs (corpus has $nDocs); " +
+      "the sampled scale sibling is the registered 100 TB form"
+
+    val suite = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) && !gated(name) }
+
+    probeAt(0)
+    val firstPass = suite.zipWithIndex.map { case ((name, fn), i) =>
+      val r = measure(name, fn)
+      if ((i + 1) % CalEvery == 0 && i + 1 < suite.length) probeAt(i + 1)
+      (r, i)
+    }
+    probeAt(suite.length)
+
+    // Window inflation for query i: the worse of the probes bracketing
+    // its window, over the quiet-host reference. max (not mean) so a
+    // burst that started mid-window is charged to every query in it.
+    def windowInfl(i: Int): Double = {
+      val lo = calSamples.filter(_._1 <= i).map(_._2).lastOption.getOrElse(calRef)
+      val hi = calSamples.find(_._1 > i).map(_._2).getOrElse(lo)
+      math.max(lo, hi) / calRef
+    }
+    var results = firstPass.map { case (r, i) => r.copy(infl = windowInfl(i)) }
+
+    // Requeue pass: queries measured in a contended window get one
+    // retry, worst window first, each with its own bracketing probes;
+    // keep whichever measurement ran in the quieter window. If the
+    // host is STILL contended the retry window's factor says so and
+    // the original stands — either way the artifact records the truth.
+    val requeued = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, String)]
+    val toRetry = results.filter(r => r.infl > RequeueAbove && r.median.isRight)
+      .sortBy(-_.infl).take(requeueMax)
+    if (toRetry.nonEmpty) {
+      var boundary = suite.length
+      var before = probeAt({ boundary += 1; boundary })
+      val byName = suite.toMap
+      toRetry.foreach { old =>
+        val retry = measure(old.name, byName(old.name))
+        val after = probeAt({ boundary += 1; boundary })
+        val retryInfl = math.max(before, after) / calRef
+        val keepRetry = retry.median.isRight && retryInfl < old.infl
+        requeued(old.name) = (old.infl, retryInfl, if (keepRetry) "retry" else "first")
+        if (keepRetry)
+          results = results.map(r => if (r.name == old.name) retry.copy(infl = retryInfl) else r)
+        before = after
+      }
+    }
+
     // minimal-width rendering: 0.50 → "0.5", 1.00 → "1" (valid JSON,
     // saves ~1 char/query against the tail-window budget)
     def fmt(d: Double, dp: Int): String = {
@@ -134,7 +257,8 @@ object Bench {
     def qmap(dp: Int, pick: Res => Either[String, Double]): String =
       results.map { r => "\"" + r.name + "\":" + pick(r).fold(_ => "-1", fmt(_, dp)) }
         .mkString("{", ",", "}")
-    val errs = results.collect { case Res(k, _, Left(m), _, _, _) => "\"" + k + "\":\"" + esc(m) + "\"" }
+    val errs = results.collect { case r if r.median.isLeft =>
+      "\"" + r.name + "\":\"" + esc(r.median.left.getOrElse("")) + "\"" }
       .mkString("{", ",", "}")
     // An errored query must not silently improve the headline total.
     val anyErr = results.exists(_.median.isLeft)
@@ -146,8 +270,16 @@ object Bench {
     // string: 22 chars of headroom for future per-query entries.
     val sfPart = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir)
       .map(m => s""""sf":${m.group(1)}""").getOrElse(s""""sf":"$sfDir"""")
+    // Host-contention summary for the compact line: median and max
+    // per-query window inflation + requeue count. ~1 means a quiet
+    // run; readers of BENCH_r{N}.json no longer need external context
+    // to judge whether the total is contended.
+    val inflSorted = results.map(_.infl).sorted
+    val medInfl = if (inflSorted.isEmpty) 0.0 else inflSorted(inflSorted.length / 2)
+    val maxInfl = if (inflSorted.isEmpty) 0.0 else inflSorted.last
+    val calPart = s""""cal":{"ref":${fmt(calRef, 3)},"med":${fmt(medInfl, 2)},"max":${fmt(maxInfl, 2)},"req":${requeued.size}}"""
     def line(entries: Seq[String]): String =
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":${entries.mkString("{", ",", "}")}$errsPart,$sfPart}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":${entries.mkString("{", ",", "}")}$errsPart,$calPart,$sfPart}"""
     // The full per-query map no longer fits the ~1925 chars the tail
     // window leaves after sbt's trailing [success] line. Headline
     // policy: slowest-first at 2dp, as many as fit, the remainder
@@ -197,22 +329,35 @@ object Bench {
       "cross-round and cross-scale comparator (plan_guard.py reads them). " +
       "Caveat: each task carries a ~0.2s runtime floor on this host, so " +
       "at KB/MB frame sizes task sums measure task count, not work — see " +
-      "BENCH_VARIANCE.md (r9 calibration)."
+      "BENCH_VARIANCE.md (r9 calibration). 'infl' (r10) is the per-query " +
+      "window inflation factor: max(bracketing calibration probes)/ref, " +
+      "ref = probe median on a measured-quiet host; 'load' is 1-min " +
+      "loadavg at query start; 'cal' carries every probe sample and the " +
+      "requeue log. infl~1 = quiet window; infl>2 = contended, and the " +
+      "query was auto-requeued (worst-first, capped)."
     val skipped = gated.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
       .map(n => "\"" + n + "\":\"" + esc(gateNote) + "\"")
       .mkString("{", ",", "}")
-    // Host-contention witness (r9): this box shares hardware with
-    // co-tenants whose load is invisible to guest CPU/steal counters
-    // but inflates real per-instruction cost 2-3x on CPU-saturating
-    // queries (BENCH_VARIANCE.md). loadavg at run end is the one
-    // guest-visible signal that correlates; recording it makes every
-    // artifact carry its own "was the host quiet" context.
-    val loadavg = scala.util.Try(
-      scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ").take(3).mkString(",")
+    val loadMap = results.map { r =>
+      "\"" + r.name + "\":" + (if (r.load.isEmpty) "null" else r.load)
+    }.mkString("{", ",", "}")
+    val inflMap = results.map(r => "\"" + r.name + "\":" + fmt(r.infl, 2))
+      .mkString("{", ",", "}")
+    val probesJson = calSamples.map { case (b, s, l) =>
+      s"""[$b,${fmt(s, 3)},${if (l.isEmpty) "null" else l}]"""
+    }.mkString("[", ",", "]")
+    val requeuedJson = requeued.map { case (n, (b, a, kept)) =>
+      s""""$n":{"infl_first":${fmt(b, 2)},"infl_retry":${fmt(a, 2)},"kept":"$kept"}"""
+    }.mkString("{", ",", "}")
+    val calDetail =
+      s"""{"ref":${fmt(calRef, 3)},"rows":$CalRows,"every":$CalEvery,"med_infl":${fmt(medInfl, 2)},"max_infl":${fmt(maxInfl, 2)},"probes":$probesJson,"requeued":$requeuedJson}"""
+    val loadavgEnd = scala.util.Try(
+      java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ").take(3).mkString(",")
     ).getOrElse("")
     val detail =
-      s"""{"metric":"total","value":${fmt(total, 6)},"unit":"sec","queries":${qmap(6, _.median)},"cold":${qmap(6, _.cold)},"task":${qmap(6, _.task)},"cpu":${qmap(6, _.cpu)},"plans":$planMetrics,"errors":$errs,"skipped":$skipped,"notes":"${esc(notes)}","sf":"$sfDir","cpus":$cpus,"loadavg":"$loadavg"}"""
+      s"""{"metric":"total","value":${fmt(total, 6)},"unit":"sec","queries":${qmap(6, _.median)},"cold":${qmap(6, _.cold)},"task":${qmap(6, _.task)},"cpu":${qmap(6, _.cpu)},"plans":$planMetrics,"infl":$inflMap,"load":$loadMap,"cal":$calDetail,"errors":$errs,"skipped":$skipped,"notes":"${esc(notes)}","sf":"$sfDir","cpus":$cpus,"loadavg":"$loadavgEnd"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes("UTF-8"))
     spark.stop()
