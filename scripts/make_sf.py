@@ -143,6 +143,30 @@ def _rotate_flip_vectors(table, colname, shift, signs):
     return table.set_column(idx, colname, pa.chunked_array(out_chunks))
 
 
+def _shift_props_k(table, colname, i):
+    """events.props is '{"k": N}' and N's residues (mod 2..23) drive
+    the synthetic schema field model (Compat.fieldArrays): verbatim
+    replicas give copy i's subject u+i*stride the IDENTICAL k sequence
+    as copy 0's subject u, so every latest-field-set signature class
+    (reg_similar identity classes, compat verdict streams) merges
+    across copies and pair outputs grow with copies^2 — an adversarial
+    workload, not plan scaling (r9 verdict #5; the stated "JSON key
+    rewrite" would null the model out instead, since consumers parse
+    $.k). The fix is a per-copy VALUE bijection k -> k + i: within-copy
+    structure is exactly preserved (bijection), while copies i and j
+    differ in every residue class unless i ≡ j (mod lcm(2..23) =
+    53820 >> any copy count). Copy 0 stays bit-identical to sf0.1."""
+    col = table.column(colname)
+    pat = r'^\{"k": (\d+)\}$'
+    assert pc.all(pc.match_substring_regex(col, pat)).as_py(), \
+        "events.props no longer matches '{\"k\": N}' — update _shift_props_k"
+    k = pc.cast(pc.replace_substring_regex(col, pat, r"\1"), pa.int64())
+    new = pc.binary_join_element_wise(
+        pa.scalar('{"k": '), pc.cast(pc.add(k, i), pa.string()), pa.scalar("}"), "")
+    idx = table.column_names.index(colname)
+    return table.set_column(idx, colname, new)
+
+
 def perturbed(table, name, i):
     if i == 0:
         return table
@@ -151,6 +175,8 @@ def perturbed(table, name, i):
     if name == "embeddings":
         return _rotate_flip_vectors(table, "embedding",
                                     (i * 13) % 64, _signs(i, 64))
+    if name == "events":
+        return _shift_props_k(table, "props", i)
     return table
 
 

@@ -567,19 +567,24 @@ object Analytics {
       .limit(10)
   }
 
-  /** Per-nation balance quartiles via ntile — the bucketed-ranking
-    * window shape (equi-depth histograms, percentile bands). The
-    * window partitions by nation so no task ever sorts more than one
-    * nation's customers; ties break on the key so bucket assignment
-    * is deterministic in both engines. Output is the quartile
-    * summary (nation × 4 rows).
+  /** Per-nation balance quartiles — the bucketed-ranking window shape
+    * (equi-depth histograms, percentile bands). Ties break on the key
+    * so bucket assignment is deterministic in both engines. Output is
+    * the quartile summary (nation × 4 rows).
+    *
+    * Scale (r10): 25 nations over all customers is the same
+    * corpus-sized-window-partition class as corpus_ppl_buckets, so
+    * the quartile assignment rides [[ScaleNtile.bucketed]] — exact
+    * rank-ntile while a nation's customers fit one sort task (the
+    * oracle-parity branch), per-nation approx_percentile cutpoints
+    * above. Branch choice runs one count job at construction.
     */
   def ntileBalance(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("c_nationkey"))
-      .orderBy(col("c_acctbal"), col("c_custkey"))
-    Tables.customer(s, dir)
-      .withColumn("quartile", ntile(4).over(w))
+    ScaleNtile.bucketed(Tables.customer(s, dir),
+        partCol = "c_nationkey", orderCol = "c_acctbal",
+        tieCol = "c_custkey", buckets = 4, desc = false,
+        decisionCounts = Tables.customer(s, dir).select(col("c_nationkey")))
+      .withColumnRenamed("bucket_id", "quartile")
       .groupBy(col("c_nationkey"), col("quartile"))
       .agg(count(lit(1)).as("n_cust"),
         round(min(col("c_acctbal")), 4).as("lo_bal"),

@@ -129,10 +129,62 @@ object Audit {
       .orderBy(col("user_id"))
 
   /** Session reconstruction: a new session starts after a >30min gap
-    * (audit trail analysis). Two per-user windows: lag to flag
-    * session starts, running sum to number them.
+    * (audit trail analysis).
+    *
+    * Scale (r10, VERDICT r9 #3): the session chain is inherently
+    * sequential per principal (each row's session id depends on every
+    * earlier gap), so a plain per-user window puts a 50%-hot
+    * principal's whole history in ONE task. The registered plan is
+    * therefore SEGMENTED — the t_resample_spans day-boundary-handoff
+    * treatment:
+    *   1. per-(user, day) gap windows flag session starts (the day's
+    *      first event always flags — its true predecessor lives in
+    *      the previous segment);
+    *   2. a per-(user, day) rollup keeps (starts, first_ts, last_ts,
+    *      events) — one row per observed day;
+    *   3. a per-user day-level lag stitches across midnight: a day
+    *      whose first event is ≤30min after the previous observed
+    *      day's last event had its first "start" counted spuriously
+    *      in step 1, so one merge is subtracted.
+    * No task ever holds more than one (principal, day) of events, and
+    * the stitch window holds observed DAYS per principal —
+    * calendar-bounded, never corpus-bounded. Output is row-identical
+    * to the span-wide single-window form ([[sessionizeSpanWide]];
+    * step 1+3 together flag exactly the rows whose true predecessor
+    * gap exceeds 30min) — SkewSpec pins the equality on skewed data
+    * and a cross-midnight case.
     */
   def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUserDay = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+    val daily = Tables.events(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUserDay))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1).otherwise(0))
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(col("new_session")).as("n_starts"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"),
+        count(lit(1)).as("n_events"))
+    val byUserByDay = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    daily
+      .withColumn("prev_last", lag(col("last_ts"), 1).over(byUserByDay))
+      .withColumn("merged",
+        when(col("prev_last").isNotNull &&
+          col("first_ts").cast("long") - col("prev_last").cast("long") <= 1800, 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg((sum(col("n_starts")) - sum(col("merged"))).as("n_sessions"),
+        sum(col("n_events")).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** The pre-r10 span-wide formulation (one per-user window over the
+    * principal's entire history): kept as the equivalence witness the
+    * segmented plan is spec-checked against, not registered.
+    */
+  private[graft] def sessionizeSpanWide(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     Tables.events(s, dir)
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))

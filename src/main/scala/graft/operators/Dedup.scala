@@ -35,6 +35,27 @@ object Dedup {
     */
   val EvalScaleMaxDocs = 10000L
 
+  /** The n-gram Jaccard near-dup threshold t = [[JaccardNum]] /
+    * [[JaccardDen]] — ONE constant feeding every coupled site (r10
+    * advice): the Spark-side score filters ([[JaccardThreshold]]),
+    * the DuckDB oracle literals ([[JaccardLit]]), and the
+    * AllPairs/PPJoin prefix length n − ⌈t·n⌉ + 1 whose integer-exact
+    * ceil is ([[JaccardNum]]·n + [[JaccardDen]] − 1) div
+    * [[JaccardDen]] ([[jaccardPrefixLenSql]]). Changing the
+    * threshold in one place but not the prefix formula would
+    * silently drop true pairs on the scale path only — deriving all
+    * three from the fraction makes that impossible.
+    */
+  private[graft] val JaccardNum = 3
+  private[graft] val JaccardDen = 10
+  private[graft] val JaccardThreshold: Double = JaccardNum.toDouble / JaccardDen
+  private[graft] val JaccardLit: String = JaccardThreshold.toString
+  /** Prefix length (AllPairs/PPJoin) over a shingle count column `n`,
+    * as a Spark SQL fragment: n − ⌈t·n⌉ + 1 with exact integer ceil.
+    */
+  private[graft] def jaccardPrefixLenSql(n: String): String =
+    s"$n - ($JaccardNum * $n + ${JaccardDen - 1}) div $JaccardDen + 1"
+
   /** Exact dedup: canonical row per content hash + keep/drop flag.
     * One groupBy on the uniform md5 key — skew-free by construction.
     */
@@ -175,11 +196,30 @@ object Dedup {
     * At 100 TB corpus-wide exact verification is not run at all:
     * [[minhashRecall]] is the evaluation that justifies running the
     * exact scorer over LSH candidates only.
+    *
+    * CONSTRUCTION IS EAGER (r10 advice): picking the branch runs one
+    * count job, and the big branch localCheckpoints the prefix frame
+    * and the (tiny) truth list — so merely CONSTRUCTING this frame
+    * (plan inspection, a gated consumer) executes cluster jobs.
+    * That is the deliberate trade for the two-consumer recall cards
+    * running the candidate pipeline once; callers that only want the
+    * plan shape should construct at evaluation scale.
     */
   def ngramJaccardBlocked(s: SparkSession, dir: String): DataFrame =
     jaccardBlockedOn(s, Tables.documents(s, dir))
 
-  private def jaccardBlockedOn(s: SparkSession, docs: DataFrame): DataFrame = {
+  /** Plan-inspection face of [[ngramJaccardBlocked]] (spec-only): the
+    * same truth frame WITHOUT the scale-path checkpoint pin — the pin
+    * replaces the executed plan with an ExistingRDD scan, which is
+    * right for the two-consumer recall cards but hides the candidate
+    * join tree from plan assertions (r10: DedupSpec's keyed-join check
+    * was reading the post-checkpoint scan and failing).
+    */
+  private[graft] def ngramJaccardBlockedUnpinned(s: SparkSession, dir: String): DataFrame =
+    jaccardBlockedOn(s, Tables.documents(s, dir), pin = false)
+
+  private def jaccardBlockedOn(s: SparkSession, docs: DataFrame,
+                               pin: Boolean = true): DataFrame = {
     graft.functions.Native.register(s)
     val sh = docs
       .selectExpr("doc_id", "lang", "n_chars div 50 AS len_bucket", "split(text, ' ') AS ts")
@@ -226,7 +266,7 @@ object Dedup {
         .groupBy(col("doc_id"), col("lang"), col("len_bucket"), col("n"))
         .agg(expr("array_sort(collect_list(struct(df, tok)))").as("ord"))
         .selectExpr("doc_id", "lang", "len_bucket",
-          "explode(transform(slice(ord, 1, n - (3 * n + 9) div 10 + 1), x -> x.tok)) AS tok")
+          s"explode(transform(slice(ord, 1, ${jaccardPrefixLenSql("n")}), x -> x.tok)) AS tok")
         .localCheckpoint()
       // Candidates: pairs in the same block sharing ≥1 prefix token.
       // The join is keyed by (tok, lang, len_bucket) — a uniform hash
@@ -246,7 +286,7 @@ object Dedup {
     }
     // The score threshold goes through Tables.filterBarrier so
     // Catalyst cannot hoist the expensive expression into a join.
-    val truth = Tables.filterBarrier(scored, col("jaccard") >= 0.3)
+    val truth = Tables.filterBarrier(scored, col("jaccard") >= JaccardThreshold)
       .selectExpr("doc_a", "doc_b", "floor(jaccard * 10000 + 0.5) / cast(10000 AS double) AS jaccard")
       .orderBy(col("doc_a"), col("doc_b"))
     // On the scale path, pin the (tiny) pair list so two-consumer
@@ -254,7 +294,7 @@ object Dedup {
     // pipeline once; below the threshold the lazy frame is cheap to
     // re-evaluate and skipping the checkpoint barrier keeps the
     // small-sf cards at their one-job wall cost.
-    if (big) truth.localCheckpoint() else truth
+    if (big && pin) truth.localCheckpoint() else truth
   }
 
   /** The REGISTERED (and benched) n-gram Jaccard verifier — the
@@ -285,7 +325,7 @@ object Dedup {
       .join(sh.selectExpr("doc_id AS doc_a", "sh AS sha"), "doc_a")
       .join(sh.selectExpr("doc_id AS doc_b", "sh AS shb"), "doc_b")
       .selectExpr("doc_a", "doc_b", "graft_jaccard(sha, shb) AS jaccard")
-    Tables.filterBarrier(scored, col("jaccard") >= 0.3)
+    Tables.filterBarrier(scored, col("jaccard") >= JaccardThreshold)
       .selectExpr("doc_a", "doc_b", "floor(jaccard * 10000 + 0.5) / cast(10000 AS double) AS jaccard")
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -827,7 +867,7 @@ object Dedup {
        |           / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS jr
        |    FROM ngt a JOIN ngt b
        |      ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id) x
-       |  WHERE jr >= 0.3)""".stripMargin
+       |  WHERE jr >= $JaccardLit)""".stripMargin
 
   // The deterministic sample the 100 TB evaluation cards run on —
   // the SQL twin of [[sampledDocs]].
@@ -881,7 +921,7 @@ object Dedup {
         |  FROM ngt a JOIN ngt b
         |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
         |  WHERE len(list_intersect(a.g, b.g))
-        |        / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.3),
+        |        / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= $JaccardLit),
         |hits AS (SELECT * FROM truth WHERE (doc_a, doc_b) IN (SELECT (doc_a, doc_b) FROM pairs))
         |SELECT (SELECT smod FROM params) AS smod,
         |  (SELECT count(*) FROM sdocs) AS n_docs,
@@ -1005,7 +1045,7 @@ object Dedup {
         |  FROM ngt a JOIN ngt b
         |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
         |  WHERE len(list_intersect(a.g, b.g))
-        |        / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.3),
+        |        / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= $JaccardLit),
         |hits AS (SELECT * FROM truth WHERE (doc_a, doc_b) IN (SELECT (doc_a, doc_b) FROM pairs))
         |SELECT (SELECT count(*) FROM truth) AS n_true,
         |  (SELECT count(*) FROM pairs) AS n_candidates,
@@ -1064,7 +1104,7 @@ object Dedup {
         |  SELECT c.doc_a, c.doc_b,
         |    len(list_intersect(a.sh, b.sh)) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
         |  FROM cand c JOIN shd a ON c.doc_a = a.doc_id JOIN shd b ON c.doc_b = b.doc_id) t
-        |WHERE jaccard >= 0.3
+        |WHERE jaccard >= $JaccardLit
         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_embed_cosine" ->
       """WITH e AS (

@@ -166,9 +166,19 @@ object Similarity {
     * k-NN graph build provably hash with the same corpus-size-adaptive
     * hyperplane family.
     */
-  private[operators] def adaptiveBuckets(e: DataFrame): DataFrame = {
+  private[operators] def adaptiveBuckets(e: DataFrame): DataFrame =
+    bucketsNp(e, "count(1)")
+
+  /** [[adaptiveBuckets]] with the occupancy target applied to an
+    * arbitrary aggregate of the corpus count (`nExpr` over the input
+    * frame). [[ivfTopK]] buckets VECTORS at the plane count sized for
+    * its CENTROID population (nExpr = count/stride) so each bucket
+    * holds ~[[TargetBucket]] centroids — same hyperplane family, same
+    * broadcast-1-row-params idiom, different cell-count driver.
+    */
+  private def bucketsNp(e: DataFrame, nExpr: String): DataFrame = {
     val params = broadcast(e.agg(
-      expr(s"least($MaxPlanesPerTable, greatest(4, length(bin((count(1) + ${TargetBucket - 1}) div $TargetBucket - 1)))) AS np")))
+      expr(s"least($MaxPlanesPerTable, greatest(4, length(bin((($nExpr) + ${TargetBucket - 1}) div $TargetBucket - 1)))) AS np")))
     e.crossJoin(params)
       .selectExpr("vec_id", "e",
         s"""transform(sequence(0, ${NTables - 1}), t ->
@@ -299,32 +309,80 @@ object Similarity {
       .orderBy(col("stage"))
   }
 
-  /** IVF-style ANN: a coarse quantizer (per-label mean vectors — the
-    * "trained" centroids) routes each probe to its nearest centroid;
-    * only that inverted list is scanned with exact cosine. At scale
-    * the centroid table stays broadcast-sized while the corpus is
-    * partitioned by list id — each query touches 1/nlist of the data.
+  /** Stride between IVF centroid seeds: every [[IvfListOcc]]-th
+    * vec_id is a centroid, so nlist = ceil(n/64) grows WITH the
+    * corpus and expected list occupancy stays ~64 at any scale — no
+    * count job needed to size the quantizer.
+    */
+  private[graft] val IvfListOcc = 64
+
+  /** IVF ANN (r10, VERDICT r9 #4): corpus-size-adaptive inverted
+    * lists. The pre-r10 quantizer was the 10-value `label` column, so
+    * "one inverted list" was N/10 vectors — a constant-factor saving,
+    * not a scale path. Now:
+    *
+    *   - centroids = deterministic stride sample (vec_id % 64 == 0):
+    *     nlist ∝ N, so per-list occupancy is a CONSTANT ~64;
+    *   - routing a vector to its nearest centroid never scans all
+    *     nlist ∝ N centroids (that would re-linearize the probe):
+    *     candidate centroids are those sharing an SRP bucket with the
+    *     vector in either hash table — the [[adaptiveBuckets]] family
+    *     with the plane count sized for the CENTROID population
+    *     ([[bucketsNp]], cells = nlist/16), so ~16·tables candidate
+    *     centroids per vector — PLUS the vector's own stride-block
+    *     leader ((vec_id div 64)·64, always a centroid under dense
+    *     ids), which guarantees every vector an assignment even when
+    *     its SRP bucket holds no centroid;
+    *   - every corpus vector is assigned ONCE (linear build: ~32
+    *     candidate-centroid cosines per vector, one (t, bucket)
+    *     shuffle); probes (a bounded broadcast set) reuse their own
+    *     assignment and scan only their list's ~64 members.
+    *
+    * Per-probe work is therefore ~constant at any corpus size — the
+    * same bound as [[lshTopK]], reached through centroid routing
+    * instead of direct bucket membership (the structural IVF
+    * difference: lists are nearest-centroid Voronoi cells, the recall
+    * knob is nprobe/stride, and the assignment is reusable downstream
+    * as a coarse quantizer for IVF-PQ). DuckDB oracle mirrors the
+    * full route (same hyperplane family, same integer plane-count
+    * formula as a scalar subquery). Reference: the flat per-label
+    * scan this replaces mirrored mcp/tools_intelligence.go's
+    * label-grouped search; FAISS-style IVF is the published design
+    * (Johnson et al. 2017, public).
     */
   def ivfTopK(s: SparkSession, dir: String): DataFrame = {
     graft.functions.Native.register(s)
-    val e = Tables.embeddings(s, dir)
-      .selectExpr("vec_id", "label", "cast(embedding AS array<double>) AS e")
-    val centroids = broadcast(
-      e.selectExpr("label", "posexplode(e) AS (pos, v)")
-        .groupBy(col("label"), col("pos")).agg(avg(col("v")).as("cv"))
-        .groupBy(col("label"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)").as("ce"))
-        .selectExpr("label AS c_label", "ce"))
-    val probes = e.where("vec_id < 10").selectExpr("vec_id AS probe_id", "e AS pe")
-    val wAssign = Window.partitionBy(col("probe_id"))
-      .orderBy(col("c_cos").desc, col("c_label"))
-    val assigned = broadcast(probes.join(centroids)
-      .selectExpr("probe_id", "pe", "c_label", "graft_cosine(pe, ce) AS c_cos")
+    val e0 = Tables.embeddings(s, dir)
+      .selectExpr("vec_id", "cast(embedding AS array<double>) AS e")
+    // lazy localCheckpoint: buckets + vectors feed assignment, probe
+    // and member sides; blocks reclaimed when the frame drops
+    val b = bucketsNp(e0, s"(count(1) + ${IvfListOcc - 1}) div $IvfListOcc")
+      .localCheckpoint(false)
+    val tbl = b.selectExpr("vec_id", s"explode(sequence(0, ${NTables - 1})) AS t", "buckets")
+      .selectExpr("vec_id", "t", "element_at(buckets, t + 1) AS bucket")
+    val ctbl = tbl.where(s"vec_id % $IvfListOcc = 0")
+      .selectExpr("vec_id AS c_id", "t", "bucket")
+    val leaders = b.selectExpr("vec_id", s"(vec_id div $IvfListOcc) * $IvfListOcc AS c_id")
+    val cand = tbl.join(ctbl, Seq("t", "bucket"))
+      .select(col("vec_id"), col("c_id"))
+      .unionByName(leaders)
+      .distinct()
+    val vecs = b.selectExpr("vec_id", "e")
+    val cvecs = vecs.where(s"vec_id % $IvfListOcc = 0")
+      .selectExpr("vec_id AS c_id", "e AS ce")
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
+    val assign = cand.join(vecs, "vec_id").join(cvecs, "c_id")
+      .selectExpr("vec_id", "c_id", "graft_cosine(e, ce) AS c_cos")
       .withColumn("arnk", row_number().over(wAssign))
       .where(col("arnk") === 1)
-      .select(col("probe_id"), col("pe"), col("c_label").as("target_label")))
+      .select(col("vec_id"), col("c_id").as("list_id"))
+    val probes = broadcast(assign.where("vec_id < 10")
+      .join(vecs, "vec_id")
+      .selectExpr("vec_id AS probe_id", "list_id", "e AS pe"))
     val wTop = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
-    assigned.join(e, col("target_label") === col("label") && col("probe_id") =!= col("vec_id"))
+    probes.join(assign, Seq("list_id"))
+      .where(col("probe_id") =!= col("vec_id"))
+      .join(vecs, "vec_id")
       .selectExpr("probe_id", "vec_id", "graft_cosine(pe, e) AS cos")
       .withColumn("rnk", row_number().over(wTop))
       .where(col("rnk") <= K)
@@ -809,30 +867,51 @@ object Similarity {
           |  floor(scale * 1e6 + 0.5) / 1e6 AS scale,
           |  floor(avg(abs(lo + qv * scale - v)) * 1e6 + 0.5) / 1e6 AS mae
           |FROM q GROUP BY dim, lo, hi, scale ORDER BY dim""".stripMargin,
+      // Mirrors the r10 adaptive route exactly: same hyperplane family
+      // (wbig), plane count sized for the CENTROID population
+      // (cells = ceil(n/64)/16 via the shared integer formula),
+      // candidate centroids = SRP-bucket mates ∪ the stride-block
+      // leader, nearest-by-cosine assignment, probe scans its list.
       "ann_ivf_topk" ->
-        """WITH e AS (
-          |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
-          |dims AS (SELECT unnest(range(1, 65)) AS pos),
-          |cent AS (
-          |  SELECT label, list(cv ORDER BY pos) AS ce FROM (
-          |    SELECT e.label, d.pos, avg(e.e[d.pos]) AS cv
-          |    FROM e, dims d GROUP BY e.label, d.pos) t
-          |  GROUP BY label),
-          |probes AS (SELECT vec_id AS probe_id, e AS pe FROM e WHERE vec_id < 10),
+        s"""WITH wbig AS (
+          |  SELECT p, d,
+          |    CASE WHEN (strpos('0123456789abcdef', substr(md5(p::varchar || ':' || d::varchar), 1, 1)) - 1) & 1 = 1
+          |         THEN 1 ELSE -1 END AS wt
+          |  FROM (SELECT unnest(range(0, ${NTables * MaxPlanesPerTable})) AS p), (SELECT unnest(range(0, $Dims)) AS d)),
+          |e AS (
+          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+          |params AS (
+          |  SELECT least($MaxPlanesPerTable, greatest(4, length(bin(((count(*) + ${IvfListOcc - 1}) // $IvfListOcc + ${TargetBucket - 1}) // $TargetBucket - 1)))) AS np FROM e),
+          |n AS (SELECT vec_id, e, sqrt(list_sum([x * x for x in e])) AS nrm FROM e),
+          |planedots AS (
+          |  SELECT n.vec_id, w.p, sum(w.wt * n.e[w.d + 1]) AS dot
+          |  FROM n, wbig w WHERE w.p % $MaxPlanesPerTable < (SELECT np FROM params)
+          |  GROUP BY n.vec_id, w.p),
+          |buckets AS (
+          |  SELECT vec_id, p // $MaxPlanesPerTable AS t,
+          |    sum(CASE WHEN dot >= 0 THEN 1::BIGINT << (p % $MaxPlanesPerTable) ELSE 0::BIGINT END) AS bucket
+          |  FROM planedots GROUP BY vec_id, p // $MaxPlanesPerTable),
+          |cand AS (
+          |  SELECT vb.vec_id, cb.vec_id AS c_id
+          |  FROM buckets vb JOIN buckets cb ON vb.t = cb.t AND vb.bucket = cb.bucket
+          |  WHERE cb.vec_id % $IvfListOcc = 0
+          |  UNION
+          |  SELECT v.vec_id, c.vec_id AS c_id
+          |  FROM e v JOIN e c ON c.vec_id = (v.vec_id // $IvfListOcc) * $IvfListOcc),
           |assign AS (
-          |  SELECT probe_id, pe, label AS target_label FROM (
-          |    SELECT p.probe_id, p.pe, c.label,
-          |      row_number() OVER (PARTITION BY p.probe_id ORDER BY
-          |        (list_sum([p.pe[i] * c.ce[i] for i in range(1, 65)]) /
-          |         (sqrt(list_sum([x * x for x in p.pe])) * sqrt(list_sum([x * x for x in c.ce])))) DESC,
-          |        c.label) AS arnk
-          |    FROM probes p, cent c) t
+          |  SELECT vec_id, c_id AS list_id FROM (
+          |    SELECT cand.vec_id, cand.c_id,
+          |      row_number() OVER (PARTITION BY cand.vec_id ORDER BY
+          |        (list_sum([v.e[i] * c.e[i] for i in range(1, $Dims + 1)]) / (v.nrm * c.nrm)) DESC,
+          |        cand.c_id) AS arnk
+          |    FROM cand JOIN n v ON cand.vec_id = v.vec_id JOIN n c ON cand.c_id = c.vec_id) t
           |  WHERE arnk = 1),
           |sc AS (
-          |  SELECT a.probe_id, v.vec_id,
-          |    list_sum([a.pe[i] * v.e[i] for i in range(1, 65)]) /
-          |    (sqrt(list_sum([x * x for x in a.pe])) * sqrt(list_sum([x * x for x in v.e]))) AS cos
-          |  FROM assign a JOIN e v ON a.target_label = v.label AND a.probe_id <> v.vec_id)
+          |  SELECT p.vec_id AS probe_id, m.vec_id,
+          |    list_sum([pv.e[i] * mv.e[i] for i in range(1, $Dims + 1)]) / (pv.nrm * mv.nrm) AS cos
+          |  FROM assign p JOIN assign m ON p.list_id = m.list_id AND m.vec_id <> p.vec_id
+          |  JOIN n pv ON pv.vec_id = p.vec_id JOIN n mv ON mv.vec_id = m.vec_id
+          |  WHERE p.vec_id < 10)
           |SELECT probe_id, vec_id, round(cos, 4) AS cos, rnk FROM (
           |  SELECT probe_id, vec_id, cos,
           |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk

@@ -160,7 +160,7 @@ object TextAnalysis {
     * (lexicographically smallest among equally-frequent grams)
     * exactly.
     */
-  private def runLen(arr: String): String =
+  private[operators] def runLen(arr: String): String =
     s"""aggregate(array_sort($arr),
        |  named_struct('prev', cast(null as string), 'cur', 0, 'best', 0,
        |               'bw', cast(null as string), 'runs', 0),

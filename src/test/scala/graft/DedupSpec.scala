@@ -129,7 +129,9 @@ class DedupSpec extends SparkSpec {
   test("prefix-filtered truth path plans with keyed joins only — no cartesian, no block cross product") {
     spark.conf.set("graft.jaccard.prefixMinDocs", "1")
     try {
-      val qe = Dedup.ngramJaccardBlocked(spark, sfDir).queryExecution
+      // unpinned probe: the registered form localCheckpoints the big
+      // path, which swaps the executed plan for an ExistingRDD scan
+      val qe = Dedup.ngramJaccardBlockedUnpinned(spark, sfDir).queryExecution
       qe.toRdd.count()
       val p = qe.executedPlan.toString.split("== Initial Plan ==").head
       assert(!p.contains("CartesianProduct"), p)
@@ -295,9 +297,13 @@ class DedupSpec extends SparkSpec {
       dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
     }
     val ids = vecs.keys.toSeq.sorted
+    // buckets memoized PER VECTOR (r10): the r9 form recomputed both
+    // buckets inside the pair loop — O(pairs·np·dims) md5 calls, a
+    // 1670s driver-side test at 500 vectors. Same expected set.
+    val buckets = ids.map(i => i -> (0 until 2).map(t => bucket(vecs(i), t))).toMap
     val expected = (for {
       i <- ids; j <- ids if i < j
-      shared = (0 until 2).count(t => bucket(vecs(i), t) == bucket(vecs(j), t))
+      shared = (0 until 2).count(t => buckets(i)(t) == buckets(j)(t))
       if shared >= 1 && cosine(vecs(i), vecs(j)) > 0.35
     } yield (i, j, shared.toLong)).toSet
     val got = rows.map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),

@@ -213,4 +213,20 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  test("meta_extract: row-local codegen decode is bit-identical to the batch demo, no object boundary") {
+    val prod = Multimodal.metaExtract(spark, sfDir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf)).toSeq
+    val prodRows = rows(prod)
+    // post-execution (AQE-final) plan: no mapPartitions object
+    // boundary, decode projection inside a codegen span
+    val plan = prod.queryExecution.executedPlan.toString
+    assert(!plan.contains("MapPartitions") && !plan.contains("DeserializeToObject"),
+      s"registered meta_extract still crosses an object boundary:\n$plan")
+    assert("\\*\\(\\d+\\)".r.findFirstIn(plan).nonEmpty,
+      s"decode projection fell out of whole-stage codegen:\n$plan")
+    assert(prodRows == rows(Multimodal.metaExtractBatch(spark, sfDir)),
+      "expression decode diverged from the batch-iteration demo")
+  }
 }

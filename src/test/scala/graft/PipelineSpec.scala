@@ -421,6 +421,38 @@ class PipelineSpec extends SparkSpec {
     assert(all <= singles.sum, "the union gate kills at most the sum of single rules")
   }
 
+  test("gopher gate: fused single-scan form is byte-identical to the operator composition") {
+    import org.apache.spark.sql.functions.{col => c}
+    // the pre-r10 composition, rebuilt from the registered signal ops
+    val rep = operators.TextAnalysis.repetition(spark, sfDir)
+      .select(c("doc_id"), c("n_words"), c("n_distinct_words"),
+        c("top_bigram_count"), c("n_bigrams"))
+    val ent = operators.TextAnalysis.entropy(spark, sfDir).select(c("doc_id"), c("entropy"))
+    val cov = operators.TextAnalysis.dupCoverage(spark, sfDir).select(c("doc_id"), c("n_words_covered"))
+    val composed = rep.join(ent, "doc_id").join(cov, Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        "CASE WHEN n_words < 20 OR n_words > 90 THEN 1 ELSE 0 END AS f1",
+        "CASE WHEN 100 * (n_words - n_distinct_words) > 65 * n_words THEN 1 ELSE 0 END AS f2",
+        "CASE WHEN n_bigrams > 0 AND 100 * top_bigram_count > 8 * n_bigrams THEN 1 ELSE 0 END AS f3",
+        "CASE WHEN entropy < 2.4 THEN 1 ELSE 0 END AS f4",
+        "CASE WHEN coalesce(n_words_covered, 0) * 20 > n_words THEN 1 ELSE 0 END AS f5")
+      .selectExpr(
+        """stack(6,
+          |  'r1_word_count', f1, 'r2_dup_ratio', f2, 'r3_top_bigram', f3,
+          |  'r4_entropy', f4, 'r5_dup_3gram', f5,
+          |  'r6_all_rules', CASE WHEN f1 + f2 + f3 + f4 + f5 > 0 THEN 1 ELSE 0 END)
+          |AS (rule, fail)""".stripMargin)
+      .groupBy(c("rule"))
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_checked"),
+        org.apache.spark.sql.functions.sum(c("fail")).as("n_fail"))
+      .withColumn("n_pass", c("n_checked") - c("n_fail"))
+      .orderBy(c("rule"))
+      .collect().map(_.toSeq.map(String.valueOf)).toSeq
+    val fused = operators.Pipeline.gopherGate(spark, sfDir)
+      .collect().map(_.toSeq.map(String.valueOf)).toSeq
+    assert(fused == composed, "fused gate diverged from the signal-operator composition")
+  }
+
   test("ppl buckets: tertiles partition each language and order by score") {
     val rows = operators.Pipeline.pplBuckets(spark, sfDir).collect()
     val perLang = graft.Tables.documents(spark, sfDir)

@@ -344,4 +344,72 @@ class ScalePathSpec extends SparkSpec {
     // bounded-source rollup
     assert(exchanges(shapes("dedup_semantic_rate")) <= 5, shapes("dedup_semantic_rate"))
   }
+
+  // --- ScaleNtile cutpoint branch (r10, VERDICT r9 #2) --------------
+  // Force the approx_percentile cutpoint form at test scale and check
+  // it against the rank-ntile oracle-parity branch: identical schema
+  // and totals, ordered bucket ranges, near-equal bucket depths, and
+  // NO rank window in the plan (the corpus-sized-sort the scale form
+  // exists to remove).
+  private def withScaleNtile[T](body: => T): T = {
+    spark.conf.set("graft.ntile.maxPartition", "1")
+    try body finally spark.conf.unset("graft.ntile.maxPartition")
+  }
+
+  private def hasNtileWindow(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.windowExpressions.exists(_.collectFirst {
+          case _: org.apache.spark.sql.catalyst.expressions.NTile => () }.nonEmpty) => w
+    }.nonEmpty
+
+  test("corpus_ppl_buckets: cutpoint scale branch tracks the rank form") {
+    val exact = operators.Pipeline.pplBuckets(spark, sfDir).collect()
+    val (scaled, planHasNtile) = withScaleNtile {
+      val df = operators.Pipeline.pplBuckets(spark, sfDir)
+      (df.collect(), hasNtileWindow(df))
+    }
+    assert(!planHasNtile, "scale branch still builds a rank-ntile window")
+    assert(scaled.map(_.schema.fieldNames.toSeq).distinct.toSeq ==
+      exact.map(_.schema.fieldNames.toSeq).distinct.toSeq)
+    def tot(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Long]("n_docs")).sum
+    assert(tot(scaled) == tot(exact), "cutpoint branch dropped documents")
+    // per-(lang, bucket) depth: within sketch error + ties of exact
+    val e = exact.map(r => (r.getString(0), r.getInt(1)) -> r.getAs[Long]("n_docs")).toMap
+    scaled.foreach { r =>
+      val k = (r.getString(0), r.getInt(1))
+      val n = e.getOrElse(k, 0L)
+      assert(math.abs(r.getAs[Long]("n_docs") - n) <= math.max(3L, n / 5),
+        s"$k: cutpoint depth ${r.getAs[Long]("n_docs")} vs rank $n")
+    }
+    // desc buckets: head's range sits above tail's, per language
+    scaled.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val byB = rs.sortBy(_.getInt(1))
+      byB.sliding(2).foreach { p =>
+        if (p.length == 2)
+          assert(p(0).getAs[Double]("lo_logp") >= p(1).getAs[Double]("hi_logp") - 1e-9)
+      }
+    }
+  }
+
+  test("q_ntile_balance: cutpoint scale branch tracks the rank form") {
+    val exact = operators.Analytics.ntileBalance(spark, sfDir).collect()
+    val (scaled, planHasNtile) = withScaleNtile {
+      val df = operators.Analytics.ntileBalance(spark, sfDir)
+      (df.collect(), hasNtileWindow(df))
+    }
+    assert(!planHasNtile, "scale branch still builds a rank-ntile window")
+    def tot(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Long]("n_cust")).sum
+    assert(tot(scaled) == tot(exact))
+    // asc quartiles: ranges ordered low -> high per nation
+    scaled.groupBy(r => String.valueOf(r.getAs[Any]("c_nationkey"))).foreach { case (_, rs) =>
+      val byQ = rs.sortBy(_.getInt(1))
+      byQ.sliding(2).foreach { p =>
+        if (p.length == 2)
+          assert(p(0).getAs[Double]("hi_bal") <= p(1).getAs[Double]("lo_bal") + 1e-9)
+      }
+    }
+  }
 }

@@ -100,7 +100,25 @@ class SkewSpec extends SparkSpec {
   }
 
   test("audit_sessionize under a 50% hot principal: exact session chain") {
-    val rows = operators.Audit.sessionize(spark, skewDir).collect()
+    val df = operators.Audit.sessionize(spark, skewDir)
+    // r10: the event-level gap window is day-segmented — the hot
+    // principal's history spreads across its observed days instead of
+    // one 60k-row window partition (the r9 weak)
+    val eventWins = windowKeys(df).filter(_.contains("day"))
+    assert(eventWins.exists(_.contains("user_id")),
+      s"sessionize gap window not day-segmented: ${windowKeys(df)}")
+    val perDay = Tables.events(spark, skewDir)
+      .filter(col("user_id") === 1L)
+      .groupBy(to_date(col("ts"))).count()
+      .agg(max("count")).head().getLong(0)
+    assert(perDay < 60000L,
+      s"skew table should split the hot principal across days, got $perDay")
+    val rows = df.collect()
+    // output is row-identical to the span-wide single-window form
+    def key(r: org.apache.spark.sql.Row) = r.toSeq.map(String.valueOf).mkString("|")
+    assert(rows.map(key).toSeq.sorted ==
+      operators.Audit.sessionizeSpanWide(spark, skewDir).collect().map(key).toSeq.sorted,
+      "segmented sessionize diverged from the span-wide form")
     val hot = rows.find(_.getAs[Long]("user_id") == 1L).get
     assert(hot.getAs[Long]("n_events") == 60000L)
     // driver-recomputed truth: 1000-row bursts 2s apart, bursts 2h
@@ -115,5 +133,24 @@ class SkewSpec extends SparkSpec {
     // the cold tail is untouched by the hot key's presence
     assert(rows.filter(_.getAs[Long]("user_id") != 1L)
       .map(_.getAs[Long]("n_events")).sum == 60000L)
+  }
+
+  test("audit_sessionize stitches sessions across midnight") {
+    // user 1: 23:50 -> 00:10 next day (20min gap: ONE session across
+    // the segment boundary); user 2: 23:00 -> 00:10 next day (70min
+    // gap: two sessions). The day-segmented plan without the stitch
+    // pre-pass would report 2 and 2.
+    val dir = java.nio.file.Files.createTempDirectory("graft-stitch").toString
+    spark.sql(
+      """SELECT * FROM VALUES
+        |  (0L, timestamp'2024-03-01 23:50:00', 1L, 'hot', 1.0d, '{}'),
+        |  (1L, timestamp'2024-03-02 00:10:00', 1L, 'hot', 1.0d, '{}'),
+        |  (2L, timestamp'2024-03-01 23:00:00', 2L, 'hot', 1.0d, '{}'),
+        |  (3L, timestamp'2024-03-02 00:10:00', 2L, 'hot', 1.0d, '{}')
+        |AS t(event_id, ts, user_id, event_type, value, props)""".stripMargin)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.Audit.sessionize(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_sessions")).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L), s"stitch failed: $got")
   }
 }
