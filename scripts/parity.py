@@ -65,11 +65,13 @@ def raw_types_of(con, query):
     rows = con.execute(f"DESCRIBE {query}").fetchall()
     return {r[0]: r[1].upper() for r in rows}
 
-def main(sf_dir, out_dir, json_out=None):
+def main(sf_dir, out_dir, json_out=None, only=None):
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only is not None:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     results = {}
     for name, sql in sorted(oracle.items()):
         spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
@@ -107,6 +109,8 @@ def main(sf_dir, out_dir, json_out=None):
     # queries with no oracle → rows-only check
     for d in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(d.rstrip("/"))
+        if only is not None and name not in only:
+            continue
         if name not in oracle:
             files = glob.glob(f"{d}/*.parquet")
             n = len(con.execute(f"SELECT * FROM read_parquet({files!r})").df()) if files else 0
@@ -124,5 +128,14 @@ def main(sf_dir, out_dir, json_out=None):
     return 1 if bad else 0
 
 if __name__ == "__main__":
-    jo = sys.argv[4] if len(sys.argv) > 4 and sys.argv[3] == "--json" else None
-    sys.exit(main(sys.argv[1], sys.argv[2], jo))
+    # parity.py SF_DIR OUT_DIR [--json PATH] [--only a,b,c]
+    argv = sys.argv[3:]
+    jo = only = None
+    while argv:
+        if argv[0] == "--json" and len(argv) > 1:
+            jo = argv[1]; argv = argv[2:]
+        elif argv[0] == "--only" and len(argv) > 1:
+            only = set(argv[1].split(",")); argv = argv[2:]
+        else:
+            print(f"unknown arg {argv[0]}"); sys.exit(2)
+    sys.exit(main(sys.argv[1], sys.argv[2], jo, only))
