@@ -12,7 +12,13 @@ design cares about.
 
 Exit 0 when every common query matches (adaptive-plane ops may be
 allow-listed with --allow name because their plan is DEFINED to change
-with corpus size); exit 1 with a per-query diff otherwise.
+with corpus size); exit 1 with a per-query diff otherwise. Exit 3 when
+the guard otherwise passes but one or more task-ratio exceedances were
+suppressed because either artifact measured that query in a
+>2x-contended window — the run is NOT a pass, it needs a re-bench on a
+quieter host (ADVICE r10: a noisy baseline must not silently disable
+the ratio gate). The suppressed count is also printed machine-readably
+as `suppressed_contended=N`.
 
 When both artifacts carry per-query summed executor task time (the
 "task" map, r9), the guard also reports task-time ratios (b/a) —
@@ -106,6 +112,7 @@ ta, tb = a.get("task", {}), b.get("task", {})
 tcommon = [q for q in common if ta.get(q, 0) and tb.get(q, 0) and
            ta[q] > 0 and tb[q] > 0]
 ratio_bad = []
+suppressed = []  # exceedances skipped because the window was contended
 if tcommon:
     ratios = sorted((tb[q] / ta[q], q) for q in tcommon)
     med = ratios[len(ratios) // 2][0]
@@ -119,7 +126,8 @@ if tcommon:
         flag = ""
         if max_ratio is not None and r > max_ratio and q not in allow:
             if contended(q):
-                flag = "  contended-window (infl>2x) — not actionable"
+                suppressed.append(q)
+                flag = "  contended-window (infl>2x) — SUPPRESSED, re-bench"
             else:
                 ratio_bad.append(q)
                 flag = f"  EXCEEDS --max-task-ratio {max_ratio}"
@@ -128,9 +136,18 @@ if tcommon:
         for r, q in ratios[:-8]:
             if r > max_ratio and q not in allow:
                 if contended(q):
+                    suppressed.append(q)
                     print(f"  {q}: {r:.2f}x contended-window (infl>2x) — "
-                          "not actionable")
+                          "SUPPRESSED, re-bench")
                 else:
                     ratio_bad.append(q)
                     print(f"  {q}: {r:.2f}x EXCEEDS --max-task-ratio {max_ratio}")
-sys.exit(1 if (bad or ratio_bad) else 0)
+# Machine-readable suppression signal: a guard that skipped exceedances
+# as contended has NOT validated those queries. Distinct exit code 3
+# (vs 1 = real failure, 0 = clean pass) so callers know a re-bench is
+# required instead of reading the run as passing.
+print(f"suppressed_contended={len(suppressed)}"
+      + (f" ({' '.join(sorted(suppressed))})" if suppressed else ""))
+if bad or ratio_bad:
+    sys.exit(1)
+sys.exit(3 if suppressed else 0)
