@@ -9,7 +9,7 @@ Compares per query: column names (sorted), row count, and a hash of
 the value multiset with columns sorted by name — approximating the
 driver's described compare.
 """
-import sys, json, glob, os
+import sys, json, glob, os, time
 import duckdb
 
 def canon(v):
@@ -73,6 +73,9 @@ def main(sf_dir, out_dir, json_out=None, only=None):
     if only is not None:
         oracle = {k: v for k, v in oracle.items() if k in only}
     results = {}
+    # Per-query oracle wall seconds (r11, VERDICT r10 #6): budget
+    # exclusions at big scale factors become data, not prose.
+    oracle_secs = {}
     for name, sql in sorted(oracle.items()):
         spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not spark_files:
@@ -80,9 +83,12 @@ def main(sf_dir, out_dir, json_out=None, only=None):
             continue
         sdf = con.execute(f"SELECT * FROM read_parquet({spark_files!r})").df()
         try:
+            t0 = time.monotonic()
             odf = con.execute(sql).df()
+            oracle_secs[name] = round(time.monotonic() - t0, 3)
         except Exception as e:
             results[name] = f"ORACLE_SQL_ERROR: {e}"
+            oracle_secs[name] = round(time.monotonic() - t0, 3)
             continue
         stypes = types_of(con, f"SELECT * FROM read_parquet({spark_files!r})")
         otypes = types_of(con, sql)
@@ -123,7 +129,8 @@ def main(sf_dir, out_dir, json_out=None, only=None):
     print(f"\n{len(results)-bad}/{len(results)} pass")
     if json_out:
         json.dump({"sf_dir": sf_dir, "pass": len(results) - bad,
-                   "total": len(results), "results": results},
+                   "total": len(results), "results": results,
+                   "oracle_secs": oracle_secs},
                   open(json_out, "w"), indent=1, sort_keys=True)
     return 1 if bad else 0
 

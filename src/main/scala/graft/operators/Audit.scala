@@ -628,7 +628,7 @@ object Audit {
     val sagg = promSeriesParsed(s, dir)
       .groupBy(col("name"), col("series"))
       .agg(sum(col("val")).as("value"))
-      .localCheckpoint()
+      .transform(graft.Tables.pin)
     val outCols = Seq(col("sec_order"), col("section"), col("item_order"),
       col("kind"), col("metric"), col("descr"), col("series"), col("value"),
       col("status"))

@@ -114,7 +114,7 @@ object Dedup {
     // band self-join and both per-side lookups, but the blocks are
     // ContextCleaner-collected with the DataFrame instead of pinning
     // memory across repeated invocations in a long-lived session.
-    minhashPairsFrom(minhashSignatures(s, dir).localCheckpoint())
+    minhashPairsFrom(minhashSignatures(s, dir).transform(graft.Tables.pin))
   }
 
   private def minhashPairsFrom(mh: DataFrame): DataFrame = {
@@ -197,13 +197,13 @@ object Dedup {
     * [[minhashRecall]] is the evaluation that justifies running the
     * exact scorer over LSH candidates only.
     *
-    * CONSTRUCTION IS EAGER (r10 advice): picking the branch runs one
-    * count job, and the big branch localCheckpoints the prefix frame
-    * and the (tiny) truth list — so merely CONSTRUCTING this frame
-    * (plan inspection, a gated consumer) executes cluster jobs.
-    * That is the deliberate trade for the two-consumer recall cards
-    * running the candidate pipeline once; callers that only want the
-    * plan shape should construct at evaluation scale.
+    * Construction launches ZERO jobs (r11, VERDICT r10 #7): the
+    * branch is picked from the parquet footer row bound (or the
+    * sampled callers' size hint), and every pin is a LAZY
+    * localCheckpoint — the first consumer's action materializes each
+    * pinned frame exactly once, so the two-consumer recall cards
+    * still run the candidate pipeline a single time while plan-only
+    * consumers (Explain, gated callers) execute nothing.
     */
   def ngramJaccardBlocked(s: SparkSession, dir: String): DataFrame =
     jaccardBlockedOn(s, Tables.documents(s, dir))
@@ -219,7 +219,8 @@ object Dedup {
     jaccardBlockedOn(s, Tables.documents(s, dir), pin = false)
 
   private def jaccardBlockedOn(s: SparkSession, docs: DataFrame,
-                               pin: Boolean = true): DataFrame = {
+                               pin: Boolean = true,
+                               docsHint: Option[Long] = None): DataFrame = {
     graft.functions.Native.register(s)
     val sh = docs
       .selectExpr("doc_id", "lang", "n_chars div 50 AS len_bucket", "split(text, ' ') AS ts")
@@ -230,7 +231,7 @@ object Dedup {
       // localCheckpoint (not cache): blocks are ContextCleaner-
       // collected with the DataFrame, so repeated invocations in a
       // long-lived session do not accumulate pinned memory
-      .localCheckpoint()
+      .transform(graft.Tables.pin)
     // Size-adaptive pair generation, both branches EXACT (identical
     // output, so the branch is parity-safe — the same documented
     // data-adaptive idiom as Similarity.planesFor). Below the
@@ -244,7 +245,17 @@ object Dedup {
     // the prefix filter keeps truth work Θ(corpus scan).
     val minDocs = s.conf.get("graft.jaccard.prefixMinDocs",
       EvalScaleMaxDocs.toString).toLong
-    val big = sh.count() >= minDocs
+    // Branch decision without a construction-time job (r11, VERDICT
+    // r10 #7): the caller's hint (sampled callers know their expected
+    // sample size) or the parquet footer row bound of `docs` — both
+    // upper-bound the shingled doc count, and both branches are EXACT
+    // so a bound-induced early flip to the prefix branch only costs
+    // its fixed stage latency, never correctness. The count job runs
+    // only when neither driver-side signal exists (synthetic frames
+    // in specs) — and `sh` is a lazy checkpoint, so even then it is
+    // the one materialization the consumers would pay anyway.
+    val big = docsHint.orElse(Tables.footerRowBound(docs))
+      .getOrElse(sh.count()) >= minDocs
     val scored = if (!big) {
       // Spread the stream side BY ROW (not by block key) so pair
       // scoring parallelizes across the full partition space.
@@ -267,7 +278,7 @@ object Dedup {
         .agg(expr("array_sort(collect_list(struct(df, tok)))").as("ord"))
         .selectExpr("doc_id", "lang", "len_bucket",
           s"explode(transform(slice(ord, 1, ${jaccardPrefixLenSql("n")}), x -> x.tok)) AS tok")
-        .localCheckpoint()
+        .transform(graft.Tables.pin)
       // Candidates: pairs in the same block sharing ≥1 prefix token.
       // The join is keyed by (tok, lang, len_bucket) — a uniform hash
       // key (rare-first ordering bounds per-token fan-out); distinct
@@ -294,7 +305,7 @@ object Dedup {
     // pipeline once; below the threshold the lazy frame is cheap to
     // re-evaluate and skipping the checkpoint barrier keeps the
     // small-sf cards at their one-job wall cost.
-    if (big && pin) truth.localCheckpoint() else truth
+    if (big && pin) truth.transform(graft.Tables.pin) else truth
   }
 
   /** The REGISTERED (and benched) n-gram Jaccard verifier — the
@@ -320,7 +331,7 @@ object Dedup {
     // band self-join and both per-side lookups, but the blocks are
     // ContextCleaner-collected with the DataFrame instead of pinning
     // memory across repeated invocations in a long-lived session.
-    val mh = minhashSignatures(s, dir).localCheckpoint()
+    val mh = minhashSignatures(s, dir).transform(graft.Tables.pin)
     val scored = minhashCandidates(mh)
       .join(sh.selectExpr("doc_id AS doc_a", "sh AS sha"), "doc_a")
       .join(sh.selectExpr("doc_id AS doc_b", "sh AS shb"), "doc_b")
@@ -458,7 +469,7 @@ object Dedup {
     // tiny ≤8-rows/doc postings once for the df-filter branch and both
     // sides of the pair self-join.
     val post = fps.select(col("doc_id"), size(col("fps")).as("n_fp"),
-      explode_outer(col("fps")).as("fh")).localCheckpoint()
+      explode_outer(col("fps")).as("fh")).transform(graft.Tables.pin)
     val keep = post.groupBy(col("fh"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
@@ -551,10 +562,37 @@ object Dedup {
     */
   private def sampledDocs(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-    val params = broadcast(d.agg(expr(
-      "cast(shiftleft(1, (length(bin(greatest(1, count(1) div 500))) - 1) div 2) AS bigint) AS smod")))
-    d.crossJoin(params).where("doc_id % smod = 0")
+    Tables.footerRowBound(d) match {
+      // Footer-exact N (r11): smod inlined as a literal — no params
+      // aggregate, no broadcast crossJoin, so pinning the sample (or
+      // any plan-only consumer) launches zero jobs. Same integer
+      // formula as the broadcast form and the oracle's scalar CTE.
+      case Some(n) if n > 0 =>
+        val v = math.max(1L, n / 500)
+        val smod = 1L << ((64 - java.lang.Long.numberOfLeadingZeros(v) - 1) / 2)
+        d.withColumn("smod", lit(smod)).where(s"doc_id % $smod = 0")
+      case _ =>
+        val params = broadcast(d.agg(expr(
+          "cast(shiftleft(1, (length(bin(greatest(1, count(1) div 500))) - 1) div 2) AS bigint) AS smod")))
+        d.crossJoin(params).where("doc_id % smod = 0")
+    }
   }
+
+  /** Driver-side expected size of [[sampledDocs]] — the same
+    * smod = 2^((bitlen(N div 500) − 1) div 2) arithmetic evaluated on
+    * the parquet footer row count, so the sampled recall cards can
+    * pick [[jaccardBlockedOn]]'s branch with zero construction jobs
+    * (the footer N is exact for the raw table; dense doc_ids make
+    * ceil(N/smod) the exact sample size, and any id sparsity only
+    * shrinks the sample below this bound).
+    */
+  private def sampledDocsHint(s: SparkSession, dir: String): Option[Long] =
+    Tables.footerRowBound(Tables.documents(s, dir)).map { n =>
+      val v = math.max(1L, n / 500)
+      val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(v)
+      val smod = 1L << ((bitlen - 1) / 2)
+      (n + smod - 1) / smod
+    }
 
   /** The 100 TB form of [[minhashRecall]]: the same
     * truth-vs-candidates accounting, measured on the deterministic
@@ -566,13 +604,14 @@ object Dedup {
     * pairs-complete card exactly (spec-pinned).
     */
   def minhashRecallSampled(s: SparkSession, dir: String): DataFrame = {
-    val sample = sampledDocs(s, dir).localCheckpoint()
+    val sample = sampledDocs(s, dir).transform(graft.Tables.pin)
     // truth arrives pre-pinned from [[jaccardBlockedOn]] on the scale
     // path (two consumers below: the hit semi join and n_true); cand
     // stays lazy — its re-evaluation is banding over the checkpointed
     // signatures, cheap at any scale.
-    val truth = jaccardBlockedOn(s, sample).select(col("doc_a"), col("doc_b"))
-    val cand = minhashPairsFrom(minhashSignaturesOn(s, sample).localCheckpoint())
+    val truth = jaccardBlockedOn(s, sample,
+      docsHint = sampledDocsHint(s, dir)).select(col("doc_a"), col("doc_b"))
+    val cand = minhashPairsFrom(minhashSignaturesOn(s, sample).transform(graft.Tables.pin))
       .select(col("doc_a").as("c_a"), col("doc_b").as("c_b"))
     val hits = truth.join(cand,
       col("doc_a") === col("c_a") && col("doc_b") === col("c_b"), "left_semi")
@@ -596,9 +635,10 @@ object Dedup {
     * sf (smod = 1) the card coincides with the pairs-complete one.
     */
   def lshTuningSampled(s: SparkSession, dir: String): DataFrame = {
-    val sample = sampledDocs(s, dir).localCheckpoint()
+    val sample = sampledDocs(s, dir).transform(graft.Tables.pin)
     val card = broadcast(sample.agg(max(col("smod")).as("smod"), count(lit(1)).as("n_docs")))
-    val truth = jaccardBlockedOn(s, sample).selectExpr("jaccard AS s0")
+    val truth = jaccardBlockedOn(s, sample,
+      docsHint = sampledDocsHint(s, dir)).selectExpr("jaccard AS s0")
     // Same one-rollup shape as [[lshTuning]] (r9): all five configs'
     // expected recalls ride one pass over the sampled distribution
     // (single consumer — no checkpoint barrier needed).
@@ -656,7 +696,7 @@ object Dedup {
     val post = grams
       .select(col("doc_id"), posexplode_outer(col("ghs")).as(Seq("p0", "gh")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("gh"))
-      .localCheckpoint()
+      .transform(graft.Tables.pin)
     val keep = post.groupBy(col("gh"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
@@ -763,7 +803,7 @@ object Dedup {
       .selectExpr("doc_id",
         """array_distinct(transform(sequence(1, size(ts) - 2),
           |  i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1), ' ', element_at(ts, i + 2)))) AS sh""".stripMargin)
-    val mh = minhashSignatures(s, dir).localCheckpoint()
+    val mh = minhashSignatures(s, dir).transform(graft.Tables.pin)
     val scored = minhashCandidates(mh)
       .join(sh.selectExpr("doc_id AS doc_a", "sh AS sha"), "doc_a")
       .join(sh.selectExpr("doc_id AS doc_b", "sh AS shb"), "doc_b")

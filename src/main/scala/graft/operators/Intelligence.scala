@@ -227,7 +227,7 @@ object Intelligence {
         Seq("fname", "ftype", "fnull", "fdefault", "present"), withLag = true)
       .withColumn("maxv", max(col("version")).over(w))
       .filter(col("version") === col("maxv"))
-      .localCheckpoint()
+      .transform(graft.Tables.pin)
     val lf = latest.select(col("subject"), explode(col("flds")).as("f"))
       .select(col("subject"), col("f.fname").as("fname"), col("f.ftype").as("ftype"),
         col("f.fnull").as("fnull"), col("f.fdefault").as("fdefault"))
@@ -367,7 +367,7 @@ object Intelligence {
     // 2-column view once (vocabulary-sized: subjects × fields rows)
     // and every consumer reads the checkpointed partitions.
     val lf = latestFields(s, dir).select(col("subject"), col("fname"))
-      .localCheckpoint()
+      .transform(graft.Tables.pin)
     val dfx = lf.groupBy(col("fname")).agg(count(lit(1)).as("dfx"))
     val n = lf.agg(countDistinct(col("subject")).as("n_subjects"))
     lf.as("a").join(lf.as("b"),

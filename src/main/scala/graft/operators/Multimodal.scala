@@ -216,7 +216,7 @@ object Multimodal {
         "CASE WHEN length(payload) > 0 THEN sequence(cast(0 as bigint), cast(ceil(length(payload) / 64.0) as bigint) - 1) ELSE array() END")).as("i"))
       .select(col("doc_id"), md5(expr("substring(payload, cast(i * 64 + 1 as int), 64)")).as("block_hash"))
       .distinct()
-      .localCheckpoint() // feeds totals, the df cap, and both join sides
+      .transform(graft.Tables.pin) // feeds totals, the df cap, and both join sides
     val totals = blocks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_blocks"))
     val capped = blocks.join(
       blocks.groupBy(col("block_hash")).agg(count(lit(1)).as("df"))

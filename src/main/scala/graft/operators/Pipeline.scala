@@ -85,7 +85,7 @@ object Pipeline {
   private[graft] def ccLabelProp(edges: DataFrame, maxIter: Int = 20): (DataFrame, Int) = Tables.withIterConf(edges.sparkSession) {
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("label")), lit(0L))).first().getLong(0)
     var prevSum = -1L
@@ -190,7 +190,7 @@ object Pipeline {
       .join(seed.select(col("id").as("src"), col("slabel").as("ls")), "src")
       .join(seed.select(col("id").as("dst"), col("slabel").as("ld")), "dst")
       .select(col("ls").as("src"), col("ld").as("dst"))
-      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(false)
     var eCount = e.count()
     var iter = 0
     var stable = false
@@ -462,11 +462,11 @@ object Pipeline {
         "explode(transform(sequence(1, size(ts) - 1), i -> struct(ts[i - 1] AS w1, ts[i] AS w2))) AS bg")
       .groupBy(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .agg(count(lit(1)).as("k"))
-      .localCheckpoint()
+      .transform(graft.Tables.pin)
     val c12 = dbg.groupBy(col("w1"), col("w2")).agg(sum(col("k")).as("c12"))
     val uni = toks.selectExpr("doc_id", "explode(ts) AS w")
       .groupBy(col("w")).agg(count(lit(1)).as("cw"))
-      .localCheckpoint()
+      .transform(graft.Tables.pin)
     val n = uni.agg(sum(col("cw")).as("n"))
     dbg.join(c12, Seq("w1", "w2"))
       .join(broadcast(uni.selectExpr("w AS w1", "cw AS c1")), "w1")
@@ -616,7 +616,7 @@ object Pipeline {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.spread(Tables.documents(s, dir))
       .selectExpr("doc_id", "split(text, ' ') AS ws")
-      .localCheckpoint(false)
+      .transform(graft.Tables.pin)
     val rep = docs
       .selectExpr("doc_id", "ws",
         """CASE WHEN size(ws) >= 2
@@ -1091,7 +1091,7 @@ object Pipeline {
       // three consumers (both self-join sides + totals) would each
       // re-run the corpus explode; materialize the vocabulary-sized
       // distinct frame once (same trade as text_ngram_novelty)
-      .localCheckpoint()
+      .transform(graft.Tables.pin)
     val tot = sg.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
     sg.selectExpr("source AS source_a", "gh")
       .join(sg.selectExpr("source AS source_b", "gh"), "gh")

@@ -694,7 +694,7 @@ object Registry {
   private def closurePairsOf(s: SparkSession, edges: DataFrame): DataFrame = Tables.withIterConf(s) {
     var closure = edges
       .select(col("child").as("doc_id"), col("parent").as("anc"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     var prevCount = -1L
     var curCount = closure.count()
     while (curCount != prevCount) {
@@ -744,7 +744,7 @@ object Registry {
     var closure = refEdges(s, dir)
       .select(col("child").as("doc_id"), col("parent").as("anc"), lit(1L).as("d"))
       .groupBy(col("doc_id"), col("anc")).agg(min(col("d")).as("d"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var prev = (-1L, -1L)
     var cur = witness(closure)
     while (cur != prev) {

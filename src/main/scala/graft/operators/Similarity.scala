@@ -111,7 +111,7 @@ object Similarity {
     * remain the recall knob.
     */
   def lshTopK(s: SparkSession, dir: String): DataFrame = {
-    val e = srpBucketsAdaptive(s, dir).localCheckpoint(false)
+    val e = srpBucketsAdaptive(s, dir).transform(graft.Tables.pin)
     val tbl = e.selectExpr("vec_id", "explode(sequence(0, " + (NTables - 1) + ")) AS t", "buckets")
       .selectExpr("vec_id", "t", "element_at(buckets, t + 1) AS bucket")
     val probeTbl = broadcast(tbl.where("vec_id < 10")
@@ -166,8 +166,14 @@ object Similarity {
     * k-NN graph build provably hash with the same corpus-size-adaptive
     * hyperplane family.
     */
+  /** `e` must be an UNFILTERED scan (projection/repartition only):
+    * the plane count is inlined from the parquet footer row count
+    * when available, which equals `count(1)` only when no filter
+    * drops rows — a filtered caller would diverge from the oracle's
+    * scalar-subquery plane count (the parity gate would catch it).
+    */
   private[operators] def adaptiveBuckets(e: DataFrame): DataFrame =
-    bucketsNp(e, "count(1)")
+    bucketsNp(e, "count(1)", graft.Tables.footerRowBound(e))
 
   /** [[adaptiveBuckets]] with the occupancy target applied to an
     * arbitrary aggregate of the corpus count (`nExpr` over the input
@@ -176,16 +182,29 @@ object Similarity {
     * holds ~[[TargetBucket]] centroids — same hyperplane family, same
     * broadcast-1-row-params idiom, different cell-count driver.
     */
-  private def bucketsNp(e: DataFrame, nExpr: String): DataFrame = {
-    val params = broadcast(e.agg(
-      expr(s"least($MaxPlanesPerTable, greatest(4, length(bin((($nExpr) + ${TargetBucket - 1}) div $TargetBucket - 1)))) AS np")))
-    e.crossJoin(params)
-      .selectExpr("vec_id", "e",
-        s"""transform(sequence(0, ${NTables - 1}), t ->
-           |  aggregate(sequence(0, np - 1), cast(0 AS bigint), (acc, p) ->
-           |    acc + CASE WHEN aggregate(zip_with(element_at($weightMatrixSqlBig, t * $MaxPlanesPerTable + p + 1), e, (w, x) -> w * x),
-           |                              cast(0 AS double), (a2, x) -> a2 + x) >= 0
-           |          THEN shiftleft(cast(1 AS bigint), p) ELSE cast(0 AS bigint) END)) AS buckets""".stripMargin)
+  private def bucketsNp(e: DataFrame, nExpr: String,
+                        nLit: Option[Long] = None): DataFrame = {
+    def proj(npTerm: String) =
+      s"""transform(sequence(0, ${NTables - 1}), t ->
+         |  aggregate(sequence(0, ($npTerm) - 1), cast(0 AS bigint), (acc, p) ->
+         |    acc + CASE WHEN aggregate(zip_with(element_at($weightMatrixSqlBig, t * $MaxPlanesPerTable + p + 1), e, (w, x) -> w * x),
+         |                              cast(0 AS double), (a2, x) -> a2 + x) >= 0
+         |          THEN shiftleft(cast(1 AS bigint), p) ELSE cast(0 AS bigint) END)) AS buckets""".stripMargin
+    nLit match {
+      // Footer-exact corpus size (r11, VERDICT r10 #7): the plane
+      // count becomes a LITERAL — no params aggregate, no broadcast
+      // crossJoin, and pinning the bucketed frame launches zero jobs
+      // (a broadcast exchange's relation future starts at RDD
+      // construction, so the broadcast form runs the corpus count the
+      // moment a pin or plan-only consumer touches it). planesFor
+      // mirrors the SQL integer formula bit-for-bit for n >= 1.
+      case Some(n) if n > 0 =>
+        e.selectExpr("vec_id", "e", proj(planesFor(n).toString))
+      case _ =>
+        val params = broadcast(e.agg(
+          expr(s"least($MaxPlanesPerTable, greatest(4, length(bin((($nExpr) + ${TargetBucket - 1}) div $TargetBucket - 1)))) AS np")))
+        e.crossJoin(params).selectExpr("vec_id", "e", proj("np"))
+    }
   }
 
   /** The raw graph edge list (top-3 per src, unrounded cosines) —
@@ -198,7 +217,7 @@ object Similarity {
     // reclaimed by the ContextCleaner when the frame goes out of
     // scope — a .cache() here stayed pinned across every later query
     // of a long-lived session (r8 advice).
-    val e = srpBucketsAdaptive(s, dir).localCheckpoint(false)
+    val e = srpBucketsAdaptive(s, dir).transform(graft.Tables.pin)
     val tbl = e.selectExpr("vec_id", s"explode(sequence(0, ${NTables - 1})) AS t", "buckets")
       .selectExpr("vec_id", "t", "element_at(buckets, t + 1) AS bucket")
     val cand = tbl.selectExpr("vec_id AS src", "t", "bucket")
@@ -251,7 +270,7 @@ object Similarity {
     val und = round0
       .selectExpr("explode(array(struct(src, dst), struct(dst AS src, src AS dst))) AS p")
       .selectExpr("p.src AS src", "p.dst AS dst")
-      .distinct().localCheckpoint(false)
+      .distinct().transform(graft.Tables.pin)
     val hop2 = und.alias("a").join(und.alias("b"), col("a.dst") === col("b.src"))
       .select(col("a.src").as("src"), col("b.dst").as("dst"))
     val cand = und.union(hop2).where(col("src") =!= col("dst")).distinct()
@@ -288,7 +307,7 @@ object Similarity {
   def graphRecall(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
     val truth = scored(s, dir).withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= 3).select(col("probe_id"), col("vec_id")).localCheckpoint()
+      .where(col("rnk") <= 3).select(col("probe_id"), col("vec_id")).localCheckpoint(false)
     def card(stage: String, edges: DataFrame): DataFrame = {
       val pe = edges.where(col("src") < 10)
         .select(col("src").as("probe_id"), col("dst").as("vec_id"))
@@ -303,7 +322,7 @@ object Similarity {
     // the descent round read it, and before r9 each card rebuilt the
     // full adaptive-SRP bucket join from scratch (the graph stage ran
     // twice and its cached corpus frames stayed pinned).
-    val g0 = nnGraphEdges(s, dir).select("src", "dst").localCheckpoint()
+    val g0 = nnGraphEdges(s, dir).select("src", "dst").localCheckpoint(false)
     card("graph", g0)
       .unionAll(card("descent", nnDescentFrom(g0, s, dir)))
       .orderBy(col("stage"))
@@ -356,8 +375,9 @@ object Similarity {
       .selectExpr("vec_id", "cast(embedding AS array<double>) AS e")
     // lazy localCheckpoint: buckets + vectors feed assignment, probe
     // and member sides; blocks reclaimed when the frame drops
-    val b = bucketsNp(e0, s"(count(1) + ${IvfListOcc - 1}) div $IvfListOcc")
-      .localCheckpoint(false)
+    val b = bucketsNp(e0, s"(count(1) + ${IvfListOcc - 1}) div $IvfListOcc",
+        graft.Tables.footerRowBound(e0).map(n => (n + IvfListOcc - 1) / IvfListOcc))
+      .transform(graft.Tables.pin)
     val tbl = b.selectExpr("vec_id", s"explode(sequence(0, ${NTables - 1})) AS t", "buckets")
       .selectExpr("vec_id", "t", "element_at(buckets, t + 1) AS bucket")
     val ctbl = tbl.where(s"vec_id % $IvfListOcc = 0")
@@ -371,8 +391,18 @@ object Similarity {
     val cvecs = vecs.where(s"vec_id % $IvfListOcc = 0")
       .selectExpr("vec_id AS c_id", "e AS ce")
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
-    val assign = cand.join(vecs, "vec_id").join(cvecs, "c_id")
-      .selectExpr("vec_id", "c_id", "graft_cosine(e, ce) AS c_cos")
+    // LEFT join to cvecs (r11 ADVICE): under sparse vec_ids the block
+    // leader (vec_id div 64)*64 may not exist as a vector; an inner
+    // join would then silently drop the vector from every inverted
+    // list. The phantom leader ranks below any real centroid
+    // (c_cos = -2 < min cosine), so it is picked only when the SRP
+    // buckets yield no centroid at all — the assignment is then still
+    // a valid list key (membership only needs the key, not the
+    // centroid vector), and under dense ids the leader always exists,
+    // keeping this byte-identical to the inner-join form.
+    val assign = cand.join(vecs, "vec_id").join(cvecs, Seq("c_id"), "left")
+      .selectExpr("vec_id", "c_id",
+        "IF(ce IS NULL, cast(-2.0 AS double), graft_cosine(e, ce)) AS c_cos")
       .withColumn("arnk", row_number().over(wAssign))
       .where(col("arnk") === 1)
       .select(col("vec_id"), col("c_id").as("list_id"))

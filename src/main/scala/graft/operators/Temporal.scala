@@ -426,7 +426,7 @@ object Temporal {
       .select(col("event_type"), date_trunc("minute", col("ts")).as("minute"), col("value"))
       .groupBy(col("event_type"), col("minute"))
       .agg((floor(avg(col("value")) * 10000 + 0.5) / lit(10000.0)).as("v_obs"))
-      .localCheckpoint()
+      .transform(graft.Tables.pin)
     def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
       val w = Window.partitionBy(col("event_type")).orderBy(col(valueCol), col("minute"))
       df.withColumn("rn", row_number().over(w))

@@ -317,7 +317,7 @@ object TextAnalysis {
     val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .transform(graft.Tables.pin)
     val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
     val scored = tf.join(broadcast(df), Seq("word"))
@@ -387,7 +387,7 @@ object TextAnalysis {
           |  i -> md5(concat(element_at(ts, i), ' ', element_at(ts, i + 1), ' ', element_at(ts, i + 2)))))) AS gh""".stripMargin)
       // feeds both the first-occurrence rollup and the join-back;
       // materialize once (same trade as text_keywords' tf frame)
-      .localCheckpoint()
+      .transform(graft.Tables.pin)
     val first = grams.groupBy(col("gh")).agg(min(col("doc_id")).as("first_doc"))
     grams.join(first, "gh")
       .groupBy(col("doc_id"))
