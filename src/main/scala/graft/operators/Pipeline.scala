@@ -104,6 +104,10 @@ object Pipeline {
         .localCheckpoint(false)
       prevSum = curSum
       curSum = labelSum(next)
+      // next is materialized by the witness job and the old round is
+      // never read again — release its checkpoint blocks (see
+      // GraftShim.freeCheckpoint).
+      org.apache.spark.sql.graftshim.GraftShim.freeCheckpoint(labels)
       labels = next
       iter += 1
     }
@@ -208,6 +212,9 @@ object Pipeline {
       val next = smallStar(largeStar(e)).localCheckpoint(false)
       val nextCount = next.count()
       stable = nextCount == eCount && next.union(e).distinct().count() == nextCount
+      // the stability probe above was the old round's last read —
+      // release its checkpoint blocks (see GraftShim.freeCheckpoint).
+      org.apache.spark.sql.graftshim.GraftShim.freeCheckpoint(e)
       e = next
       eCount = nextCount
       iter += 1

@@ -707,6 +707,11 @@ object Registry {
       val next = closure.union(hop).distinct().localCheckpoint(false)
       prevCount = curCount
       curCount = next.count()
+      // next is materialized and the old round is never read again —
+      // release its blocks now instead of waiting for the
+      // ContextCleaner (the superseded rounds otherwise accumulate
+      // for the whole loop; see GraftShim.freeCheckpoint).
+      org.apache.spark.sql.graftshim.GraftShim.freeCheckpoint(closure)
       closure = next
     }
     closure
@@ -758,6 +763,9 @@ object Registry {
         .localCheckpoint(false)
       prev = cur
       cur = witness(next)
+      // superseded round: release its checkpoint blocks (see
+      // closurePairsOf).
+      org.apache.spark.sql.graftshim.GraftShim.freeCheckpoint(closure)
       closure = next
     }
     closure
