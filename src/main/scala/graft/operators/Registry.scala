@@ -669,52 +669,67 @@ object Registry {
           floor(col("doc_id") / 3).cast("bigint").as("parent")))
   }
 
-  /** All (doc, transitive ancestor) pairs by pointer doubling: each
-    * round composes the closure-so-far with itself, so covered path
-    * length DOUBLES per round — convergence in O(log depth) rounds
-    * (4–5 here and still only ~6 at a 100 TB corpus) instead of the
-    * depth-many rounds of edge-at-a-time semi-naive evaluation.
-    * Per round: one keyed self-join + distinct, each a hash shuffle;
-    * the 1-row count is the convergence witness (labels can only
-    * grow, so an unchanged count is a fixpoint). localCheckpoint per
-    * round keeps the plan flat (same lineage-truncation discipline
-    * as Pipeline.dedupClusters). The trade: the self-join touches
-    * |closure| rows per round rather than just the frontier — the
-    * right trade when rounds are expensive (cluster scheduling
-    * latency) and ancestor sets are log-bounded, as import DAGs are.
+  /** All (doc, transitive ancestor) pairs by SEMI-NAIVE frontier
+    * expansion: each round joins only the newly-discovered pairs
+    * against the direct edge list, so per-round join work is
+    * |frontier| · avg-outdegree and the whole run touches
+    * O(|closure|) join rows. The r6–r10 form was pointer doubling
+    * (closure ∘ closure, O(log depth) rounds) — measured at sf10 it
+    * is the wrong trade on hub-heavy DAGs: the self-join intermediate
+    * is Σ_mid descendants(mid)·ancestors(mid) ≈ N·log³N (small-id hub
+    * nodes have ~N/id descendants), ~5.7e9 rows at 500k docs vs
+    * semi-naive's ~18M, and the closure family burned ~1,900
+    * task-seconds per query there (35–58× the sf1 cost at 10× data).
+    * Depth-many rounds (19 at sf10, ~25 at 100 TB) of KB-to-MB-scale
+    * jobs cost far less than the hub blowup — [[Tables.withIterConf]]
+    * coalesces the tiny round shuffles.
+    *
+    * Per round: frontier ⋈ edges (one hash shuffle on mid), an
+    * anti-join against closure-so-far to keep only new pairs (the
+    * BFS dedup that also terminates cycles), and one union append.
+    * The frontier count is the convergence witness (empty frontier =
+    * fixpoint). localCheckpoint per round keeps the plan flat and the
+    * superseded round's blocks are freed as soon as the new round is
+    * materialized (GraftShim.freeCheckpoint).
     */
   private def closurePairs(s: SparkSession, dir: String): DataFrame =
     closurePairsOf(s, refEdges(s, dir))
 
   /** [[closurePairs]] generalized to any (child, parent) edge set —
-    * pointer doubling converges on cyclic graphs too (the pair set is
-    * finite and only grows; a cycle just makes nodes self-reachable),
-    * which is what [[refCycles]] relies on.
+    * semi-naive BFS converges on cyclic graphs too (the pair set is
+    * finite and the anti-join empties the frontier once every
+    * reachable pair is known; a cycle just makes nodes
+    * self-reachable), which is what [[refCycles]] relies on.
     */
   private def closurePairsOf(s: SparkSession, edges: DataFrame): DataFrame = Tables.withIterConf(s) {
-    var closure = edges
+    val e = edges
       .select(col("child").as("doc_id"), col("parent").as("anc"))
       .distinct().localCheckpoint(false)
-    var prevCount = -1L
-    var curCount = closure.count()
-    while (curCount != prevCount) {
-      val hop = closure.select(col("doc_id"), col("anc").as("mid"))
-        .join(closure.select(col("doc_id").as("mid"), col("anc").as("anc2")), "mid")
-        .select(col("doc_id"), col("anc2").as("anc"))
-      // LAZY checkpoint + count: the count action materializes (and
-      // pins) the checkpoint partitions in the SAME job, halving the
-      // per-round job count vs eager-checkpoint-then-count (r6 shape).
-      val next = closure.union(hop).distinct().localCheckpoint(false)
-      prevCount = curCount
-      curCount = next.count()
-      // next is materialized and the old round is never read again —
-      // release its blocks now instead of waiting for the
-      // ContextCleaner (the superseded rounds otherwise accumulate
-      // for the whole loop; see GraftShim.freeCheckpoint).
-      org.apache.spark.sql.graftshim.GraftShim.freeCheckpoint(closure)
-      closure = next
+    // Closure-so-far stays a UNION VIEW of the per-round frontier
+    // checkpoints — each pair is checkpoint-written exactly once, in
+    // the round that discovered it. Re-materializing the unioned
+    // closure every round (the first semi-naive cut) rewrote the
+    // whole O(|closure|) set per round — Σ rounds·|closure| rows of
+    // pure checkpoint IO that this form never pays.
+    val rounds = scala.collection.mutable.ListBuffer(e)
+    var frontier = e
+    var frontierCount = frontier.count() // materializes e
+    while (frontierCount > 0) {
+      // one-hop extension of the NEW pairs only, against direct edges.
+      // No pre-join distinct: the anti-join passes duplicates through
+      // and the post-join distinct rides the join's (doc_id, anc)
+      // hash partitioning — one wide shuffle per round, not two.
+      val hop = frontier.select(col("doc_id"), col("anc").as("mid"))
+        .join(e.select(col("doc_id").as("mid"), col("anc")), "mid")
+        .select(col("doc_id"), col("anc"))
+      val fresh = hop
+        .join(rounds.reduce(_ unionAll _), Seq("doc_id", "anc"), "left_anti")
+        .distinct().localCheckpoint(false)
+      frontierCount = fresh.count() // materializes fresh; old frontier's last read
+      frontier = fresh
+      if (frontierCount > 0) rounds += fresh
     }
-    closure
+    rounds.reduce(_ unionAll _)
   }
 
   /** Transitive reference closure per document (the resolution set a
@@ -733,42 +748,43 @@ object Registry {
 
   /** Dependency graph WITH hop depth (buildDependencyTree,
     * tools_validation.go:295 walks references to maxDepth): the
-    * pointer-doubling closure extended to carry min-hop distance —
-    * min-plus matrix squaring. Init: direct edges at d=1; each round
-    * composes closure∘closure taking min(d1+d2) per (doc, anc), so
-    * exact min-depths for paths ≤ 2^r arrive after r rounds. The
-    * convergence witness is the 1-row (pair count, Σd) tuple: pairs
-    * only grow and, per pair, d only shrinks, so an unchanged tuple
-    * is a fixpoint. Same flat-lineage discipline as [[closurePairs]].
+    * semi-naive closure carrying min-hop distance as the BFS layer
+    * number. Init: direct edges at d=1; round r extends only the
+    * frontier one edge, and a pair first discovered in round r has
+    * EXACT min-distance r (unit-weight BFS invariant; the anti-join
+    * against closure-so-far discards longer rediscoveries). The
+    * empty frontier is the convergence witness. Replaces the r6–r10
+    * min-plus matrix squaring for the same hub-blowup reason as
+    * [[closurePairsOf]] — squaring composes every (path≤2^r, path≤2^r)
+    * pair through hub mids, and min-plus cannot even dedup the
+    * intermediate before the groupBy. Same flat-lineage and
+    * freed-superseded-round discipline.
     */
   private def closureDepths(s: SparkSession, dir: String): DataFrame = Tables.withIterConf(s) {
-    def witness(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)), sum(col("d"))).first()
-      (r.getLong(0), r.getLong(1))
+    val e = refEdges(s, dir)
+      .select(col("child").as("doc_id"), col("parent").as("anc"))
+      .distinct().localCheckpoint(false)
+    // per-round frontier checkpoints; d is stamped at assembly time
+    // from the round index (BFS layer = exact min distance), so the
+    // depth column never has to be carried through the loop joins —
+    // same union-view discipline as [[closurePairsOf]].
+    val rounds = scala.collection.mutable.ListBuffer(e)
+    var frontier = e
+    var frontierCount = frontier.count() // materializes e
+    while (frontierCount > 0) {
+      val hop = frontier.select(col("doc_id"), col("anc").as("mid"))
+        .join(e.select(col("doc_id").as("mid"), col("anc")), "mid")
+        .select(col("doc_id"), col("anc"))
+      val fresh = hop
+        .join(rounds.reduce(_ unionAll _), Seq("doc_id", "anc"), "left_anti")
+        .distinct().localCheckpoint(false)
+      frontierCount = fresh.count()
+      frontier = fresh
+      if (frontierCount > 0) rounds += fresh
     }
-    var closure = refEdges(s, dir)
-      .select(col("child").as("doc_id"), col("parent").as("anc"), lit(1L).as("d"))
-      .groupBy(col("doc_id"), col("anc")).agg(min(col("d")).as("d"))
-      .localCheckpoint(false)
-    var prev = (-1L, -1L)
-    var cur = witness(closure)
-    while (cur != prev) {
-      val hop = closure.select(col("doc_id"), col("anc").as("mid"), col("d").as("d1"))
-        .join(closure.select(col("doc_id").as("mid"), col("anc").as("anc2"), col("d").as("d2")), "mid")
-        .select(col("doc_id"), col("anc2").as("anc"), (col("d1") + col("d2")).as("d"))
-      // lazy checkpoint: materialized by the witness job (see
-      // closurePairs) — one job per round, not two.
-      val next = closure.union(hop)
-        .groupBy(col("doc_id"), col("anc")).agg(min(col("d")).as("d"))
-        .localCheckpoint(false)
-      prev = cur
-      cur = witness(next)
-      // superseded round: release its checkpoint blocks (see
-      // closurePairsOf).
-      org.apache.spark.sql.graftshim.GraftShim.freeCheckpoint(closure)
-      closure = next
-    }
-    closure
+    rounds.zipWithIndex
+      .map { case (df, i) => df.select(col("doc_id"), col("anc"), lit(i + 1L).as("d")) }
+      .reduce(_ unionAll _)
   }
 
   /** Per-document dependency-tree report (tools_validation.go:295):
