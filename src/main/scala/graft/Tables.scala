@@ -204,6 +204,22 @@ object Tables {
     }
   }
 
+  /** Lazy localCheckpoint at MEMORY_AND_DISK_SER for the per-round
+    * frames of driver-paced fixpoint loops. The default deserialized
+    * level stores one UnsafeRow OBJECT per row (~40 B JVM overhead on
+    * a 2-long pair row — more header than data); a closure loop whose
+    * rounds accumulate into an 18M-pair result keeps ~1.3 GiB of row
+    * objects live per construction, and a bench session running three
+    * constructions of five closure queries OOMed an 8 GiB heap on
+    * exactly that. Serialized storage packs the same rows into a few
+    * large byte arrays (~3x smaller, near-zero object count), and for
+    * KB-to-MB-scale round frames the codec cost is noise next to the
+    * round's shuffle.
+    */
+  def iterCheckpoint(df: DataFrame): DataFrame =
+    df.localCheckpoint(false,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
   /** A Filter that must stay EXACTLY where it is written. Catalyst
     * freely pushes deterministic predicates below joins and even into
     * join conditions — for an expensive post-join score threshold

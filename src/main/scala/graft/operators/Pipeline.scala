@@ -85,7 +85,7 @@ object Pipeline {
   private[graft] def ccLabelProp(edges: DataFrame, maxIter: Int = 20): (DataFrame, Int) = Tables.withIterConf(edges.sparkSession) {
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
-      .localCheckpoint(false)
+      .transform(Tables.iterCheckpoint)
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("label")), lit(0L))).first().getLong(0)
     var prevSum = -1L
@@ -101,7 +101,7 @@ object Pipeline {
         .select(col("src").as("id"), col("nl").as("label"))
         .union(labels)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint(false)
+        .transform(Tables.iterCheckpoint)
       prevSum = curSum
       curSum = labelSum(next)
       // next is materialized by the witness job and the old round is
@@ -194,7 +194,7 @@ object Pipeline {
       .join(seed.select(col("id").as("src"), col("slabel").as("ls")), "src")
       .join(seed.select(col("id").as("dst"), col("slabel").as("ld")), "dst")
       .select(col("ls").as("src"), col("ld").as("dst"))
-      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(false)
+      .filter(col("src") =!= col("dst")).distinct().transform(Tables.iterCheckpoint)
     var eCount = e.count()
     var iter = 0
     var stable = false
@@ -209,7 +209,7 @@ object Pipeline {
       // alternations per probe cycle was measured in r8 and is
       // WORSE — 7.1→9.9s warm: the doubled per-job stage DAG costs
       // more in AQE replanning latency than the probe jobs it saves.)
-      val next = smallStar(largeStar(e)).localCheckpoint(false)
+      val next = Tables.iterCheckpoint(smallStar(largeStar(e)))
       val nextCount = next.count()
       stable = nextCount == eCount && next.union(e).distinct().count() == nextCount
       // the stability probe above was the old round's last read —

@@ -704,7 +704,7 @@ object Registry {
   private def closurePairsOf(s: SparkSession, edges: DataFrame): DataFrame = Tables.withIterConf(s) {
     val e = edges
       .select(col("child").as("doc_id"), col("parent").as("anc"))
-      .distinct().localCheckpoint(false)
+      .distinct().transform(Tables.iterCheckpoint)
     // Closure-so-far stays a UNION VIEW of the per-round frontier
     // checkpoints — each pair is checkpoint-written exactly once, in
     // the round that discovered it. Re-materializing the unioned
@@ -724,7 +724,7 @@ object Registry {
         .select(col("doc_id"), col("anc"))
       val fresh = hop
         .join(rounds.reduce(_ unionAll _), Seq("doc_id", "anc"), "left_anti")
-        .distinct().localCheckpoint(false)
+        .distinct().transform(Tables.iterCheckpoint)
       frontierCount = fresh.count() // materializes fresh; old frontier's last read
       frontier = fresh
       if (frontierCount > 0) rounds += fresh
@@ -763,7 +763,7 @@ object Registry {
   private def closureDepths(s: SparkSession, dir: String): DataFrame = Tables.withIterConf(s) {
     val e = refEdges(s, dir)
       .select(col("child").as("doc_id"), col("parent").as("anc"))
-      .distinct().localCheckpoint(false)
+      .distinct().transform(Tables.iterCheckpoint)
     // per-round frontier checkpoints; d is stamped at assembly time
     // from the round index (BFS layer = exact min distance), so the
     // depth column never has to be carried through the loop joins —
@@ -777,7 +777,7 @@ object Registry {
         .select(col("doc_id"), col("anc"))
       val fresh = hop
         .join(rounds.reduce(_ unionAll _), Seq("doc_id", "anc"), "left_anti")
-        .distinct().localCheckpoint(false)
+        .distinct().transform(Tables.iterCheckpoint)
       frontierCount = fresh.count()
       frontier = fresh
       if (frontierCount > 0) rounds += fresh
