@@ -124,6 +124,75 @@ object Tables {
     */
   def spread(df: DataFrame): DataFrame = df.repartition(spreadWidth(df))
 
+  private val lengthCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Upper bound on the split count `df`'s file scan can reach, from
+    * driver-side file listing only (zero Spark jobs): Σ ceil(bytes /
+    * maxPartitionBytes) over the scan's files. Parquet cannot split
+    * below row-group granularity, so the real parallelism may be
+    * lower (the driver's single-row-group files read as ONE task even
+    * when their byte count suggests a few splits) — which is the safe
+    * direction for [[spreadIfNarrow]]: a table big enough to report
+    * many byte-splits has many row groups in practice. None when the
+    * frame has no file-backed scan. File lengths are cached for the
+    * JVM lifetime (immutable driver data, same as [[footerRowBound]]).
+    */
+  def scanSplitBound(df: DataFrame): Option[Long] = {
+    val files = df.inputFiles
+    if (files.isEmpty) return None
+    val s = df.sparkSession
+    val maxSplit = s.sessionState.conf.filesMaxPartitionBytes.max(1L)
+    val conf = s.sessionState.newHadoopConf()
+    try {
+      var splits = 0L
+      for (f <- files) {
+        val cached = lengthCache.get(f)
+        val len: Long = if (cached != null) cached.longValue() else {
+          val p = new org.apache.hadoop.fs.Path(f)
+          val l = p.getFileSystem(conf).getFileStatus(p).getLen
+          lengthCache.put(f, l)
+          l
+        }
+        splits += (len + maxSplit - 1) / maxSplit
+      }
+      Some(splits)
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  /** True when `df`'s scan provably cannot reach the session's
+    * parallelism — the single-row-group test-file shape where an
+    * expression-heavy projection serializes on one task (guide §2.5
+    * "input skew: one huge unsplittable file — repartition immediately
+    * after the read"). On a real many-split table (any 100 TB input)
+    * this is false and the adaptive spreads below are the identity —
+    * no shuffle is ever added where the scan already parallelizes.
+    */
+  private def narrowScan(df: DataFrame): Boolean =
+    scanSplitBound(df).exists(_ < spreadWidth(df) / 2)
+
+  /** [[spread]] only when the scan is provably narrow — adds a
+    * round-robin exchange on test-scale single-split files, identity
+    * on real tables. Use before CPU-heavy row-local projections whose
+    * input is not about to be shuffled anyway.
+    */
+  def spreadIfNarrow(df: DataFrame): DataFrame =
+    if (narrowScan(df)) spread(df) else df
+
+  /** Keyed variant of [[spreadIfNarrow]] for inputs flowing into a
+    * window/aggregation keyed by `cols`: the fan-out hash exchange
+    * SATISFIES the downstream ClusteredDistribution, so the plan gets
+    * the same exchange count as the un-spread form — the downstream
+    * shuffle simply moves below the expensive projection. On wide
+    * scans this is the identity and the downstream operator keeps its
+    * own exchange above the (already parallel) projection, keeping
+    * the shuffle as narrow as the projected columns.
+    */
+  def spreadByIfNarrow(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
+    if (narrowScan(df)) spreadBy(df, cols: _*) else df
+
   /** Keyed variant of [[spread]]: hash-repartition on the given
     * columns with the same conf-driven parallelism — the co-location
     * shape pair-scoring joins need, without a hard-coded width.

@@ -499,16 +499,52 @@ object Audit {
     * FULL line text (comments and sample values too), so
     * [[queryProbe]] needs this pre-filter view.
     */
-  private def promLines(s: SparkSession, dir: String): DataFrame = {
-    val lines = Tables.events(s, dir)
+  private def promLines(s: SparkSession, dir: String): DataFrame =
+    promLines(s, dir, samplesOnly = false)
+
+  /** `samplesOnly = true` drops the `# HELP` / `# TYPE` comment lines
+    * BEFORE the line is rendered: a rendered line starts with '#' iff
+    * the generator CASE takes branch 14 or 15, i.e. iff
+    * cast(k % 16 as int) is NOT in [0, 13] (NULL and negative k land
+    * in the ELSE comment branch too, so BETWEEN keeps exactly the
+    * sample branches). The r10 form filtered `line NOT LIKE '#%'`
+    * AFTER rendering — Catalyst pushed that filter toward the scan
+    * and INLINED the whole 16-branch concat CASE (with its ~30
+    * get_json_object occurrences) into the Filter condition, so every
+    * row paid the render twice and the JSON parse ~30x (plan audit
+    * r11; guide §4.4's duplication trap, built-in-expression
+    * edition). The k-mod predicate is a 2-op integer test instead.
+    */
+  private def promLines(s: SparkSession, dir: String, samplesOnly: Boolean): DataFrame = {
+    // spreadIfNarrow: the JSON parse + exposition-line rendering is
+    // ~20µs/row of row-local CPU; on the driver's single-row-group
+    // events file the whole pass serialized on one scan task (stage
+    // profile: 2.3s 1-task stage = ~95% of each metrics_* query's
+    // wall). Identity on real many-split tables.
+    val parsed = Tables.spreadIfNarrow(
+      Tables.events(s, dir).select(col("user_id"), col("props")))
       .select(col("user_id"),
         get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+    val base =
+      if (samplesOnly) parsed.where("cast(k % 16 AS int) BETWEEN 0 AND 13")
+      else parsed
+    val lines = base
       .selectExpr("user_id", "k", "cast(k % 100 AS string) AS v",
         "cast(user_id % 2 AS string) AS u2", "cast(user_id % 3 AS string) AS u3",
         "cast(user_id % 4 AS string) AS u4", "cast(user_id % 5 AS string) AS u5",
         "cast(user_id % 6 AS string) AS u6", "cast(user_id % 7 AS string) AS u7")
       .selectExpr(
-        """CASE cast(k % 16 AS int)
+        // coalesce wrapper: the CASE never yields NULL in practice
+        // (every sample branch concats a non-null v, the comment
+        // branches are literals, and a NULL k falls into the literal
+        // ELSE), but Catalyst types it nullable — and an inner
+        // contains-join over `line` then INFERS an isnotnull(line)
+        // filter, inlining this whole render into a scan-stage Filter
+        // (double render + ~30 JSON parses per row, plan audit r11).
+        // The dead second coalesce arm makes `line` provably
+        // non-nullable, so no filter is ever inferred; the value is
+        // bit-identical (first arm always wins).
+        """coalesce(CASE cast(k % 16 AS int)
           |WHEN 0 THEN 'kafka_schema_registry_registered_count ' || v
           |WHEN 1 THEN 'schema_registry_requests_total{method="m' || u3 || '",status="2xx"} ' || v
           |WHEN 2 THEN 'schema_registry_schemas_total{type="t' || u4 || '"} ' || v
@@ -526,7 +562,7 @@ object Audit {
           |WHEN 13 THEN 'schema_registry_leader_elections_total ' || v
           |WHEN 14 THEN '# HELP schema_registry_requests_total Total requests by method and status.'
           |ELSE '# TYPE schema_registry_requests_total counter'
-          |END AS line""".stripMargin)
+          |END, '# TYPE schema_registry_requests_total counter') AS line""".stripMargin)
     lines
   }
 
@@ -536,8 +572,7 @@ object Audit {
     // and the sample value is the last space-separated token) —
     // substring_index is codegen'd and regex-free; same-host A/B at
     // sf1: prom_parse 26.6→21.9s, summary 26.3→21.1s (16–20%).
-    promLines(s, dir)
-      .where("line NOT LIKE '#%'")
+    promLines(s, dir, samplesOnly = true)
       .selectExpr(
         "substring_index(line, ' ', 1) AS series",
         "cast(substring_index(line, ' ', -1) AS bigint) AS val")

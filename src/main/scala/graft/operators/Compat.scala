@@ -345,9 +345,19 @@ object Compat {
   private[graft] def fieldArrays(s: SparkSession, dir: String,
                                  members: Seq[String], withLag: Boolean): DataFrame = {
     val keep = members.toSet + "present"
-    val ev = Tables.events(s, dir).select(
-      col("user_id").as("subject"), col("ts"), col("event_id"),
-      get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+    // spreadByIfNarrow on the window key: on the driver's single-row-
+    // group events file the JSON parse serialized on the one scan task
+    // (stage profile: a multi-second 1-task stage under every consumer
+    // of this model). Keyed by `subject`, the fan-out exchange IS the
+    // version window's exchange — same exchange count, parse moved to
+    // the parallel side. On real many-split tables this is the
+    // identity and only `k` crosses the window shuffle, as before.
+    val ev = Tables.spreadByIfNarrow(
+      Tables.events(s, dir).select(
+        col("user_id").as("subject"), col("ts"), col("event_id"), col("props")),
+      col("subject"))
+      .select(col("subject"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
     val w = Window.partitionBy(col("subject")).orderBy(col("ts"), col("event_id"))
     val nullStr = lit(null).cast("string")
     // fmask: the field's branch-set bitmask ([[typeBits]]), baked in
