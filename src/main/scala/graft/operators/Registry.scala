@@ -705,22 +705,35 @@ object Registry {
     val e = edges
       .select(col("child").as("doc_id"), col("parent").as("anc"))
       .distinct().transform(Tables.iterCheckpoint)
+    // STRIDE-2 step relation (r11): one upfront self-join widens the
+    // step set to "reachable in 1-2 edges", so the BFS needs
+    // ⌈depth/2⌉ rounds instead of depth — the loop's cost here is the
+    // per-round FIXED cost (driver-paced jobs over KB-MB frames;
+    // measured ~0.3s/round at sf0.1, 13 rounds), not bytes, and the
+    // step build costs about one round. Reachability is unchanged
+    // (any path decomposes into stride-≤2 steps; ~1.2x step rows).
+    val step = e.unionAll(
+      e.select(col("doc_id"), col("anc").as("mid"))
+        .join(e.select(col("doc_id").as("mid"), col("anc")), "mid")
+        .select(col("doc_id"), col("anc")))
+      .distinct().transform(Tables.iterCheckpoint)
     // Closure-so-far stays a UNION VIEW of the per-round frontier
     // checkpoints — each pair is checkpoint-written exactly once, in
     // the round that discovered it. Re-materializing the unioned
     // closure every round (the first semi-naive cut) rewrote the
     // whole O(|closure|) set per round — Σ rounds·|closure| rows of
     // pure checkpoint IO that this form never pays.
-    val rounds = scala.collection.mutable.ListBuffer(e)
-    var frontier = e
-    var frontierCount = frontier.count() // materializes e
+    val rounds = scala.collection.mutable.ListBuffer(step)
+    var frontier = step
+    var frontierCount = frontier.count() // materializes step
     while (frontierCount > 0) {
-      // one-hop extension of the NEW pairs only, against direct edges.
-      // No pre-join distinct: the anti-join passes duplicates through
-      // and the post-join distinct rides the join's (doc_id, anc)
-      // hash partitioning — one wide shuffle per round, not two.
+      // stride-2 extension of the NEW pairs only, against the step
+      // relation. No pre-join distinct: the anti-join passes
+      // duplicates through and the post-join distinct rides the
+      // join's (doc_id, anc) hash partitioning — one wide shuffle per
+      // round, not two.
       val hop = frontier.select(col("doc_id"), col("anc").as("mid"))
-        .join(e.select(col("doc_id").as("mid"), col("anc")), "mid")
+        .join(step.select(col("doc_id").as("mid"), col("anc")), "mid")
         .select(col("doc_id"), col("anc"))
       val fresh = hop
         .join(rounds.reduce(_ unionAll _), Seq("doc_id", "anc"), "left_anti")
@@ -764,27 +777,45 @@ object Registry {
     val e = refEdges(s, dir)
       .select(col("child").as("doc_id"), col("parent").as("anc"))
       .distinct().transform(Tables.iterCheckpoint)
-    // per-round frontier checkpoints; d is stamped at assembly time
-    // from the round index (BFS layer = exact min distance), so the
-    // depth column never has to be carried through the loop joins —
-    // same union-view discipline as [[closurePairsOf]].
-    val rounds = scala.collection.mutable.ListBuffer(e)
-    var frontier = e
-    var frontierCount = frontier.count() // materializes e
+    // STRIDE-2 step relation carrying its EXACT min distance: direct
+    // edges at d=1, two-hop pairs WITHOUT a direct edge at d=2 (the
+    // anti-join makes d exact within the ≤2 window). Same ⌈depth/2⌉
+    // round count win as [[closurePairsOf]]; because a round now
+    // spans two BFS layers, d rides the loop joins (d' = d_frontier +
+    // d_step, min per fresh pair) instead of being stamped from the
+    // round index. Exactness: a shortest path of length L has a
+    // prefix of length L-2 whose min-dist is exactly L-2 (else a
+    // shorter a→c path would exist), that prefix is in the previous
+    // frontier with exact d by induction, and the 2-step suffix is in
+    // the step relation at its exact ≤2 distance — so min over a
+    // round's candidates is the true min distance, and the per-round
+    // anti-join still discards longer rediscoveries of earlier pairs.
+    val twoHop = e.select(col("doc_id"), col("anc").as("mid"))
+      .join(e.select(col("doc_id").as("mid"), col("anc")), "mid")
+      .select(col("doc_id"), col("anc"))
+      .join(e, Seq("doc_id", "anc"), "left_anti")
+      .distinct()
+    val step = e.select(col("doc_id"), col("anc"), lit(1L).as("d"))
+      .unionAll(twoHop.select(col("doc_id"), col("anc"), lit(2L).as("d")))
+      .transform(Tables.iterCheckpoint)
+    val rounds = scala.collection.mutable.ListBuffer(step)
+    var frontier = step
+    var frontierCount = frontier.count() // materializes step
     while (frontierCount > 0) {
-      val hop = frontier.select(col("doc_id"), col("anc").as("mid"))
-        .join(e.select(col("doc_id").as("mid"), col("anc")), "mid")
-        .select(col("doc_id"), col("anc"))
+      val hop = frontier
+        .select(col("doc_id"), col("anc").as("mid"), col("d").as("df"))
+        .join(step.select(col("doc_id").as("mid"), col("anc"), col("d").as("ds")), "mid")
+        .select(col("doc_id"), col("anc"), (col("df") + col("ds")).as("d"))
       val fresh = hop
-        .join(rounds.reduce(_ unionAll _), Seq("doc_id", "anc"), "left_anti")
-        .distinct().transform(Tables.iterCheckpoint)
+        .join(rounds.reduce(_ unionAll _).select(col("doc_id"), col("anc")),
+          Seq("doc_id", "anc"), "left_anti")
+        .groupBy(col("doc_id"), col("anc")).agg(min(col("d")).as("d"))
+        .transform(Tables.iterCheckpoint)
       frontierCount = fresh.count()
       frontier = fresh
       if (frontierCount > 0) rounds += fresh
     }
-    rounds.zipWithIndex
-      .map { case (df, i) => df.select(col("doc_id"), col("anc"), lit(i + 1L).as("d")) }
-      .reduce(_ unionAll _)
+    rounds.reduce(_ unionAll _)
   }
 
   /** Per-document dependency-tree report (tools_validation.go:295):
