@@ -552,12 +552,25 @@ object Analytics {
     * the plan that survives 100 TB where the self-join would not.
     */
   def q21WaitingSupplier(s: SparkSession, dir: String): DataFrame = {
-    val rSupp = when(col("l_returnflag") === "R", col("l_suppkey"))
-    val perOrder = Tables.lineitem(s, dir)
+    // Two-level aggregate instead of two countDistincts (r11): the
+    // multi-distinct form planned an Expand (3x the lineitem rows)
+    // feeding TWO exchanges (16.5 + 12 MB at sf0.1). Level 1 collapses
+    // to (order, supplier, any-R) and level 2 counts those rows — both
+    // levels ride ONE order-keyed exchange, because hash(l_orderkey)
+    // co-locates every (l_orderkey, l_suppkey) group too (guide §2.4
+    // shared exchange; §2.3 fewer bytes — no Expand at any scale).
+    // countDistinct(supp) = count of level-1 rows; countDistinct(R-supp)
+    // = count of has_r rows; min(R-supp) = min over has_r rows.
+    val perOrder = Tables.spreadBy(
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag")),
+      col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("l_returnflag") === "R").as("has_r"))
       .groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(rSupp).as("n_r_supp"),
-        min(rSupp).as("culprit"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(when(col("has_r"), 1L).otherwise(0L)).as("n_r_supp"),
+        min(when(col("has_r"), col("l_suppkey"))).as("culprit"))
       .filter(col("n_supp") >= 2 && col("n_r_supp") === 1)
     perOrder
       .join(broadcast(Tables.supplier(s, dir)), col("culprit") === col("s_suppkey"))
