@@ -253,7 +253,21 @@ object Tables {
     * is metadata-sized next to the corpus, and size-based coalescing
     * still widens genuinely large rounds.
     */
-  def withIterConf[T](s: SparkSession)(body: => T): T = {
+  def withIterConf[T](s: SparkSession)(body: => T): T =
+    withIterConf(s, staticPlans = false)(body)
+
+  /** `staticPlans = true` additionally turns AQE OFF and pins a small
+    * static shuffle width for the scope — for loops whose join
+    * strategies are already decided by count-gated broadcast hints
+    * (the registry closures): AQE's stage-by-stage re-optimization
+    * added driver latency to every tiny per-round query (measured
+    * ~45 → ~29 jobs on reg_refs_closure) while its runtime statistics
+    * cannot beat the loop's own EXACT convergence counts — see
+    * [[iterWidth]], which those loops call per round. Loops that rely
+    * on AQE's runtime join re-selection (ccStar's alternations, whose
+    * per-round frames have no count-gated hints) keep the default.
+    */
+  def withIterConf[T](s: SparkSession, staticPlans: Boolean)(body: => T): T = {
     // parallelismFirst=false alone regressed the closure family 3x at
     // sf1 (7s -> 17-23s, r7 measurement): size-driven coalescing with
     // the DEFAULT 64 MB advisory folds a ~50 MB iteration frame into
@@ -263,7 +277,11 @@ object Tables {
     // round still fans out to ~frame/4MB tasks.
     val ks = Seq(
       "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4m")
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4m") ++
+      (if (staticPlans) Seq(
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.shuffle.partitions" -> "8")
+      else Seq.empty)
     val prev = ks.map { case (k, _) => k -> s.conf.getOption(k) }
     ks.foreach { case (k, v) => s.conf.set(k, v) }
     try body
@@ -272,6 +290,20 @@ object Tables {
       case (k, None)    => s.conf.unset(k)
     }
   }
+
+  /** Static shuffle width for the NEXT round of a driver-paced loop
+    * over ~`rows` rows: ~64 MB per partition at ~24 B/row, floor 8
+    * (the local fixed-dispatch trade [[withIterConf]] exists for),
+    * cap 20000. Loops call this inside [[withIterConf]] with their
+    * own exact convergence counts before planning a round — the
+    * scale-adaptive replacement for AQE's runtime coalescing (the
+    * count is exact where AQE would have had an estimate), without
+    * AQE's per-round replanning latency. The conf key is saved and
+    * restored by [[withIterConf]].
+    */
+  def iterWidth(s: SparkSession, rows: Long): Unit =
+    s.conf.set("spark.sql.shuffle.partitions",
+      math.min(20000L, math.max(8L, rows * 24 / (64L << 20))).toString)
 
   /** Lazy localCheckpoint at MEMORY_AND_DISK_SER for the per-round
     * frames of driver-paced fixpoint loops. The default deserialized

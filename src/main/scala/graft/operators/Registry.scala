@@ -701,7 +701,7 @@ object Registry {
     * reachable pair is known; a cycle just makes nodes
     * self-reachable), which is what [[refCycles]] relies on.
     */
-  private def closurePairsOf(s: SparkSession, edges: DataFrame): DataFrame = Tables.withIterConf(s) {
+  private def closurePairsOf(s: SparkSession, edges: DataFrame): DataFrame = Tables.withIterConf(s, staticPlans = true) {
     val e = edges
       .select(col("child").as("doc_id"), col("parent").as("anc"))
       .distinct().transform(Tables.iterCheckpoint)
@@ -726,24 +726,46 @@ object Registry {
     val rounds = scala.collection.mutable.ListBuffer(step)
     var frontier = step
     var frontierCount = frontier.count() // materializes step
+    // Adaptive broadcasts (r11): the loop's convergence counts give
+    // the driver EXACT row counts for both join inputs at no extra
+    // cost, so each round broadcasts the step relation and the
+    // closure-so-far anti-join side while they fit ([[BcastRows]]) —
+    // the hop and the anti-filter then run in the frontier's own
+    // partitions and the round's only exchange is the distinct. A
+    // graph too big to broadcast (100 TB reference graphs) falls back
+    // to exactly the former shuffle form, per side, per round.
+    val stepBcast = frontierCount <= BcastRows
+    var closureCount = frontierCount
     while (frontierCount > 0) {
+      Tables.iterWidth(s, closureCount)
       // stride-2 extension of the NEW pairs only, against the step
       // relation. No pre-join distinct: the anti-join passes
       // duplicates through and the post-join distinct rides the
       // join's (doc_id, anc) hash partitioning — one wide shuffle per
       // round, not two.
+      val stepSide = step.select(col("doc_id").as("mid"), col("anc"))
       val hop = frontier.select(col("doc_id"), col("anc").as("mid"))
-        .join(step.select(col("doc_id").as("mid"), col("anc")), "mid")
+        .join(if (stepBcast) broadcast(stepSide) else stepSide, "mid")
         .select(col("doc_id"), col("anc"))
+      val closure = rounds.reduce(_ unionAll _)
       val fresh = hop
-        .join(rounds.reduce(_ unionAll _), Seq("doc_id", "anc"), "left_anti")
+        .join(if (closureCount <= BcastRows) broadcast(closure) else closure,
+          Seq("doc_id", "anc"), "left_anti")
         .distinct().transform(Tables.iterCheckpoint)
       frontierCount = fresh.count() // materializes fresh; old frontier's last read
       frontier = fresh
+      closureCount += frontierCount
       if (frontierCount > 0) rounds += fresh
     }
     rounds.reduce(_ unionAll _)
   }
+
+  /** Row bound under which the closure loops broadcast a join side:
+    * 2M (doc, anc) pairs ≈ ~60 MB built — comfortably inside driver/
+    * executor memory, far above every test scale (sf10's closure is
+    * ~18M pairs and correctly falls back to the shuffle form there).
+    */
+  private val BcastRows = 2000000L
 
   /** Transitive reference closure per document (the resolution set a
     * registry materializes to answer "what does this schema pull in"
@@ -773,7 +795,7 @@ object Registry {
     * intermediate before the groupBy. Same flat-lineage and
     * freed-superseded-round discipline.
     */
-  private def closureDepths(s: SparkSession, dir: String): DataFrame = Tables.withIterConf(s) {
+  private def closureDepths(s: SparkSession, dir: String): DataFrame = Tables.withIterConf(s, staticPlans = true) {
     val e = refEdges(s, dir)
       .select(col("child").as("doc_id"), col("parent").as("anc"))
       .distinct().transform(Tables.iterCheckpoint)
@@ -801,18 +823,26 @@ object Registry {
     val rounds = scala.collection.mutable.ListBuffer(step)
     var frontier = step
     var frontierCount = frontier.count() // materializes step
+    // same adaptive broadcasts as [[closurePairsOf]] — counts are
+    // exact and driver-known from the convergence probes
+    val stepBcast = frontierCount <= BcastRows
+    var closureCount = frontierCount
     while (frontierCount > 0) {
+      Tables.iterWidth(s, closureCount)
+      val stepSide = step.select(col("doc_id").as("mid"), col("anc"), col("d").as("ds"))
       val hop = frontier
         .select(col("doc_id"), col("anc").as("mid"), col("d").as("df"))
-        .join(step.select(col("doc_id").as("mid"), col("anc"), col("d").as("ds")), "mid")
+        .join(if (stepBcast) broadcast(stepSide) else stepSide, "mid")
         .select(col("doc_id"), col("anc"), (col("df") + col("ds")).as("d"))
+      val closure = rounds.reduce(_ unionAll _).select(col("doc_id"), col("anc"))
       val fresh = hop
-        .join(rounds.reduce(_ unionAll _).select(col("doc_id"), col("anc")),
+        .join(if (closureCount <= BcastRows) broadcast(closure) else closure,
           Seq("doc_id", "anc"), "left_anti")
         .groupBy(col("doc_id"), col("anc")).agg(min(col("d")).as("d"))
         .transform(Tables.iterCheckpoint)
       frontierCount = fresh.count()
       frontier = fresh
+      closureCount += frontierCount
       if (frontierCount > 0) rounds += fresh
     }
     rounds.reduce(_ unionAll _)

@@ -133,19 +133,26 @@ class ScalePathSpec extends SparkSpec {
     }
   }
 
-  test("compat_gate reuses the shared field-model exchange across its four streams") {
-    // The gate composes four scans over one base; exchange reuse must
-    // dedupe the shared subject-window shuffle (ReusedExchange nodes
-    // present) rather than recomputing the base per stream. The
-    // static ReuseExchange rule is only visible with AQE off (under
-    // AQE the same dedup happens via stage reuse at runtime).
+  test("compat_gate is one fused window pass: no joins, one hash exchange, codegen on") {
+    // r11: the gate computes all four verdict streams as packed-int
+    // bit tests over ONE field-model build and one subject window —
+    // no per-stream model rebuilds joined back on (subject, version).
+    // Pins: (a) no join operator at all; (b) exactly one hash
+    // exchange (the subject window shuffle; the trailing orderBy is a
+    // range exchange); (c) the verdict projections stay inside
+    // whole-stage codegen — the first fused cut blew the huge-method
+    // limit and ran fully interpreted (cpu 47→447s), which this
+    // assertion would have caught.
     val plan = try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       SparkEntry.queries("compat_gate")(spark, sfDir)
         .queryExecution.executedPlan.toString
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
-    assert(plan.contains("ReusedExchange"),
-      s"expected ReusedExchange in the composed gate plan:\n$plan")
+    assert(!plan.contains("Join"), s"fused gate must not join:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected exactly one hash exchange in the fused gate plan:\n$plan")
+    assert("\\*\\(\\d+\\)".r.findAllIn(plan).nonEmpty,
+      s"expected whole-stage codegen in the fused gate plan:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
   }
 
