@@ -48,7 +48,10 @@ def run_bench(jar, label, workdir, queries):
     if os.path.exists(detail_path):
         detail = json.load(open(detail_path))
         os.remove(detail_path)
-    if p.returncode != 0 and not detail:
+    if p.returncode != 0:
+        # fail even when partial detail exists (r12, ADVICE r11): a run
+        # that crashed after writing bench_detail.json must not
+        # silently contribute numbers to the A/B table
         print(p.stdout[-1500:], p.stderr[-1500:])
         raise SystemExit(f"{label}: bench failed rc={p.returncode}")
     return {"label": label, "wall_s": wall, "load": [load0, load1],

@@ -42,11 +42,14 @@ object Bench {
     * that 13 probes cost ~1% of a full 233-query run.
     */
   private val CalRows = 192000000L
-  /** Median probe wall on a measured-quiet host (loadavg 0.1, zero
-    * co-tenant graft processes; BENCH_VARIANCE.md r10 calibration).
-    * Override with SPARK_GRAFT_CAL_REF after any host migration.
+  /** Median probe wall on a measured-quiet host (zero co-tenant graft
+    * processes). Re-pinned 0.55 → 0.33 in r12 (VERDICT r11 #2): the
+    * r11 official run self-flagged ref_warn with a 0.331s min probe —
+    * the host class got faster and the stale ref understated every
+    * inflation factor. Override with SPARK_GRAFT_CAL_REF after any
+    * host migration; the effective ref is min(ref, run's min probe).
     */
-  private val CalQuietSec = 0.55
+  private val CalQuietSec = 0.33
   /** Probe every 5 queries (r11, VERDICT r10 #3 — was 20): a burst
     * inside one probe window now poisons ≤5 measurements instead of
     * ~25 (the r10 run lost a whole 20-query block to one 2.35x
@@ -325,8 +328,13 @@ object Bench {
         "skewed; set SPARK_GRAFT_CAL_REF to the min probe of a known-quiet run")
     val refWarnPart = if (refStale) s""","ref_warn":${fmt(minProbe, 3)}""" else ""
     val calPart = s""""cal":{"ref":${fmt(calRef, 3)},"med":${fmt(medInfl, 2)},"max":${fmt(maxInfl, 2)},"req":${requeued.size},"unm":${unmeasurable.size}$refWarnPart}"""
+    // n_queries (r12, VERDICT r11 #8): the compact line's headline
+    // truncation rolls sped-up queries into "other", which diff
+    // tooling can misread as drops — the measured-query count lets a
+    // reader distinguish "rolled into other" from "gone" without
+    // parsing bench_detail.json. Additions-only.
     def line(entries: Seq[String]): String =
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":${entries.mkString("{", ",", "}")}$errsPart,$calPart,$sfPart}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n_queries":${results.length},"queries":${entries.mkString("{", ",", "}")}$errsPart,$calPart,$sfPart}"""
     // The full per-query map no longer fits the ~1925 chars the tail
     // window leaves after sbt's trailing [success] line. Headline
     // policy: slowest-first at 2dp, as many as fit, the remainder

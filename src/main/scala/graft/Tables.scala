@@ -124,39 +124,39 @@ object Tables {
     */
   def spread(df: DataFrame): DataFrame = df.repartition(spreadWidth(df))
 
-  private val lengthCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-
   /** Upper bound on the split count `df`'s file scan can reach, from
-    * driver-side file listing only (zero Spark jobs): Σ ceil(bytes /
-    * maxPartitionBytes) over the scan's files. Parquet cannot split
-    * below row-group granularity, so the real parallelism may be
-    * lower (the driver's single-row-group files read as ONE task even
-    * when their byte count suggests a few splits) — which is the safe
-    * direction for [[spreadIfNarrow]]: a table big enough to report
-    * many byte-splits has many row groups in practice. None when the
-    * frame has no file-backed scan. File lengths are cached for the
-    * JVM lifetime (immutable driver data, same as [[footerRowBound]]).
+    * driver-side metadata only (zero Spark jobs, zero filesystem
+    * RPCs): Σ ceil(bytes / maxPartitionBytes) over the scan's files,
+    * with file lengths read from the scan's OWN FileIndex — the
+    * relation already holds every leaf FileStatus from the listing it
+    * did at read time (r12, ADVICE r11: the former per-file
+    * getFileStatus loop was a listing storm on many-file tables and
+    * its JVM-lifetime length cache could serve stale sizes for a
+    * rewritten path). Parquet cannot split below row-group
+    * granularity, so the real parallelism may be lower (the driver's
+    * single-row-group files read as ONE task even when their byte
+    * count suggests a few splits) — which is the safe direction for
+    * [[spreadIfNarrow]]: a table big enough to report many
+    * byte-splits has many row groups in practice. None when the
+    * frame has no file-backed scan.
     */
   def scanSplitBound(df: DataFrame): Option[Long] = {
-    val files = df.inputFiles
-    if (files.isEmpty) return None
-    val s = df.sparkSession
-    val maxSplit = s.sessionState.conf.filesMaxPartitionBytes.max(1L)
-    val conf = s.sessionState.newHadoopConf()
+    val maxSplit = df.sparkSession.sessionState.conf.filesMaxPartitionBytes.max(1L)
     try {
-      var splits = 0L
-      for (f <- files) {
-        val cached = lengthCache.get(f)
-        val len: Long = if (cached != null) cached.longValue() else {
-          val p = new org.apache.hadoop.fs.Path(f)
-          val l = p.getFileSystem(conf).getFileStatus(p).getLen
-          lengthCache.put(f, l)
-          l
-        }
-        splits += (len + maxSplit - 1) / maxSplit
+      val byPath = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      df.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.listFiles(Nil, Nil).foreach(_.files.foreach { f =>
+                byPath.update(f.getPath.toString, f.getLen)
+              })
+            case _ => ()
+          }
+        case _ => ()
       }
-      Some(splits)
+      if (byPath.isEmpty) None
+      else Some(byPath.valuesIterator.map(len => (len + maxSplit - 1) / maxSplit).sum)
     } catch {
       case scala.util.control.NonFatal(_) => None
     }
@@ -290,6 +290,16 @@ object Tables {
       case (k, None)    => s.conf.unset(k)
     }
   }
+
+  /** Row bound under which driver-paced loops broadcast a join side
+    * (and run with static per-round plans): 2M two-long rows ≈ ~60 MB
+    * built — comfortably inside driver/executor memory, far above
+    * every test scale, and a graph above it falls back to the former
+    * AQE/shuffle form per side, per round. Shared by the registry
+    * closure loops and the CC cores (r12; the registry-local constant
+    * since r11).
+    */
+  private[graft] val BcastRows = 2000000L
 
   /** Static shuffle width for the NEXT round of a driver-paced loop
     * over ~`rows` rows: ~64 MB per partition at ~24 B/row, floor 8

@@ -641,13 +641,21 @@ object Compat {
     * rollup is one bounded-vocabulary aggregate.
     */
   def ruleFreq(s: SparkSession, dir: String): DataFrame = {
-    val hits = violationHits(s, dir)
-    val total = hits.agg(count(lit(1)).as("n_total"))
-    hits.groupBy(col("violation"))
+    // n_total from the rollup itself (r12): every hit carries exactly
+    // one violation class, so the class counts partition the hit set
+    // and a global window-sum over the ≤5-row aggregate equals the
+    // former hits.agg(count) — whose crossJoin subplan re-ran the
+    // whole violationHits window scan a second time (guide §2.4:
+    // duplicated subtrees; measured ~2x the query).
+    violationHits(s, dir).groupBy(col("violation"))
       .agg(count(lit(1)).as("n_field_hits"),
         countDistinct(col("subject"), col("version")).as("n_transitions"),
         countDistinct(col("subject")).as("n_subjects"))
-      .crossJoin(broadcast(total))
+      .withColumn("n_total",
+        sum(col("n_field_hits")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy().rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)))
       .select(col("violation"), col("n_field_hits"), col("n_transitions"), col("n_subjects"),
         (floor(col("n_field_hits") / col("n_total").cast("double") * 10000 + 0.5) / lit(10000.0))
           .as("share"))

@@ -62,12 +62,15 @@ object Pipeline {
     // generation is a corpus-scale LSH scan that wants full-width
     // shuffles — only the iteration rounds inside the CC cores run
     // under the scoped small-frame coalescing (Tables.withIterConf).
-    edges.count()
+    // The count doubles as the CC core's broadcast/static-plan gate
+    // (r12) — exact and already paid for.
+    val nEdges = edges.count()
     // graft.clusters.algo = label (default) | star: same fixpoint,
     // different round complexity — diameter-many rounds vs O(log n).
     val (labels, _) =
-      if (s.conf.get("graft.clusters.algo", "label") == "star") ccStar(edges)
-      else ccLabelProp(edges)
+      if (s.conf.get("graft.clusters.algo", "label") == "star")
+        ccStar(edges, edgeRowsHint = Some(nEdges))
+      else ccLabelProp(edges, edgeRowsHint = Some(nEdges))
     edges.unpersist()
     val members = labels.select(col("label").as("cluster_id"), col("id").as("doc_id"))
     val sizes = members.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_docs"))
@@ -82,7 +85,25 @@ object Pipeline {
     * decrease, so sum(label) is the monotone 1-row convergence
     * witness. Returns (labels (id, label), rounds run).
     */
-  private[graft] def ccLabelProp(edges: DataFrame, maxIter: Int = 20): (DataFrame, Int) = Tables.withIterConf(edges.sparkSession) {
+  /** `edgeRowsHint` (r12, VERDICT r11 #3): the caller's exact edge
+    * count (both production callers count the cached edge frame
+    * anyway). When it fits the loop broadcast gate, the rounds run
+    * with STATIC plans (AQE off — no per-stage replanning latency on
+    * KB-scale round frames), the shuffle width set from the known
+    * count, and the node-sized label map BROADCAST into the per-round
+    * join (nodes ≤ symmetric-edge rows, so the gate on edges bounds
+    * the build side too) — the round's only exchange is then the
+    * groupBy-min. Above the gate (100 TB pair graphs) the loop keeps
+    * AQE's runtime re-optimization exactly as before — the same
+    * count-gated discipline the registry closure loops landed in r11.
+    */
+  private[graft] def ccLabelProp(edges: DataFrame, maxIter: Int = 20,
+      edgeRowsHint: Option[Long] = None): (DataFrame, Int) = {
+    val s = edges.sparkSession
+    val static = edgeRowsHint.exists(n => n > 0 && n <= Tables.BcastRows / 2)
+    def bc(df: DataFrame): DataFrame = if (static) broadcast(df) else df
+    Tables.withIterConf(s, staticPlans = static) {
+    if (static) Tables.iterWidth(s, edgeRowsHint.get)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .transform(Tables.iterCheckpoint)
@@ -97,7 +118,7 @@ object Pipeline {
       // not two, with lineage still truncated for the next plan
       // (the r7 closure-loop discipline, see Registry.closurePairs).
       val next = edges
-        .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
+        .join(bc(labels.select(col("id").as("dst"), col("label").as("nl"))), "dst")
         .select(col("src").as("id"), col("nl").as("label"))
         .union(labels)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
@@ -115,6 +136,7 @@ object Pipeline {
       ccLog.warn(s"ccLabelProp exited at maxIter=$maxIter WITHOUT converging - " +
         "labels are not a fixpoint; raise maxIter or use graft.clusters.algo=star")
     (labels, iter)
+    }
   }
 
   /** Large-star/small-star CC core (Kiveris et al., "Connected
@@ -137,7 +159,22 @@ object Pipeline {
     * of an exact stop condition on a non-monotone edge set.
     * Returns (labels (id, label), rounds run).
     */
-  private[graft] def ccStar(edges: DataFrame, maxIter: Int = 30): (DataFrame, Int) = {
+  /** `edgeRowsHint` (r12, VERDICT r11 #3): the caller's exact edge
+    * count. When it fits the loop broadcast gate, the whole run uses
+    * STATIC plans (AQE off) with the shuffle width set from the known
+    * counts, and every node-sized map (the per-alternation min-
+    * neighbor map, the seed map, the final label map) carries an
+    * explicit broadcast hint — replacing AQE's runtime broadcast
+    * conversion, which paid stage-by-stage replanning latency on
+    * every tiny alternation frame. Node counts are bounded by the
+    * symmetric edge rows, so the edge gate bounds every build side.
+    * Above the gate the alternations keep AQE exactly as before
+    * (its per-round joins then rely on runtime broadcast conversion).
+    */
+  private[graft] def ccStar(edges: DataFrame, maxIter: Int = 30,
+      edgeRowsHint: Option[Long] = None): (DataFrame, Int) = {
+    val static = edgeRowsHint.exists(n => n > 0 && n <= Tables.BcastRows / 2)
+    def bc(df: DataFrame): DataFrame = if (static) broadcast(df) else df
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       val m = sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
@@ -146,7 +183,7 @@ object Pipeline {
       // (one row per input edge) and smallStar's groupBy-min and
       // terminal distinct absorb duplicates — one fewer shuffle per
       // alternation for the same fixpoint.
-      sym.join(m, "src")
+      sym.join(bc(m), "src")
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
         .filter(col("src") =!= col("dst"))
@@ -156,13 +193,14 @@ object Pipeline {
         least(col("src"), col("dst")).as("dst"))
       val m = oriented.groupBy(col("src")).agg(min(col("dst")).as("mn"))
         .select(col("src"), least(col("mn"), col("src")).as("m"))
-      oriented.join(m, "src")
+      oriented.join(bc(m), "src")
         .select(col("dst").as("src"), col("m").as("dst"))
         .union(m.select(col("src"), col("m").as("dst")))
         .filter(col("src") =!= col("dst"))
         .distinct()
     }
-    Tables.withIterConf(edges.sparkSession) {
+    Tables.withIterConf(edges.sparkSession, staticPlans = static) {
+    if (static) Tables.iterWidth(edges.sparkSession, 2 * edgeRowsHint.get)
     // Seed pass (r8): one min-label hop + graph contraction before the
     // alternations. seed(u) = min(Γ(u) ∪ u) is a member of u's own
     // component, so contracting every edge (u,v) → (seed(u), seed(v))
@@ -186,19 +224,23 @@ object Pipeline {
     // map stays "u → some member of u's component" (closed under
     // composition), which is the only property contraction needs.
     val seed = (1 to 2).foldLeft(seed1) { (sd, _) =>
-      sd.join(sd.select(col("id").as("slabel"), col("slabel").as("l2")), Seq("slabel"))
+      sd.join(bc(sd.select(col("id").as("slabel"), col("slabel").as("l2"))), Seq("slabel"))
         .select(col("id"), col("l2").as("slabel"))
         .localCheckpoint(false)
     }
     var e = sym0
-      .join(seed.select(col("id").as("src"), col("slabel").as("ls")), "src")
-      .join(seed.select(col("id").as("dst"), col("slabel").as("ld")), "dst")
+      .join(bc(seed.select(col("id").as("src"), col("slabel").as("ls"))), "src")
+      .join(bc(seed.select(col("id").as("dst"), col("slabel").as("ld"))), "dst")
       .select(col("ls").as("src"), col("ld").as("dst"))
       .filter(col("src") =!= col("dst")).distinct().transform(Tables.iterCheckpoint)
     var eCount = e.count()
     var iter = 0
     var stable = false
     while (!stable && iter < maxIter) {
+      // per-alternation width from the exact edge count — the
+      // contracted edge set shrinks fast, and the static-plan path
+      // has no AQE coalescing to absorb an over-wide shuffle
+      if (static) Tables.iterWidth(edges.sparkSession, eCount)
       // lazy checkpoint, materialized by the count probe. Exact
       // set-equality fixpoint in at most two cheap jobs: both frames
       // are distinct sets, so |next| == |e| AND |next ∪ e| == |e|
@@ -232,7 +274,7 @@ object Pipeline {
       .union(e.select(col("dst").as("id"), col("dst").as("label")))
       .groupBy(col("id")).agg(min(col("label")).as("label"))
     val labels = seed
-      .join(starLabels.select(col("id").as("slabel"), col("label")), Seq("slabel"), "left")
+      .join(bc(starLabels.select(col("id").as("slabel"), col("label"))), Seq("slabel"), "left")
       .select(col("id"), coalesce(col("label"), col("slabel")).as("label"))
     (labels, iter)
     }
@@ -998,14 +1040,16 @@ object Pipeline {
     val edges = Dedup.embedLsh(s, dir)
       .select(col("vec_a").as("src"), col("vec_b").as("dst"))
       .cache()
-    edges.count()
+    // exact count, already paid for to pin the scorer — doubles as
+    // the CC core's broadcast/static-plan gate (r12)
+    val nEdges = edges.count()
     // the embedding graph chains through hub vectors (a vector close
     // to two distant neighbors bridges them), so component diameters
     // grow with the corpus — at sf0.1 label propagation does NOT
     // converge in 20 rounds. The star core contracts path lengths
     // multiplicatively (O(log n) alternations regardless of
     // diameter), so it is the default here, not the fallback.
-    val (labels, _) = ccStar(edges)
+    val (labels, _) = ccStar(edges, edgeRowsHint = Some(nEdges))
     edges.unpersist()
     val members = labels.select(col("label").as("cluster_id"), col("id").as("vec_id"))
     val sizes = members.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_vecs"))

@@ -702,19 +702,36 @@ object Registry {
     * self-reachable), which is what [[refCycles]] relies on.
     */
   private def closurePairsOf(s: SparkSession, edges: DataFrame): DataFrame = Tables.withIterConf(s, staticPlans = true) {
+    // Widen BEFORE the first materialization (r12, ADVICE r11): the
+    // staticPlans scope pins shuffle.partitions=8, which is right for
+    // the KB-scale round frames but would serialize the edge distinct
+    // and the step self-joins below on a large graph. The parquet
+    // footer row bound of the edge scan (zero jobs) is an upper bound
+    // on |edges| up to the ~1.2x/5 union fan-in, so 2x it is a safe
+    // pre-loop width; each round's iterWidth then re-tightens from
+    // the exact convergence counts.
+    Tables.footerRowBound(edges).foreach(n => Tables.iterWidth(s, 2 * n))
     val e = edges
       .select(col("child").as("doc_id"), col("parent").as("anc"))
       .distinct().transform(Tables.iterCheckpoint)
-    // STRIDE-2 step relation (r11): one upfront self-join widens the
-    // step set to "reachable in 1-2 edges", so the BFS needs
-    // ⌈depth/2⌉ rounds instead of depth — the loop's cost here is the
-    // per-round FIXED cost (driver-paced jobs over KB-MB frames;
-    // measured ~0.3s/round at sf0.1, 13 rounds), not bytes, and the
-    // step build costs about one round. Reachability is unchanged
-    // (any path decomposes into stride-≤2 steps; ~1.2x step rows).
-    val step = e.unionAll(
+    // STRIDE-4 step relation (r12; stride-2 in r11): one self-join
+    // widens the step set to "reachable in 1-2 edges", squaring THAT
+    // widens it to "reachable in 1-4 edges" — the BFS then needs
+    // ⌈depth/4⌉ rounds instead of depth, and the loop's cost here is
+    // the per-round FIXED cost (driver-paced jobs over KB-MB frames;
+    // measured ~0.3s/round at sf0.1), not bytes. Each squaring costs
+    // about one round and composition preserves reachability exactly
+    // (any path decomposes into stride-≤4 steps). Step-set growth is
+    // out-degree-bounded (≤ Σ_{h≤4} outdeg^h distinct values, far
+    // fewer after value dedup on the /2-/3 DAG — measured ~2x edges).
+    val step2 = e.unionAll(
       e.select(col("doc_id"), col("anc").as("mid"))
         .join(e.select(col("doc_id").as("mid"), col("anc")), "mid")
+        .select(col("doc_id"), col("anc")))
+      .distinct().transform(Tables.iterCheckpoint)
+    val step = step2.unionAll(
+      step2.select(col("doc_id"), col("anc").as("mid"))
+        .join(step2.select(col("doc_id").as("mid"), col("anc")), "mid")
         .select(col("doc_id"), col("anc")))
       .distinct().transform(Tables.iterCheckpoint)
     // Closure-so-far stays a UNION VIEW of the per-round frontier
@@ -725,7 +742,12 @@ object Registry {
     // pure checkpoint IO that this form never pays.
     val rounds = scala.collection.mutable.ListBuffer(step)
     var frontier = step
-    var frontierCount = frontier.count() // materializes step
+    var frontierCount = frontier.count() // materializes e → step2 → step
+    // e and step2 exist only to build step — their checkpoint blocks
+    // are provably never read again once the count above has
+    // materialized step.
+    org.apache.spark.sql.graftshim.GraftShim.freeCheckpoint(e)
+    org.apache.spark.sql.graftshim.GraftShim.freeCheckpoint(step2)
     // Adaptive broadcasts (r11): the loop's convergence counts give
     // the driver EXACT row counts for both join inputs at no extra
     // cost, so each round broadcasts the step relation and the
@@ -760,12 +782,11 @@ object Registry {
     rounds.reduce(_ unionAll _)
   }
 
-  /** Row bound under which the closure loops broadcast a join side:
-    * 2M (doc, anc) pairs ≈ ~60 MB built — comfortably inside driver/
-    * executor memory, far above every test scale (sf10's closure is
-    * ~18M pairs and correctly falls back to the shuffle form there).
+  /** Row bound under which the closure loops broadcast a join side
+    * (sf10's ~18M-pair closure correctly falls back to the shuffle
+    * form) — the shared loop constant, see [[Tables.BcastRows]].
     */
-  private val BcastRows = 2000000L
+  private val BcastRows = Tables.BcastRows
 
   /** Transitive reference closure per document (the resolution set a
     * registry materializes to answer "what does this schema pull in"
@@ -796,20 +817,30 @@ object Registry {
     * freed-superseded-round discipline.
     */
   private def closureDepths(s: SparkSession, dir: String): DataFrame = Tables.withIterConf(s, staticPlans = true) {
-    val e = refEdges(s, dir)
+    // pre-loop width from the edge scan's footer bound — see
+    // [[closurePairsOf]] (r12, ADVICE r11)
+    val edges0 = refEdges(s, dir)
+    Tables.footerRowBound(edges0).foreach(n => Tables.iterWidth(s, 2 * n))
+    val e = edges0
       .select(col("child").as("doc_id"), col("parent").as("anc"))
       .distinct().transform(Tables.iterCheckpoint)
-    // STRIDE-2 step relation carrying its EXACT min distance: direct
-    // edges at d=1, two-hop pairs WITHOUT a direct edge at d=2 (the
-    // anti-join makes d exact within the ≤2 window). Same ⌈depth/2⌉
+    // STRIDE-4 step relation carrying its EXACT min distance (r12;
+    // stride-2 in r11): direct edges at d=1, two-hop pairs WITHOUT a
+    // direct edge at d=2 (the anti-join makes d exact within the ≤2
+    // window); squaring step2 then yields every pair at min distance
+    // ≤4 with exact d — a composition's d1+d2 is a real path length
+    // (≥ the true min m), and splitting a shortest path of length
+    // m ≤ 4 into halves of lengths a, b ≤ 2 gives step2 entries with
+    // d1 ≤ a, d2 ≤ b (step2 d's are exact global minima ≤ 2), so
+    // d1+d2 ≤ m and the min-per-pair is exactly m. Same ⌈depth/4⌉
     // round count win as [[closurePairsOf]]; because a round now
-    // spans two BFS layers, d rides the loop joins (d' = d_frontier +
-    // d_step, min per fresh pair) instead of being stamped from the
-    // round index. Exactness: a shortest path of length L has a
-    // prefix of length L-2 whose min-dist is exactly L-2 (else a
-    // shorter a→c path would exist), that prefix is in the previous
-    // frontier with exact d by induction, and the 2-step suffix is in
-    // the step relation at its exact ≤2 distance — so min over a
+    // spans four BFS layers, d rides the loop joins (d' = d_frontier
+    // + d_step, min per fresh pair) instead of being stamped from the
+    // round index. Exactness of the loop: a shortest path of length L
+    // has a prefix of length L-4 whose min-dist is exactly L-4 (else
+    // a shorter a→c path would exist), that prefix is in the previous
+    // frontier with exact d by induction, and the 4-step suffix is in
+    // the step relation at its exact ≤4 distance — so min over a
     // round's candidates is the true min distance, and the per-round
     // anti-join still discards longer rediscoveries of earlier pairs.
     val twoHop = e.select(col("doc_id"), col("anc").as("mid"))
@@ -817,12 +848,20 @@ object Registry {
       .select(col("doc_id"), col("anc"))
       .join(e, Seq("doc_id", "anc"), "left_anti")
       .distinct()
-    val step = e.select(col("doc_id"), col("anc"), lit(1L).as("d"))
+    val step2 = e.select(col("doc_id"), col("anc"), lit(1L).as("d"))
       .unionAll(twoHop.select(col("doc_id"), col("anc"), lit(2L).as("d")))
+      .transform(Tables.iterCheckpoint)
+    val step = step2.unionAll(
+      step2.select(col("doc_id"), col("anc").as("mid"), col("d").as("df"))
+        .join(step2.select(col("doc_id").as("mid"), col("anc"), col("d").as("ds")), "mid")
+        .select(col("doc_id"), col("anc"), (col("df") + col("ds")).as("d")))
+      .groupBy(col("doc_id"), col("anc")).agg(min(col("d")).as("d"))
       .transform(Tables.iterCheckpoint)
     val rounds = scala.collection.mutable.ListBuffer(step)
     var frontier = step
-    var frontierCount = frontier.count() // materializes step
+    var frontierCount = frontier.count() // materializes e → step2 → step
+    org.apache.spark.sql.graftshim.GraftShim.freeCheckpoint(e)
+    org.apache.spark.sql.graftshim.GraftShim.freeCheckpoint(step2)
     // same adaptive broadcasts as [[closurePairsOf]] — counts are
     // exact and driver-known from the convergence probes
     val stepBcast = frontierCount <= BcastRows

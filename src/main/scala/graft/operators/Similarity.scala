@@ -271,7 +271,19 @@ object Similarity {
       .selectExpr("explode(array(struct(src, dst), struct(dst AS src, src AS dst))) AS p")
       .selectExpr("p.src AS src", "p.dst AS dst")
       .distinct().transform(graft.Tables.pin)
-    val hop2 = und.alias("a").join(und.alias("b"), col("a.dst") === col("b.src"))
+    // Count-gated broadcast of the two-hop build side (r12, VERDICT
+    // r11 #4): |und| ≤ 2·3·N by the round-0 top-3 window, and N is
+    // footer-exact at zero jobs — when the bound fits the loop
+    // broadcast gate the expansion needs no exchange at all (the
+    // checkpointed edge list otherwise shuffles twice into a
+    // sort-merge join, and AQE's runtime BHJ conversion still
+    // materializes both exchanges first). Above the gate (100 TB
+    // graphs) the former shuffle join stands.
+    val undBound = graft.Tables.footerRowBound(Tables.embeddings(s, dir)).map(_ * 6)
+    val hop2Side =
+      if (undBound.exists(n => n > 0 && n <= graft.Tables.BcastRows)) broadcast(und.alias("b"))
+      else und.alias("b")
+    val hop2 = und.alias("a").join(hop2Side, col("a.dst") === col("b.src"))
       .select(col("a.src").as("src"), col("b.dst").as("dst"))
     val cand = und.union(hop2).where(col("src") =!= col("dst")).distinct()
     val e = Tables.embeddings(s, dir)
