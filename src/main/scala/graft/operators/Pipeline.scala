@@ -72,9 +72,13 @@ object Pipeline {
         ccStar(edges, edgeRowsHint = Some(nEdges))
       else ccLabelProp(edges, edgeRowsHint = Some(nEdges))
     edges.unpersist()
-    val members = labels.select(col("label").as("cluster_id"), col("id").as("doc_id"))
-    val sizes = members.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_docs"))
-    members.join(sizes, "cluster_id")
+    // size via a window over the cluster key, not a groupBy+join whose
+    // build side re-ran the whole member subplan a second time (r12,
+    // guide §2.4 duplicated subtrees — the ccStar label assembly is
+    // not checkpointed); one exchange, identical rows.
+    labels.select(col("label").as("cluster_id"), col("id").as("doc_id"))
+      .withColumn("n_docs", count(lit(1)).over(
+        Window.partitionBy(col("cluster_id"))))
       .select(col("cluster_id"), col("doc_id"), col("n_docs"))
       .orderBy(col("cluster_id"), col("doc_id"))
   }
@@ -1051,9 +1055,10 @@ object Pipeline {
     // diameter), so it is the default here, not the fallback.
     val (labels, _) = ccStar(edges, edgeRowsHint = Some(nEdges))
     edges.unpersist()
-    val members = labels.select(col("label").as("cluster_id"), col("id").as("vec_id"))
-    val sizes = members.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_vecs"))
-    members.join(sizes, "cluster_id")
+    // window-sized, not groupBy+join — see [[dedupClusters]] (r12)
+    labels.select(col("label").as("cluster_id"), col("id").as("vec_id"))
+      .withColumn("n_vecs", count(lit(1)).over(
+        Window.partitionBy(col("cluster_id"))))
       .select(col("cluster_id"), col("vec_id"), col("n_vecs"))
       .orderBy(col("cluster_id"), col("vec_id"))
   }

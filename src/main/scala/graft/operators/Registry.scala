@@ -936,8 +936,13 @@ object Registry {
       .join(closure.select(col("anc").as("doc_id"), col("doc_id").as("anc")),
         Seq("doc_id", "anc"))
     val scc = mutual.groupBy(col("doc_id")).agg(min(col("anc")).as("cycle_id"))
-    val sizes = scc.groupBy(col("cycle_id")).agg(count(lit(1)).as("n_members"))
-    scc.join(sizes, "cycle_id")
+    // component size via a window over cycle_id, not a groupBy+join:
+    // scc is not checkpointed, so the join's build side re-ran the
+    // whole mutual-reach join + rollup a second time (r12, guide §2.4
+    // duplicated subtrees — stage profile showed the closure
+    // checkpoints scanned twice over). One exchange, identical rows.
+    scc.withColumn("n_members", count(lit(1)).over(
+        Window.partitionBy(col("cycle_id"))))
       .select(col("cycle_id"), col("doc_id"), col("n_members"))
       .orderBy(col("cycle_id"), col("doc_id"))
   }
