@@ -76,11 +76,15 @@ object Audit {
     * the share denominator is a 1-row broadcast.
     */
   def latencyHistogram(s: SparkSession, dir: String): DataFrame = {
-    val h = Tables.events(s, dir)
+    // share denominator via a window-sum over the ≤40-row rollup —
+    // the former broadcast aggregate's subplan re-ran the whole event
+    // scan + groupBy a second time (r12, guide §2.4 duplicated
+    // subtrees; buckets partition the events, so the sums are equal)
+    Tables.events(s, dir)
       .select((length(bin(floor(col("value")).cast("bigint"))) - 1).cast("bigint").as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_events"))
-    val tot = h.agg(sum(col("n_events")).cast("double").as("tot"))
-    h.crossJoin(broadcast(tot))
+      .withColumn("tot", sum(col("n_events")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()).cast("double"))
       .select(col("bucket"), pow(lit(2), col("bucket")).cast("bigint").as("lo_ms"),
         col("n_events"),
         (floor(col("n_events") / col("tot") * 10000 + 0.5) / lit(10000.0)).as("share"))

@@ -258,9 +258,12 @@ object Intelligence {
   def detectPatterns(s: SparkSession, dir: String): DataFrame = {
     val vs = Compat.fieldArrays(s, dir, slim = true)
       .groupBy(col("subject")).agg(max(col("version")).as("nv"))
-    val a = vs.agg(count(lit(1)).as("n_subjects"),
+    // pinned 1-row aggregate: `a` feeds both the ubiquity comparison
+    // and the final stack — unpinned, each consumer re-ran the whole
+    // field-model build (r12, guide §2.4 duplicated subtrees)
+    val a = graft.Tables.pin(vs.agg(count(lit(1)).as("n_subjects"),
       sum(col("nv")).as("total_versions"),
-      sum(when(col("nv") > 1, 1).otherwise(0)).as("multi_version_subjects"))
+      sum(when(col("nv") > 1, 1).otherwise(0)).as("multi_version_subjects")))
     val ubi = latestFields(s, dir)
       .groupBy(col("fname")).agg(countDistinct(col("subject")).as("nsub"))
       .crossJoin(broadcast(a.select(col("n_subjects"))))

@@ -299,10 +299,13 @@ object Multimodal {
         |WHEN hex(substring(payload, 1, 3)) LIKE 'FFD8FF%' THEN 'image/jpeg'
         |WHEN hex(substring(payload, 1, 3)) LIKE '474946%' THEN 'image/gif'
         |ELSE 'application/octet-stream' END AS mime""".stripMargin)
-    val total = mimed.agg(count(lit(1)).as("n_corpus"))
+    // corpus total via a window-sum over the ≤5-row mime rollup
+    // (every doc sniffs to exactly one mime) — the former broadcast
+    // aggregate re-ran the payload-sniffing scan (r12, guide §2.4)
     mimed.groupBy(col("mime"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("total_bytes"))
-      .crossJoin(broadcast(total))
+      .withColumn("n_corpus", sum(col("n_docs")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
       .withColumn("share",
         expr("floor(n_docs / cast(n_corpus AS double) * 10000 + 0.5) / cast(10000 AS double)"))
       .drop("n_corpus")

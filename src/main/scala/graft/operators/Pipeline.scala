@@ -323,10 +323,13 @@ object Pipeline {
         when(md5(col("doc_id").cast("string")) < "fa", "train")
           .when(md5(col("doc_id").cast("string")) < "fd", "valid")
           .otherwise("test").as("split"))
-    val total = d.agg(count(lit(1)).as("n_corpus"))
+    // corpus total via a window-sum over the cell rollup: every doc
+    // lands in exactly one (split, source) cell, so the sums are
+    // equal — the former broadcast aggregate re-ran the doc scan
+    // (r12, guide §2.4)
     d.groupBy(col("split"), col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
-      .crossJoin(broadcast(total))
+      .withColumn("n_corpus", sum(col("n_docs")).over(Window.partitionBy()))
       .withColumn("doc_share",
         expr("floor(n_docs / cast(n_corpus AS double) * 10000 + 0.5) / cast(10000 AS double)"))
       .drop("n_corpus")
@@ -572,8 +575,10 @@ object Pipeline {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
       .withColumn("raw", pow(col("n_tokens").cast("double"), 0.7))
-    val tot = strata.agg(sum(col("raw")).as("tot_raw"))
-    strata.crossJoin(broadcast(tot))
+    // denominator via window-sum over the per-lang rollup (langs
+    // partition the corpus) — the broadcast aggregate re-ran the
+    // tokenizing scan (r12, guide §2.4)
+    strata.withColumn("tot_raw", sum(col("raw")).over(Window.partitionBy()))
       .select(col("lang"), col("n_docs"), col("n_tokens"),
         (floor(col("raw") / col("tot_raw") * 1e6 + 0.5) / 1e6).as("weight"),
         floor(col("raw") / col("tot_raw") * 10000 + 0.5).cast("bigint").as("n_target"))
@@ -597,14 +602,15 @@ object Pipeline {
   def corpusDrift(s: SparkSession, dir: String): DataFrame = {
     val b = Tables.documents(s, dir)
       .select(col("source"), expr("n_chars div 100").as("bucket"))
-    val obs = b.groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("obs"))
-    val corpus = b.groupBy(col("bucket")).agg(count(lit(1)).as("bucket_total"))
-    val totals = b.groupBy(col("source")).agg(count(lit(1)).as("source_total"))
-    val n = b.agg(count(lit(1)).as("n_docs"))
-    obs
-      .join(broadcast(corpus), "bucket")
-      .join(broadcast(totals), "source")
-      .crossJoin(broadcast(n))
+    // every doc lands in exactly one (source, bucket) cell, so the
+    // bucket/source/corpus totals are all window-sums over the one
+    // cell rollup — the former four independent rollups re-scanned
+    // the corpus four times and broadcast three of them (r12, guide
+    // §2.4); identical integers, one scan.
+    b.groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("obs"))
+      .withColumn("bucket_total", sum(col("obs")).over(Window.partitionBy(col("bucket"))))
+      .withColumn("source_total", sum(col("obs")).over(Window.partitionBy(col("source"))))
+      .withColumn("n_docs", sum(col("obs")).over(Window.partitionBy()))
       .withColumn("exp_docs",
         (floor(col("bucket_total") * col("source_total") / col("n_docs").cast("double") * 10000 + 0.5)
           / lit(10000.0)))
@@ -926,9 +932,13 @@ object Pipeline {
       // name spread over 1..4 — decoupled from availability so some
       // sources land over- and some under-subscribed
       .withColumn("w", (ascii(expr("right(source, 1)")) % 4 + 1).cast("double"))
-    val totals = avail.agg(sum(col("w")).as("w_tot"),
-      (sum(col("avail_tokens")) / 2).cast("double").as("budget"))
-    avail.crossJoin(broadcast(totals))
+    // totals via window-sums over the per-source rollup (sources
+    // partition the corpus) — the broadcast aggregate re-ran the
+    // tokenizing scan (r12, guide §2.4)
+    val wAll = Window.partitionBy()
+    avail
+      .withColumn("w_tot", sum(col("w")).over(wAll))
+      .withColumn("budget", (sum(col("avail_tokens")).over(wAll) / 2).cast("double"))
       .withColumn("target_share", floor(col("w") / col("w_tot") * 1e6 + 0.5) / 1e6)
       .withColumn("target_tokens",
         floor(col("w") / col("w_tot") * col("budget")).cast("bigint"))

@@ -156,10 +156,15 @@ object Temporal {
   def resampleFfill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = graft.Tables.events(s, dir)
-    val bounds = ev.agg(date_trunc("minute", min(col("ts"))).as("t0"),
-      date_trunc("minute", max(col("ts"))).as("t1"))
-    val grid = ev.select(col("event_type")).distinct()
-      .crossJoin(broadcast(bounds))
+    // grid in ONE events pass (r12, guide §2.4): the per-type rollup
+    // carries the global bounds as window min/max over its ≤types
+    // rows — the former distinct + broadcast-aggregate pair scanned
+    // the events twice for the same (types × [t0, t1]) frame.
+    val grid = ev.groupBy(col("event_type"))
+      .agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+      .select(col("event_type"),
+        date_trunc("minute", min(col("mn")).over(Window.partitionBy())).as("t0"),
+        date_trunc("minute", max(col("mx")).over(Window.partitionBy())).as("t1"))
       .select(col("event_type"),
         explode(expr("sequence(t0, t1, interval 1 minute)")).as("minute"))
     val obs = ev
@@ -199,10 +204,12 @@ object Temporal {
   def interpolate(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = graft.Tables.events(s, dir)
-    val bounds = ev.agg(date_trunc("minute", min(col("ts"))).as("t0"),
-      date_trunc("minute", max(col("ts"))).as("t1"))
-    val grid = ev.select(col("event_type")).distinct()
-      .crossJoin(broadcast(bounds))
+    // one-pass grid — see [[resampleFfill]] (r12, guide §2.4)
+    val grid = ev.groupBy(col("event_type"))
+      .agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+      .select(col("event_type"),
+        date_trunc("minute", min(col("mn")).over(Window.partitionBy())).as("t0"),
+        date_trunc("minute", max(col("mx")).over(Window.partitionBy())).as("t1"))
       .select(col("event_type"),
         explode(expr("sequence(t0, t1, interval 1 minute)")).as("minute"))
     val obs = ev
@@ -257,10 +264,12 @@ object Temporal {
   def resampleFfillSpans(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = graft.Tables.events(s, dir)
-    val bounds = ev.agg(date_trunc("minute", min(col("ts"))).as("t0"),
-      date_trunc("minute", max(col("ts"))).as("t1"))
-    val daySpine = ev.select(col("event_type")).distinct()
-      .crossJoin(broadcast(bounds))
+    // one-pass day spine — see [[resampleFfill]] (r12, guide §2.4)
+    val daySpine = ev.groupBy(col("event_type"))
+      .agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+      .select(col("event_type"),
+        date_trunc("minute", min(col("mn")).over(Window.partitionBy())).as("t0"),
+        date_trunc("minute", max(col("mx")).over(Window.partitionBy())).as("t1"))
       .select(col("event_type"), col("t0"), col("t1"),
         explode(expr("sequence(date_trunc('DAY', t0), date_trunc('DAY', t1), interval 1 day)")).as("day"))
     val obs = ev
@@ -304,10 +313,12 @@ object Temporal {
   def interpolateSpans(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = graft.Tables.events(s, dir)
-    val bounds = ev.agg(date_trunc("minute", min(col("ts"))).as("t0"),
-      date_trunc("minute", max(col("ts"))).as("t1"))
-    val daySpine = ev.select(col("event_type")).distinct()
-      .crossJoin(broadcast(bounds))
+    // one-pass day spine — see [[resampleFfill]] (r12, guide §2.4)
+    val daySpine = ev.groupBy(col("event_type"))
+      .agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+      .select(col("event_type"),
+        date_trunc("minute", min(col("mn")).over(Window.partitionBy())).as("t0"),
+        date_trunc("minute", max(col("mx")).over(Window.partitionBy())).as("t1"))
       .select(col("event_type"), col("t0"), col("t1"),
         explode(expr("sequence(date_trunc('DAY', t0), date_trunc('DAY', t1), interval 1 day)")).as("day"))
     val obs = ev
