@@ -325,6 +325,13 @@ object Registry {
       .selectExpr("h", "i",
         "cast(conv(substring(h, i * 4 + 1, 4), 16, 10) AS bigint) AS pos")
       .selectExpr("h", "i", "pos div 32 AS slot", "cast(pos % 32 AS int) AS bit")
+    // NOT pinned (r12): items/slots are multi-consumer, but the whole
+    // subtree is a 1-task scan of a tiny projection — an r12
+    // experiment that pinned both measured 15x the cpu and ~2x the
+    // wall (interleaved A/B): the checkpoint leaves defeat size
+    // estimation, replacing two cheap fused rebuilds with wide
+    // SMJ-planned stages. Duplicated CHEAP subtrees are the right
+    // trade; see OPTIMIZATION_r12.md.
     val items = Tables.documents(s, dir)
       .select(md5(trim(regexp_replace(col("text"), "\\s+", " "))).as("h"))
       .distinct()
@@ -633,21 +640,25 @@ object Registry {
     val ev = Tables.events(s, dir).select(
       col("user_id").as("subject"), col("ts"), col("event_id"),
       get_json_object(col("props"), "$.k").cast("bigint").as("k"))
-    val w = Window.partitionBy(col("subject")).orderBy(col("ts").desc, col("event_id").desc)
-    val totals = ev.agg(countDistinct(col("subject")).as("total_subjects"),
-      count(lit(1)).as("total_versions"))
-    val types = ev.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(when(col("k") % 3 === 0, "AVRO")
-        .when(col("k") % 3 === 1, "JSON")
-        .otherwise("PROTOBUF").as("schema_type"))
-      .groupBy(col("schema_type")).agg(count(lit(1)).as("n"))
-    totals.crossJoin(broadcast(
-      types.groupBy().pivot("schema_type", Seq("AVRO", "JSON", "PROTOBUF")).sum("n")))
+    // ONE pass (r12, guide §2.4): the former totals aggregate and the
+    // latest-per-subject window each re-scanned (and re-parsed) the
+    // event stream. A per-subject rollup carries both the version
+    // count and the latest k (max_by over (ts, event_id) — exactly
+    // the row the row_number window picked), and one 1-row aggregate
+    // over it yields all five metrics; NULL k still lands in the
+    // PROTOBUF bucket via the null-condition otherwise, as before.
+    ev.groupBy(col("subject"))
+      .agg(count(lit(1)).as("nv"),
+        expr("max_by(k, struct(ts, event_id))").as("lk"))
+      .agg(count(lit(1)).as("total_subjects"),
+        sum(col("nv")).as("total_versions"),
+        sum(when(col("lk") % 3 === 0, 1L).otherwise(0L)).as("avro"),
+        sum(when(col("lk") % 3 === 1, 1L).otherwise(0L)).as("json"),
+        sum(when(col("lk") % 3 === 0 || col("lk") % 3 === 1, 0L).otherwise(1L)).as("protobuf"))
       .selectExpr(
         """stack(5, 'total_subjects', total_subjects, 'total_versions', total_versions,
-          |  'type_avro', coalesce(AVRO, 0), 'type_json', coalesce(JSON, 0),
-          |  'type_protobuf', coalesce(PROTOBUF, 0)) AS (metric, value)""".stripMargin)
+          |  'type_avro', avro, 'type_json', json,
+          |  'type_protobuf', protobuf) AS (metric, value)""".stripMargin)
       .orderBy(col("metric"))
   }
 

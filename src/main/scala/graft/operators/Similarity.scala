@@ -757,16 +757,23 @@ object Similarity {
       .selectExpr("g", "aggregate(g, cast(0 AS bigint), (acc, x) -> acc + x) AS t")
     val rows = g.select(col("t"), posexplode_outer(col("g")).as(Seq("p0", "q")))
       .selectExpr("cast(p0 + 1 AS bigint) AS dim", "q", "t")
-    val perDim = rows.groupBy(col("dim"))
+    // totals and the norm as windows over the 64-row per-dim rollup:
+    // the former broadcast-aggregate chain re-ran the rollup subtree
+    // (embeddings explode + groupBy) once per aggregate — FOUR builds
+    // for one query (tot's, norm's transitively doubling v1's) — for
+    // values that are plain functions of the 64 rows (r12, guide
+    // §2.4). Same dim-ordered fold for the norm, bit-identical.
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    rows.groupBy(col("dim"))
       .agg(sum(col("q")).as("s"), sum(col("q") * col("t")).as("u"), count(lit(1)).as("n"))
-    val tot = perDim.agg(sum(col("s")).as("bigS"), max(col("n")).as("nvec"))
-    val v1 = perDim.crossJoin(broadcast(tot))
-      .select(col("dim"), col("s"), (col("nvec") * col("u") - col("s") * col("bigS")).as("v1"))
-    val norm = v1.agg(expr(
-      """aggregate(transform(array_sort(collect_list(struct(dim, v1))),
-        |  x -> cast(x.v1 AS double) * cast(x.v1 AS double)),
-        |  cast(0 AS double), (acc, x) -> acc + x)""".stripMargin).as("nsq"))
-    v1.crossJoin(broadcast(norm))
+      .withColumn("bigS", sum(col("s")).over(wAll))
+      .withColumn("nvec", max(col("n")).over(wAll))
+      .withColumn("v1", col("nvec") * col("u") - col("s") * col("bigS"))
+      .withColumn("lst", array_sort(collect_list(struct(col("dim"), col("v1"))).over(wAll)))
+      .withColumn("nsq", expr(
+        """aggregate(transform(lst, x -> cast(x.v1 AS double) * cast(x.v1 AS double)),
+          |  cast(0 AS double), (acc, x) -> acc + x)""".stripMargin))
       .select(col("dim"), col("s").as("sum_q"), col("v1"),
         (floor(col("v1") / sqrt(col("nsq")) * 10000 + 0.5) / lit(10000.0)).as("loading"))
       .orderBy(col("dim"))
